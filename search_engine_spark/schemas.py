@@ -1,0 +1,100 @@
+"""Declared StructTypes for every engine table.
+
+The reference declares all schemas by hand (SQL DDL backend/database/
+schema.sql, Pydantic shared/models.py, ES mapping indexer.py:163-206);
+we do the same — no schema inference anywhere.
+"""
+
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Input corpus (BASELINE.json input_hint; Common-Crawl-style pages).
+PAGES = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+# Per-document table (reference IndexDocument, indexer.py:52-76).
+DOCS = StructType(
+    [
+        StructField("doc_id", LongType(), False),  # dense id for delta coding
+        StructField("url", StringType(), False),
+        StructField("url_hash", StringType(), False),  # sha2(url,256), utils.py:11-13
+        StructField("title", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("domain", StringType(), True),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("doclen", LongType(), False),  # non-stopword token count
+    ]
+)
+
+# Posting-list blocks (north-rule format; FIXTURES.md §3).
+POSTINGS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("term_bucket", IntegerType(), False),  # pmod(xxhash64(term), B)
+        StructField("first_doc_id", LongType(), False),
+        StructField("last_doc_id", LongType(), False),
+        StructField("count", IntegerType(), False),  # postings in block
+        StructField("doc_ids", BinaryType(), False),  # delta+varint
+        StructField("tfs", BinaryType(), False),  # varint
+        StructField("doclens", BinaryType(), False),  # varint (join-free scoring)
+        StructField("block_max_score", DoubleType(), False),  # exact max BM25 in block
+    ]
+)
+
+# Per-term statistics (broadcast at query time).
+TERM_STATS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("df", LongType(), False),
+        StructField("max_score", DoubleType(), False),  # global UB for WAND
+    ]
+)
+
+# Corpus scalars.
+CORPUS_STATS = StructType(
+    [
+        StructField("n_docs", LongType(), False),
+        StructField("avgdl", DoubleType(), False),
+        StructField("total_tokens", LongType(), False),
+    ]
+)
+
+# Checkpoint / lineage manifest (north rule: resumable builds).
+MANIFEST = StructType(
+    [
+        StructField("build_id", StringType(), False),
+        StructField("stage", StringType(), False),
+        StructField("partition_key", IntegerType(), False),  # term_bucket
+        StructField("status", StringType(), False),
+        StructField("rows", LongType(), True),
+        StructField("bytes", LongType(), True),
+        StructField("wall_ms", LongType(), True),
+        StructField("input_fingerprint", StringType(), True),
+    ]
+)
+
+# Link graph (schema.sql:24-31).
+EDGES = StructType(
+    [
+        StructField("src", StringType(), False),
+        StructField("dst", StringType(), False),
+    ]
+)
+
+TOKENS = ArrayType(StringType())

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local sandbox runs on local[N]; the same configs are what we'd submit to
+a 1000-executor cluster (AQE, skew-join handling, Arrow batching).  The
+table layer is parquet-path based (Iceberg jars are not available in
+this sandbox); `search_engine_spark.index.tables` abstracts the physical
+layout so swapping to `writeTo(...iceberg...)` is a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_spark(
+    app_name: str = "search_engine_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(cores, 32)
+
+    # Make this package importable in executor Python workers regardless of
+    # the driver's cwd — the local-mode equivalent of spark-submit --py-files.
+    root = _repo_root()
+    pypath = os.environ.get("PYTHONPATH", "")
+    if root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = root + (os.pathsep + pypath if pypath else "")
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

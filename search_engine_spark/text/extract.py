@@ -1,0 +1,169 @@
+"""HTML -> (title, description, text) extraction.
+
+Reference semantics (backend/crawler_service/crawler.py:333-361):
+  - drop <script> <style> <nav> <footer> <header> <aside> subtrees
+  - title  = text of first <title>, stripped
+  - description = content attr of <meta name="description">, stripped
+  - text   = body text with ' ' separators, whitespace collapsed
+             (re.sub(r'\\s+', ' ')), truncated to 50,000 chars;
+             falls back to whole-document text when no <body> exists
+
+The reference uses BeautifulSoup(html, 'html.parser'); bs4 is not a
+dependency here, so we implement the same extraction on the stdlib
+html.parser.HTMLParser event stream.  THE INVARIANT the engine must hold
+(BASELINE.json input_hint): the distributed Arrow UDF output is
+byte-identical per url to this function's output — both sides call
+`extract_content`, and tests assert equality across the Spark boundary.
+
+Pure stdlib, deterministic, safe to ship to executors.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, NamedTuple
+
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+_REMOVED_TAGS = frozenset({"script", "style", "nav", "footer", "header", "aside"})
+# HTML void elements never nest / close (subset relevant to depth tracking).
+_VOID = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input",
+     "link", "meta", "param", "source", "track", "wbr"}
+)
+
+MAX_TEXT_CHARS = 50_000  # crawler.py:361
+MAX_TITLE_CHARS = 500  # indexer.py:227
+MAX_DESC_CHARS = 1_000  # indexer.py:228
+
+
+class Extracted(NamedTuple):
+    title: str
+    description: str
+    text: str
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.removed_depth = 0
+        self.in_title = False
+        self.title_parts: list[str] = []
+        self.title_done = False
+        self.description = ""
+        self.desc_done = False
+        self.saw_body = False
+        self.in_body = 0
+        self.body_parts: list[str] = []
+        self.all_parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _VOID:
+            if tag == "meta" and not self.desc_done:
+                d = dict(attrs)
+                if d.get("name") == "description" and d.get("content"):
+                    self.description = d["content"].strip()
+                    self.desc_done = True
+            return
+        if tag in _REMOVED_TAGS:
+            self.removed_depth += 1
+            return
+        if self.removed_depth:
+            return
+        if tag == "title" and not self.title_done:
+            self.in_title = True
+        elif tag == "body":
+            self.saw_body = True
+            self.in_body += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _VOID:
+            return
+        if tag in _REMOVED_TAGS:
+            if self.removed_depth:
+                self.removed_depth -= 1
+            return
+        if tag == "title" and self.in_title:
+            self.in_title = False
+            self.title_done = True
+        elif tag == "body" and self.in_body:
+            self.in_body -= 1
+
+    def handle_data(self, data: str) -> None:
+        if self.removed_depth:
+            return
+        if self.in_title:
+            self.title_parts.append(data)
+            return
+        stripped = data.strip()
+        if not stripped:
+            return
+        self.all_parts.append(stripped)
+        if self.in_body:
+            self.body_parts.append(stripped)
+
+
+def extract_content(html: str) -> Extracted:
+    """Extract (title, description, text) from an HTML string.
+
+    Mirrors crawler.py:333-361: removed subtrees, title/meta capture,
+    body get_text(separator=' ', strip=True), \\s+ collapse, [:50000].
+    """
+    p = _Extractor()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # malformed markup: keep whatever was parsed (bs4 is lenient too)
+
+    title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+    parts = p.body_parts if p.saw_body else p.all_parts
+    text = _WS.sub(" ", " ".join(parts)).strip()
+    return Extracted(title, p.description, text[:MAX_TEXT_CHARS])
+
+
+def _decode(html_bytes) -> str:
+    if html_bytes is None:
+        return ""
+    if isinstance(html_bytes, (bytes, bytearray)):
+        return bytes(html_bytes).decode("utf-8", errors="replace")
+    return str(html_bytes)
+
+
+def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: html:binary [+ passthrough cols] ->
+    title/description/text columns appended.  Arrow-batched; per-row work
+    is pure C-accelerated stdlib parsing, no JVM<->Python per-row churn.
+    """
+    for pdf in batches:
+        ex = [extract_content(_decode(h)) for h in pdf["html"]]
+        out = pdf.drop(columns=["html"])
+        out["title"] = [e.title[:MAX_TITLE_CHARS] for e in ex]
+        out["description"] = [e.description[:MAX_DESC_CHARS] for e in ex]
+        out["extracted_text"] = [e.text for e in ex]
+        yield out
+
+
+def extract_df(pages_df, keep=("url", "warc_ts", "lang", "text")):
+    """pages(url, warc_ts, html, text, lang) -> extracted columns.
+
+    Runs the extraction UDF over Arrow batches; keeps `text` (the stored
+    column) alongside `extracted_text` so callers can assert the
+    byte-identity invariant with a native comparison.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    in_fields = [f for f in pages_df.schema.fields if f.name in keep]
+    schema = StructType(
+        in_fields
+        + [
+            StructField("title", StringType()),
+            StructField("description", StringType()),
+            StructField("extracted_text", StringType()),
+        ]
+    )
+    cols = [c for c in pages_df.columns if c in keep or c == "html"]
+    return pages_df.select(*cols).mapInPandas(extract_batches, schema=schema)

@@ -1,0 +1,177 @@
+"""Porter stemming algorithm (M.F. Porter, 1980), pure Python.
+
+The reference stems tokens with NLTK's PorterStemmer
+(backend/ranking_service/tfidf.py:141-142, backend/indexer_service/
+indexer.py:117-121). NLTK is not a dependency of this engine, so we
+implement the classic published algorithm ("An algorithm for suffix
+stripping", Program 14(3) 1980) directly. This module is the single
+canonical stemmer: the Spark pandas UDF, the pure-Python ranking oracle,
+and the tests all share it, so rank-identity is hermetic.
+
+Deterministic, no state, safe to ship to executors.
+"""
+
+from __future__ import annotations
+
+_VOWELS = "aeiou"
+
+
+def _is_consonant(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_consonant(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences: [C](VC){m}[V]."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        if _is_consonant(stem, i):
+            if prev_vowel:
+                m += 1
+            prev_vowel = False
+        else:
+            prev_vowel = True
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_consonant(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_consonant(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_consonant(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    """*o: stem ends cvc where the final c is not w, x or y."""
+    if len(word) < 3:
+        return False
+    return (
+        _is_consonant(word, len(word) - 3)
+        and not _is_consonant(word, len(word) - 2)
+        and _is_consonant(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def _replace_suffix(word: str, suffix: str, repl: str, min_measure: int) -> str | None:
+    """If word ends with suffix and measure(stem) > min_measure-ish rule,
+    return stem+repl, else None.  min_measure is the m> threshold."""
+    if not word.endswith(suffix):
+        return None
+    stem = word[: len(word) - len(suffix)]
+    if _measure(stem) > min_measure:
+        return stem + repl
+    return word  # suffix matched but condition failed: rule consumes the match
+
+
+_STEP2_RULES = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+
+_STEP3_RULES = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+
+_STEP4_SUFFIXES = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def porter_stem(word: str) -> str:
+    """Stem a single lowercase token. Tokens of length <= 2 pass through
+    (Porter's original behavior)."""
+    if len(word) <= 2:
+        return word
+
+    # ---- Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ies"):
+        word = word[:-2]
+    elif word.endswith("ss"):
+        pass
+    elif word.endswith("s"):
+        word = word[:-1]
+
+    # ---- Step 1b
+    flag_1b = False
+    if word.endswith("eed"):
+        stem = word[:-3]
+        if _measure(stem) > 0:
+            word = word[:-1]
+    elif word.endswith("ed"):
+        stem = word[:-2]
+        if _has_vowel(stem):
+            word = stem
+            flag_1b = True
+    elif word.endswith("ing"):
+        stem = word[:-3]
+        if _has_vowel(stem):
+            word = stem
+            flag_1b = True
+    if flag_1b:
+        if word.endswith(("at", "bl", "iz")):
+            word += "e"
+        elif _ends_double_consonant(word) and word[-1] not in "lsz":
+            word = word[:-1]
+        elif _measure(word) == 1 and _ends_cvc(word):
+            word += "e"
+
+    # ---- Step 1c
+    if word.endswith("y") and _has_vowel(word[:-1]):
+        word = word[:-1] + "i"
+
+    # ---- Step 2
+    for suffix, repl in _STEP2_RULES:
+        if word.endswith(suffix):
+            stem = word[: len(word) - len(suffix)]
+            if _measure(stem) > 0:
+                word = stem + repl
+            break
+
+    # ---- Step 3
+    for suffix, repl in _STEP3_RULES:
+        if word.endswith(suffix):
+            stem = word[: len(word) - len(suffix)]
+            if _measure(stem) > 0:
+                word = stem + repl
+            break
+
+    # ---- Step 4
+    for suffix in _STEP4_SUFFIXES:
+        if word.endswith(suffix):
+            stem = word[: len(word) - len(suffix)]
+            if suffix == "ion" and not stem.endswith(("s", "t")):
+                break
+            if _measure(stem) > 1:
+                word = stem
+            break
+
+    # ---- Step 5a
+    if word.endswith("e"):
+        stem = word[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _ends_cvc(stem)):
+            word = stem
+
+    # ---- Step 5b
+    if _measure(word) > 1 and _ends_double_consonant(word) and word.endswith("l"):
+        word = word[:-1]
+
+    return word

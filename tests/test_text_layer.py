@@ -1,0 +1,116 @@
+"""Text-layer tests: tokenizer semantics ported from the reference's
+test suite (backend/tests/test_backend.py), stemmer spot checks, and the
+extraction byte-identity invariant across the Spark boundary."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from search_engine_spark.synth import make_page, synth_pages
+from search_engine_spark.text.extract import extract_content, extract_df
+from search_engine_spark.text.porter import porter_stem
+from search_engine_spark.text.tokenizer import raw_tokens_col, tokenize_py, tokens_col
+
+
+class TestTokenizerPy:
+    def test_lowercase_and_stopwords(self):
+        # test_backend.py:507-519: lowercase, drops "is"/"a"
+        toks = tokenize_py("Hello World! This is a TEST.", stem=False)
+        assert toks == ["hello", "world", "test"]
+
+    def test_len_filter(self):
+        assert tokenize_py("a b cd x yz", stem=False) == ["cd", "yz"]
+
+    def test_digits_kept(self):
+        # tfidf.py:128 keeps [a-z0-9]
+        assert "2024" in tokenize_py("year 2024 report", stem=False)
+
+    def test_empty(self):
+        assert tokenize_py("") == []
+        assert tokenize_py(None) == []
+
+    def test_stemming(self):
+        assert tokenize_py("running jumps quickly") == ["run", "jump", "quickli"]
+
+
+class TestPorter:
+    def test_published_examples(self):
+        cases = {
+            "caresses": "caress", "ponies": "poni", "agreed": "agre",
+            "motoring": "motor", "hopping": "hop", "relational": "relat",
+            "vietnamization": "vietnam", "triplicate": "triplic",
+            "adjustable": "adjust", "effective": "effect", "rate": "rate",
+            "controll": "control", "searching": "search", "engines": "engin",
+        }
+        for w, e in cases.items():
+            assert porter_stem(w) == e, w
+
+    def test_short_passthrough(self):
+        assert porter_stem("ab") == "ab"
+        assert porter_stem("x") == "x"
+
+
+class TestSparkTokenizer:
+    def test_native_matches_python(self, spark):
+        texts = [
+            "Hello World! This is a TEST.",
+            "The quick brown fox jumps over the lazy dog",
+            "  multiple   spaces\tand\nnewlines  ",
+            "punctuation!!! everywhere... [brackets] {braces}",
+            "digits 123 and mixed a1b2 x9",
+            "",
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+        rows = (
+            df.select(
+                "text",
+                raw_tokens_col(F.col("text")).alias("raw"),
+                tokens_col(F.col("text")).alias("stemmed"),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r["raw"] == tokenize_py(r["text"], stem=False), r["text"]
+            assert r["stemmed"] == tokenize_py(r["text"], stem=True), r["text"]
+
+
+class TestExtraction:
+    def test_removed_tags(self):
+        html = (
+            "<html><head><title>T</title><script>x</script></head>"
+            "<body><nav>n</nav><p>keep me</p><footer>f</footer></body></html>"
+        )
+        e = extract_content(html)
+        assert e.text == "keep me"
+        assert e.title == "T"
+
+    def test_entities_and_whitespace(self):
+        html = "<html><body><p>Fish &amp; chips</p>\n\n<p>again   now</p></body></html>"
+        assert extract_content(html).text == "Fish & chips again now"
+
+    def test_no_body_fallback(self):
+        # crawler.py:357-359: fall back to whole-doc text
+        assert extract_content("<p>loose text</p>").text == "loose text"
+
+    def test_truncation(self):
+        html = "<html><body>" + ("word " * 20000) + "</body></html>"
+        assert len(extract_content(html).text) == 50000
+
+    def test_meta_description(self):
+        html = '<html><head><meta name="description" content=" hi there "></head><body>x</body></html>'
+        assert extract_content(html).description == "hi there"
+
+    def test_byte_identity_distributed(self, spark):
+        """THE invariant: Arrow-UDF extraction over the distributed pages
+        table is byte-identical per url to the stored text column."""
+        pages = synth_pages(spark, 300, num_partitions=6)
+        ex = extract_df(pages)
+        mismatches = ex.filter(
+            F.col("extracted_text").cast("binary") != F.col("text").cast("binary")
+        ).count()
+        assert mismatches == 0
+        assert ex.count() == 300
+
+    def test_generator_deterministic(self):
+        p1, p2 = make_page(17), make_page(17)
+        assert p1 == p2
+        assert make_page(18) != p1
