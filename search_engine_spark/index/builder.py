@@ -1,0 +1,409 @@
+"""Inverted-index build pipeline (north rule core).
+
+Replaces the reference's crawler->RabbitMQ->indexer->Elasticsearch chain
+(backend/indexer_service/indexer.py:453-465, message_queue.py) with one
+resumable batch DataFrame pipeline over a pages table:
+
+  pages(url, warc_ts, html, text, lang)
+    -> Arrow-UDF extraction (byte-identical to stored text)
+    -> native tokenize (lower/punct/stopword/len>=2)  [JVM, codegen]
+    -> dense doc ids (range-partitioned by url, deterministic)
+    -> vocabulary-level Porter stemming (Python touches only distinct
+       raw terms, not the token stream)
+    -> tf aggregation  groupBy(doc_id, term)          [map-side combine]
+    -> per-term df / corpus stats / global max-score  [broadcastable]
+    -> posting blocks: repartitionByRange(term, doc_id) — the range
+       partitioner splits Zipf-hot terms across partitions by doc-id
+       range (this IS the skew salting: salt = doc-id range), then
+       sortWithinPartitions + an Arrow block packer emits 128-posting
+       delta+varint blocks with exact per-block max BM25 scores
+    -> parquet partitioned by term_bucket = pmod(xxhash64(term), B)
+       so query-time scans prune to the buckets of the query terms.
+
+Resumability (north rule): every stage materializes to a stage table
+and appends a manifest row (build_id, stage, partition_key, status,
+rows, bytes, wall_ms).  Posting writes proceed in bucket GROUPS, each
+its own commit + manifest row; a restarted build skips completed stages
+and completed bucket groups — kill-and-rerun converges to the same
+index (tests/test_index_build.py::test_resume).
+
+Scale notes (100 TB / 10^12 docs):
+- no driver-side collect of data (only tiny scalars + manifest)
+- the only Python in the row path is Arrow-vectorized: extraction,
+  vocabulary stemming, block packing
+- doc ids: monotonically_increasing_id over a range-partitioned sort by
+  url — dense within partitions (gaps only at the P partition
+  boundaries, ~5 varint bytes each), no global single-reducer window
+- df/stats aggregations rely on partial aggregation; hot terms emit one
+  partial row per map partition, so no reducer hot spot
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark import schemas
+from search_engine_spark.index.codec import delta_encode, varint_encode
+from search_engine_spark.index.scoring import idf_col, score_col
+from search_engine_spark.text.extract import extract_batches
+from search_engine_spark.text.tokenizer import raw_tokens_col, stem_terms_udf
+
+DEFAULT_BLOCK_SIZE = 128
+DEFAULT_NUM_BUCKETS = 64
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def tokens_stage(self) -> str:
+        return os.path.join(self.root, "tokens_stage")
+
+    @property
+    def tf_stage(self) -> str:
+        return os.path.join(self.root, "tf_stage")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def corpus_stats(self) -> str:
+        return os.path.join(self.root, "corpus_stats")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+
+class _Manifest:
+    """Per-partition lineage + resume bookkeeping (MANIFEST schema)."""
+
+    def __init__(self, spark: SparkSession, paths: IndexPaths, build_id: str):
+        self.spark = spark
+        self.paths = paths
+        self.build_id = build_id
+
+    def done_keys(self, stage: str) -> set:
+        try:
+            rows = (
+                self.spark.read.schema(schemas.MANIFEST)
+                .parquet(self.paths.manifest)
+                .filter((F.col("stage") == stage) & (F.col("status") == "done"))
+                .select("partition_key")
+                .collect()
+            )
+            return {r[0] for r in rows}
+        except Exception:
+            return set()
+
+    def mark_done(
+        self,
+        stage: str,
+        partition_key: int,
+        rows: int,
+        wall_ms: int,
+        nbytes: int = 0,
+        fingerprint: Optional[str] = None,
+    ) -> None:
+        rec = [
+            (
+                self.build_id,
+                stage,
+                partition_key,
+                "done",
+                rows,
+                nbytes,
+                wall_ms,
+                fingerprint,
+            )
+        ]
+        (
+            self.spark.createDataFrame(rec, schema=schemas.MANIFEST)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.paths.manifest)
+        )
+
+
+def _pack_blocks(block_size: int, num_buckets: int):
+    """mapInPandas generator factory: sorted (term, doc_id, tf, dl,
+    score, term_bucket) rows -> packed posting blocks.
+
+    Input partitions are range-partitioned on (term, doc_id) and sorted
+    within; a term's run may span Arrow batches, so incomplete trailing
+    runs carry over between batches and flush at end-of-partition.
+    """
+
+    cols = ["term", "term_bucket", "doc_id", "tf", "dl", "score"]
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {k: [] for k in (
+                "term", "term_bucket", "first_doc_id", "last_doc_id",
+                "count", "doc_ids", "tfs", "doclens", "block_max_score",
+            )}
+            terms = pdf["term"].to_numpy()
+            # contiguous run boundaries per term
+            change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(terms)]))
+            ids_all = pdf["doc_id"].to_numpy(np.int64)
+            tf_all = pdf["tf"].to_numpy(np.int64)
+            dl_all = pdf["dl"].to_numpy(np.int64)
+            sc_all = pdf["score"].to_numpy(np.float64)
+            bkt_all = pdf["term_bucket"].to_numpy(np.int32)
+            for s, e in zip(starts, ends):
+                term = terms[s]
+                bucket = int(bkt_all[s])
+                for b in range(s, e, block_size):
+                    be = min(b + block_size, e)
+                    ids = ids_all[b:be].astype(np.uint64)
+                    out["term"].append(term)
+                    out["term_bucket"].append(bucket)
+                    out["first_doc_id"].append(int(ids[0]))
+                    out["last_doc_id"].append(int(ids[-1]))
+                    out["count"].append(be - b)
+                    out["doc_ids"].append(delta_encode(ids))
+                    out["tfs"].append(varint_encode(tf_all[b:be].astype(np.uint64)))
+                    out["doclens"].append(varint_encode(dl_all[b:be].astype(np.uint64)))
+                    out["block_max_score"].append(float(sc_all[b:be].max()))
+            res = pd.DataFrame(out)
+            return res.astype(
+                {
+                    "term_bucket": "int32",
+                    "first_doc_id": "int64",
+                    "last_doc_id": "int64",
+                    "count": "int32",
+                    "block_max_score": "float64",
+                }
+            )
+
+        for pdf in batches:
+            pdf = pdf[cols]
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_term = pdf["term"].iloc[-1]
+            head = pdf[pdf["term"] != last_term]
+            carry = pdf[pdf["term"] == last_term].reset_index(drop=True)
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return pack
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    bucket_groups: int = 1,
+    num_partitions: Optional[int] = None,
+    resume: bool = True,
+    build_id: Optional[str] = None,
+    run_extraction: bool = True,
+) -> IndexPaths:
+    """Build the full inverted index under out_dir. Returns paths."""
+    paths = IndexPaths(out_dir)
+    build_id = build_id or uuid.uuid4().hex[:12]
+    man = _Manifest(spark, paths, build_id)
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    # ---- stage: docs + raw-token stage table ------------------------------
+    if not (resume and man.done_keys("docs")):
+        t0 = time.time()
+        if run_extraction:
+            from pyspark.sql.types import (
+                StringType, StructField, StructType, TimestampType,
+            )
+
+            ext_schema = StructType(
+                [
+                    StructField("url", StringType()),
+                    StructField("warc_ts", TimestampType()),
+                    StructField("lang", StringType()),
+                    StructField("title", StringType()),
+                    StructField("description", StringType()),
+                    StructField("extracted_text", StringType()),
+                ]
+            )
+            base = (
+                pages.select("url", "warc_ts", "lang", "html")
+                .mapInPandas(extract_batches, schema=ext_schema)
+                .withColumnRenamed("extracted_text", "content")
+            )
+        else:
+            base = pages.select(
+                "url",
+                "warc_ts",
+                "lang",
+                F.lit(None).cast("string").alias("title"),
+                F.lit(None).cast("string").alias("description"),
+                F.col("text").alias("content"),
+            )
+
+        tokenized = base.select(
+            "url",
+            "warc_ts",
+            "lang",
+            "title",
+            "description",
+            raw_tokens_col(F.col("content")).alias("tokens"),
+        ).withColumn("doclen", F.size("tokens").cast("long"))
+
+        # Deterministic dense-ish ids: range-partition + sort by url, then
+        # monotonically_increasing_id (per-partition dense; gaps only at
+        # partition boundaries — no single-reducer global window).
+        with_ids = (
+            tokenized.repartitionByRange(P, "url")
+            .sortWithinPartitions("url")
+            .withColumn("doc_id", F.monotonically_increasing_id())
+        )
+        with_ids.select(
+            "doc_id", "doclen", "tokens"
+        ).write.mode("overwrite").parquet(paths.tokens_stage)
+        (
+            with_ids.select(
+                "doc_id",
+                "url",
+                F.sha2(F.col("url"), 256).alias("url_hash"),
+                "title",
+                "description",
+                F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
+                "warc_ts",
+                "doclen",
+            ).write.mode("overwrite")
+            .parquet(paths.docs)
+        )
+        n_docs_written = spark.read.parquet(paths.docs).count()
+        man.mark_done("docs", 0, n_docs_written, int((time.time() - t0) * 1000))
+
+    # ---- stage: tf + stats -------------------------------------------------
+    if not (resume and man.done_keys("tf")):
+        t0 = time.time()
+        toks = spark.read.parquet(paths.tokens_stage)
+        exploded = toks.select(
+            "doc_id", "doclen", F.explode("tokens").alias("raw_term")
+        )
+        # Vocabulary-level stemming: Python sees only distinct raw terms.
+        vocab = exploded.select("raw_term").distinct()
+        vocab = vocab.withColumn("term", stem_terms_udf(F.col("raw_term")))
+        tf = (
+            exploded.join(vocab, "raw_term")
+            .groupBy("doc_id", "term")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.first("doclen").alias("dl"),
+            )
+        )
+        tf.write.mode("overwrite").parquet(paths.tf_stage)
+        man.mark_done("tf", 0, -1, int((time.time() - t0) * 1000))
+
+    if not (resume and man.done_keys("stats")):
+        t0 = time.time()
+        docs = spark.read.parquet(paths.docs)
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("doclen").alias("avgdl"),
+            F.sum("doclen").alias("total_tokens"),
+        ).collect()[0]
+        n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+        spark.createDataFrame(
+            [(n_docs, avgdl, int(row["total_tokens"]))], schema=schemas.CORPUS_STATS
+        ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+
+        tf = spark.read.parquet(paths.tf_stage)
+        df_table = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = tf.join(df_table, "term").withColumn(
+            "score",
+            score_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                idf_col(n_docs, F.col("df").cast("double")),
+                avgdl,
+            ),
+        )
+        (
+            scored.groupBy("term")
+            .agg(
+                F.first("df").alias("df"),
+                F.max("score").alias("max_score"),
+            )
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
+            )
+            .write.mode("overwrite")
+            .parquet(paths.term_stats)
+        )
+        man.mark_done("stats", 0, n_docs, int((time.time() - t0) * 1000))
+
+    # ---- stage: posting blocks (bucket groups = resume unit) ---------------
+    done_groups = man.done_keys("blocks") if resume else set()
+    corpus = spark.read.parquet(paths.corpus_stats).collect()[0]
+    n_docs, avgdl = int(corpus["n_docs"]), float(corpus["avgdl"])
+
+    tf = spark.read.parquet(paths.tf_stage)
+    stats = spark.read.parquet(paths.term_stats).select("term", "df", "term_bucket")
+    scored = (
+        tf.join(stats, "term")
+        .withColumn(
+            "score",
+            score_col(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                idf_col(n_docs, F.col("df").cast("double")),
+                avgdl,
+            ),
+        )
+        .select("term", "term_bucket", "doc_id", "tf", "dl", "score")
+    )
+
+    for g in range(bucket_groups):
+        if g in done_groups:
+            continue
+        t0 = time.time()
+        part = scored
+        if bucket_groups > 1:
+            part = scored.filter(F.pmod(F.col("term_bucket"), F.lit(bucket_groups)) == g)
+        blocks = (
+            part.repartitionByRange(P, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(
+                _pack_blocks(block_size, num_buckets), schema=schemas.POSTINGS
+            )
+        )
+        (
+            blocks.write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(paths.postings)
+        )
+        man.mark_done("blocks", g, -1, int((time.time() - t0) * 1000))
+
+    return paths

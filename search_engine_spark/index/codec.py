@@ -1,0 +1,72 @@
+"""Delta + varint (LEB128) posting-block codec, numpy-vectorized.
+
+The reference delegates posting-list storage to Elasticsearch/Lucene
+(backend/indexer_service/indexer.py:163-206); this engine owns the
+physical format (north rule): sorted doc-id gaps packed as LEB128
+varints into a binary column, with tf and doclen arrays packed the same
+way alongside, so BM25 scoring needs no join back to a doc-length table.
+
+Both encode and decode are vectorized: encode builds an (n, 10) byte
+matrix and masks out unused lanes; decode reduces 7-bit groups with
+np.add.reduceat.  No per-int Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))
+_THRESHOLDS = (np.uint64(1) << (_SHIFTS[1:]))  # 2^7, 2^14, ... 2^63
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    # bytes needed per value: 1 + number of thresholds <= value
+    nbytes = 1 + (a[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
+    parts = ((a[:, None] >> _SHIFTS[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    lane = np.arange(10)[None, :]
+    used = lane < nbytes[:, None]
+    cont = lane < (nbytes - 1)[:, None]
+    parts = np.where(cont, parts | 0x80, parts)
+    return parts[used].tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    starts = np.empty(int(is_last.sum()), dtype=np.int64)
+    starts[0] = 0
+    if starts.size > 1:
+        starts[1:] = np.flatnonzero(is_last)[:-1] + 1
+    pos_in_group = np.arange(b.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, b.size))
+    )
+    vals = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos_in_group.astype(np.uint64)
+    )
+    out = np.add.reduceat(vals, starts)
+    if count is not None and out.size != count:
+        raise ValueError(f"decoded {out.size} values, expected {count}")
+    return out.astype(np.uint64)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Gap-encode a sorted int array (first value absolute) then varint."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    return varint_encode(gaps)
+
+
+def delta_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    gaps = varint_decode(buf, count)
+    return np.cumsum(gaps, dtype=np.uint64)

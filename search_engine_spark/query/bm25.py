@@ -1,0 +1,192 @@
+"""BM25 top-k query engine over the posting-block index.
+
+Replaces the reference's ES multi_match query path (backend/search_api/
+main.py:162-189, scored by Lucene BM25 with default k1=1.2 b=0.75) with
+an explicit Spark plan:
+
+  query string
+    -> canonical tokenizer (driver-side, same function as the build)
+    -> broadcast term stats {term: (df, idf, global max score)}
+    -> posting scan pruned to term_bucket partitions + term pushdown
+    -> [blockmax mode] θ-seeded block pruning (native filter)
+    -> Arrow block decoder -> (doc_id, contrib)  [numpy, join-free:
+       blocks carry doclens, so scoring needs only broadcast scalars]
+    -> groupBy(doc_id).sum  -> TakeOrderedAndProject top-k
+    -> broadcast join of the k winners back to docs for url/title
+
+Block-max pruning correctness (exact, single phase): prune block b of
+term t when  block_max(b) + Σ_{t'≠t} gmax(t') < θ  where θ is a lower
+bound on the true k-th score.  Any doc d appearing in a pruned block has
+total score ≤ block_max(b) + Σ_{t'≠t} gmax(t') < θ, so d cannot be in
+the top-k; conversely every true top-k doc has all of its blocks
+surviving, hence its computed score is exact.  θ is seeded from the
+rarest query term: the k-th best single-term contribution is a valid
+lower bound on the k-th best total.
+
+Determinism: ties broken (score desc, doc_id asc) — SURVEY.md §2.G1.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from search_engine_spark.index.builder import IndexPaths
+from search_engine_spark.index.codec import varint_decode
+from search_engine_spark.index.scoring import idf_py, score_np
+from search_engine_spark.text.tokenizer import tokenize_py
+
+_CONTRIB_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("contrib", DoubleType(), False),
+    ]
+)
+
+
+def _decode_and_score(idf_by_term: Dict[str, float], avgdl: float):
+    """mapInPandas body: posting blocks -> (doc_id, contrib) rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: List[np.ndarray] = []
+            contrib_out: List[np.ndarray] = []
+            for term, n, ids_b, tfs_b, dls_b in zip(
+                pdf["term"], pdf["count"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"]
+            ):
+                idf = idf_by_term.get(term)
+                if idf is None:
+                    continue
+                gaps = varint_decode(bytes(ids_b), int(n))
+                ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                tfs = varint_decode(bytes(tfs_b), int(n))
+                dls = varint_decode(bytes(dls_b), int(n))
+                ids_out.append(ids)
+                contrib_out.append(score_np(tfs, dls, idf, avgdl))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "contrib": np.concatenate(contrib_out),
+                    }
+                )
+
+    return run
+
+
+class BM25Index:
+    """Query-side handle on an index built by index.builder.build_index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        corpus = spark.read.parquet(self.paths.corpus_stats).collect()[0]
+        self.n_docs = int(corpus["n_docs"])
+        self.avgdl = float(corpus["avgdl"])
+        self.postings = spark.read.parquet(self.paths.postings)
+        self.term_stats = spark.read.parquet(self.paths.term_stats)
+        self.docs = spark.read.parquet(self.paths.docs)
+
+    # -- term stat lookup (tiny collect; stats rows only for query terms) --
+    def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int]]:
+        if not terms:
+            return {}
+        rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
+        return {
+            r["term"]: (int(r["df"]), float(r["max_score"]), int(r["term_bucket"]))
+            for r in rows
+        }
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "doc_id long, score double, url string, title string"
+        )
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "blockmax",
+        join_docs: bool = True,
+    ) -> DataFrame:
+        if k <= 0:
+            return self._empty() if join_docs else self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        terms = sorted(set(tokenize_py(query)))
+        stats = self._query_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return self._empty() if join_docs else self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+
+        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
+        buckets = sorted({stats[t][2] for t in terms})
+
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+        if mode == "blockmax" and len(terms) >= 1:
+            theta = self._seed_theta(terms, stats, idf_by_term, k)
+            if theta > 0.0:
+                s_tot = sum(stats[t][1] for t in terms)
+                gmax_map = F.create_map(
+                    *[x for t in terms for x in (F.lit(t), F.lit(stats[t][1]))]
+                )
+                # survive iff block_max + (s_tot - gmax(term)) >= theta
+                blocks = blocks.filter(
+                    F.col("block_max_score")
+                    >= F.lit(theta) - F.lit(s_tot) + gmax_map[F.col("term")]
+                )
+
+        contribs = blocks.mapInPandas(
+            _decode_and_score(idf_by_term, self.avgdl), schema=_CONTRIB_SCHEMA
+        )
+        scored = contribs.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return (
+            F.broadcast(topk)
+            .join(self.docs.select("doc_id", "url", "title"), "doc_id")
+            .select("doc_id", "score", "url", "title")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def _seed_theta(
+        self,
+        terms: List[str],
+        stats: Dict[str, Tuple[int, float, int]],
+        idf_by_term: Dict[str, float],
+        k: int,
+    ) -> float:
+        """θ = k-th best single-term contribution of the rarest term —
+        a valid lower bound on the k-th best total score."""
+        rare = min(terms, key=lambda t: stats[t][0])
+        if stats[rare][0] <= k:
+            return 0.0
+        rare_blocks = self.postings.filter(
+            (F.col("term_bucket") == stats[rare][2]) & (F.col("term") == rare)
+        )
+        rows = (
+            rare_blocks.mapInPandas(
+                _decode_and_score({rare: idf_by_term[rare]}, self.avgdl),
+                schema=_CONTRIB_SCHEMA,
+            )
+            .orderBy(F.desc("contrib"))
+            .limit(k)
+            .collect()
+        )
+        return float(rows[-1]["contrib"]) if rows and len(rows) >= k else 0.0

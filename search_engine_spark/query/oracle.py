@@ -1,0 +1,100 @@
+"""Pure-Python ranking oracles — the hermetic ground truth for tests.
+
+SURVEY.md §3.4: the reference's only fully-specified ranker is the
+standalone TF-IDF calculator (backend/ranking_service/tfidf.py:385-654);
+for BM25 the reference delegates to Lucene defaults.  We pin both here
+as plain-Python implementations over the same token streams the engine
+sees; tests assert the distributed engine is rank-identical (tie-break:
+score desc, doc_id asc) with scores matching to 1e-9.
+
+No Spark, no numpy — deliberately the dumbest correct implementation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Dict, List, Sequence, Tuple
+
+from search_engine_spark.index.scoring import B, K1
+from search_engine_spark.text.tokenizer import tokenize_py
+
+
+class BM25Oracle:
+    """Exhaustive BM25 scorer over (doc_id -> token list)."""
+
+    def __init__(self, docs: Dict[int, List[str]]):
+        self.docs = docs
+        self.n = len(docs)
+        self.doclen = {d: len(t) for d, t in docs.items()}
+        self.avgdl = sum(self.doclen.values()) / self.n if self.n else 0.0
+        self.df: Counter = Counter()
+        self.tf: Dict[int, Counter] = {}
+        for d, toks in docs.items():
+            c = Counter(toks)
+            self.tf[d] = c
+            for term in c:
+                self.df[term] += 1
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+
+    def score(self, doc_id: int, terms: Sequence[str]) -> float:
+        s = 0.0
+        dl = self.doclen[doc_id]
+        for t in set(terms):
+            tf = self.tf[doc_id].get(t, 0)
+            if tf == 0 or self.df.get(t, 0) == 0:
+                continue
+            s += self.idf(t) * (tf * (K1 + 1.0)) / (
+                tf + K1 * (1.0 - B + B * dl / self.avgdl)
+            )
+        return s
+
+    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        terms = [t for t in set(tokenize_py(query)) if self.df.get(t, 0) > 0]
+        if not terms:
+            return []
+        scored = [
+            (d, self.score(d, terms)) for d in self.docs if self.score(d, terms) > 0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+
+class TFIDFOracle:
+    """Reference TF-IDF semantics (tfidf.py:167-572): log TF
+    (1 + log10(count)), smooth IDF (log10((N+1)/(df+1))), score =
+    Σ_{t in query terms} tf(t,d) * idf(t), docs with score > 0 only,
+    sorted score desc (tie: doc_id asc, our pinned determinism rule)."""
+
+    def __init__(self, docs: Dict[int, List[str]]):
+        self.docs = docs
+        self.n = len(docs)
+        self.df: Counter = Counter()
+        self.tf: Dict[int, Counter] = {}
+        for d, toks in docs.items():
+            c = Counter(toks)
+            self.tf[d] = c
+            for term in c:
+                self.df[term] += 1
+
+    def log_tf(self, doc_id: int, term: str) -> float:
+        count = self.tf[doc_id].get(term, 0)
+        return 0.0 if count == 0 else 1.0 + math.log10(count)
+
+    def idf_smooth(self, term: str) -> float:
+        return math.log10((self.n + 1) / (self.df.get(term, 0) + 1))
+
+    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        terms = set(tokenize_py(query))
+        if not terms:
+            return []
+        out = []
+        for d in self.docs:
+            s = sum(self.log_tf(d, t) * self.idf_smooth(t) for t in terms)
+            if s > 0:
+                out.append((d, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]

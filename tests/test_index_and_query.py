@@ -1,0 +1,183 @@
+"""End-to-end index build + BM25 rank-identity vs the pure-Python oracle,
+block-max == exhaustive equality, and kill/resume convergence."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.index.builder import IndexPaths, build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.query.oracle import BM25Oracle
+from search_engine_spark.synth import synth_pages
+from search_engine_spark.text.tokenizer import tokenize_py
+
+N_PAGES = 400
+
+QUERIES = [
+    "python programming tutorial",
+    "quick brown fox",
+    "search engine ranking relevance",
+    "machine learning data science",
+    "spark cluster partition shuffle",
+    "database transaction",
+    "fox database python",  # cross-topic
+    "the and is of",  # stopword-only -> empty
+    "zzzznotaterm",  # unknown term -> empty
+    "crawl fetch parse browser",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index"))
+    pages = synth_pages(spark, N_PAGES, num_partitions=6)
+    paths = build_index(
+        spark, pages, root, num_buckets=16, block_size=32, num_partitions=8
+    )
+    # oracle over the same corpus, doc ids as assigned by the build
+    docs = spark.read.parquet(paths.docs).select("doc_id", "url").collect()
+    id_by_url = {r["url"]: r["doc_id"] for r in docs}
+    texts = pages.select("url", "text").collect()
+    oracle_docs = {id_by_url[r["url"]]: tokenize_py(r["text"]) for r in texts}
+    return paths, BM25Oracle(oracle_docs)
+
+
+class TestBuild:
+    def test_docs_table(self, spark, corpus):
+        paths, _ = corpus
+        docs = spark.read.parquet(paths.docs)
+        assert docs.count() == N_PAGES
+        assert docs.select("doc_id").distinct().count() == N_PAGES
+        r = docs.filter(F.col("url") == "https://example.com/page/0").collect()[0]
+        assert len(r["url_hash"]) == 64  # sha256 hex (utils.py:11-13)
+        assert r["domain"] == "example.com"
+
+    def test_block_invariants(self, spark, corpus):
+        paths, _ = corpus
+        blocks = spark.read.parquet(paths.postings)
+        assert blocks.filter(F.col("first_doc_id") > F.col("last_doc_id")).count() == 0
+        assert blocks.filter(F.col("count") < 1).count() == 0
+        assert blocks.filter(F.col("block_max_score") <= 0).count() == 0
+        # df in term_stats == decoded posting count per term
+        stats = spark.read.parquet(paths.term_stats)
+        per_term = blocks.groupBy("term").agg(F.sum("count").alias("n"))
+        joined = stats.join(per_term, "term")
+        assert joined.filter(F.col("df") != F.col("n")).count() == 0
+
+    def test_bucket_routing(self, spark, corpus):
+        paths, _ = corpus
+        blocks = spark.read.parquet(paths.postings)
+        bad = blocks.filter(
+            F.col("term_bucket") != F.pmod(F.xxhash64("term"), F.lit(16)).cast("int")
+        )
+        assert bad.count() == 0
+
+
+class TestRankIdentity:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(query, k=10, mode="exhaustive", join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        want = oracle.topk(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_blockmax_equals_exhaustive(self, spark, corpus, query):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        a = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search(query, k=10, mode="blockmax", join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search(query, k=10, mode="exhaustive", join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        assert a == b, query
+
+    def test_join_docs(self, spark, corpus):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        rows = idx.search("python programming", k=5).collect()
+        assert 0 < len(rows) <= 5
+        assert all(r["url"].startswith("https://") for r in rows)
+
+
+class TestResume:
+    def test_partial_build_resumes_to_identical_index(self, spark, tmp_path):
+        full_dir = str(tmp_path / "full")
+        part_dir = str(tmp_path / "partial")
+        pages = synth_pages(spark, 150, num_partitions=4)
+
+        build_index(spark, pages, full_dir, num_buckets=8, block_size=32,
+                    bucket_groups=4, num_partitions=4)
+
+        # simulate a crash: run only bucket groups 0-1, then "restart"
+        class Boom(Exception):
+            pass
+
+        import search_engine_spark.index.builder as B
+
+        orig = B._Manifest.mark_done
+        calls = {"blocks": 0}
+
+        def failing(self, stage, *a, **k):
+            orig(self, stage, *a, **k)
+            if stage == "blocks":
+                calls["blocks"] += 1
+                if calls["blocks"] == 2:
+                    raise Boom()
+
+        B._Manifest.mark_done = failing
+        try:
+            with pytest.raises(Boom):
+                build_index(spark, pages, part_dir, num_buckets=8, block_size=32,
+                            bucket_groups=4, num_partitions=4)
+        finally:
+            B._Manifest.mark_done = orig
+
+        # resume: completed groups must be skipped, result identical
+        build_index(spark, pages, part_dir, num_buckets=8, block_size=32,
+                    bucket_groups=4, num_partitions=4, resume=True)
+
+        man = spark.read.parquet(IndexPaths(part_dir).manifest)
+        done_blocks = man.filter(
+            (F.col("stage") == "blocks") & (F.col("status") == "done")
+        )
+        assert done_blocks.select("partition_key").distinct().count() == 4
+        # no group rebuilt twice
+        assert done_blocks.count() == 4
+
+        # Logical identity: the decoded posting sets are exactly equal.
+        # (Physical block boundaries may differ between builds — range-
+        # partitioner sampling is not bit-stable — like Lucene segments.)
+        assert _decoded_postings(spark, full_dir) == _decoded_postings(spark, part_dir)
+        shutil.rmtree(full_dir, ignore_errors=True)
+
+
+def _decoded_postings(spark, index_dir):
+    import numpy as np
+
+    from search_engine_spark.index.codec import varint_decode
+
+    out = set()
+    for r in spark.read.parquet(IndexPaths(index_dir).postings).collect():
+        ids = np.cumsum(varint_decode(bytes(r["doc_ids"]), r["count"]))
+        tfs = varint_decode(bytes(r["tfs"]), r["count"])
+        dls = varint_decode(bytes(r["doclens"]), r["count"])
+        for i in range(r["count"]):
+            out.add((r["term"], int(ids[i]), int(tfs[i]), int(dls[i])))
+    return out
