@@ -1,0 +1,200 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline: the north-rule pipeline at web shape —
+  1. index-build docs/sec over a deterministic synthetic Common-Crawl-
+     style pages corpus (HTML extraction -> tokenize -> posting blocks),
+     corpus size scaled to the sf of $SPARK_GRAFT_SF_DIR
+  2. BM25 top-k latency (p50/p95) over the reference query set through
+     the block-max engine
+  3. representative operator timings over the sf testdata tables
+  4. scaling evidence: the same index build at two parallelism levels
+     (local[N/4] vs local[N]) on the same materialized input ->
+     throughput at both + scaling efficiency (BASELINE.md target >=0.8)
+
+Usage: python bench.py            (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+       python bench.py --scaling-worker CPUS PAGES_DIR   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_QUERIES = [
+    # reference demo queries (tfidf.py:718-723, README.md:255) + corpus themes
+    "quick fox",
+    "lazy dog",
+    "python tutorial",
+    "python programming",
+    "data science machine learning",
+    "search engine ranking",
+    "web crawler index",
+    "database partition shuffle",
+]
+
+PAGES_PER_SF = 120_000  # sf0.1 -> 12k pages; sf1 -> 120k
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def materialize_pages(spark, n_pages: int, cache_root: str) -> str:
+    """Generate the synthetic corpus once (not timed) and cache it."""
+    path = os.path.join(cache_root, f"pages_{n_pages}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from search_engine_spark.synth import synth_pages
+
+        synth_pages(spark, n_pages).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_index_build(spark, pages_dir: str, out_dir: str, parallelism: int) -> float:
+    from search_engine_spark.index.builder import build_index
+
+    pages = spark.read.parquet(pages_dir)
+    t0 = time.time()
+    build_index(
+        spark,
+        pages,
+        out_dir,
+        num_buckets=64,
+        block_size=128,
+        num_partitions=parallelism * 2,
+        resume=False,
+    )
+    return time.time() - t0
+
+
+def scaling_worker(cpus: int, pages_dir: str) -> None:
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench_scale_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
+    )
+    out = tempfile.mkdtemp(prefix="sgs_scale_")
+    try:
+        wall = run_index_build(spark, pages_dir, out, cpus)
+        n = spark.read.parquet(pages_dir).count()
+        print(json.dumps({"cpus": cpus, "wall_s": wall, "docs": n}))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+def measure_scaling(pages_dir: str, cpus: int) -> dict:
+    """Same job, same input, N vs 4N cores, in fresh subprocesses."""
+    lo = max(2, cpus // 4)
+    res = {}
+    for c in (lo, cpus):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(c), pages_dir],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        res[c] = json.loads(line)
+    d_lo = res[lo]["docs"] / res[lo]["wall_s"]
+    d_hi = res[cpus]["docs"] / res[cpus]["wall_s"]
+    ratio = cpus / lo
+    return {
+        "cores_low": lo,
+        "cores_high": cpus,
+        "docs_per_sec_low": round(d_lo, 1),
+        "docs_per_sec_high": round(d_hi, 1),
+        "speedup": round(d_hi / d_lo, 3),
+        "efficiency": round(d_hi / (d_lo * ratio), 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]), sys.argv[3])
+        return
+
+    from search_engine_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_pages = max(2000, int(PAGES_PER_SF * sf))
+    do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+
+    cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 8))
+    queries: dict[str, float] = {}
+    t_total0 = time.time()
+
+    pages_dir = materialize_pages(spark, n_pages, cache_root)
+
+    # 1) index build (headline)
+    index_dir = tempfile.mkdtemp(prefix="sgs_bench_idx_")
+    t_build = run_index_build(spark, pages_dir, index_dir, cpus)
+    queries["index_build"] = round(t_build, 3)
+    docs_per_sec = round(n_pages / t_build, 1)
+
+    # 2) BM25 query latencies through the block-max engine
+    from search_engine_spark.query.bm25 import BM25Index
+
+    idx = BM25Index(spark, index_dir)
+    idx.search(REFERENCE_QUERIES[0], k=10).collect()  # warm
+    lat = []
+    for i, q in enumerate(REFERENCE_QUERIES):
+        t0 = time.time()
+        idx.search(q, k=10, mode="blockmax").collect()
+        dt = time.time() - t0
+        lat.append(dt)
+        queries[f"bm25_q{i + 1}"] = round(dt, 3)
+    lat_sorted = sorted(lat)
+    p50 = lat_sorted[len(lat) // 2]
+    p95 = lat_sorted[min(len(lat) - 1, int(0.95 * len(lat)))]
+
+    # 3) representative ops over the sf testdata tables
+    import __spark_entry__ as entrymod
+
+    ops = ["bm25_topk", "minhash_signature", "simhash48",
+           "embedding_cosine_topk", "pricing_summary", "window_rank_orders"]
+    qmap = entrymod.queries()
+    for name in ops:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    # 4) scaling evidence (fresh subprocesses; not part of `value`)
+    scaling = measure_scaling(pages_dir, cpus) if do_scaling else None
+
+    total = round(time.time() - t_total0, 3)
+    out = {
+        "metric": "index-build + BM25 query suite wall time",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_pages": n_pages,
+        "docs_per_sec": docs_per_sec,
+        "bm25_p50_s": round(p50, 3),
+        "bm25_p95_s": round(p95, 3),
+        "cpus": cpus,
+        "scaling": scaling,
+        "total_wall_s": total,
+    }
+    shutil.rmtree(index_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

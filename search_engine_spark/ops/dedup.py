@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame transforms designed for 100 TB inputs:
+exact dedup is one hash-groupBy; MinHash/LSH turns the O(n^2) near-dup
+problem into a band-bucket equi-join (shuffle on band hash, candidate
+pairs only); SimHash gives a single 48-bit fingerprint per doc.  No
+Python in the row path — every hash is built from md5/conv column
+expressions so the DuckDB oracle can reproduce values bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.common import (
+    MINHASH_P,
+    md5int_col,
+    minhash_col,
+    minhash_seeds,
+    shingles_col,
+)
+from search_engine_spark.text.tokenizer import raw_tokens_col
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on content (crawler's Bloom dedup, made exact;
+# crawler.py:66-111 -> dropDuplicates analogue with cluster accounting)
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(content_hash, n_dups, canonical_id) for every duplicated text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text value."""
+    w = F.min(id_col).over
+    from pyspark.sql.window import Window
+
+    keep = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    )
+    return df.withColumn("_rn", keep).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{H-1}) MinHash over word-shingle sets.
+
+    Docs with fewer than shingle_k tokens have no shingles and are
+    dropped (no meaningful Jaccard).  Aggregation is min() per hash —
+    partial aggregation keeps hot nothing: keys are doc ids.
+    """
+    toks = raw_tokens_col(F.col(text_col))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles_col(toks, shingle_k))).alias("shingle"),
+    )
+    x = md5int_col(F.col("shingle"))
+    seeds = minhash_seeds(num_hashes)
+    aggs = [
+        F.min(minhash_col(x, a, b)).alias(f"mh_{i}") for i, (a, b) in enumerate(seeds)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Band the signature matrix; docs sharing any band bucket pair up.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct.  The join is an
+    equi-join on (band, band_hash) — Catalyst shuffles both sides on the
+    bucket key; no cross join anywhere.
+    """
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(":", *[c.cast("string") for c in cols])).alias("h"),
+            )
+        )
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bh")
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "h"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    shingle-set Jaccard verification (explode + join on shingle, set
+    semantics) -> pairs over threshold."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
+
+    toks = raw_tokens_col(F.col(text_col))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(toks, shingle_k)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b") - inter).cast("double")
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (48-bit, md5-derived, tf-weighted)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — sign of the tf-weighted sum of hash bits."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(raw_tokens_col(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    x = md5int_col(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.col("tf")
+            * F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = tf.groupBy("id").agg(*bit_sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup: cosine over threshold via exact pair join
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Exact O(n^2) cosine pairs (baseline; see similarity.lsh for the
+    bucketed scale path).  Pairs (id_a < id_b, cosine >= threshold)."""
+    from search_engine_spark.ops.common import cosine_col
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

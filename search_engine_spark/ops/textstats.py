@@ -1,0 +1,111 @@
+"""Text-analysis operators: language scoring, quality metrics, token
+counting, document fingerprinting.  All native column expressions (no
+Python in the row path) with exact DuckDB-SQL equivalents."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.common import md5int_col, shingles_col
+from search_engine_spark.text.stopwords import STOPWORDS_SORTED
+from search_engine_spark.text.tokenizer import raw_tokens_col
+
+
+def _words_col(text: Column) -> Column:
+    """Plain whitespace words, lowercased (pre-stopword-filter)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " "
+    )
+
+
+def english_stopword_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-ID heuristic: share of whitespace words that are English
+    stopwords.  High for English prose, ~0 otherwise."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_SORTED])
+    words = _words_col(F.col(text_col))
+    n = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.round(
+            F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(0.0), 6
+        ).alias("en_stop_ratio"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc quality features: char/token counts, mean token length,
+    stopword ratio, punctuation ratio, digit ratio, plus a composite
+    score in [0,1] (monotone in "looks like clean prose")."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = raw_tokens_col(text)
+    n_tokens = F.size(toks)
+    words = _words_col(text)
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_SORTED])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n_tokens,
+    ).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(0.0)
+    length_score = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    composite = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 3, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(composite, 6).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting three ways: whitespace words, canonical tokens,
+    BPE-ish subword count (alnum runs + standalone punct marks)."""
+    text = F.col(text_col)
+    ws = F.size(_words_col(text))
+    canonical = F.size(raw_tokens_col(text))
+    # BPE-ish: count alnum runs and each non-space punct char as a token
+    alnum_runs = F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), " "),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    punct_marks = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws.cast("long").alias("n_ws_tokens"),
+        canonical.cast("long").alias("n_canonical_tokens"),
+        (alnum_runs + punct_marks).cast("long").alias("n_bpeish_tokens"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """Winnowing-style fingerprint: min md5-int over word k-shingles
+    (equivalent to a 1-hash MinHash; collision => near-identical
+    prefix content).  Docs shorter than k tokens fingerprint to NULL."""
+    toks = raw_tokens_col(F.col(text_col))
+    sh = shingles_col(toks, shingle_k)
+    fp = F.array_min(F.transform(sh, lambda s: md5int_col(s)))
+    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
