@@ -12,9 +12,9 @@ resumable batch DataFrame pipeline over a pages table:
        raw terms, not the token stream)
     -> tf aggregation  groupBy(doc_id, term)          [map-side combine]
     -> per-term df / corpus stats / global max-score  [broadcastable]
-    -> posting blocks: repartitionByRange(term, doc_id) — the range
-       partitioner splits Zipf-hot terms across partitions by doc-id
-       range (this IS the skew salting: salt = doc-id range), then
+    -> posting blocks: deterministic df-scaled salting — a term with df
+       postings spreads over ceil(df/ROWS_PER_SALT) salt buckets keyed
+       by xxhash64(doc_id); hash-repartition on (term, salt), then
        sortWithinPartitions + an Arrow block packer emits 128-posting
        delta+varint blocks with exact per-block max BM25 scores
     -> parquet partitioned by term_bucket = pmod(xxhash64(term), B)
@@ -59,6 +59,9 @@ from search_engine_spark.text.tokenizer import raw_tokens_col, stem_terms_udf
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_NUM_BUCKETS = 64
+# df-scaled skew salting: a term fans out over ceil(df / ROWS_PER_SALT)
+# reducer keys (SURVEY §4.2.1 watch-list item).
+ROWS_PER_SALT = 64 * 1024
 
 
 @dataclass
@@ -92,6 +95,10 @@ class IndexPaths:
     @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
+
+    @property
+    def metrics(self) -> str:
+        return os.path.join(self.root, "metrics")
 
 
 class _Manifest:
@@ -228,12 +235,25 @@ def build_index(
     resume: bool = True,
     build_id: Optional[str] = None,
     run_extraction: bool = True,
+    collect_metrics: bool = False,
 ) -> IndexPaths:
-    """Build the full inverted index under out_dir. Returns paths."""
+    """Build the full inverted index under out_dir. Returns paths.
+
+    With collect_metrics=True (requires spark.ui.enabled) a per-stage
+    shuffle/throughput metrics table is appended under paths.metrics
+    (north rule: metrics logged per shuffle stage).
+    """
     paths = IndexPaths(out_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
     man = _Manifest(spark, paths, build_id)
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
+
+    metrics_coll = None
+    if collect_metrics:
+        from search_engine_spark.metrics import StageMetricsCollector
+
+        metrics_coll = StageMetricsCollector(spark, build_id)
+        metrics_coll.begin()
 
     # ---- stage: docs + raw-token stage table ------------------------------
     if not (resume and man.done_keys("docs")):
@@ -277,11 +297,15 @@ def build_index(
             raw_tokens_col(F.col("content")).alias("tokens"),
         ).withColumn("doclen", F.size("tokens").cast("long"))
 
-        # Deterministic dense-ish ids: range-partition + sort by url, then
-        # monotonically_increasing_id (per-partition dense; gaps only at
-        # partition boundaries — no single-reducer global window).
+        # Deterministic dense-ish ids: HASH-partition by url (murmur3 —
+        # reproducible across runs, unlike repartitionByRange whose
+        # boundary sampling is seeded by the ephemeral RDD id), sort
+        # within, then monotonically_increasing_id (per-partition dense;
+        # gaps only at the P partition boundaries — no single-reducer
+        # global window).  Kill-and-rerun and independent rebuilds of the
+        # same input produce identical ids.
         with_ids = (
-            tokenized.repartitionByRange(P, "url")
+            tokenized.repartition(P, "url")
             .sortWithinPartitions("url")
             .withColumn("doc_id", F.monotonically_increasing_id())
         )
@@ -382,7 +406,7 @@ def build_index(
                 avgdl,
             ),
         )
-        .select("term", "term_bucket", "doc_id", "tf", "dl", "score")
+        .select("term", "term_bucket", "doc_id", "tf", "dl", "score", "df")
     )
 
     for g in range(bucket_groups):
@@ -392,9 +416,29 @@ def build_index(
         part = scored
         if bucket_groups > 1:
             part = scored.filter(F.pmod(F.col("term_bucket"), F.lit(bucket_groups)) == g)
+        # Hot-term skew salting (SURVEY §4.2.1), df-scaled and fully
+        # deterministic: a term with df postings fans out over
+        # ceil(df / ROWS_PER_SALT) salt buckets keyed by xxhash64(doc_id),
+        # so Zipf-head terms ("the"-scale, df ~ N) spread across many
+        # reducers while tail terms stay in one.  Hash partitioning on
+        # (term, salt) is sampling-free — independent builds and resumed
+        # builds emit byte-identical blocks.  Each (term, salt) slice
+        # packs its own sorted doc-id runs; the query engine aggregates
+        # per doc_id, so multiple block runs per term are sound.
         blocks = (
-            part.repartitionByRange(P, "term", "doc_id")
+            part.withColumn(
+                "salt",
+                F.pmod(
+                    F.xxhash64("doc_id"),
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(F.col("df") / F.lit(ROWS_PER_SALT)),
+                    ).cast("long"),
+                ).cast("int"),
+            )
+            .repartition(P, "term", "salt")
             .sortWithinPartitions("term", "doc_id")
+            .drop("salt")
             .mapInPandas(
                 _pack_blocks(block_size, num_buckets), schema=schemas.POSTINGS
             )
@@ -405,5 +449,13 @@ def build_index(
             .parquet(paths.postings)
         )
         man.mark_done("blocks", g, -1, int((time.time() - t0) * 1000))
+
+    if metrics_coll is not None:
+        (
+            metrics_coll.collect()
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(paths.metrics)
+        )
 
     return paths

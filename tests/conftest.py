@@ -14,6 +14,8 @@ def spark():
         app_name="tests",
         master=f"local[{os.environ.get('SPARK_TEST_CPUS', '4')}]",
         shuffle_partitions=8,
+        # the stage-metrics collector (metrics.py) reads the status REST API
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4057"},
     )
     yield s
     s.stop()
