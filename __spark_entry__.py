@@ -539,6 +539,314 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
 
 
+# ---- link graph: PageRank (SURVEY §3.3, D11-D13) --------------------------
+# Deterministic graph over the TPC-H-ish tables: part -> supplier edges
+# from lineitem, supplier -> nation, nation -> region.  Leaves ('r…')
+# are dangling, exercising the dangling-mass term.
+
+_EDGES_SQL = """
+SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+UNION
+SELECT DISTINCT 's' || s_suppkey, 'n' || s_nationkey FROM supplier
+UNION
+SELECT DISTINCT 'n' || n_nationkey, 'r' || n_regionkey FROM nation"""
+
+PAGERANK_ITERS = 5
+
+
+def _edges_df(spark, sf_dir) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    su = _read(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    na = _read(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return li.unionByName(su).unionByName(na)
+
+
+def _q_pagerank(spark, sf_dir):
+    from search_engine_spark.graph.pagerank import pagerank_fixed
+
+    ranks = pagerank_fixed(_edges_df(spark, sf_dir), n_iter=PAGERANK_ITERS)
+    return ranks.select("id", F.round("r", 6).alias("r"))
+
+
+def _sql_pagerank():
+    from search_engine_spark.graph.pagerank import pagerank_fixed_sql
+
+    return pagerank_fixed_sql(_EDGES_SQL, n_iter=PAGERANK_ITERS)
+
+
+def _q_out_degree_graph(spark, sf_dir):
+    from search_engine_spark.graph.pagerank import out_degrees
+
+    return out_degrees(
+        _edges_df(spark, sf_dir).dropDuplicates(["src", "dst"])
+    ).withColumnRenamed("out_degree", "outd")
+
+
+_SQL_OUT_DEGREE_GRAPH = f"""
+WITH edges AS ({_EDGES_SQL})
+SELECT src, count(*) AS outd FROM edges GROUP BY src"""
+
+
+# ---- URL ops (SURVEY §2.B1/B2, §2.F9/F15) ---------------------------------
+# Deterministic synthetic URL battery derived from doc_id — built with
+# the same arithmetic in Spark and SQL, then normalized / validated /
+# skip-filtered / prioritized by the web layer.
+
+
+def _urls_df(spark, sf_dir) -> DataFrame:
+    from search_engine_spark.ops.multimodal import KINDS  # noqa: F401 (parity import)
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    scheme = F.when(F.col("doc_id") % 3 == 0, F.lit("http")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.lit("Site"), (F.col("doc_id") % 7).cast("string"), F.lit(".Example.com")
+    )
+    port = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.when(scheme == "http", F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("/"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("/a/b/"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("/files/report.PDF"))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("/page/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 6 == 4, F.lit(""))
+        .otherwise(F.lit("/x/y.html"))
+    )
+    suffix = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec"))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("?q=spark&n="), F.col("doc_id").cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return d.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, port, path, suffix).alias("url"),
+    )
+
+
+_URLS_CTE = """urls AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END) || '://'
+    || 'Site' || (doc_id % 7) || '.Example.com'
+    || (CASE WHEN doc_id % 4 = 0
+         THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END) ELSE '' END)
+    || (CASE doc_id % 6 WHEN 0 THEN '/' WHEN 1 THEN '/a/b/'
+         WHEN 2 THEN '/files/report.PDF' WHEN 3 THEN '/page/' || doc_id
+         WHEN 4 THEN '' ELSE '/x/y.html' END)
+    || (CASE doc_id % 5 WHEN 0 THEN '#sec'
+         WHEN 1 THEN '?q=spark&n=' || doc_id ELSE '' END) AS url
+  FROM documents)"""
+
+
+def _q_url_ops(spark, sf_dir):
+    from search_engine_spark.web import urls as U
+
+    u = F.col("url")
+    return _urls_df(spark, sf_dir).select(
+        "doc_id",
+        "url",
+        U.normalize_url_col(u).alias("norm"),
+        U.is_valid_url_col(u).cast("boolean").alias("valid"),
+        U.should_skip_url_col(u).cast("boolean").alias("skip"),
+        F.round(U.crawl_priority_col(u, (F.col("doc_id") % 4)), 6).alias("prio"),
+    )
+
+
+def _sql_url_ops():
+    from search_engine_spark.web import urls as U
+
+    return f"""WITH {_URLS_CTE}
+SELECT doc_id, url,
+       {U.normalize_url_sql('url')} AS norm,
+       {U.is_valid_url_sql('url')} AS valid,
+       {U.should_skip_url_sql('url')} AS skip,
+       round({U.crawl_priority_sql('url', 'doc_id % 4')}, 6) AS prio
+FROM urls"""
+
+
+# ---- quality scoring (training-data text analysis) ------------------------
+
+
+def _q_quality(spark, sf_dir):
+    return T.quality_scores(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+_SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         {tokens_sql('text')} AS toks,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_chars,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_tok_len,
+    CASE WHEN len(ws) > 0
+         THEN len(list_filter(ws, t -> t IN ({_SW_SQL})))::DOUBLE / len(ws)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars > 0
+         THEN (n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / n_chars
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_chars > 0
+         THEN (n_chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / n_chars
+         ELSE 0.0 END AS digit_ratio
+  FROM base)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+  round(mean_tok_len, 6) AS mean_tok_len,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(digit_ratio, 6) AS digit_ratio,
+  round(0.4 * least(n_tokens / 100.0, 1.0)
+      + 0.3 * least(stop_ratio * 3, 1.0)
+      + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+      + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 6) AS quality_score
+FROM feat"""
+
+
+# ---- near-dup pairs: MinHash/LSH -> exact Jaccard verify ------------------
+
+NEAR_DUP_THRESHOLD = 0.2
+
+
+def _q_near_dup(spark, sf_dir):
+    return D.minhash_dedup_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=N_MINHASH, bands=LSH_BANDS,
+        jaccard_threshold=NEAR_DUP_THRESHOLD,
+    )
+
+
+def _sql_near_dup():
+    x = md5int_sql("s")
+    sig_cols = ", ".join(
+        f"min({minhash_sql(x, a, b)}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_seeds(N_MINHASH))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"md5(mh_{b * LSH_ROWS}::VARCHAR || ':' || mh_{b * LSH_ROWS + 1}::VARCHAR"
+        f" || ':' || mh_{b * LSH_ROWS + 2}::VARCHAR) AS h FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""{_TOK_CTE},
+shl AS (SELECT doc_id AS id, list_distinct({shingles_sql('l')}) AS sh FROM tok),
+sig AS (SELECT id, {sig_cols}
+        FROM (SELECT id, unnest(sh) AS s FROM shl) GROUP BY id),
+banded AS ({band_rows}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.h = b.h
+         WHERE a.id < b.id),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+           AS jaccard
+  FROM cand c JOIN shl sa ON sa.id = c.id_a JOIN shl sb ON sb.id = c.id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}"""
+
+
+EMB_DUP_THRESHOLD = 0.4  # synthetic embeddings: max pairwise cosine ~0.48
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    return D.embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=EMB_DUP_THRESHOLD,
+    )
+
+
+_SQL_EMB_NEAR_DUP = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / ( sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+               i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) ), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_DUP_THRESHOLD}"""
+
+
+# ---- multimodal plumbing (stubbed decode, real Spark shape) ----------------
+
+
+def _q_media_meta(spark, sf_dir):
+    from search_engine_spark.ops import multimodal as M
+
+    media = M.synth_media_from_documents(_read(spark, sf_dir, "documents"))
+    return M.decode_media_meta(media)
+
+
+_MEDIA_X = md5int_sql("text")
+_SQL_MEDIA_META = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS kind,
+         text, {_MEDIA_X} AS x
+  FROM documents)
+SELECT media_id, kind,
+  strlen(text)::BIGINT AS n_bytes,
+  md5(text) AS content_hash,
+  CASE WHEN kind IN ('image','video') THEN (16 + x % 4096)::INT END AS width,
+  CASE WHEN kind IN ('image','video') THEN (16 + (x // 4096) % 4096)::INT END AS height,
+  CASE WHEN kind IN ('audio','video') THEN (1000 + x % 600000)::BIGINT END AS duration_ms,
+  CASE WHEN kind = 'video' THEN (1 + x % 1800)::INT END AS n_frames
+FROM m"""
+
+
+def _q_frame_sample(spark, sf_dir):
+    from search_engine_spark.ops import multimodal as M
+
+    media = M.synth_media_from_documents(_read(spark, sf_dir, "documents"))
+    return M.sample_frames(M.decode_media_meta(media), every_n=30)
+
+
+_SQL_FRAME_SAMPLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, {_MEDIA_X} AS x
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT media_id, unnest(generate_series(0, (1 + x % 1800) - 1, 30))::INT AS frame_no
+FROM m"""
+
+
+# ---- pagination (main.py:173-174, G3) -------------------------------------
+
+
+def _q_pagination(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+_SQL_PAGINATION = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn > 10 AND rn <= 20"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -571,6 +879,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree": _q_out_degree,
         "window_rank_orders": _q_window_rank,
         "pricing_summary": _q_pricing_summary,
+        # graph / PageRank (SURVEY §3.3)
+        "pagerank_5iter": _q_pagerank,
+        "out_degree_graph": _q_out_degree_graph,
+        # web/url layer (SURVEY §2.B, §2.F9/F15)
+        "url_ops": _q_url_ops,
+        # quality + near-dup (training-data ops)
+        "quality_scores": _q_quality,
+        "near_dup_pairs": _q_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # multimodal plumbing
+        "media_meta": _q_media_meta,
+        "frame_sample": _q_frame_sample,
+        # pagination (G3)
+        "pagination_page2": _q_pagination,
     }
 
 
@@ -598,4 +920,13 @@ def oracle_sql() -> dict[str, str]:
         "out_degree": _SQL_OUT_DEGREE,
         "window_rank_orders": _SQL_WINDOW,
         "pricing_summary": _SQL_PRICING,
+        "pagerank_5iter": _sql_pagerank(),
+        "out_degree_graph": _SQL_OUT_DEGREE_GRAPH,
+        "url_ops": _sql_url_ops(),
+        "quality_scores": _SQL_QUALITY,
+        "near_dup_pairs": _sql_near_dup(),
+        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "media_meta": _SQL_MEDIA_META,
+        "frame_sample": _SQL_FRAME_SAMPLE,
+        "pagination_page2": _SQL_PAGINATION,
     }

@@ -109,6 +109,42 @@ def pagerank_fixed(
     return ranks
 
 
+def pagerank_fixed_sql(
+    edges_sql: str, n_iter: int = 5, damping: float = DAMPING
+) -> str:
+    """ANSI-SQL twin of `pagerank_fixed` (DuckDB oracle): the same
+    recurrence unrolled into one CTE per iteration, built from the same
+    damping constant.  `edges_sql` must yield distinct (src, dst)."""
+    d = repr(damping)
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "deg AS (SELECT src, count(*)::DOUBLE AS outd FROM edges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / n AS r FROM nodes, nn)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.id,
+         {d} * coalesce(c.contrib, 0.0) + {d} * dm.m / nn.n + (1.0 - {d}) / nn.n AS r
+  FROM nodes n
+  CROSS JOIN nn
+  CROSS JOIN (SELECT coalesce(sum(r), 0.0) AS m FROM {p}
+              WHERE id NOT IN (SELECT src FROM edges)) dm
+  LEFT JOIN (SELECT e.dst AS id, sum(p.r / d2.outd) AS contrib
+             FROM edges e JOIN {p} p ON e.src = p.id
+             JOIN deg d2 ON d2.src = e.src
+             GROUP BY e.dst) c ON c.id = n.id)"""
+        )
+    last = f"r{n_iter}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(r / (SELECT sum(r) FROM {last}), 6) AS r FROM {last}"
+    )
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,
