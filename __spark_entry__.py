@@ -827,6 +827,312 @@ SELECT media_id, unnest(generate_series(0, (1 + x % 1800) - 1, 30))::INT AS fram
 FROM m"""
 
 
+# ---- conjunctive BM25 (C4 AND-semantics) ----------------------------------
+
+
+def _q_bm25_topk_and(spark, sf_dir):
+    """Posting-list intersection: a doc qualifies only when it matches
+    EVERY query term (SURVEY §2.C4 AND-mode); scores as in bm25_topk."""
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.join(df_t, "term")
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("c"), 6).alias("score"),
+            F.countDistinct("term").alias("_nt"),
+        )
+        .filter(F.col("_nt") == len(BM25_QUERY_TERMS))
+        .drop("_nt")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_BM25_AND = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ), 6) AS score
+FROM tf JOIN dft USING (term), n
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(BM25_QUERY_TERMS)}
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+# ---- hybrid BM25 + PageRank re-rank (main.py:243-267, C1+G2) --------------
+# Deterministic doc-level link graph: every doc links to
+# (doc_id*31+7) % N and (doc_id*17+3) % N.
+
+_DOC_EDGES_SQL = """
+SELECT DISTINCT src, dst FROM (
+  SELECT doc_id AS src, (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+  FROM documents)"""
+
+HYBRID_PR_ITERS = 3
+
+
+def _doc_edges_df(spark, sf_dir) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    e1 = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % F.lit(n)).alias("dst"),
+    )
+    e2 = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 17 + 3) % F.lit(n)).alias("dst"),
+    )
+    return e1.unionByName(e2).dropDuplicates(["src", "dst"])
+
+
+def _q_hybrid_rank(spark, sf_dir):
+    """0.7·BM25 + 0.3·PageRank·100 re-rank (main.py:259, 264-266) via
+    the engine's hybrid_boost broadcast join."""
+    from search_engine_spark.graph.pagerank import hybrid_boost, pagerank_fixed
+
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    bm25 = (
+        tf.join(df_t, "term")
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    ranks = pagerank_fixed(_doc_edges_df(spark, sf_dir), n_iter=HYBRID_PR_ITERS)
+    boosted = hybrid_boost(bm25, ranks, result_id="doc_id")
+    return (
+        boosted.select(
+            "doc_id", F.round("boosted_score", 6).alias("boosted_score")
+        )
+        .orderBy(F.desc("boosted_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _sql_hybrid_rank():
+    from search_engine_spark.graph.pagerank import pagerank_sql_ctes
+
+    pr_ctes, pr_final = pagerank_sql_ctes(_DOC_EDGES_SQL, n_iter=HYBRID_PR_ITERS)
+    bm25_ctes = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (SELECT doc_id,
+       sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ) AS score
+       FROM tf JOIN dft USING (term), n GROUP BY doc_id)"""
+    pr_cte_block = ",\n".join(pr_ctes)
+    return f"""{bm25_ctes},
+{pr_cte_block}
+SELECT bm.doc_id,
+       round(0.7 * bm.score + 0.3 * coalesce(pr.r, 0.0) * 100.0, 6) AS boosted_score
+FROM bm LEFT JOIN {pr_final} pr ON pr.id = bm.doc_id
+ORDER BY boosted_score DESC, doc_id LIMIT 10"""
+
+
+# ---- batch ANN: top-k corpus neighbors per query vector -------------------
+
+ANN_K = 5
+ANN_QUERY_IDS = (0, 1, 2)
+
+
+def _q_batch_ann(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(list(ANN_QUERY_IDS)))
+    corpus = emb.filter(~F.col("vec_id").isin(list(ANN_QUERY_IDS)))
+    return S.pairwise_topk_join(
+        corpus, "vec_id", "embedding", queries_df, "vec_id", "embedding", k=ANN_K
+    )
+
+
+_ANN_IDS_SQL = ", ".join(str(i) for i in ANN_QUERY_IDS)
+_SQL_BATCH_ANN = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+           WHERE vec_id IN ({_ANN_IDS_SQL})),
+c AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id NOT IN ({_ANN_IDS_SQL})),
+sims AS (
+  SELECT q.q_id, c.vec_id AS id,
+    round(list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+    / ( sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+      * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+             i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) ), 6) AS cosine
+  FROM c CROSS JOIN q)
+SELECT q_id, id, cosine FROM (
+  SELECT q_id, id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rn
+  FROM sims) WHERE rn <= {ANN_K}"""
+
+
+# ---- LSH-bucketed ANN (the 100 TB scale path) -----------------------------
+# The hyperplanes are deterministic (seeded); the oracle embeds the SAME
+# plane values as SQL literals, so the approximate result is exactly
+# reproducible on both engines.
+
+LSH_DIM = 64
+LSH_PLANES = 6
+LSH_SEED = 42
+
+
+def _lsh_query_vec(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+
+
+def _q_lsh_ann(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = _lsh_query_vec(spark, sf_dir)
+    return S.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec,
+        k=10, n_planes=LSH_PLANES, probe_hamming=1, seed=LSH_SEED,
+    ).withColumnRenamed("id", "vec_id")
+
+
+def _sql_lsh_ann(sf_dir=None):
+    """Oracle with the same planes/probe set as literals.  The probe
+    buckets depend on the query vector (vec_id=0), which differs per sf
+    dir, so the oracle is generated for the sf the driver compares at
+    (sf0.01; override via SPARK_GRAFT_ORACLE_SF) by reading the parquet
+    directly (no Spark needed)."""
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    planes = S.hyperplanes(LSH_DIM, LSH_PLANES, LSH_SEED)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pydict()
+    qv = None
+    for vid, e in zip(tbl["vec_id"], tbl["embedding"]):
+        if vid == 0:
+            qv = np.asarray(e, dtype=np.float64)
+            break
+    qbits = 0
+    for j, plane in enumerate(planes):
+        if float(plane @ qv) >= 0:
+            qbits |= 1 << j
+    probe = [qbits] + [qbits ^ (1 << j) for j in range(LSH_PLANES)]
+    probe_sql = ", ".join(str(b) for b in sorted(set(probe)))
+
+    def plane_list(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {LSH_DIM} + 1), "
+        f"i -> embedding[i]::DOUBLE * ({plane_list(p)}::DOUBLE[])[i])) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    qv_sql = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bucket_terms}) AS bucket
+           FROM embeddings WHERE vec_id != 0),
+cand AS (SELECT vec_id, embedding FROM b WHERE bucket IN ({probe_sql})),
+sims AS (
+  SELECT vec_id,
+    round(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> embedding[i]::DOUBLE * ({qv_sql}::DOUBLE[])[i]))
+    / ( sqrt(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+      * sqrt(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> ({qv_sql}::DOUBLE[])[i] * ({qv_sql}::DOUBLE[])[i]))) ), 6) AS cosine
+  FROM cand)
+SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+# ---- highlight snippets (main.py:175-186, F16) ----------------------------
+
+
+def _q_highlight(spark, sf_dir):
+    from search_engine_spark.query import serving
+
+    docs = _read(spark, sf_dir, "documents")
+    frag = serving.fragment_col(F.col("text"), BM25_QUERY_TERMS)
+    return docs.select(
+        "doc_id",
+        serving.highlight_col(frag, BM25_QUERY_TERMS).alias("snippet"),
+    )
+
+
+def _sql_highlight():
+    from search_engine_spark.query import serving
+
+    frag = serving.fragment_sql("text", BM25_QUERY_TERMS)
+    return f"""
+SELECT doc_id, {serving.highlight_sql(frag, BM25_QUERY_TERMS)} AS snippet
+FROM documents"""
+
+
+# ---- scalar utility battery (F7/F8/F11/F13) -------------------------------
+
+
+def _q_utils_battery(spark, sf_dir):
+    from search_engine_spark.web import urls as U
+
+    u = F.col("url")
+    return _urls_df(spark, sf_dir).select(
+        "doc_id",
+        F.sha2(u, 256).alias("url_sha256"),
+        U.cache_key_col(u, F.lit(1), F.lit(10)).alias("cache_key"),
+        U.domain_col(u).alias("domain"),
+        U.truncate_col(u, 30).alias("short_url"),
+    )
+
+
+def _sql_utils_battery():
+    from search_engine_spark.web import urls as U
+
+    return f"""WITH {_URLS_CTE}
+SELECT doc_id,
+       sha256(url) AS url_sha256,
+       md5(url || ':1:10') AS cache_key,
+       {U.netloc_sql('url')} AS domain,
+       CASE WHEN length(url) > 30 THEN substr(url, 1, 27) || '...' ELSE url END AS short_url
+FROM urls"""
+
+
 # ---- pagination (main.py:173-174, G3) -------------------------------------
 
 
@@ -859,7 +1165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen": _q_doclen,
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_and": _q_bm25_topk_and,
         "tfidf_topk": _q_tfidf_topk,
+        "hybrid_rank": _q_hybrid_rank,
+        "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
         "dedup_exact_clusters": _q_dedup_exact,
         "minhash_signature": _q_minhash_sig,
@@ -870,6 +1179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         # embeddings / similarity
         "embedding_cosine_topk": _q_embedding_topk,
+        "batch_ann_topk": _q_batch_ann,
+        "lsh_ann_topk": _q_lsh_ann,
+        # scalar utility functions (F7/F8/F11/F13)
+        "utils_battery": _q_utils_battery,
         # relational operator inventory (SURVEY §2.C/§2.D/§2.E/§2.G)
         "semi_join_orders": _q_semi_join,
         "anti_join_customers": _q_anti_join,
@@ -904,7 +1217,10 @@ def oracle_sql() -> dict[str, str]:
         "doclen": _SQL_DOCLEN,
         "corpus_stats": _SQL_CORPUS,
         "bm25_topk": _SQL_BM25,
+        "bm25_topk_and": _SQL_BM25_AND,
         "tfidf_topk": _SQL_TFIDF,
+        "hybrid_rank": _sql_hybrid_rank(),
+        "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,
         "minhash_signature": _SQL_MINHASH,
         "simhash48": _simhash_sql(),
@@ -912,6 +1228,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_en_score": _SQL_LANG_EN,
         "token_counts": _SQL_TOKEN_COUNTS,
         "embedding_cosine_topk": _SQL_EMB_TOPK,
+        "batch_ann_topk": _SQL_BATCH_ANN,
+        "lsh_ann_topk": _sql_lsh_ann(),
+        "utils_battery": _sql_utils_battery(),
         "semi_join_orders": _SQL_SEMI,
         "anti_join_customers": _SQL_ANTI,
         "topk_lineitem_price": _SQL_TOPK,

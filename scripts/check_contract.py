@@ -44,6 +44,8 @@ def row_multiset(rows, colnames):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # sf-dependent oracles (lsh_ann_topk) must be generated for this dir
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     only = set(sys.argv[2:])
     spark = get_spark(master="local[4]", shuffle_partitions=8, app_name="contract")
     con = duckdb.connect()

@@ -109,12 +109,13 @@ def pagerank_fixed(
     return ranks
 
 
-def pagerank_fixed_sql(
+def pagerank_sql_ctes(
     edges_sql: str, n_iter: int = 5, damping: float = DAMPING
-) -> str:
-    """ANSI-SQL twin of `pagerank_fixed` (DuckDB oracle): the same
-    recurrence unrolled into one CTE per iteration, built from the same
-    damping constant.  `edges_sql` must yield distinct (src, dst)."""
+) -> tuple[list[str], str]:
+    """CTE list + final normalized-rank CTE name for the SQL twin of
+    `pagerank_fixed` — composable into larger oracle queries (e.g. the
+    hybrid BM25+PageRank re-rank).  `edges_sql` must yield distinct
+    (src, dst).  The returned CTE `pr_norm(id, r)` has Σr = 1."""
     d = repr(damping)
     ctes = [
         f"edges AS ({edges_sql})",
@@ -139,9 +140,22 @@ def pagerank_fixed_sql(
              GROUP BY e.dst) c ON c.id = n.id)"""
         )
     last = f"r{n_iter}"
+    ctes.append(
+        f"pr_norm AS (SELECT id, r / (SELECT sum(r) FROM {last}) AS r FROM {last})"
+    )
+    return ctes, "pr_norm"
+
+
+def pagerank_fixed_sql(
+    edges_sql: str, n_iter: int = 5, damping: float = DAMPING
+) -> str:
+    """ANSI-SQL twin of `pagerank_fixed` (DuckDB oracle): the same
+    recurrence unrolled into one CTE per iteration, built from the same
+    damping constant.  `edges_sql` must yield distinct (src, dst)."""
+    ctes, final = pagerank_sql_ctes(edges_sql, n_iter, damping)
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT id, round(r / (SELECT sum(r) FROM {last}), 6) AS r FROM {last}"
+        + f"\nSELECT id, round(r, 6) AS r FROM {final}"
     )
 
 

@@ -335,15 +335,27 @@ def build_index(
         exploded = toks.select(
             "doc_id", "doclen", F.explode("tokens").alias("raw_term")
         )
+        # Aggregate raw-term TFs FIRST: partial (map-side) aggregation
+        # compresses the exploded token stream to (doc, raw_term) pairs
+        # before anything shuffles — at 10^12-doc scale that is the
+        # difference between shuffling ~10^15 token rows and ~10^13 tf
+        # rows.  The vocabulary join then touches only the compressed
+        # rows.
+        tf_raw = exploded.groupBy("doc_id", "raw_term").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.first("doclen").alias("dl"),
+        )
         # Vocabulary-level stemming: Python sees only distinct raw terms.
-        vocab = exploded.select("raw_term").distinct()
+        vocab = tf_raw.select("raw_term").distinct()
         vocab = vocab.withColumn("term", stem_terms_udf(F.col("raw_term")))
+        # Distinct raw terms stemming to one term within a doc merge here
+        # (e.g. "merge" + "merging" -> "merg"): sum their tfs.
         tf = (
-            exploded.join(vocab, "raw_term")
+            tf_raw.join(vocab, "raw_term")
             .groupBy("doc_id", "term")
             .agg(
-                F.count(F.lit(1)).cast("int").alias("tf"),
-                F.first("doclen").alias("dl"),
+                F.sum("tf").cast("int").alias("tf"),
+                F.first("dl").alias("dl"),
             )
         )
         tf.write.mode("overwrite").parquet(paths.tf_stage)

@@ -119,6 +119,15 @@ class BM25Index:
         mode: str = "blockmax",
         join_docs: bool = True,
     ) -> DataFrame:
+        """Top-k BM25 search.
+
+        mode: "blockmax" (OR semantics, θ-pruned — the default),
+              "exhaustive" (OR semantics, no block pruning),
+              "and" (conjunctive, C4 AND-semantics per SURVEY.md §2.C4 —
+              a doc qualifies only if it contains EVERY query term;
+              posting-list intersection realized as
+              groupBy(doc_id).count == n_terms, exact and unpruned).
+        """
         if k <= 0:
             return self._empty() if join_docs else self.spark.createDataFrame(
                 [], "doc_id long, score double"
@@ -154,7 +163,22 @@ class BM25Index:
         contribs = blocks.mapInPandas(
             _decode_and_score(idf_by_term, self.avgdl), schema=_CONTRIB_SCHEMA
         )
-        scored = contribs.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+        if mode == "and":
+            # Each (doc, term) decodes to exactly one row (tf is
+            # aggregated per (doc, term) at build time and salting
+            # splits a term's postings by doc hash), so the row count
+            # per doc == number of matched query terms.
+            scored = (
+                contribs.groupBy("doc_id")
+                .agg(
+                    F.sum("contrib").alias("score"),
+                    F.count(F.lit(1)).alias("_nt"),
+                )
+                .filter(F.col("_nt") == len(terms))
+                .drop("_nt")
+            )
+        else:
+            scored = contribs.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk

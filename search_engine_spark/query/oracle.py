@@ -62,6 +62,20 @@ class BM25Oracle:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def topk_and(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Conjunctive (C4 AND-semantics): only docs containing EVERY
+        indexed query term qualify; same scores as `topk`."""
+        terms = [t for t in set(tokenize_py(query)) if self.df.get(t, 0) > 0]
+        if not terms:
+            return []
+        scored = [
+            (d, self.score(d, terms))
+            for d in self.docs
+            if all(self.tf[d].get(t, 0) > 0 for t in terms)
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
 
 class TFIDFOracle:
     """Reference TF-IDF semantics (tfidf.py:167-572): log TF

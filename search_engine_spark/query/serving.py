@@ -1,0 +1,180 @@
+"""Serving-layer helpers around the BM25 engine.
+
+Covers the reference's search-API post-processing that is still
+data-shaped (the HTTP/Redis plumbing itself is out of scope per the
+north rule):
+
+- highlight snippets (backend/search_api/main.py:175-186, F16): the ES
+  highlighter becomes a native regexp_replace + fragment substring —
+  whole-word, case-insensitive ``<mark>`` wrapping and a ~150-char
+  fragment around the first hit.
+- query sanitizer (backend/shared/utils.py:57-64, F14): backslash-escape
+  of the 19 ES special characters — kept as a parity function (our
+  engine needs no escaping; tests pin the semantics).
+- query log (backend/search_api/main.py:270-279; schema.sql:53-61): an
+  append-only parquet table (query, results_count, response_time_ms,
+  cache_hit, queried_at) written per search, plus the /stats 24h
+  analytics over it (main.py:620-629, D9).
+
+Everything here is native column expressions; the only Python runs
+driver-side on the query string.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from datetime import datetime, timezone
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark import schemas
+
+FRAGMENT_SIZE = 150  # main.py:181 fragment_size
+HIGHLIGHT_PRE = "<mark>"  # main.py:178-179
+HIGHLIGHT_POST = "</mark>"
+
+# utils.py:57-64 — the ES reserved characters, escaped in order.
+_ES_SPECIAL = [
+    "\\", "+", "-", "=", "&&", "||", ">", "<", "!", "(", ")", "{", "}",
+    "[", "]", "^", '"', "~", "*", "?", ":", "/",
+]
+
+
+def sanitize_query(q: str) -> str:
+    """F14 parity: backslash-escape ES special sequences (utils.py:57-64)."""
+    for ch in _ES_SPECIAL:
+        q = q.replace(ch, "\\" + ch)
+    return q
+
+
+def _terms_pattern(terms: Sequence[str]) -> str:
+    """Case-insensitive whole-word alternation for canonical tokens.
+
+    Canonical tokens are [a-z0-9]+ so no regex-escaping is needed; order
+    longest-first so overlapping alternatives prefer the longer match in
+    both Java regex (Spark) and RE2 (DuckDB) left-to-right alternation.
+    """
+    ordered = sorted(set(terms), key=lambda t: (-len(t), t))
+    return r"(?i)\b(" + "|".join(ordered) + r")\b"
+
+
+def highlight_col(text: Column, terms: Sequence[str]) -> Column:
+    """F16: wrap every whole-word query-term occurrence in <mark> tags."""
+    if not terms:
+        return text
+    return F.regexp_replace(
+        text, _terms_pattern(terms), f"{HIGHLIGHT_PRE}$1{HIGHLIGHT_POST}"
+    )
+
+
+def highlight_sql(text_expr: str, terms: Sequence[str]) -> str:
+    """DuckDB twin of highlight_col (RE2 uses \\1 backreferences)."""
+    if not terms:
+        return text_expr
+    # DuckDB '...' literals keep backslashes verbatim — no doubling.
+    pat = _terms_pattern(terms).replace("'", "''")
+    return (
+        f"regexp_replace({text_expr}, '{pat}', "
+        f"'{HIGHLIGHT_PRE}\\1{HIGHLIGHT_POST}', 'g')"
+    )
+
+
+def fragment_col(
+    text: Column, terms: Sequence[str], size: int = FRAGMENT_SIZE
+) -> Column:
+    """First-hit fragment: `size` chars starting ~size/3 before the first
+    occurrence of any query term in lower(text) (head of the doc when no
+    term occurs) — the ES highlighter's fragment, deterministically.
+    Position is instr-based (identical semantics in Spark and DuckDB)."""
+    if not terms:
+        return F.substring(text, 1, size)
+    low = F.lower(text)
+    positions = [F.nullif(F.instr(low, t.lower()), F.lit(0)) for t in sorted(set(terms))]
+    pos = F.coalesce(F.least(*positions) if len(positions) > 1 else positions[0], F.lit(1))
+    start = F.greatest(F.lit(1), pos - F.lit(size // 3))
+    return F.substring(text, start, size)
+
+
+def fragment_sql(
+    text_expr: str, terms: Sequence[str], size: int = FRAGMENT_SIZE
+) -> str:
+    """DuckDB twin of fragment_col."""
+    if not terms:
+        return f"substr({text_expr}, 1, {size})"
+    positions = ", ".join(
+        f"nullif(strpos(lower({text_expr}), '{t.lower()}'), 0)"
+        for t in sorted(set(terms))
+    )
+    pos = f"coalesce(least({positions}), 1)"
+    return f"substr({text_expr}, greatest(1, ({pos}) - {size // 3}), {size})"
+
+
+# ---------------------------------------------------------------------------
+# query log (schema.sql:53-61; main.py:270-279, 620-629)
+# ---------------------------------------------------------------------------
+
+
+def log_query(
+    spark: SparkSession,
+    log_dir: str,
+    query: str,
+    results_count: int,
+    response_time_ms: int,
+    cache_hit: bool = False,
+    queried_at: Optional[datetime] = None,
+) -> None:
+    """Append one row to the query_logs table (main.py:270-279).
+
+    `queried_at` defaults to now() — serving-side telemetry, not the
+    deterministic data path (index/query results never read this table).
+    """
+    ts = queried_at or datetime.now(timezone.utc).replace(tzinfo=None)
+    (
+        spark.createDataFrame(
+            [(query, results_count, response_time_ms, cache_hit, ts)],
+            schema=schemas.QUERY_LOG,
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(log_dir)
+    )
+
+
+def read_query_log(spark: SparkSession, log_dir: str) -> DataFrame:
+    return spark.read.schema(schemas.QUERY_LOG).parquet(log_dir)
+
+
+def query_log_stats(logs: DataFrame, window_hours: int = 24) -> DataFrame:
+    """/stats analytics (main.py:620-629, D9): totals, avg latency, and
+    cache-hit % over the trailing window, anchored on max(queried_at) so
+    the computation is deterministic for a fixed table."""
+    anchor = logs.agg(F.max("queried_at").alias("mx"))
+    return (
+        logs.crossJoin(F.broadcast(anchor))
+        .filter(
+            F.col("queried_at")
+            >= F.col("mx") - F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total_queries"),
+            F.round(F.avg("response_time_ms"), 2).alias("avg_response_time_ms"),
+            F.round(
+                F.avg(F.when(F.col("cache_hit"), 1.0).otherwise(0.0)) * 100.0, 2
+            ).alias("cache_hit_rate_pct"),
+        )
+    )
+
+
+def search_with_log(index, query: str, k: int = 10, log_dir: Optional[str] = None):
+    """Run a BM25 search and append a query-log row (count + wall ms)."""
+    t0 = time.time()
+    result = index.search(query, k=k)
+    rows = result.collect()
+    ms = int((time.time() - t0) * 1000)
+    if log_dir:
+        log_query(index.spark, log_dir, query, len(rows), ms, cache_hit=False)
+    return rows

@@ -8,6 +8,7 @@ we do the same — no schema inference anywhere.
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -86,6 +87,17 @@ MANIFEST = StructType(
         StructField("bytes", LongType(), True),
         StructField("wall_ms", LongType(), True),
         StructField("input_fingerprint", StringType(), True),
+    ]
+)
+
+# Query log (schema.sql:53-61; written main.py:270-279).
+QUERY_LOG = StructType(
+    [
+        StructField("query", StringType(), False),
+        StructField("results_count", IntegerType(), False),
+        StructField("response_time_ms", IntegerType(), False),
+        StructField("cache_hit", BooleanType(), False),
+        StructField("queried_at", TimestampType(), False),
     ]
 )
 

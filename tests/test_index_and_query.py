@@ -108,6 +108,24 @@ class TestRankIdentity:
         ]
         assert a == b, query
 
+    @pytest.mark.parametrize(
+        "query",
+        ["python programming tutorial", "fox database python", "database transaction"],
+    )
+    def test_and_mode_matches_oracle(self, spark, corpus, query):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(query, k=10, mode="and", join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        want = oracle.topk_and(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
     def test_join_docs(self, spark, corpus):
         paths, _ = corpus
         idx = BM25Index(spark, paths.root)

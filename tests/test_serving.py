@@ -1,0 +1,94 @@
+"""Serving-layer semantics: highlight/fragment (F16), query sanitizer
+(F14), and the query-log table + /stats analytics (D9)."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.query import serving
+
+
+class TestHighlight:
+    def test_whole_word_marks(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Spark sparkles; spark and SPARK merge windows.")], "id int, text string"
+        )
+        out = df.select(
+            serving.highlight_col(F.col("text"), ["spark", "merge"]).alias("h")
+        ).collect()[0]["h"]
+        assert out == (
+            "<mark>Spark</mark> sparkles; <mark>spark</mark> and "
+            "<mark>SPARK</mark> <mark>merge</mark> windows."
+        )
+
+    def test_no_terms_identity(self, spark):
+        df = spark.createDataFrame([(1, "abc def")], "id int, text string")
+        out = df.select(
+            serving.highlight_col(F.col("text"), []).alias("h")
+        ).collect()[0]["h"]
+        assert out == "abc def"
+
+    def test_fragment_window(self, spark):
+        text = "x" * 200 + " spark " + "y" * 200
+        df = spark.createDataFrame([(1, text)], "id int, text string")
+        frag = df.select(
+            serving.fragment_col(F.col("text"), ["spark"], size=60).alias("f")
+        ).collect()[0]["f"]
+        assert len(frag) == 60
+        assert "spark" in frag
+
+    def test_fragment_no_match_head(self, spark):
+        df = spark.createDataFrame([(1, "a" * 300)], "id int, text string")
+        frag = df.select(
+            serving.fragment_col(F.col("text"), ["zzz"], size=50).alias("f")
+        ).collect()[0]["f"]
+        assert frag == "a" * 50
+
+
+class TestSanitize:
+    def test_es_special_chars(self):
+        # utils.py:57-64 semantics: every special sequence escaped
+        assert serving.sanitize_query("a+b") == "a\\+b"
+        assert serving.sanitize_query('say "hi"') == 'say \\"hi\\"'
+        assert serving.sanitize_query("x&&y||z") == "x\\&&y\\||z"
+        assert serving.sanitize_query("plain words") == "plain words"
+
+
+class TestQueryLog:
+    def test_log_and_stats(self, spark, tmp_path):
+        log_dir = str(tmp_path / "qlog")
+        t0 = datetime(2026, 1, 2, 12, 0, 0)
+        rows = [
+            ("spark merge", 10, 120, False, t0),
+            ("spark merge", 10, 2, True, t0 + timedelta(hours=1)),
+            ("fox", 3, 80, False, t0 + timedelta(hours=2)),
+            ("stale", 1, 500, False, t0 - timedelta(hours=30)),  # outside 24h
+        ]
+        for q, n, ms, hit, ts in rows:
+            serving.log_query(spark, log_dir, q, n, ms, cache_hit=hit, queried_at=ts)
+        logs = serving.read_query_log(spark, log_dir)
+        assert logs.count() == 4
+        stats = serving.query_log_stats(logs).collect()[0]
+        # anchored on max ts (t0+2h): the -30h row is excluded
+        assert stats["total_queries"] == 3
+        assert abs(stats["avg_response_time_ms"] - (120 + 2 + 80) / 3) < 0.01
+        assert abs(stats["cache_hit_rate_pct"] - 100.0 / 3) < 0.01
+
+    def test_search_with_log(self, spark, tmp_path):
+        # end-to-end over a tiny index
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.query.bm25 import BM25Index
+        from search_engine_spark.synth import synth_pages
+
+        idx_dir = str(tmp_path / "idx")
+        build_index(
+            spark, synth_pages(spark, 40, num_partitions=2), idx_dir,
+            num_buckets=4, block_size=16, num_partitions=2,
+        )
+        idx = BM25Index(spark, idx_dir)
+        log_dir = str(tmp_path / "qlog2")
+        rows = serving.search_with_log(idx, "python tutorial", k=5, log_dir=log_dir)
+        logged = serving.read_query_log(spark, log_dir).collect()
+        assert len(logged) == 1
+        assert logged[0]["query"] == "python tutorial"
+        assert logged[0]["results_count"] == len(rows)
