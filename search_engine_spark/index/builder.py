@@ -235,6 +235,7 @@ def build_index(
     resume: bool = True,
     build_id: Optional[str] = None,
     run_extraction: bool = True,
+    verify_extraction: bool = False,
     collect_metrics: bool = False,
 ) -> IndexPaths:
     """Build the full inverted index under out_dir. Returns paths.
@@ -273,11 +274,36 @@ def build_index(
                     StructField("extracted_text", StringType()),
                 ]
             )
+            in_cols = ["url", "warc_ts", "lang"]
+            if verify_extraction:
+                in_cols.append("text")
+                ext_schema = StructType(
+                    ext_schema.fields[:3]
+                    + [StructField("text", StringType())]
+                    + ext_schema.fields[3:]
+                )
             base = (
-                pages.select("url", "warc_ts", "lang", "html")
+                pages.select(*in_cols, "html")
                 .mapInPandas(extract_batches, schema=ext_schema)
                 .withColumnRenamed("extracted_text", "content")
             )
+            if verify_extraction:
+                # North-rule per-row invariant: the distributed Arrow
+                # UDF's extraction must be byte-identical to the stored
+                # text column per url.  Recorded in the manifest as
+                # lineage; a non-zero count fails the build loudly.
+                n_bad = base.filter(
+                    F.col("text").isNotNull() & (F.col("text") != F.col("content"))
+                ).count()
+                man.mark_done(
+                    "extract_verify", 0, n_bad, 0,
+                    fingerprint="mismatch_rows",
+                )
+                if n_bad:
+                    raise ValueError(
+                        f"extraction byte-identity violated for {n_bad} rows"
+                    )
+                base = base.drop("text")
         else:
             base = pages.select(
                 "url",

@@ -160,7 +160,9 @@ class BM25Index:
                     >= F.lit(theta) - F.lit(s_tot) + gmax_map[F.col("term")]
                 )
 
-        contribs = blocks.mapInPandas(
+        # Only the decode inputs cross the Arrow boundary (column prune
+        # ahead of MapInPandas — block metadata stays JVM-side).
+        contribs = blocks.select("term", "count", "doc_ids", "tfs", "doclens").mapInPandas(
             _decode_and_score(idf_by_term, self.avgdl), schema=_CONTRIB_SCHEMA
         )
         if mode == "and":
@@ -197,15 +199,28 @@ class BM25Index:
         k: int,
     ) -> float:
         """θ = k-th best single-term contribution of the rarest term —
-        a valid lower bound on the k-th best total score."""
+        a valid lower bound on the k-th best total score.
+
+        Only the highest-block_max blocks are decoded: the k-th best
+        contribution within ANY ≥k-posting subset is ≤ the true k-th
+        best (adding postings only pushes rank-k up), so it remains a
+        valid lower bound while decoding O(k) postings instead of the
+        term's full df — the difference between O(k) and O(10^9) Arrow
+        work for a Zipf-head term at full scale."""
         rare = min(terms, key=lambda t: stats[t][0])
         if stats[rare][0] <= k:
             return 0.0
-        rare_blocks = self.postings.filter(
-            (F.col("term_bucket") == stats[rare][2]) & (F.col("term") == rare)
+        n_blocks = max(2, -(-k // 128) + 1)  # ≥ k postings from full blocks
+        rare_blocks = (
+            self.postings.filter(
+                (F.col("term_bucket") == stats[rare][2]) & (F.col("term") == rare)
+            )
+            .orderBy(F.desc("block_max_score"))
+            .limit(n_blocks)
         )
         rows = (
-            rare_blocks.mapInPandas(
+            rare_blocks.select("term", "count", "doc_ids", "tfs", "doclens")
+            .mapInPandas(
                 _decode_and_score({rare: idf_by_term[rare]}, self.avgdl),
                 schema=_CONTRIB_SCHEMA,
             )

@@ -104,6 +104,36 @@ def test_manifest_lineage_rows(spark, pages):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_verify_extraction_invariant(spark, pages):
+    """verify_extraction=True re-extracts html and requires byte-identity
+    with the stored text column (north-rule per-row invariant); a
+    corrupted text column must fail the build and leave a manifest row."""
+    ok_dir = tempfile.mkdtemp(prefix="sgs_vx_")
+    bad_dir = tempfile.mkdtemp(prefix="sgs_vxb_")
+    try:
+        build_index(
+            spark, pages, ok_dir, num_buckets=8, num_partitions=4,
+            run_extraction=True, verify_extraction=True, resume=False,
+        )
+        man = spark.read.parquet(os.path.join(ok_dir, "manifest"))
+        vrow = man.filter(F.col("stage") == "extract_verify").collect()
+        assert len(vrow) == 1 and vrow[0]["rows"] == 0
+
+        corrupted = pages.withColumn(
+            "text",
+            F.when(F.col("url").endswith("/page/1"), F.lit("tampered"))
+            .otherwise(F.col("text")),
+        )
+        with pytest.raises(Exception, match="byte-identity"):
+            build_index(
+                spark, corrupted, bad_dir, num_buckets=8, num_partitions=4,
+                run_extraction=True, verify_extraction=True, resume=False,
+            )
+    finally:
+        shutil.rmtree(ok_dir, ignore_errors=True)
+        shutil.rmtree(bad_dir, ignore_errors=True)
+
+
 def test_stage_metrics_collected_when_ui_enabled(spark, pages):
     """The collector must see shuffle bytes for the build's
     groupBy/repartition stages (conftest enables spark.ui)."""
