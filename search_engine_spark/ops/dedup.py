@@ -69,17 +69,26 @@ def minhash_signature(
     dropped (no meaningful Jaccard).  Aggregation is min() per hash —
     partial aggregation keeps hot nothing: keys are doc ids.
     """
-    toks = raw_tokens_col(F.col(text_col))
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles_col(toks, shingle_k))).alias("shingle"),
+    # Separate projections on purpose: inlining raw_tokens_col into the
+    # shingle HOF makes every element_at re-evaluate the (expensive)
+    # tokenizer expression — measured 78 s vs 2 s at sf0.1.  With the
+    # token array materialized as a column, each stage evaluates once.
+    base = df.select(
+        F.col(id_col).alias("id"), raw_tokens_col(F.col(text_col)).alias("toks")
     )
-    x = md5int_col(F.col("shingle"))
+    sh = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(shingles_col(F.col("toks"), shingle_k))
+        ).alias("shingle"),
+    )
+    xdf = sh.select("id", md5int_col(F.col("shingle")).alias("x"))
     seeds = minhash_seeds(num_hashes)
     aggs = [
-        F.min(minhash_col(x, a, b)).alias(f"mh_{i}") for i, (a, b) in enumerate(seeds)
+        F.min(minhash_col(F.col("x"), a, b)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(seeds)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return xdf.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -129,11 +138,16 @@ def minhash_dedup_pairs(
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
 
-    toks = raw_tokens_col(F.col(text_col))
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(toks, shingle_k)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    # split projections — see minhash_signature for the inlining hazard
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), raw_tokens_col(F.col(text_col)).alias("toks")
+        )
+        .select(
+            "id", F.array_distinct(shingles_col(F.col("toks"), shingle_k)).alias("sh")
+        )
+        .withColumn("n_sh", F.size("sh"))
+    )
 
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
@@ -160,8 +174,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.explode(raw_tokens_col(F.col(text_col))).alias("tok"),
     )
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    x = md5int_col(F.col("tok"))
+    # materialize the md5-int ONCE per (id, tok) row: inlined into the
+    # 48 bit-sum aggregates it would be hashed 48x per row
+    tf = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("id", "tf", md5int_col(F.col("tok")).alias("x"))
+    )
+    x = F.col("x")
     bit_sums = [
         F.sum(
             F.col("tf")

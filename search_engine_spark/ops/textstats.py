@@ -21,13 +21,19 @@ def _words_col(text: Column) -> Column:
 
 def english_stopword_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Language-ID heuristic: share of whitespace words that are English
-    stopwords.  High for English prose, ~0 otherwise."""
+    stopwords.  High for English prose, ~0 otherwise.
+
+    (Split projection: the word array is materialized once per row —
+    inlining it into every consumer re-evaluates the split/regex chain.)"""
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_SORTED])
-    words = _words_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"), _words_col(F.col(text_col)).alias("words")
+    )
+    words = F.col("words")
     n = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         F.round(
             F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(0.0), 6
         ).alias("en_stop_ratio"),
@@ -38,11 +44,17 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc quality features: char/token counts, mean token length,
     stopword ratio, punctuation ratio, digit ratio, plus a composite
     score in [0,1] (monotone in "looks like clean prose")."""
-    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        raw_tokens_col(F.col(text_col)).alias("_toks"),
+        _words_col(F.col(text_col)).alias("_words"),
+    )
+    text = F.col("_text")
     n_chars = F.length(text)
-    toks = raw_tokens_col(text)
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
-    words = _words_col(text)
+    words = F.col("_words")
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_SORTED])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
@@ -65,8 +77,8 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
         + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio * 5, F.lit(1.0)))
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return base.select(
+        "id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
@@ -105,7 +117,9 @@ def doc_fingerprint(
     """Winnowing-style fingerprint: min md5-int over word k-shingles
     (equivalent to a 1-hash MinHash; collision => near-identical
     prefix content).  Docs shorter than k tokens fingerprint to NULL."""
-    toks = raw_tokens_col(F.col(text_col))
-    sh = shingles_col(toks, shingle_k)
-    fp = F.array_min(F.transform(sh, lambda s: md5int_col(s)))
-    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    base = df.select(
+        F.col(id_col).alias("id"), raw_tokens_col(F.col(text_col)).alias("toks")
+    )
+    shdf = base.select("id", shingles_col(F.col("toks"), shingle_k).alias("sh"))
+    fp = F.array_min(F.transform(F.col("sh"), lambda s: md5int_col(s)))
+    return shdf.select("id", fp.alias("fingerprint"))

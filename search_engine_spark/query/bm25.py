@@ -54,8 +54,15 @@ _CONTRIB_SCHEMA = StructType(
 )
 
 
-def _decode_and_score(idf_by_term: Dict[str, float], avgdl: float):
-    """mapInPandas body: posting blocks -> (doc_id, contrib) rows."""
+def _decode_and_score(
+    idf_by_term: Dict[str, float], avgdl: float, formula: str = "bm25"
+):
+    """mapInPandas body: posting blocks -> (doc_id, contrib) rows.
+
+    formula "bm25": Lucene-default BM25 (index/scoring.py).
+    formula "tfidf": the reference's TF-IDF (tfidf.py:167-572) — log TF
+    (1 + log10(tf)) times the caller-supplied idf (smooth IDF); doclen
+    is unused."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,9 +77,14 @@ def _decode_and_score(idf_by_term: Dict[str, float], avgdl: float):
                 gaps = varint_decode(bytes(ids_b), int(n))
                 ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
                 tfs = varint_decode(bytes(tfs_b), int(n))
-                dls = varint_decode(bytes(dls_b), int(n))
                 ids_out.append(ids)
-                contrib_out.append(score_np(tfs, dls, idf, avgdl))
+                if formula == "tfidf":
+                    contrib_out.append(
+                        (1.0 + np.log10(tfs.astype(np.float64))) * idf
+                    )
+                else:
+                    dls = varint_decode(bytes(dls_b), int(n))
+                    contrib_out.append(score_np(tfs, dls, idf, avgdl))
             if ids_out:
                 yield pd.DataFrame(
                     {
@@ -126,7 +138,11 @@ class BM25Index:
               "and" (conjunctive, C4 AND-semantics per SURVEY.md §2.C4 —
               a doc qualifies only if it contains EVERY query term;
               posting-list intersection realized as
-              groupBy(doc_id).count == n_terms, exact and unpruned).
+              groupBy(doc_id).count == n_terms, exact and unpruned),
+              "tfidf" (reference TF-IDF semantics, tfidf.py:167-572:
+              log TF × smooth IDF, positive scores only — the oracle-
+              parity ranking mode; block-max bounds are BM25-specific
+              so no pruning).
         """
         if k <= 0:
             return self._empty() if join_docs else self.spark.createDataFrame(
@@ -140,7 +156,15 @@ class BM25Index:
                 [], "doc_id long, score double"
             )
 
-        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
+        if mode == "tfidf":
+            import math
+
+            idf_by_term = {
+                t: math.log10((self.n_docs + 1.0) / (stats[t][0] + 1.0))
+                for t in terms
+            }
+        else:
+            idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
         buckets = sorted({stats[t][2] for t in terms})
 
         blocks = self.postings.filter(
@@ -163,7 +187,12 @@ class BM25Index:
         # Only the decode inputs cross the Arrow boundary (column prune
         # ahead of MapInPandas — block metadata stays JVM-side).
         contribs = blocks.select("term", "count", "doc_ids", "tfs", "doclens").mapInPandas(
-            _decode_and_score(idf_by_term, self.avgdl), schema=_CONTRIB_SCHEMA
+            _decode_and_score(
+                idf_by_term,
+                self.avgdl,
+                formula="tfidf" if mode == "tfidf" else "bm25",
+            ),
+            schema=_CONTRIB_SCHEMA,
         )
         if mode == "and":
             # Each (doc, term) decodes to exactly one row (tf is
@@ -181,6 +210,9 @@ class BM25Index:
             )
         else:
             scored = contribs.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+            if mode == "tfidf":
+                # B5: positive-score filter (tfidf.py:531-535)
+                scored = scored.filter(F.col("score") > 0)
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk

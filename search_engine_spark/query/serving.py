@@ -114,6 +114,39 @@ def fragment_sql(
 
 
 # ---------------------------------------------------------------------------
+# query parse (tfidf.py:589-626, F17)
+# ---------------------------------------------------------------------------
+
+_PHRASE = re.compile(r'"([^"]+)"')
+
+
+def parse_query(query: str) -> dict:
+    """F17 parity: extract quoted phrases and AND/OR/NOT flags, tokenize
+    the rest with the canonical pipeline (tfidf.py:589-626).
+
+    NOTE (documented reference behavior, SURVEY §2.F17): the boolean
+    flags are parsed but never consumed by any downstream scorer in the
+    reference — they are informational here too.  Conjunctive semantics
+    are provided explicitly via BM25Index.search(mode="and")."""
+    from search_engine_spark.text.tokenizer import tokenize_py
+
+    query = query.strip()
+    phrases = _PHRASE.findall(query)
+    remaining = _PHRASE.sub("", query)
+    upper = remaining.upper()
+    return {
+        "raw": query,
+        "terms": tokenize_py(remaining),
+        "phrases": phrases,
+        "operators": {
+            "and": " AND " in upper,
+            "or": " OR " in upper,
+            "not": " NOT " in upper,
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
 # query log (schema.sql:53-61; main.py:270-279, 620-629)
 # ---------------------------------------------------------------------------
 
@@ -133,12 +166,13 @@ def log_query(
     deterministic data path (index/query results never read this table).
     """
     ts = queried_at or datetime.now(timezone.utc).replace(tzinfo=None)
+    rec = [(query, results_count, response_time_ms, cache_hit, ts)]
+    # 1-slice parallelize: createDataFrame(...).coalesce(1) costs seconds
+    # at high core counts (see index.builder._Manifest.mark_done)
     (
         spark.createDataFrame(
-            [(query, results_count, response_time_ms, cache_hit, ts)],
-            schema=schemas.QUERY_LOG,
+            spark.sparkContext.parallelize(rec, 1), schema=schemas.QUERY_LOG
         )
-        .coalesce(1)
         .write.mode("append")
         .parquet(log_dir)
     )

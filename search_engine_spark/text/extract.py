@@ -147,6 +147,59 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def extract_tokenize_batches(keep_text: bool = False):
+    """mapInPandas factory fusing F1 extraction with the F2 tokenize+
+    stem pipeline in ONE Arrow pass: html:binary [+ passthrough cols] ->
+    title/description[/extracted_text]/tokens/doclen.
+
+    Why fused Python instead of native column expressions for the
+    stopword filter: the higher-order `filter(tokens, ...)` over a
+    170-literal array_contains is interpreted (no codegen for HOF
+    lambdas) and allocation-heavy — measured ~7 ms/doc CPU and
+    memory-bandwidth-bound at local[32] (per-task time RISES with
+    parallelism).  The fused pass costs ~2 ms/doc, stems via a
+    per-worker cache (each distinct term stemmed once per worker), and
+    drops two shuffles (vocabulary distinct + join) from the build.
+
+    keep_text=False omits the (≤50 KB/row) extracted text from the
+    Arrow output: shipping it across the JVM boundary just to drop it
+    costs ~0.5 GB/100k docs of memory bandwidth — the scarce resource
+    at high local core counts.  Pass True only when the caller needs
+    the text (byte-identity verification).
+    """
+    from search_engine_spark.text.tokenizer import tokenize_py_cached
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        stem_cache: dict = {}  # lives for the whole partition
+        for pdf in batches:
+            ex = [extract_content(_decode(h)) for h in pdf["html"]]
+            toks = [tokenize_py_cached(e.text, stem_cache) for e in ex]
+            out = pdf.drop(columns=["html"])
+            out["title"] = [e.title[:MAX_TITLE_CHARS] for e in ex]
+            out["description"] = [e.description[:MAX_DESC_CHARS] for e in ex]
+            if keep_text:
+                out["extracted_text"] = [e.text for e in ex]
+            out["tokens"] = toks
+            out["doclen"] = [len(t) for t in toks]
+            yield out
+
+    return run
+
+
+def tokenize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: tokenize+stem a trusted `text` column (no html
+    extraction) — the run_extraction=False build path."""
+    from search_engine_spark.text.tokenizer import tokenize_py_cached
+
+    stem_cache: dict = {}  # lives for the whole partition
+    for pdf in batches:
+        toks = [tokenize_py_cached(t or "", stem_cache) for t in pdf["text"]]
+        out = pdf.drop(columns=["text"])
+        out["tokens"] = toks
+        out["doclen"] = [len(t) for t in toks]
+        yield out
+
+
 def extract_df(pages_df, keep=("url", "warc_ts", "lang", "text")):
     """pages(url, warc_ts, html, text, lang) -> extracted columns.
 

@@ -50,6 +50,27 @@ def tokenize_py(text: str, stem: bool = True) -> List[str]:
     return tokens
 
 
+def tokenize_py_cached(text: str, stem_cache: dict) -> List[str]:
+    """tokenize_py with a caller-owned stem memo — the hot path inside
+    the fused extract+tokenize Arrow UDF (text.extract): each distinct
+    term is Porter-stemmed once per worker, every repeat is a dict hit.
+    Output is identical to tokenize_py(text)."""
+    if not text:
+        return []
+    text = _NON_ALNUM.sub(" ", text.lower())
+    out = []
+    get = stem_cache.get
+    for t in text.split():
+        if len(t) < 2 or t in STOPWORDS:
+            continue
+        s = get(t)
+        if s is None:
+            s = porter_stem(t)
+            stem_cache[t] = s
+        out.append(s)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Spark-native path (steps 1-5; no Python in the row path)
 # ---------------------------------------------------------------------------

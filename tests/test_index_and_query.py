@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.index.builder import IndexPaths, build_index
 from search_engine_spark.query.bm25 import BM25Index
-from search_engine_spark.query.oracle import BM25Oracle
+from search_engine_spark.query.oracle import BM25Oracle, TFIDFOracle
 from search_engine_spark.synth import synth_pages
 from search_engine_spark.text.tokenizer import tokenize_py
 
@@ -122,6 +122,29 @@ class TestRankIdentity:
             .collect()
         ]
         want = oracle.topk_and(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
+    @pytest.mark.parametrize(
+        "query",
+        ["python programming tutorial", "quick brown fox", "the and is of"],
+    )
+    def test_tfidf_mode_matches_oracle(self, spark, corpus, query):
+        """mode='tfidf' over the SAME posting index reproduces the
+        reference TF-IDF ranker (tfidf.py:167-572) rank-identically."""
+        paths, oracle = corpus
+        tfidf_oracle = TFIDFOracle(
+            {d: list(toks) for d, toks in oracle.docs.items()}
+        )
+        idx = BM25Index(spark, paths.root)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(query, k=10, mode="tfidf", join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        want = tfidf_oracle.topk(query, k=10)
         assert [d for d, _ in got] == [d for d, _ in want], query
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9, query

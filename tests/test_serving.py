@@ -54,6 +54,23 @@ class TestSanitize:
         assert serving.sanitize_query("plain words") == "plain words"
 
 
+class TestParseQuery:
+    def test_phrases_and_flags(self):
+        p = serving.parse_query('fast "quick brown fox" AND python NOT java')
+        assert p["phrases"] == ["quick brown fox"]
+        assert p["operators"] == {"and": True, "or": False, "not": True}
+        # AND/NOT survive tokenization? they lowercase to "and"/"not"
+        # which are stopwords -> dropped; content terms stemmed
+        assert "python" in p["terms"] and "fast" in p["terms"]
+        assert "and" not in p["terms"] and "not" not in p["terms"]
+
+    def test_plain_query(self):
+        p = serving.parse_query("  hello world  ")
+        assert p["raw"] == "hello world"
+        assert p["phrases"] == []
+        assert p["operators"] == {"and": False, "or": False, "not": False}
+
+
 class TestQueryLog:
     def test_log_and_stats(self, spark, tmp_path):
         log_dir = str(tmp_path / "qlog")
