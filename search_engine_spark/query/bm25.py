@@ -32,18 +32,19 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 from search_engine_spark.index.builder import IndexPaths
 from search_engine_spark.index.codec import varint_decode
-from search_engine_spark.index.scoring import idf_py, score_np
+from search_engine_spark.index.scoring import idf_py, score_col, score_np
 from search_engine_spark.text.tokenizer import tokenize_py
 
 _CONTRIB_SCHEMA = StructType(
@@ -53,21 +54,35 @@ _CONTRIB_SCHEMA = StructType(
     ]
 )
 
+_TERM_CONTRIB_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("contrib", DoubleType(), False),
+    ]
+)
+
 
 def _decode_and_score(
-    idf_by_term: Dict[str, float], avgdl: float, formula: str = "bm25"
+    idf_by_term: Dict[str, float],
+    avgdl: float,
+    formula: str = "bm25",
+    emit_term: bool = False,
 ):
     """mapInPandas body: posting blocks -> (doc_id, contrib) rows.
 
     formula "bm25": Lucene-default BM25 (index/scoring.py).
     formula "tfidf": the reference's TF-IDF (tfidf.py:167-572) — log TF
     (1 + log10(tf)) times the caller-supplied idf (smooth IDF); doclen
-    is unused."""
+    is unused.
+    emit_term=True additionally outputs the term column (batch
+    multi-query mode joins contributions to per-query term sets)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids_out: List[np.ndarray] = []
             contrib_out: List[np.ndarray] = []
+            terms_out: List[np.ndarray] = []
             for term, n, ids_b, tfs_b, dls_b in zip(
                 pdf["term"], pdf["count"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"]
             ):
@@ -85,13 +100,16 @@ def _decode_and_score(
                 else:
                     dls = varint_decode(bytes(dls_b), int(n))
                     contrib_out.append(score_np(tfs, dls, idf, avgdl))
+                if emit_term:
+                    terms_out.append(np.full(len(ids), term, dtype=object))
             if ids_out:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(ids_out),
-                        "contrib": np.concatenate(contrib_out),
-                    }
-                )
+                cols = {
+                    "doc_id": np.concatenate(ids_out),
+                    "contrib": np.concatenate(contrib_out),
+                }
+                if emit_term:
+                    cols = {"term": np.concatenate(terms_out), **cols}
+                yield pd.DataFrame(cols)
 
     return run
 
@@ -100,6 +118,8 @@ class BM25Index:
     """Query-side handle on an index built by index.builder.build_index."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        from search_engine_spark.index.merge import is_merged, read_tombstones
+
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         corpus = spark.read.parquet(self.paths.corpus_stats).collect()[0]
@@ -108,14 +128,26 @@ class BM25Index:
         self.postings = spark.read.parquet(self.paths.postings)
         self.term_stats = spark.read.parquet(self.paths.term_stats)
         self.docs = spark.read.parquet(self.paths.docs)
+        # Incrementally-merged index (index/merge.py): tombstoned docs
+        # must never surface, and stored block_max_score/max_score are
+        # stale under the merged corpus stats — all pruning bounds are
+        # then recomputed from (max_tf, min_dl) at query time.
+        self.tombstones = read_tombstones(spark, self.paths)
+        self.merged = self.tombstones is not None or is_merged(spark, self.paths)
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
-    def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int]]:
+    def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
         if not terms:
             return {}
         rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
         return {
-            r["term"]: (int(r["df"]), float(r["max_score"]), int(r["term_bucket"]))
+            r["term"]: (
+                int(r["df"]),
+                None if r["max_score"] is None else float(r["max_score"]),
+                int(r["term_bucket"]),
+                int(r["max_tf"]),
+                int(r["min_dl"]),
+            )
             for r in rows
         }
 
@@ -174,14 +206,37 @@ class BM25Index:
         if mode == "blockmax" and len(terms) >= 1:
             theta = self._seed_theta(terms, stats, idf_by_term, k)
             if theta > 0.0:
-                s_tot = sum(stats[t][1] for t in terms)
+                gmax = {t: self._gmax(t, stats, idf_by_term) for t in terms}
+                s_tot = sum(gmax.values())
                 gmax_map = F.create_map(
-                    *[x for t in terms for x in (F.lit(t), F.lit(stats[t][1]))]
+                    *[x for t in terms for x in (F.lit(t), F.lit(gmax[t]))]
                 )
-                # survive iff block_max + (s_tot - gmax(term)) >= theta
+                if self.merged:
+                    # Stored block_max_score is exact only under the
+                    # stats of the build that wrote the block; after a
+                    # merge shifts N/avgdl it is stale.  BM25 is
+                    # monotone increasing in tf and decreasing in dl,
+                    # so score(max_tf, min_dl) under CURRENT stats is a
+                    # valid per-block upper bound — computed JVM-side,
+                    # still a native filter on block metadata.
+                    idf_map = F.create_map(
+                        *[
+                            x
+                            for t in terms
+                            for x in (F.lit(t), F.lit(idf_by_term[t]))
+                        ]
+                    )
+                    bound = score_col(
+                        F.col("max_tf").cast("double"),
+                        F.col("min_dl").cast("double"),
+                        idf_map[F.col("term")],
+                        self.avgdl,
+                    )
+                else:
+                    bound = F.col("block_max_score")
+                # survive iff bound + (s_tot - gmax(term)) >= theta
                 blocks = blocks.filter(
-                    F.col("block_max_score")
-                    >= F.lit(theta) - F.lit(s_tot) + gmax_map[F.col("term")]
+                    bound >= F.lit(theta) - F.lit(s_tot) + gmax_map[F.col("term")]
                 )
 
         # Only the decode inputs cross the Arrow boundary (column prune
@@ -213,6 +268,15 @@ class BM25Index:
             if mode == "tfidf":
                 # B5: positive-score filter (tfidf.py:531-535)
                 scored = scored.filter(F.col("score") > 0)
+        if self.tombstones is not None:
+            # Deleted-docs mask (Lucene-style): tombstoned ids never
+            # surface.  Anti-join after the per-doc aggregation — k×
+            # fewer rows than filtering raw contributions.
+            scored = scored.join(
+                F.broadcast(self.tombstones.select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk
@@ -250,14 +314,137 @@ class BM25Index:
             .orderBy(F.desc("block_max_score"))
             .limit(n_blocks)
         )
-        rows = (
-            rare_blocks.select("term", "count", "doc_ids", "tfs", "doclens")
-            .mapInPandas(
-                _decode_and_score({rare: idf_by_term[rare]}, self.avgdl),
-                schema=_CONTRIB_SCHEMA,
-            )
-            .orderBy(F.desc("contrib"))
-            .limit(k)
-            .collect()
+        seeds = rare_blocks.select(
+            "term", "count", "doc_ids", "tfs", "doclens"
+        ).mapInPandas(
+            _decode_and_score({rare: idf_by_term[rare]}, self.avgdl),
+            schema=_CONTRIB_SCHEMA,
         )
+        if self.tombstones is not None:
+            # A tombstoned doc can't be in the final top-k, so its
+            # contribution must not raise θ — a θ above the true k-th
+            # LIVE total would over-prune.
+            seeds = seeds.join(
+                F.broadcast(self.tombstones.select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        rows = seeds.orderBy(F.desc("contrib")).limit(k).collect()
         return float(rows[-1]["contrib"]) if rows and len(rows) >= k else 0.0
+
+    def search_many(
+        self,
+        queries: Dict[str, str],
+        k: int = 10,
+        mode: str = "or",
+        join_docs: bool = False,
+    ) -> DataFrame:
+        """Batch top-k for MANY queries in one distributed plan.
+
+        Driving `search()` in a loop schedules one Spark job per query
+        — fine interactively, hopeless for offline evaluation or bulk
+        retrieval over 10^4+ queries.  Here the whole batch becomes a
+        single plan:
+
+          * every needed term's posting blocks are scanned and decoded
+            EXACTLY ONCE (terms shared between queries are free)
+          * a tiny broadcast (query_id, term) table fans contributions
+            out to the queries that want them
+          * one groupBy(query_id, doc_id) + one per-query window cut
+            produce all top-k lists in the same shuffle round
+
+        mode "or" | "and" — same semantics as search().  Returns
+        (query_id, rank, doc_id, score [+ url, title]), rank 1..k with
+        the engine's deterministic tie-break (score desc, doc_id asc).
+        """
+        out_schema = "query_id string, rank int, doc_id long, score double"
+        qterms: Dict[str, List[str]] = {
+            qid: sorted(set(tokenize_py(q))) for qid, q in queries.items()
+        }
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        stats = self._query_stats(all_terms)
+        pairs = [
+            (qid, t) for qid, ts in qterms.items() for t in ts if t in stats
+        ]
+        if not pairs or k <= 0:
+            return self.spark.createDataFrame([], out_schema)
+        live_terms = sorted({t for _, t in pairs})
+        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in live_terms}
+        buckets = sorted({stats[t][2] for t in live_terms})
+
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(live_terms)
+        )
+        contribs = blocks.select(
+            "term", "count", "doc_ids", "tfs", "doclens"
+        ).mapInPandas(
+            _decode_and_score(idf_by_term, self.avgdl, emit_term=True),
+            schema=_TERM_CONTRIB_SCHEMA,
+        )
+        qmap = self.spark.createDataFrame(pairs, "query_id string, term string")
+        per_doc = (
+            contribs.join(F.broadcast(qmap), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.count(F.lit(1)).alias("_nt"),
+            )
+        )
+        if mode == "and":
+            nt = self.spark.createDataFrame(
+                [
+                    (qid, len([t for t in ts if t in stats]))
+                    for qid, ts in qterms.items()
+                ],
+                "query_id string, n_terms int",
+            )
+            per_doc = per_doc.join(F.broadcast(nt), "query_id").filter(
+                F.col("_nt") == F.col("n_terms")
+            )
+        per_doc = per_doc.drop("_nt", "n_terms")
+        if self.tombstones is not None:
+            per_doc = per_doc.join(
+                F.broadcast(self.tombstones.select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        topk = (
+            per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+        if not join_docs:
+            return topk
+        return (
+            F.broadcast(topk)
+            .join(self.docs.select("doc_id", "url", "title"), "doc_id")
+            .select("query_id", "rank", "doc_id", "score", "url", "title")
+            .orderBy("query_id", "rank")
+        )
+
+    def _gmax(
+        self,
+        t: str,
+        stats: Dict[str, Tuple[int, Optional[float], int, int, int]],
+        idf_by_term: Dict[str, float],
+    ) -> float:
+        """Per-term global score upper bound for WAND.
+
+        Fresh index: the exact build-time max (term_stats.max_score).
+        Merged index: that value is stale (N/avgdl moved) — recompute
+        the monotone bound score(max_tf, min_dl) under current stats.
+        """
+        df, ms, _, max_tf, min_dl = stats[t]
+        if ms is not None and not self.merged:
+            return ms
+        return float(
+            score_np(
+                np.array([max_tf], dtype=np.int64),
+                np.array([min_dl], dtype=np.int64),
+                idf_by_term[t],
+                self.avgdl,
+            )[0]
+        )

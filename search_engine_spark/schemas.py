@@ -55,6 +55,14 @@ POSTINGS = StructType(
         StructField("tfs", BinaryType(), False),  # varint
         StructField("doclens", BinaryType(), False),  # varint (join-free scoring)
         StructField("block_max_score", DoubleType(), False),  # exact max BM25 in block
+        # Merge-safe pruning metadata: BM25 is increasing in tf and
+        # decreasing in dl, so score(max_tf, min_dl, idf_now, avgdl_now)
+        # upper-bounds every posting in the block under CURRENT corpus
+        # stats — unlike block_max_score, which is exact only under the
+        # stats of the build that wrote it and goes stale after an
+        # incremental merge changes N/avgdl (index/merge.py).
+        StructField("max_tf", IntegerType(), False),
+        StructField("min_dl", LongType(), False),
     ]
 )
 
@@ -63,7 +71,21 @@ TERM_STATS = StructType(
     [
         StructField("term", StringType(), False),
         StructField("df", LongType(), False),
-        StructField("max_score", DoubleType(), False),  # global UB for WAND
+        StructField("max_score", DoubleType(), True),  # global UB for WAND (exact at build stats; NULL after merge)
+        StructField("term_bucket", IntegerType(), False),
+        StructField("max_tf", IntegerType(), False),  # merge-safe UB inputs
+        StructField("min_dl", LongType(), False),
+    ]
+)
+
+# Deleted-document bitmap analogue (index/merge.py): a re-crawled url
+# tombstones its old doc_id, exactly like Lucene's per-segment deleted
+# docs; compaction rewrites postings without them.
+TOMBSTONES = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("build_id", StringType(), False),
     ]
 )
 

@@ -222,3 +222,53 @@ def _decoded_postings(spark, index_dir):
         for i in range(r["count"]):
             out.add((r["term"], int(ids[i]), int(tfs[i]), int(dls[i])))
     return out
+
+
+class TestSearchMany:
+    """Batch multi-query API: one plan == per-query search results."""
+
+    def test_matches_per_query_search(self, spark, corpus):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        qs = {f"q{i}": q for i, q in enumerate(QUERIES)}
+        got = idx.search_many(qs, k=10).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+        for qid, q in qs.items():
+            batch = sorted(by_q.get(qid, []))
+            single = [
+                (i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(
+                    idx.search(q, k=10, mode="exhaustive", join_docs=False)
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .collect()
+                )
+            ]
+            assert batch == single, q
+
+    def test_and_mode(self, spark, corpus):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        q = "fox database python"
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_many({"a": q}, k=10, mode="and")
+            .orderBy("rank")
+            .collect()
+        ]
+        want = [(d, round(s, 9)) for d, s in oracle.topk_and(q, k=10)]
+        assert got == want
+
+    def test_join_docs_and_empties(self, spark, corpus):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        got = idx.search_many(
+            {"a": "python programming", "b": "zzzznotaterm", "c": "the and is"},
+            k=3,
+            join_docs=True,
+        ).collect()
+        assert {r["query_id"] for r in got} == {"a"}
+        assert all(r["url"].startswith("https://") for r in got)

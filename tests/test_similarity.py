@@ -1,0 +1,109 @@
+"""ANN similarity ops (ops/similarity.py): exact baseline vs numpy
+ground truth, LSH/IVF recall versus brute force, IVF determinism."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops import similarity as S
+
+DIM = 16
+N = 300
+SEED = 9
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(SEED)
+    # clustered corpus: 4 gaussian blobs -> IVF cells have real structure
+    centers = rng.randn(4, DIM) * 3.0
+    rows = []
+    for i in range(N):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.randn(DIM)).astype(float).tolist()))
+    return spark.createDataFrame(rows, "id long, vec array<double>").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter(F.col("id") == 0).collect()[0]["vec"]
+
+
+def _numpy_topk(emb_df, qv, k):
+    rows = emb_df.collect()
+    q = np.asarray(qv)
+    sims = []
+    for r in rows:
+        v = np.asarray(r["vec"])
+        c = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        sims.append((round(c, 6), r["id"]))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return [(i, c) for c, i in sims[:k]]
+
+
+def test_brute_force_matches_numpy(spark, emb, qvec):
+    got = [
+        (r["id"], r["cosine"])
+        for r in S.brute_force_topk(emb, "id", "vec", qvec, k=10).collect()
+    ]
+    want = _numpy_topk(emb, qvec, 10)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
+
+
+def test_lsh_recall(spark, emb, qvec):
+    exact = {i for i, _ in _numpy_topk(emb, qvec, 10)}
+    got = {
+        r["id"]
+        for r in S.lsh_bucketed_topk(
+            emb, "id", "vec", qvec, k=10, n_planes=6, probe_hamming=2
+        ).collect()
+    }
+    assert len(exact & got) >= 7  # multi-probe recall on clustered data
+
+
+def test_ivf_recall_and_determinism(spark, emb, qvec):
+    exact = {i for i, _ in _numpy_topk(emb, qvec, 10)}
+    a = S.ivf_topk(
+        emb, "id", "vec", qvec, k=10, n_cells=4, nprobe=2,
+        train_sample=128, iters=5, seed=7,
+    ).collect()
+    b = S.ivf_topk(
+        emb, "id", "vec", qvec, k=10, n_cells=4, nprobe=2,
+        train_sample=128, iters=5, seed=7,
+    ).collect()
+    assert [(r["id"], r["cosine"]) for r in a] == [
+        (r["id"], r["cosine"]) for r in b
+    ]
+    got = {r["id"] for r in a}
+    # query belongs to a blob; probing 2/4 cells must keep most of top-k
+    assert len(exact & got) >= 7
+
+
+def test_ivf_nprobe_all_cells_is_exact(spark, emb, qvec):
+    got = [
+        (r["id"], r["cosine"])
+        for r in S.ivf_topk(
+            emb, "id", "vec", qvec, k=10, n_cells=4, nprobe=4,
+            train_sample=128, iters=5, seed=7,
+        ).collect()
+    ]
+    assert got == [
+        (r["id"], r["cosine"])
+        for r in S.brute_force_topk(emb, "id", "vec", qvec, k=10).collect()
+    ]
+
+
+def test_pairwise_topk_join(spark, emb):
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = S.pairwise_topk_join(emb, "id", "vec", queries, "qid", "qvec", k=5)
+    rows = got.collect()
+    assert {r["q_id"] for r in rows} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        mine = [r for r in rows if r["q_id"] == qid]
+        assert len(mine) == 5
+        # self is its own nearest neighbor
+        assert max(mine, key=lambda r: r["cosine"])["id"] == qid
