@@ -150,10 +150,35 @@ def merge_pages(
     old document: the old doc_id is tombstoned, the new one indexed.
     num_buckets/block_size must match the base build (the delta's
     posting blocks land in the same term_bucket partition layout).
+
+    Resumable like the build itself: pass an explicit build_id and a
+    crashed merge can be re-run — each splice sub-step writes its own
+    manifest row (stage "merge_<step>", fingerprint build_id) and a
+    rerun skips completed steps, so delta blocks are never appended
+    twice.  With a fresh random build_id every call is a new merge.
     """
     paths = IndexPaths(index_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
     man = _Manifest(spark, paths, build_id)
+
+    def step_done(step: str) -> bool:
+        try:
+            import pyarrow.dataset as pads
+
+            pdf = (
+                pads.dataset(paths.manifest, format="parquet")
+                .to_table(columns=["stage", "status", "input_fingerprint"])
+                .to_pandas()
+            )
+            return bool(
+                (
+                    (pdf["stage"] == f"merge_{step}")
+                    & (pdf["status"] == "done")
+                    & (pdf["input_fingerprint"] == build_id)
+                ).any()
+            )
+        except Exception:
+            return False
 
     base_docs = spark.read.parquet(paths.docs)
     next_id = int(
@@ -162,6 +187,7 @@ def merge_pages(
 
     # 1) delta build (its own full IndexPaths tree; extraction/tokenize/
     #    tf/stats/blocks all batch-local, ids offset past the base).
+    #    Internally resumable via its own manifest under delta_root.
     delta_root = os.path.join(_deltas_root(paths), build_id)
     delta = build_index(
         spark,
@@ -170,7 +196,7 @@ def merge_pages(
         num_buckets=num_buckets,
         block_size=block_size,
         num_partitions=num_partitions,
-        resume=False,
+        resume=True,
         build_id=build_id,
         run_extraction=run_extraction,
         id_offset=next_id,
@@ -180,61 +206,74 @@ def merge_pages(
 
     # 2) tombstone old doc_ids of re-crawled urls.  Batch urls are tiny
     #    relative to the base — broadcast semi-join, no base shuffle.
-    tomb = (
-        base_docs.join(
-            F.broadcast(delta_docs.select("url").distinct()), "url", "left_semi"
+    n_tomb = 0
+    if not step_done("tombstones"):
+        tomb = (
+            base_docs.join(
+                F.broadcast(delta_docs.select("url").distinct()), "url", "left_semi"
+            )
+            .select("doc_id", "url")
+            .withColumn("build_id", F.lit(build_id))
         )
-        .select("doc_id", "url")
-        .withColumn("build_id", F.lit(build_id))
-    )
-    # Exclude docs already tombstoned by a previous merge (idempotence).
-    prior = read_tombstones(spark, paths)
-    if prior is not None:
-        tomb = tomb.join(
-            F.broadcast(prior.select("doc_id")), "doc_id", "left_anti"
-        )
-    n_tomb = tomb.count()
-    if n_tomb:
-        tomb.write.mode("append").parquet(tombstones_path(paths))
+        # Exclude docs already tombstoned by a previous merge (idempotence).
+        prior = read_tombstones(spark, paths)
+        if prior is not None:
+            tomb = tomb.join(
+                F.broadcast(prior.select("doc_id")), "doc_id", "left_anti"
+            )
+        n_tomb = tomb.count()
+        if n_tomb:
+            tomb.write.mode("append").parquet(tombstones_path(paths))
+        man.mark_done("merge_tombstones", 0, n_tomb, 0, fingerprint=build_id)
 
     # 3) splice the delta into the base tables: postings append into the
     #    same term_bucket partition dirs; docs append.
-    (
-        spark.read.schema(schemas.POSTINGS).parquet(delta.postings)
-        .write.mode("append").partitionBy("term_bucket")
-        .parquet(paths.postings)
-    )
-    delta_docs.write.mode("append").parquet(paths.docs)
+    if not step_done("postings"):
+        (
+            spark.read.schema(schemas.POSTINGS).parquet(delta.postings)
+            .write.mode("append").partitionBy("term_bucket")
+            .parquet(paths.postings)
+        )
+        man.mark_done("merge_postings", 0, -1, 0, fingerprint=build_id)
+    if not step_done("docs"):
+        delta_docs.write.mode("append").parquet(paths.docs)
+        man.mark_done("merge_docs", 0, n_new, 0, fingerprint=build_id)
 
     # 4) merged stats.  df/N keep counting tombstoned docs until
     #    compaction (Lucene docFreq semantics); max_score is NULLed —
     #    stale under the new corpus stats — so the query engine falls
     #    back to the merge-safe score(max_tf, min_dl) bound.
-    base_ts = spark.read.parquet(paths.term_stats)
-    delta_ts = spark.read.parquet(delta.term_stats)
-    merged_ts = (
-        base_ts.unionByName(delta_ts)
-        .groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.lit(None).cast("double").alias("max_score"),
-            F.first("term_bucket").alias("term_bucket"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
+    if not step_done("stats"):
+        base_ts = spark.read.parquet(paths.term_stats)
+        delta_ts = spark.read.parquet(delta.term_stats)
+        merged_ts = (
+            base_ts.unionByName(delta_ts)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.lit(None).cast("double").alias("max_score"),
+                F.first("term_bucket").alias("term_bucket"),
+                F.max("max_tf").alias("max_tf"),
+                F.min("min_dl").alias("min_dl"),
+            )
+            .select("term", "df", "max_score", "term_bucket", "max_tf", "min_dl")
         )
-        .select("term", "df", "max_score", "term_bucket", "max_tf", "min_dl")
-    )
-    ts_tmp = paths.term_stats + ".tmp"
-    merged_ts.write.mode("overwrite").parquet(ts_tmp)
-    _replace_dir(spark, ts_tmp, paths.term_stats)
+        ts_tmp = paths.term_stats + ".tmp"
+        merged_ts.write.mode("overwrite").parquet(ts_tmp)
+        _replace_dir(spark, ts_tmp, paths.term_stats)
 
-    base_cs = spark.read.parquet(paths.corpus_stats).collect()[0]
-    delta_cs = spark.read.parquet(delta.corpus_stats).collect()[0]
-    n_docs = int(base_cs["n_docs"]) + int(delta_cs["n_docs"])
-    total = int(base_cs["total_tokens"]) + int(delta_cs["total_tokens"])
-    write_corpus_stats(
-        paths.corpus_stats, n_docs, float(total) / max(n_docs, 1), total
-    )
+        base_cs = spark.read.parquet(paths.corpus_stats).collect()[0]
+        delta_cs = spark.read.parquet(delta.corpus_stats).collect()[0]
+        n_docs = int(base_cs["n_docs"]) + int(delta_cs["n_docs"])
+        total = int(base_cs["total_tokens"]) + int(delta_cs["total_tokens"])
+        write_corpus_stats(
+            paths.corpus_stats, n_docs, float(total) / max(n_docs, 1), total
+        )
+        # NOT crash-atomic across the two small stat tables; the window
+        # is two driver-side writes.  A crash exactly between them is
+        # healed by compact_index (recomputes both exactly); term_stats
+        # itself can't double-merge because this step is guarded.
+        man.mark_done("merge_stats", 0, -1, 0, fingerprint=build_id)
 
     man.mark_done("merge", 0, n_new, 0, nbytes=n_tomb, fingerprint=build_id)
     return MergeResult(build_id, delta_root, n_new, n_tomb)

@@ -165,3 +165,43 @@ class TestCompact:
                 for r in idx.search(q, k=15, mode="exhaustive").collect()
             ]
             assert bm == ex, q
+
+
+class TestMergeResume:
+    def test_rerun_same_build_id_is_noop(self, spark, tmp_path):
+        """A crashed-and-rerun merge (same build_id) must not splice
+        delta blocks or stats twice — every sub-step is manifest-guarded."""
+        root = str(tmp_path / "idx")
+        pages = synth_pages(spark, 120, num_partitions=4)
+        ordinal = F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+        build_index(
+            spark, pages.filter(ordinal < 80), root, num_buckets=8,
+            block_size=16, num_partitions=4, resume=False,
+        )
+        batch = pages.filter(ordinal >= 60)
+        r1 = merge_pages(
+            spark, root, batch, num_buckets=8, block_size=16,
+            num_partitions=4, build_id="fixedmerge01",
+        )
+        idx1 = BM25Index(spark, root)
+        postings1 = idx1.postings.count()
+        docs1 = idx1.docs.count()
+        df1 = {
+            r["term"]: r["df"]
+            for r in idx1.term_stats.orderBy("term").limit(20).collect()
+        }
+        # rerun with the SAME build_id — everything already done
+        r2 = merge_pages(
+            spark, root, batch, num_buckets=8, block_size=16,
+            num_partitions=4, build_id="fixedmerge01",
+        )
+        idx2 = BM25Index(spark, root)
+        assert idx2.postings.count() == postings1
+        assert idx2.docs.count() == docs1
+        assert idx2.n_docs == idx1.n_docs
+        df2 = {
+            r["term"]: r["df"]
+            for r in idx2.term_stats.orderBy("term").limit(20).collect()
+        }
+        assert df2 == df1
+        assert r1.new_docs == 60 and r1.tombstoned == 20

@@ -1,0 +1,79 @@
+"""Physical-plan regression tests (SURVEY.md §4.2 'free — verify, don't
+build'): the optimizations we rely on for 100 TB scale must actually
+appear in the executed plans, not just in docstrings.
+
+- posting scans prune to the query terms' term_bucket partitions
+- the docs join-back of k winners is a broadcast hash join
+- orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+  top-k + merge, the scatter-gather analogue of ES's 3-shard search)
+- tf aggregation does partial (map-side) aggregation before the shuffle
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.index.builder import build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.synth import synth_pages
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plan_idx"))
+    build_index(
+        spark, synth_pages(spark, 200, num_partitions=4), root,
+        num_buckets=8, block_size=16, num_partitions=4, resume=False,
+    )
+    return BM25Index(spark, root)
+
+
+def test_posting_scan_prunes_term_bucket_partitions(idx):
+    plan = explain_str(
+        idx.search("python programming", k=10, join_docs=False)
+    )
+    # partitioned parquet + isin(buckets) filter => partition pruning at
+    # the file source, so only the queried buckets' directories are read
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_topk_is_take_ordered(idx):
+    plan = explain_str(idx.search("python programming", k=10, join_docs=False))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_docs_joinback_is_broadcast(idx):
+    plan = explain_str(idx.search("python programming", k=10, join_docs=True))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tf_agg_is_partial(spark, idx):
+    toks = spark.read.parquet(idx.paths.tokens_stage)
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    plan = explain_str(tf)
+    # two HashAggregate nodes around the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_search_many_single_shuffle_topk(idx):
+    plan = explain_str(
+        idx.search_many({"a": "python code", "b": "quick fox"}, k=5)
+    )
+    # per-query cut is a window, query fan-out join is broadcast
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
