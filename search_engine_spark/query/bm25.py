@@ -117,7 +117,9 @@ def _decode_and_score(
 class BM25Index:
     """Query-side handle on an index built by index.builder.build_index."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, seed_min_df: int = 50_000
+    ):
         from search_engine_spark.index.merge import is_merged, read_tombstones
 
         self.spark = spark
@@ -134,21 +136,39 @@ class BM25Index:
         # then recomputed from (max_tf, min_dl) at query time.
         self.tombstones = read_tombstones(spark, self.paths)
         self.merged = self.tombstones is not None or is_merged(spark, self.paths)
+        # θ-seeding pays one extra (tiny) Spark job to prune the main
+        # scan; below this df the rare term's whole posting list is a
+        # handful of blocks and the scan it would prune is already
+        # cheaper than the seed job.  At web scale every query term
+        # clears this easily, so pruning is always on where it matters.
+        # Tests pass 0 to force pruning on tiny corpora.
+        self.seed_min_df = seed_min_df
+        # Driver-side memo of per-term stats: query streams are Zipfian,
+        # so repeated terms skip the lookup job.  Bounded by query-term
+        # vocabulary actually seen, not the corpus vocabulary.
+        self._stats_memo: Dict[str, Optional[Tuple[int, Optional[float], int, int, int]]] = {}
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
-        if not terms:
-            return {}
-        rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
+        missing = [t for t in terms if t not in self._stats_memo]
+        if missing:
+            rows = self.term_stats.filter(F.col("term").isin(missing)).collect()
+            found = {
+                r["term"]: (
+                    int(r["df"]),
+                    None if r["max_score"] is None else float(r["max_score"]),
+                    int(r["term_bucket"]),
+                    int(r["max_tf"]),
+                    int(r["min_dl"]),
+                )
+                for r in rows
+            }
+            for t in missing:
+                self._stats_memo[t] = found.get(t)
         return {
-            r["term"]: (
-                int(r["df"]),
-                None if r["max_score"] is None else float(r["max_score"]),
-                int(r["term_bucket"]),
-                int(r["max_tf"]),
-                int(r["min_dl"]),
-            )
-            for r in rows
+            t: self._stats_memo[t]
+            for t in terms
+            if self._stats_memo.get(t) is not None
         }
 
     def _empty(self) -> DataFrame:
@@ -304,7 +324,9 @@ class BM25Index:
         term's full df — the difference between O(k) and O(10^9) Arrow
         work for a Zipf-head term at full scale."""
         rare = min(terms, key=lambda t: stats[t][0])
-        if stats[rare][0] <= k:
+        # cost gate: below seed_min_df the scan being pruned is smaller
+        # than the seed job itself — skip pruning (exact either way)
+        if stats[rare][0] <= max(k, self.seed_min_df):
             return 0.0
         n_blocks = max(2, -(-k // 128) + 1)  # ≥ k postings from full blocks
         rare_blocks = (

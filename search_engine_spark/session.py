@@ -3,8 +3,9 @@
 Local sandbox runs on local[N]; the same configs are what we'd submit to
 a 1000-executor cluster (AQE, skew-join handling, Arrow batching).  The
 table layer is parquet-path based (Iceberg jars are not available in
-this sandbox); `search_engine_spark.index.tables` abstracts the physical
-layout so swapping to `writeTo(...iceberg...)` is a one-line change.
+this sandbox); every physical path is centralized in
+`index.builder.IndexPaths`, so swapping the storage layer to Iceberg
+(`writeTo(...)` + `MERGE INTO`) touches one module.
 """
 
 from __future__ import annotations

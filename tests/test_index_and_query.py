@@ -93,7 +93,7 @@ class TestRankIdentity:
     @pytest.mark.parametrize("query", QUERIES)
     def test_blockmax_equals_exhaustive(self, spark, corpus, query):
         paths, _ = corpus
-        idx = BM25Index(spark, paths.root)
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
         a = [
             (r["doc_id"], round(r["score"], 9))
             for r in idx.search(query, k=10, mode="blockmax", join_docs=False)

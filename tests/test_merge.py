@@ -96,7 +96,7 @@ class TestMerge:
         """Stale stored block_max_score must not corrupt pruning: the
         merged-index bounds come from (max_tf, min_dl) + current stats."""
         root, _, _ = merged
-        idx = BM25Index(spark, root)
+        idx = BM25Index(spark, root, seed_min_df=0)
         assert idx.merged
         for q in QUERIES:
             bm = [
@@ -154,7 +154,7 @@ class TestCompact:
 
     def test_compacted_blockmax_exact(self, spark, compacted):
         out, _ = compacted
-        idx = BM25Index(spark, out)
+        idx = BM25Index(spark, out, seed_min_df=0)
         for q in QUERIES:
             bm = [
                 (r["doc_id"], round(r["score"], 9))
