@@ -475,6 +475,11 @@ def build_index(
             "description",
             "warc_ts",
         ).write.mode("overwrite").parquet(paths.tokens_stage)
+        # docs laid out range-partitioned + sorted by doc_id: the query
+        # engine's join-back fetches k winners by id, and parquet
+        # row-group min/max stats on a sorted doc_id column let an
+        # isin(ids) lookup skip everything else — without this layout a
+        # 10-row join-back would stream the whole docs table.
         (
             spark.read.parquet(paths.tokens_stage)
             .select(
@@ -487,6 +492,8 @@ def build_index(
                 "warc_ts",
                 "doclen",
             )
+            .repartitionByRange(P, "doc_id")
+            .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(paths.docs)
         )

@@ -143,6 +143,11 @@ class BM25Index:
         # clears this easily, so pruning is always on where it matters.
         # Tests pass 0 to force pruning on tiny corpora.
         self.seed_min_df = seed_min_df
+        # Above this corpus size the join-back of k winners switches
+        # from a lazy broadcast join (streams the docs table) to a
+        # collect-ids + isin() lookup that prunes parquet row groups on
+        # the doc_id-sorted docs layout.  Tests set 0 to force it.
+        self.lookup_min_docs = 5_000_000
         # Driver-side memo of per-term stats: query streams are Zipfian,
         # so repeated terms skip the lookup job.  Bounded by query-term
         # vocabulary actually seen, not the corpus vocabulary.
@@ -300,6 +305,35 @@ class BM25Index:
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk
+        return self._join_docs(topk)
+
+    def _join_docs(self, topk: DataFrame) -> DataFrame:
+        """Join the k winners back to (url, title).
+
+        Above lookup_min_docs the k ids are collected (tiny) and pushed
+        as an isin() predicate into the docs scan: the build lays docs
+        out range-partitioned + sorted by doc_id, so parquet row-group
+        min/max stats skip all but O(k) row groups — without this, a
+        10-row join-back would STREAM the entire docs table through a
+        broadcast join (harmless at 12k docs, a full scan at 10^12).
+        Below the gate the lazy single-job broadcast join wins.
+        """
+        if self.n_docs >= self.lookup_min_docs:
+            rows = topk.collect()
+            if not rows:
+                return self._empty()
+            scored = self.spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows],
+                "doc_id long, score double",
+            )
+            ids = [int(r["doc_id"]) for r in rows]
+            pruned = self.docs.filter(F.col("doc_id").isin(ids))
+            return (
+                F.broadcast(scored)
+                .join(pruned.select("doc_id", "url", "title"), "doc_id")
+                .select("doc_id", "score", "url", "title")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+            )
         return (
             F.broadcast(topk)
             .join(self.docs.select("doc_id", "url", "title"), "doc_id")

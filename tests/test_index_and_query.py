@@ -272,3 +272,37 @@ class TestSearchMany:
         ).collect()
         assert {r["query_id"] for r in got} == {"a"}
         assert all(r["url"].startswith("https://") for r in got)
+
+
+class TestDocsLookup:
+    def test_lookup_path_equals_broadcast_path(self, spark, corpus):
+        """Above lookup_min_docs the join-back collects ids and prunes
+        the docs scan; results must be identical to the lazy join."""
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        for q in ["python programming tutorial", "quick brown fox"]:
+            idx.lookup_min_docs = 10**9
+            lazy = [
+                (r["doc_id"], round(r["score"], 9), r["url"])
+                for r in idx.search(q, k=10).collect()
+            ]
+            idx.lookup_min_docs = 0
+            lookup = [
+                (r["doc_id"], round(r["score"], 9), r["url"])
+                for r in idx.search(q, k=10).collect()
+            ]
+            assert lazy == lookup, q
+
+    def test_docs_sorted_by_doc_id_within_files(self, spark, corpus):
+        """Build invariant the lookup relies on: row groups are doc_id
+        ranges (sorted within each file)."""
+        import pyarrow.dataset as pads
+
+        paths, _ = corpus
+        frags = list(
+            pads.dataset(paths.docs, format="parquet").get_fragments()
+        )
+        for frag in frags:
+            tbl = frag.to_table(columns=["doc_id"])
+            ids = tbl.column("doc_id").to_pylist()
+            assert ids == sorted(ids)
