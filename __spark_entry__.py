@@ -954,6 +954,83 @@ SELECT query_id, rank, doc_id, score FROM (
   FROM per) t WHERE rank <= 5"""
 
 
+# ---- multi-field best_fields BM25 (main.py:162-189 multi_match shape) -----
+# documents has no title/description columns, so pseudo-fields are cut
+# deterministically from the token list: title = tokens 1..6,
+# description = tokens 7..20, content = all — same slices in Spark
+# (F.slice) and DuckDB (l[a:b]), per-field df/avgdl, N = corpus size,
+# combined as max over fields of boost*score (ES best_fields).
+
+MF_BOOSTS = {"content": 1.0, "title": 3.0, "description": 2.0}
+MF_SLICES = {"content": None, "title": (1, 6), "description": (7, 14)}
+
+
+def _q_multifield_bm25(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    frames = []
+    for fname, sl in MF_SLICES.items():
+        expr = F.col("toks") if sl is None else F.slice("toks", sl[0], sl[1])
+        fd = toks.select("doc_id", expr.alias("l"))
+        avgdl = float(fd.agg(F.avg(F.size("l"))).collect()[0][0])
+        tf = (
+            fd.select(
+                "doc_id", F.size("l").alias("dl"), F.explode("l").alias("term")
+            )
+            .filter(F.col("term").isin(BM25_QUERY_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        )
+        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+            F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+        )
+        frames.append(
+            tf.join(dft, "term")
+            .withColumn("c", contrib)
+            .groupBy("doc_id")
+            .agg((F.sum("c") * MF_BOOSTS[fname]).alias("bscore"))
+        )
+    per = frames[0]
+    for fr in frames[1:]:
+        per = per.unionByName(fr)
+    return (
+        per.groupBy("doc_id")
+        .agg(F.round(F.max("bscore"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _mf_field_cte(fname: str) -> str:
+    sl = MF_SLICES[fname]
+    lexpr = "l" if sl is None else f"l[{sl[0]}:{sl[0] + sl[1] - 1}]"
+    b = MF_BOOSTS[fname]
+    return f"""
+{fname}_d AS (SELECT doc_id, {lexpr} AS fl FROM tok),
+{fname}_n AS (SELECT avg(len(fl)) AS avgdl FROM {fname}_d),
+{fname}_tf AS (SELECT doc_id, len(fl) AS dl, t AS term, count(*) AS tf
+       FROM {fname}_d, unnest(fl) AS u(t) WHERE t IN ({_TERMS_SQL})
+       GROUP BY doc_id, len(fl), t),
+{fname}_df AS (SELECT term, count(*) AS df FROM {fname}_tf GROUP BY term),
+{fname}_s AS (SELECT doc_id,
+       {b} * sum( ln(1.0 + ((SELECT count(*) FROM tok) - df + 0.5) / (df + 0.5))
+             * (tf * {K1 + 1.0})
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / (SELECT avgdl FROM {fname}_n))) ) AS bscore
+       FROM {fname}_tf JOIN {fname}_df USING (term)
+       GROUP BY doc_id)"""
+
+
+_SQL_MULTIFIELD = f"""{_TOK_CTE},
+{",".join(_mf_field_cte(f) for f in MF_SLICES)},
+per AS (SELECT * FROM content_s UNION ALL SELECT * FROM title_s
+        UNION ALL SELECT * FROM description_s)
+SELECT doc_id, round(max(bscore), 6) AS score
+FROM per GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 # ---- hybrid BM25 + PageRank re-rank (main.py:243-267, C1+G2) --------------
 # Deterministic doc-level link graph: every doc links to
 # (doc_id*31+7) % N and (doc_id*17+3) % N.
@@ -1316,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "batch_bm25_topk": _q_batch_bm25_topk,
+        "multifield_bm25_topk": _q_multifield_bm25,
         "tfidf_topk": _q_tfidf_topk,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
@@ -1370,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25,
         "bm25_topk_and": _SQL_BM25_AND,
         "batch_bm25_topk": _SQL_BATCH_BM25,
+        "multifield_bm25_topk": _SQL_MULTIFIELD,
         "tfidf_topk": _SQL_TFIDF,
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),

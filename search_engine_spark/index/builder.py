@@ -63,6 +63,19 @@ from search_engine_spark.text.extract import (
 
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_NUM_BUCKETS = 64
+
+# Multi-field term namespace (ES multi_match parity): title/description
+# postings share the index under prefixed terms; '!' cannot appear in a
+# token (the tokenizer strips non-alphanumerics), so no collisions.
+FIELD_PREFIX = {"content": "", "title": "t!", "description": "d!"}
+
+
+def _field_of(term):
+    return (
+        F.when(term.startswith("t!"), F.lit("title"))
+        .when(term.startswith("d!"), F.lit("description"))
+        .otherwise(F.lit("content"))
+    )
 # df-scaled skew salting: a term fans out over ceil(df / ROWS_PER_SALT)
 # reducer keys (SURVEY §4.2.1 watch-list item).
 ROWS_PER_SALT = 64 * 1024
@@ -95,6 +108,10 @@ class IndexPaths:
     @property
     def corpus_stats(self) -> str:
         return os.path.join(self.root, "corpus_stats")
+
+    @property
+    def field_stats(self) -> str:
+        return os.path.join(self.root, "field_stats")
 
     @property
     def manifest(self) -> str:
@@ -339,6 +356,7 @@ def build_index(
     verify_extraction: bool = False,
     collect_metrics: bool = False,
     id_offset: int = 0,
+    index_fields: bool = False,
 ) -> IndexPaths:
     """Build the full inverted index under out_dir. Returns paths.
 
@@ -509,13 +527,42 @@ def build_index(
         # token stream to (doc, term) pairs before the shuffle — at
         # 10^12-doc scale that is the difference between shuffling
         # ~10^15 token rows and ~10^13 tf rows.
-        tf = (
+        streams = [
             toks.select("doc_id", "doclen", F.explode("tokens").alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("tf"),
-                F.first("doclen").alias("dl"),
-            )
+        ]
+        if index_fields:
+            # Multi-field indexing (ES multi_match best_fields parity,
+            # main.py:167 "title^3 description^2 content"): title and
+            # description postings live in the SAME index under
+            # namespaced terms ("t!"/"d!" — '!' can't occur in tokens,
+            # the tokenizer strips non-alnum), each row carrying its
+            # FIELD's doclen.  Every downstream stage (df, salting,
+            # blocks, buckets, merge) works unchanged on the namespaced
+            # vocabulary; per-field avgdl lands in field_stats below.
+            from search_engine_spark.text.tokenizer import tokens_col
+
+            for prefix, col_name in (("t!", "title"), ("d!", "description")):
+                ftoks = toks.select(
+                    "doc_id", tokens_col(F.col(col_name)).alias("ftokens")
+                ).withColumn("doclen", F.size("ftokens").cast("long"))
+                streams.append(
+                    ftoks.filter(F.col("doclen") > 0).select(
+                        "doc_id",
+                        "doclen",
+                        F.explode(
+                            F.transform(
+                                "ftokens",
+                                lambda t: F.concat(F.lit(prefix), t),
+                            )
+                        ).alias("term"),
+                    )
+                )
+        exploded = streams[0]
+        for s in streams[1:]:
+            exploded = exploded.unionByName(s)
+        tf = exploded.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.first("doclen").alias("dl"),
         )
         tf.write.mode("overwrite").parquet(paths.tf_stage)
         man.mark_done("tf", 0, -1, int((time.time() - t0) * 1000))
@@ -534,6 +581,23 @@ def build_index(
         )
 
         tf = spark.read.parquet(paths.tf_stage)
+        if index_fields:
+            # Per-field avgdl for multi-field scoring: Σtf over a
+            # field's namespaced terms IS that field's total token
+            # count; averaged over the whole corpus (docs missing the
+            # field count with length 0, matching the ranking oracle).
+            (
+                tf.withColumn("field", _field_of(F.col("term")))
+                .groupBy("field")
+                .agg(F.sum("tf").cast("long").alias("total_tokens"))
+                .withColumn("n_docs", F.lit(n_docs).cast("long"))
+                .withColumn(
+                    "avgdl", F.col("total_tokens") / F.greatest(F.lit(1), F.col("n_docs"))
+                )
+                .select("field", "n_docs", "avgdl", "total_tokens")
+                .write.mode("overwrite")
+                .parquet(paths.field_stats)
+            )
         # ONE aggregation pass: idf is constant within a term, so
         # max(score) = idf(df) * max(saturation) — df and max_score come
         # out of the same groupBy (no df-join + rescore second shuffle).

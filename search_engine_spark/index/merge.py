@@ -143,6 +143,7 @@ def merge_pages(
     num_partitions: Optional[int] = None,
     run_extraction: bool = True,
     build_id: Optional[str] = None,
+    index_fields: Optional[bool] = None,
 ) -> MergeResult:
     """Upsert a batch of pages into an existing index (A9/A10/A11).
 
@@ -160,6 +161,9 @@ def merge_pages(
     paths = IndexPaths(index_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
     man = _Manifest(spark, paths, build_id)
+    # fielded base index -> fielded delta (unless caller overrides)
+    if index_fields is None:
+        index_fields = os.path.isdir(paths.field_stats)
 
     def step_done(step: str) -> bool:
         try:
@@ -200,6 +204,7 @@ def merge_pages(
         build_id=build_id,
         run_extraction=run_extraction,
         id_offset=next_id,
+        index_fields=index_fields,
     )
     delta_docs = spark.read.parquet(delta.docs)
     n_new = delta_docs.count()
@@ -269,6 +274,22 @@ def merge_pages(
         write_corpus_stats(
             paths.corpus_stats, n_docs, float(total) / max(n_docs, 1), total
         )
+        if index_fields and os.path.isdir(delta.field_stats):
+            merged_fs = (
+                spark.read.parquet(paths.field_stats)
+                .unionByName(spark.read.parquet(delta.field_stats))
+                .groupBy("field")
+                .agg(F.sum("total_tokens").alias("total_tokens"))
+                .withColumn("n_docs", F.lit(n_docs).cast("long"))
+                .withColumn(
+                    "avgdl",
+                    F.col("total_tokens") / F.greatest(F.lit(1), F.col("n_docs")),
+                )
+                .select("field", "n_docs", "avgdl", "total_tokens")
+            )
+            fs_tmp = paths.field_stats + ".tmp"
+            merged_fs.write.mode("overwrite").parquet(fs_tmp)
+            _replace_dir(spark, fs_tmp, paths.field_stats)
         # NOT crash-atomic across the two small stat tables; the window
         # is two driver-side writes.  A crash exactly between them is
         # healed by compact_index (recomputes both exactly); term_stats
@@ -344,4 +365,7 @@ def compact_index(
         num_partitions=num_partitions,
         resume=True,
         build_id=build_id,
+        # the compacted tf table already carries namespaced field terms;
+        # this just re-derives exact field_stats for the live corpus
+        index_fields=os.path.isdir(src.field_stats),
     )

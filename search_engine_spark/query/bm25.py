@@ -65,7 +65,7 @@ _TERM_CONTRIB_SCHEMA = StructType(
 
 def _decode_and_score(
     idf_by_term: Dict[str, float],
-    avgdl: float,
+    avgdl,
     formula: str = "bm25",
     emit_term: bool = False,
 ):
@@ -75,6 +75,8 @@ def _decode_and_score(
     formula "tfidf": the reference's TF-IDF (tfidf.py:167-572) — log TF
     (1 + log10(tf)) times the caller-supplied idf (smooth IDF); doclen
     is unused.
+    avgdl: a float, or a per-term dict (multi-field search — each
+    field-namespaced term normalizes by its FIELD's avgdl).
     emit_term=True additionally outputs the term column (batch
     multi-query mode joins contributions to per-query term sets)."""
 
@@ -99,7 +101,8 @@ def _decode_and_score(
                     )
                 else:
                     dls = varint_decode(bytes(dls_b), int(n))
-                    contrib_out.append(score_np(tfs, dls, idf, avgdl))
+                    avg = avgdl[term] if isinstance(avgdl, dict) else avgdl
+                    contrib_out.append(score_np(tfs, dls, idf, avg))
                 if emit_term:
                     terms_out.append(np.full(len(ids), term, dtype=object))
             if ids_out:
@@ -387,6 +390,105 @@ class BM25Index:
             )
         rows = seeds.orderBy(F.desc("contrib")).limit(k).collect()
         return float(rows[-1]["contrib"]) if rows and len(rows) >= k else 0.0
+
+    def _field_avgdl(self) -> Dict[str, float]:
+        import os
+
+        if not os.path.isdir(self.paths.field_stats):
+            raise ValueError(
+                "index was not built with index_fields=True — "
+                "multi-field search needs per-field stats"
+            )
+        return {
+            r["field"]: float(r["avgdl"])
+            for r in self.spark.read.parquet(self.paths.field_stats).collect()
+        }
+
+    def search_fields(
+        self,
+        query: str,
+        k: int = 10,
+        boosts: Optional[Dict[str, float]] = None,
+        tie_breaker: float = 0.0,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Multi-field best_fields BM25 — the reference's flagship query
+        shape (backend/search_api/main.py:162-189: ES `multi_match`
+        best_fields over ["title^3", "description^2", "content"]).
+
+        Per field f: score_f(doc) = Σ_terms BM25(tf, dl_f, idf_f,
+        avgdl_f) over that field's namespaced postings (its own df and
+        avgdl).  Combined ES-style:
+            max_f(boost_f·score_f) + tie_breaker·Σ_others(boost·score)
+        (tie_breaker=0 is pure best_fields, ES's default).  One decode
+        pass over the union of namespaced terms; per-field aggregation
+        and the combine are native column ops.  Exhaustive within the
+        query terms' postings (block-max pruning bounds are per-term;
+        safe to add later with per-field gmax, not needed for parity).
+        """
+        boosts = boosts or {"content": 1.0, "title": 3.0, "description": 2.0}
+        from search_engine_spark.index.builder import FIELD_PREFIX
+
+        avgdl_by_field = self._field_avgdl()
+        base_terms = sorted(set(tokenize_py(query)))
+        want: Dict[str, str] = {}  # namespaced term -> field
+        for f in boosts:
+            for t in base_terms:
+                want[FIELD_PREFIX[f] + t] = f
+        stats = self._query_stats(sorted(want))
+        live = sorted(t for t in want if t in stats)
+        if not live or k <= 0:
+            return self._empty() if join_docs else self.spark.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in live}
+        avgdl_by_term = {t: avgdl_by_field[want[t]] for t in live}
+        buckets = sorted({stats[t][2] for t in live})
+
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(live)
+        )
+        contribs = blocks.select(
+            "term", "count", "doc_ids", "tfs", "doclens"
+        ).mapInPandas(
+            _decode_and_score(idf_by_term, avgdl_by_term, emit_term=True),
+            schema=_TERM_CONTRIB_SCHEMA,
+        )
+        field_col = (
+            F.when(F.col("term").startswith("t!"), F.lit("title"))
+            .when(F.col("term").startswith("d!"), F.lit("description"))
+            .otherwise(F.lit("content"))
+        )
+        boost_map = F.create_map(
+            *[x for f, b in boosts.items() for x in (F.lit(f), F.lit(float(b)))]
+        )
+        per_field = (
+            contribs.withColumn("field", field_col)
+            .groupBy("doc_id", "field")
+            .agg(F.sum("contrib").alias("fscore"))
+            .withColumn("bscore", F.col("fscore") * boost_map[F.col("field")])
+        )
+        scored = (
+            per_field.groupBy("doc_id")
+            .agg(F.max("bscore").alias("best"), F.sum("bscore").alias("total"))
+            .select(
+                "doc_id",
+                (
+                    F.col("best")
+                    + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+                ).alias("score"),
+            )
+        )
+        if self.tombstones is not None:
+            scored = scored.join(
+                F.broadcast(self.tombstones.select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
 
     def search_many(
         self,

@@ -112,3 +112,41 @@ class TFIDFOracle:
                 out.append((d, s))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
+
+
+class BestFieldsOracle:
+    """Multi-field best_fields BM25 ground truth (ES multi_match shape,
+    backend/search_api/main.py:162-189): per-field BM25 over that
+    field's own df/avgdl (N = corpus size for every field; docs missing
+    a field count as length 0), combined as
+        max_f(boost_f*score_f) + tie_breaker*(Σ_others boost*score).
+    """
+
+    def __init__(
+        self,
+        field_docs: Dict[str, Dict[int, List[str]]],
+        boosts: Dict[str, float],
+    ):
+        self.oracles = {f: BM25Oracle(d) for f, d in field_docs.items()}
+        self.boosts = dict(boosts)
+
+    def topk(
+        self, query: str, k: int = 10, tie_breaker: float = 0.0
+    ) -> List[Tuple[int, float]]:
+        terms = sorted(set(tokenize_py(query)))
+        doc_ids = set()
+        for o in self.oracles.values():
+            doc_ids |= set(o.docs)
+        scored = []
+        for d in sorted(doc_ids):
+            per = []
+            for f, o in self.oracles.items():
+                s = o.score(d, terms) if d in o.docs else 0.0
+                per.append(self.boosts[f] * s)
+            best = max(per)
+            if best <= 0.0:
+                continue
+            total = sum(per)
+            scored.append((d, best + tie_breaker * (total - best)))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return scored[:k]
