@@ -575,10 +575,12 @@ def build_index(
             F.avg("doclen").alias("avgdl"),
             F.sum("doclen").alias("total_tokens"),
         ).collect()[0]
-        n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
-        write_corpus_stats(
-            paths.corpus_stats, n_docs, avgdl, int(row["total_tokens"])
-        )
+        n_docs = int(row["n_docs"])
+        # empty corpus: avg/sum aggregate to NULL; a 0-doc index is
+        # valid (queries return empty) rather than a build crash
+        avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+        total_tokens = int(row["total_tokens"]) if row["total_tokens"] is not None else 0
+        write_corpus_stats(paths.corpus_stats, n_docs, avgdl, total_tokens)
 
         tf = spark.read.parquet(paths.tf_stage)
         if index_fields:

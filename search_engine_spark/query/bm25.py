@@ -127,12 +127,20 @@ class BM25Index:
 
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        from search_engine_spark import schemas
+
         corpus = spark.read.parquet(self.paths.corpus_stats).collect()[0]
         self.n_docs = int(corpus["n_docs"])
         self.avgdl = float(corpus["avgdl"])
-        self.postings = spark.read.parquet(self.paths.postings)
-        self.term_stats = spark.read.parquet(self.paths.term_stats)
-        self.docs = spark.read.parquet(self.paths.docs)
+        # declared schemas (SURVEY §1.2: never infer) — also keeps a
+        # 0-doc index loadable (inference fails on empty parquet dirs)
+        self.postings = spark.read.schema(schemas.POSTINGS).parquet(
+            self.paths.postings
+        )
+        self.term_stats = spark.read.schema(schemas.TERM_STATS).parquet(
+            self.paths.term_stats
+        )
+        self.docs = spark.read.schema(schemas.DOCS).parquet(self.paths.docs)
         # Incrementally-merged index (index/merge.py): tombstoned docs
         # must never surface, and stored block_max_score/max_score are
         # stale under the merged corpus stats — all pruning bounds are

@@ -1,0 +1,43 @@
+"""Degenerate inputs: a 0-doc corpus builds a valid empty index and the
+query engine answers (empty) instead of crashing on schema inference."""
+
+from pyspark.sql import functions as F
+
+from search_engine_spark import schemas
+from search_engine_spark.index.builder import build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.synth import synth_pages
+
+
+def test_empty_corpus_builds_and_queries(spark, tmp_path):
+    root = str(tmp_path / "empty_idx")
+    pages = synth_pages(spark, 10, num_partitions=2).filter(F.lit(False))
+    build_index(
+        spark, pages, root, num_buckets=4, block_size=16,
+        num_partitions=2, resume=False,
+    )
+    idx = BM25Index(spark, root)
+    assert idx.n_docs == 0 and idx.avgdl == 0.0
+    assert idx.search("python tutorial", k=5).count() == 0
+    assert idx.search_many({"a": "python"}, k=5).count() == 0
+
+
+def test_null_text_pages_are_tolerated(spark, tmp_path):
+    """Pages with NULL text/html tokenize to empty docs, not crashes."""
+    root = str(tmp_path / "null_idx")
+    rows = [
+        ("https://a.example/1", None, None, "the quick brown fox", "en"),
+        ("https://a.example/2", None, None, None, "en"),
+        ("https://a.example/3", None, None, "", "en"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t, h, x, l) for u, t, h, x, l in rows], schemas.PAGES
+    )
+    build_index(
+        spark, pages, root, num_buckets=4, block_size=16,
+        num_partitions=2, resume=False, run_extraction=False,
+    )
+    idx = BM25Index(spark, root)
+    assert idx.n_docs == 3
+    got = idx.search("quick fox", k=5).collect()
+    assert len(got) == 1 and got[0]["url"] == "https://a.example/1"
