@@ -35,8 +35,9 @@ def main() -> None:
     ap.add_argument("--pages", help="batch pages table (parquet dir)")
     ap.add_argument("--synth", type=int, help="generate N synthetic batch pages")
     ap.add_argument("--compact-to", help="compact the index into this dir")
-    ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="default: the index's persisted build_config")
+    ap.add_argument("--block-size", type=int, default=None)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-extraction", action="store_true")
     ap.add_argument("--master", default=None,

@@ -114,6 +114,10 @@ class IndexPaths:
         return os.path.join(self.root, "field_stats")
 
     @property
+    def build_config(self) -> str:
+        return os.path.join(self.root, "build_config")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
 
@@ -170,13 +174,28 @@ def write_rows_parquet(path: str, pa_schema, columns: dict) -> None:
         pq.write_table(table, sink)
 
 
+def _pa_dataset(path: str):
+    """pyarrow dataset resolved through pyarrow.fs — the same local /
+    hdfs:// / s3:// portability as the write path."""
+    import pyarrow.dataset as pads
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, base = pafs.FileSystem.from_uri(path)
+    except Exception:
+        filesystem, base = pafs.LocalFileSystem(), path
+    return pads.dataset(base, format="parquet", filesystem=filesystem)
+
+
+def read_parquet_table(path: str, columns=None):
+    """Driver-side read of a small metadata table (manifest, config)."""
+    return _pa_dataset(path).to_table(columns=columns)
+
+
 def parquet_rowcount(path: str) -> int:
     """Row count from parquet footers (driver-side, no Spark job)."""
-    import pyarrow.dataset as pads
-
     return sum(
-        frag.metadata.num_rows
-        for frag in pads.dataset(path, format="parquet").get_fragments()
+        frag.metadata.num_rows for frag in _pa_dataset(path).get_fragments()
     )
 
 
@@ -212,6 +231,56 @@ def write_corpus_stats(path: str, n_docs: int, avgdl: float, total_tokens: int) 
     )
 
 
+_CONFIG_PA = None
+
+
+def _config_pa_schema():
+    global _CONFIG_PA
+    if _CONFIG_PA is None:
+        import pyarrow as pa
+
+        _CONFIG_PA = pa.schema(
+            [
+                ("num_buckets", pa.int32()),
+                ("block_size", pa.int32()),
+                ("index_fields", pa.bool_()),
+            ]
+        )
+    return _CONFIG_PA
+
+
+def write_build_config(
+    path: str, num_buckets: int, block_size: int, index_fields: bool
+) -> None:
+    """Persist the layout-defining build parameters next to the index.
+    Incremental merges MUST reuse them — a delta built with a different
+    num_buckets lands in term_bucket partitions the query never scans."""
+    write_rows_parquet(
+        path,
+        _config_pa_schema(),
+        {
+            "num_buckets": [num_buckets],
+            "block_size": [block_size],
+            "index_fields": [index_fields],
+        },
+    )
+
+
+def read_build_config(path: str) -> Optional[dict]:
+    try:
+        tbl = read_parquet_table(path)
+        if tbl.num_rows == 0:
+            return None
+        row = tbl.to_pylist()[0]
+        return {
+            "num_buckets": int(row["num_buckets"]),
+            "block_size": int(row["block_size"]),
+            "index_fields": bool(row["index_fields"]),
+        }
+    except Exception:
+        return None
+
+
 class _Manifest:
     """Per-partition lineage + resume bookkeeping (MANIFEST schema).
 
@@ -228,16 +297,39 @@ class _Manifest:
 
     def done_keys(self, stage: str) -> set:
         try:
-            import pyarrow.dataset as pads
-
-            tbl = pads.dataset(self.paths.manifest, format="parquet").to_table(
-                columns=["stage", "status", "partition_key"]
-            )
-            pdf = tbl.to_pandas()
+            pdf = read_parquet_table(
+                self.paths.manifest,
+                columns=["stage", "status", "partition_key"],
+            ).to_pandas()
             hit = pdf[(pdf["stage"] == stage) & (pdf["status"] == "done")]
             return set(hit["partition_key"].tolist())
         except Exception:
             return set()
+
+    def mark(
+        self,
+        stage: str,
+        partition_key: int = 0,
+        rows: int = -1,
+        wall_ms: int = 0,
+        nbytes: int = 0,
+        fingerprint: Optional[str] = None,
+        status: str = "done",
+    ) -> None:
+        write_rows_parquet(
+            self.paths.manifest,
+            _manifest_pa_schema(),
+            {
+                "build_id": [self.build_id],
+                "stage": [stage],
+                "partition_key": [partition_key],
+                "status": [status],
+                "rows": [rows],
+                "bytes": [nbytes],
+                "wall_ms": [wall_ms],
+                "input_fingerprint": [fingerprint],
+            },
+        )
 
     def mark_done(
         self,
@@ -248,19 +340,9 @@ class _Manifest:
         nbytes: int = 0,
         fingerprint: Optional[str] = None,
     ) -> None:
-        write_rows_parquet(
-            self.paths.manifest,
-            _manifest_pa_schema(),
-            {
-                "build_id": [self.build_id],
-                "stage": [stage],
-                "partition_key": [partition_key],
-                "status": ["done"],
-                "rows": [rows],
-                "bytes": [nbytes],
-                "wall_ms": [wall_ms],
-                "input_fingerprint": [fingerprint],
-            },
+        self.mark(
+            stage, partition_key, rows, wall_ms,
+            nbytes=nbytes, fingerprint=fingerprint, status="done",
         )
 
 
@@ -375,6 +457,10 @@ def build_index(
     build_id = build_id or uuid.uuid4().hex[:12]
     man = _Manifest(spark, paths, build_id)
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
+    if read_build_config(paths.build_config) is None:
+        write_build_config(
+            paths.build_config, num_buckets, block_size, index_fields
+        )
 
     metrics_coll = None
     if collect_metrics:

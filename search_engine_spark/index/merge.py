@@ -10,6 +10,9 @@ fresh segment, and fold tombstones out at segment merge.  This module
 mirrors that shape Spark-first:
 
   merge_pages(spark, index_dir, new_pages)
+    0. dedupes the batch by url (last write wins, like ES overwrite-by-
+       id applied in order) and resolves num_buckets/block_size/fields
+       from the index's persisted build_config — never from guesses
     1. builds a DELTA index of the batch under <root>/deltas/<build_id>
        with doc_ids offset above the base index's max (ids never collide)
     2. appends the delta's posting blocks into the base postings table —
@@ -31,12 +34,31 @@ mirrors that shape Spark-first:
   (max_tf, min_dl) under the current stats at query time
   (query/bm25.py), never read from stale block_max_score.
 
+  Crash-safety protocol (plain parquet has no ACID appends — that is
+  what the Iceberg table layer would buy; this is the honest parquet
+  equivalent):
+  - tombstone appends are unguarded: duplicates are harmless under
+    anti-join semantics
+  - posting/doc appends are bracketed by start/done manifest rows; a
+    rerun that finds start-without-done REFUSES to continue and points
+    at compact_index, which rebuilds postings from the authoritative
+    (idempotent) tf stage tables
+  - the stats step snapshots term_stats/corpus_stats/field_stats to
+    <name>.premerge.<build_id> via rename before writing merged
+    versions; a rerun re-derives from the snapshot, so df can never
+    double-count
+
   compact_index(spark, index_dir, out_dir)
     rewrites the index without tombstoned docs: unions the base + delta
     tf stage tables, anti-joins tombstones, recomputes exact stats, and
     re-packs posting blocks — a fresh index whose ranking is identical
     to a from-scratch build over the surviving documents (doc_ids are
-    preserved, scores exact; verified by tests/test_merge.py).
+    preserved, scores exact; verified by tests/test_merge.py).  Also
+    the universal repair for a merge that crashed mid-splice.
+
+All filesystem probing goes through the Hadoop FileSystem API resolved
+from the path (local / hdfs:// / s3a:// alike) — never os.path, which
+only sees the driver's local disk.
 
 Scale notes (10^12 docs): the only per-merge work is proportional to
 the BATCH (delta build + one semi-join against base docs on url — a
@@ -53,16 +75,15 @@ import uuid
 from dataclasses import dataclass
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark import schemas
 from search_engine_spark.index.builder import (
-    DEFAULT_BLOCK_SIZE,
-    DEFAULT_NUM_BUCKETS,
     IndexPaths,
     _Manifest,
     build_index,
+    read_build_config,
     write_corpus_stats,
 )
 
@@ -75,40 +96,81 @@ class MergeResult:
     tombstoned: int
 
 
+# ---------------------------------------------------------------------------
+# Hadoop-FS helpers (portable across local / hdfs / s3 index roots)
+# ---------------------------------------------------------------------------
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    return Path(path).getFileSystem(conf), Path
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, Path = _hadoop(spark, path)
+    return bool(fs.exists(Path(path)))
+
+
+def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, Path = _hadoop(spark, src)
+    fs.rename(Path(src), Path(dst))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, Path = _hadoop(spark, path)
+    if fs.exists(Path(path)):
+        fs.delete(Path(path), True)
+
+
+def _fs_subdirs(spark: SparkSession, path: str) -> List[str]:
+    fs, Path = _hadoop(spark, path)
+    if not fs.exists(Path(path)):
+        return []
+    out = []
+    for st in fs.listStatus(Path(path)):
+        if st.isDirectory():
+            out.append(str(st.getPath().toString()))
+    return sorted(out)
+
+
+def _fs_has_parquet(spark: SparkSession, path: str) -> bool:
+    fs, Path = _hadoop(spark, path)
+    if not fs.exists(Path(path)):
+        return False
+    for st in fs.listStatus(Path(path)):
+        if str(st.getPath().getName()).endswith(".parquet"):
+            return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# index-side views
+# ---------------------------------------------------------------------------
+
+
 def _deltas_root(paths: IndexPaths) -> str:
     return os.path.join(paths.root, "deltas")
 
 
-def delta_roots(paths: IndexPaths) -> List[str]:
-    root = _deltas_root(paths)
-    if not os.path.isdir(root):
-        return []
-    return sorted(
-        os.path.join(root, d) for d in os.listdir(root)
-        if os.path.isdir(os.path.join(root, d))
-    )
+def delta_roots(spark: SparkSession, paths: IndexPaths) -> List[str]:
+    return _fs_subdirs(spark, _deltas_root(paths))
 
 
 def tombstones_path(paths: IndexPaths) -> str:
     return os.path.join(paths.root, "tombstones")
 
 
-def has_tombstones(paths: IndexPaths) -> bool:
-    p = tombstones_path(paths)
-    return os.path.isdir(p) and any(
-        f.endswith(".parquet") for f in os.listdir(p)
-    )
-
-
 def read_tombstones(spark: SparkSession, paths: IndexPaths) -> Optional[DataFrame]:
-    if not has_tombstones(paths):
+    if not _fs_has_parquet(spark, tombstones_path(paths)):
         return None
     return spark.read.schema(schemas.TOMBSTONES).parquet(tombstones_path(paths))
 
 
 def live_docs(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     """The docs table minus tombstoned rows — the live-document view."""
-    docs = spark.read.parquet(paths.docs)
+    docs = spark.read.schema(schemas.DOCS).parquet(paths.docs)
     tomb = read_tombstones(spark, paths)
     if tomb is None:
         return docs
@@ -120,10 +182,7 @@ def live_docs(spark: SparkSession, paths: IndexPaths) -> DataFrame:
 def _replace_dir(spark: SparkSession, tmp: str, dst: str) -> None:
     """Atomically-ish swap dst <- tmp via the Hadoop FileSystem API (so
     the same code path works on HDFS; on a local FS it's two renames)."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(dst).getFileSystem(conf)
+    fs, Path = _hadoop(spark, dst)
     old = dst + ".old"
     if fs.exists(Path(old)):
         fs.delete(Path(old), True)
@@ -134,12 +193,54 @@ def _replace_dir(spark: SparkSession, tmp: str, dst: str) -> None:
         fs.delete(Path(old), True)
 
 
+def _resolve_config(
+    spark: SparkSession,
+    paths: IndexPaths,
+    num_buckets: Optional[int],
+    block_size: Optional[int],
+    index_fields: Optional[bool],
+):
+    """Resolve build parameters from the index's persisted build_config.
+
+    A bucket-count mismatch between base and delta silently loses
+    results (delta blocks land in term_bucket partitions the query's
+    pruning filter never scans), so explicit args that contradict the
+    stored config are an error, not a preference."""
+    cfg = read_build_config(paths.build_config)
+    if cfg is None:
+        # pre-config index: trust the caller (legacy path)
+        from search_engine_spark.index.builder import (
+            DEFAULT_BLOCK_SIZE,
+            DEFAULT_NUM_BUCKETS,
+        )
+
+        return (
+            num_buckets or DEFAULT_NUM_BUCKETS,
+            block_size or DEFAULT_BLOCK_SIZE,
+            bool(index_fields)
+            if index_fields is not None
+            else _fs_exists(spark, paths.field_stats),
+        )
+    for name, given, stored in (
+        ("num_buckets", num_buckets, cfg["num_buckets"]),
+        ("block_size", block_size, cfg["block_size"]),
+        ("index_fields", index_fields, cfg["index_fields"]),
+    ):
+        if given is not None and given != stored:
+            raise ValueError(
+                f"{name}={given} contradicts the index's build_config "
+                f"({name}={stored}); a mismatched merge would silently "
+                f"lose search results"
+            )
+    return cfg["num_buckets"], cfg["block_size"], cfg["index_fields"]
+
+
 def merge_pages(
     spark: SparkSession,
     index_dir: str,
     new_pages: DataFrame,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
-    block_size: int = DEFAULT_BLOCK_SIZE,
+    num_buckets: Optional[int] = None,
+    block_size: Optional[int] = None,
     num_partitions: Optional[int] = None,
     run_extraction: bool = True,
     build_id: Optional[str] = None,
@@ -149,45 +250,71 @@ def merge_pages(
 
     Re-crawled urls (batch url already in the docs table) replace their
     old document: the old doc_id is tombstoned, the new one indexed.
-    num_buckets/block_size must match the base build (the delta's
-    posting blocks land in the same term_bucket partition layout).
+    A url appearing multiple times WITHIN the batch keeps only its
+    latest version (warc_ts desc; deterministic tie-breaks) — ES
+    overwrite-by-id applied in order keeps the last write too.
+    num_buckets/block_size/index_fields are resolved from the index's
+    persisted build_config; passing conflicting values raises.
 
-    Resumable like the build itself: pass an explicit build_id and a
-    crashed merge can be re-run — each splice sub-step writes its own
-    manifest row (stage "merge_<step>", fingerprint build_id) and a
-    rerun skips completed steps, so delta blocks are never appended
-    twice.  With a fresh random build_id every call is a new merge.
+    Resumable: pass an explicit build_id and a crashed merge can be
+    re-run — completed sub-steps are skipped via manifest rows.  If a
+    crash landed INSIDE a posting/doc append (start-without-done), the
+    rerun refuses and points at compact_index, the universal repair.
     """
     paths = IndexPaths(index_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
     man = _Manifest(spark, paths, build_id)
-    # fielded base index -> fielded delta (unless caller overrides)
-    if index_fields is None:
-        index_fields = os.path.isdir(paths.field_stats)
+    num_buckets, block_size, index_fields = _resolve_config(
+        spark, paths, num_buckets, block_size, index_fields
+    )
 
-    def step_done(step: str) -> bool:
+    def step_state(step: str) -> Optional[str]:
+        """'done' | 'start' | None for this build's sub-step."""
         try:
-            import pyarrow.dataset as pads
+            from search_engine_spark.index.builder import read_parquet_table
 
-            pdf = (
-                pads.dataset(paths.manifest, format="parquet")
-                .to_table(columns=["stage", "status", "input_fingerprint"])
-                .to_pandas()
-            )
-            return bool(
-                (
-                    (pdf["stage"] == f"merge_{step}")
-                    & (pdf["status"] == "done")
-                    & (pdf["input_fingerprint"] == build_id)
-                ).any()
-            )
+            pdf = read_parquet_table(
+                paths.manifest,
+                columns=["stage", "status", "input_fingerprint"],
+            ).to_pandas()
+            mine = pdf[
+                (pdf["stage"] == f"merge_{step}")
+                & (pdf["input_fingerprint"] == build_id)
+            ]
+            if (mine["status"] == "done").any():
+                return "done"
+            if (mine["status"] == "start").any():
+                return "start"
+            return None
         except Exception:
-            return False
+            return None
 
-    base_docs = spark.read.parquet(paths.docs)
-    next_id = int(
-        base_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    ) + 1
+    def guard_partial(step: str) -> None:
+        if step_state(step) == "start":
+            raise RuntimeError(
+                f"merge {build_id}: a previous attempt crashed inside "
+                f"the {step} append — the {step} table may hold a "
+                f"partial delta. Plain parquet appends are not atomic; "
+                f"rebuild a consistent index with compact_index(spark, "
+                f"{index_dir!r}, <new_dir>) (it derives postings from "
+                f"the authoritative tf stages), then retire this one."
+            )
+
+    # 0) batch-internal dedupe: last write per url wins (deterministic).
+    w = Window.partitionBy("url").orderBy(
+        F.desc_nulls_last("warc_ts"),
+        F.desc(F.length(F.coalesce(F.col("text"), F.lit("")))),
+        F.asc(F.xxhash64(F.coalesce(F.col("text"), F.lit("")))),
+    )
+    new_pages = (
+        new_pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    base_docs = spark.read.schema(schemas.DOCS).parquet(paths.docs)
+    max_row = base_docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    next_id = (int(max_row) if max_row is not None else -1) + 1
 
     # 1) delta build (its own full IndexPaths tree; extraction/tokenize/
     #    tf/stats/blocks all batch-local, ids offset past the base).
@@ -206,13 +333,14 @@ def merge_pages(
         id_offset=next_id,
         index_fields=index_fields,
     )
-    delta_docs = spark.read.parquet(delta.docs)
+    delta_docs = spark.read.schema(schemas.DOCS).parquet(delta.docs)
     n_new = delta_docs.count()
 
     # 2) tombstone old doc_ids of re-crawled urls.  Batch urls are tiny
     #    relative to the base — broadcast semi-join, no base shuffle.
+    #    Unguarded append: duplicate tombstones are harmless (anti-join).
     n_tomb = 0
-    if not step_done("tombstones"):
+    if step_state("tombstones") != "done":
         tomb = (
             base_docs.join(
                 F.broadcast(delta_docs.select("url").distinct()), "url", "left_semi"
@@ -220,7 +348,6 @@ def merge_pages(
             .select("doc_id", "url")
             .withColumn("build_id", F.lit(build_id))
         )
-        # Exclude docs already tombstoned by a previous merge (idempotence).
         prior = read_tombstones(spark, paths)
         if prior is not None:
             tomb = tomb.join(
@@ -232,15 +359,21 @@ def merge_pages(
         man.mark_done("merge_tombstones", 0, n_tomb, 0, fingerprint=build_id)
 
     # 3) splice the delta into the base tables: postings append into the
-    #    same term_bucket partition dirs; docs append.
-    if not step_done("postings"):
+    #    same term_bucket partition dirs; docs append.  start/done
+    #    bracket: a crash inside the append is DETECTED, not silently
+    #    double-applied (see module docstring).
+    if step_state("postings") != "done":
+        guard_partial("postings")
+        man.mark("merge_postings", status="start", fingerprint=build_id)
         (
             spark.read.schema(schemas.POSTINGS).parquet(delta.postings)
             .write.mode("append").partitionBy("term_bucket")
             .parquet(paths.postings)
         )
         man.mark_done("merge_postings", 0, -1, 0, fingerprint=build_id)
-    if not step_done("docs"):
+    if step_state("docs") != "done":
+        guard_partial("docs")
+        man.mark("merge_docs", status="start", fingerprint=build_id)
         delta_docs.write.mode("append").parquet(paths.docs)
         man.mark_done("merge_docs", 0, n_new, 0, fingerprint=build_id)
 
@@ -248,9 +381,24 @@ def merge_pages(
     #    compaction (Lucene docFreq semantics); max_score is NULLed —
     #    stale under the new corpus stats — so the query engine falls
     #    back to the merge-safe score(max_tf, min_dl) bound.
-    if not step_done("stats"):
-        base_ts = spark.read.parquet(paths.term_stats)
-        delta_ts = spark.read.parquet(delta.term_stats)
+    #    Idempotent via premerge snapshots: the base stats are renamed
+    #    aside FIRST; a crashed-and-rerun step always re-derives from
+    #    the pristine snapshot, never from a half-merged table.
+    if step_state("stats") != "done":
+        pre_ts = paths.term_stats + f".premerge.{build_id}"
+        pre_cs = paths.corpus_stats + f".premerge.{build_id}"
+        pre_fs = paths.field_stats + f".premerge.{build_id}"
+        if not _fs_exists(spark, pre_ts):
+            _fs_rename(spark, paths.term_stats, pre_ts)
+        if not _fs_exists(spark, pre_cs):
+            _fs_rename(spark, paths.corpus_stats, pre_cs)
+        if index_fields and not _fs_exists(spark, pre_fs) and _fs_exists(
+            spark, paths.field_stats
+        ):
+            _fs_rename(spark, paths.field_stats, pre_fs)
+
+        base_ts = spark.read.schema(schemas.TERM_STATS).parquet(pre_ts)
+        delta_ts = spark.read.schema(schemas.TERM_STATS).parquet(delta.term_stats)
         merged_ts = (
             base_ts.unionByName(delta_ts)
             .groupBy("term")
@@ -267,16 +415,16 @@ def merge_pages(
         merged_ts.write.mode("overwrite").parquet(ts_tmp)
         _replace_dir(spark, ts_tmp, paths.term_stats)
 
-        base_cs = spark.read.parquet(paths.corpus_stats).collect()[0]
+        base_cs = spark.read.parquet(pre_cs).collect()[0]
         delta_cs = spark.read.parquet(delta.corpus_stats).collect()[0]
         n_docs = int(base_cs["n_docs"]) + int(delta_cs["n_docs"])
         total = int(base_cs["total_tokens"]) + int(delta_cs["total_tokens"])
         write_corpus_stats(
             paths.corpus_stats, n_docs, float(total) / max(n_docs, 1), total
         )
-        if index_fields and os.path.isdir(delta.field_stats):
+        if index_fields and _fs_exists(spark, delta.field_stats):
             merged_fs = (
-                spark.read.parquet(paths.field_stats)
+                spark.read.parquet(pre_fs)
                 .unionByName(spark.read.parquet(delta.field_stats))
                 .groupBy("field")
                 .agg(F.sum("total_tokens").alias("total_tokens"))
@@ -290,11 +438,9 @@ def merge_pages(
             fs_tmp = paths.field_stats + ".tmp"
             merged_fs.write.mode("overwrite").parquet(fs_tmp)
             _replace_dir(spark, fs_tmp, paths.field_stats)
-        # NOT crash-atomic across the two small stat tables; the window
-        # is two driver-side writes.  A crash exactly between them is
-        # healed by compact_index (recomputes both exactly); term_stats
-        # itself can't double-merge because this step is guarded.
         man.mark_done("merge_stats", 0, -1, 0, fingerprint=build_id)
+        for pre in (pre_ts, pre_cs, pre_fs):
+            _fs_delete(spark, pre)
 
     man.mark_done("merge", 0, n_new, 0, nbytes=n_tomb, fingerprint=build_id)
     return MergeResult(build_id, delta_root, n_new, n_tomb)
@@ -304,11 +450,10 @@ def is_merged(spark: SparkSession, paths: IndexPaths) -> bool:
     """True if the index has ever taken an incremental merge (stats may
     be Lucene-style approximate; per-block bounds must be recomputed)."""
     try:
-        import pyarrow.dataset as pads
+        from search_engine_spark.index.builder import read_parquet_table
 
         stages = (
-            pads.dataset(paths.manifest, format="parquet")
-            .to_table(columns=["stage"])
+            read_parquet_table(paths.manifest, columns=["stage"])
             .column("stage")
             .to_pylist()
         )
@@ -321,8 +466,8 @@ def compact_index(
     spark: SparkSession,
     index_dir: str,
     out_dir: str,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
-    block_size: int = DEFAULT_BLOCK_SIZE,
+    num_buckets: Optional[int] = None,
+    block_size: Optional[int] = None,
     bucket_groups: int = 1,
     num_partitions: Optional[int] = None,
 ) -> IndexPaths:
@@ -333,15 +478,21 @@ def compact_index(
     tombstones anti-joined, and only the stats + posting-block stages
     re-run (the manifest pre-marks docs/tf done, so build_index resumes
     straight into them).  Ranking over the compacted index is exact:
-    same doc_ids, stats recomputed over exactly the live corpus.
+    same doc_ids, stats recomputed over exactly the live corpus.  Also
+    repairs an index whose merge crashed mid-splice (the tf stages are
+    the authoritative source; partially-appended postings are simply
+    not read).
     """
     src = IndexPaths(index_dir)
     dst = IndexPaths(out_dir)
     build_id = uuid.uuid4().hex[:12]
     man = _Manifest(spark, dst, build_id)
+    num_buckets, block_size, index_fields = _resolve_config(
+        spark, src, num_buckets, block_size, None
+    )
 
     tf_parts = [src.tf_stage] + [
-        IndexPaths(d).tf_stage for d in delta_roots(src)
+        IndexPaths(d).tf_stage for d in delta_roots(spark, src)
     ]
     tf = spark.read.parquet(*tf_parts)
     docs = live_docs(spark, src)
@@ -349,8 +500,17 @@ def compact_index(
     if tomb is not None:
         tf = tf.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
 
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
     tf.write.mode("overwrite").parquet(dst.tf_stage)
-    docs.write.mode("overwrite").parquet(dst.docs)
+    # restore the doc_id-sorted layout (delta appends interleave id
+    # ranges across files) — the query's O(k) join-back lookup relies
+    # on per-file row-group min/max covering disjoint id ranges
+    (
+        docs.repartitionByRange(P, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(dst.docs)
+    )
     n_live = spark.read.parquet(dst.docs).count()
     man.mark_done("docs", 0, n_live, 0, fingerprint="compact:" + index_dir)
     man.mark_done("tf", 0, -1, 0)
@@ -367,5 +527,5 @@ def compact_index(
         build_id=build_id,
         # the compacted tf table already carries namespaced field terms;
         # this just re-derives exact field_stats for the live corpus
-        index_fields=os.path.isdir(src.field_stats),
+        index_fields=index_fields,
     )

@@ -173,6 +173,8 @@ def ivf_topk(
         .limit(train_sample)
         .collect()
     )
+    if not sample_rows:
+        return emb.sparkSession.createDataFrame([], "id long, cosine double")
     sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     cent = kmeans_centroids(sample, n_cells, iters=iters, seed=seed)
 

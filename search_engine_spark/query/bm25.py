@@ -163,6 +163,7 @@ class BM25Index:
         # so repeated terms skip the lookup job.  Bounded by query-term
         # vocabulary actually seen, not the corpus vocabulary.
         self._stats_memo: Dict[str, Optional[Tuple[int, Optional[float], int, int, int]]] = {}
+        self._field_avgdl_cache: Optional[Dict[str, float]] = None
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -400,17 +401,20 @@ class BM25Index:
         return float(rows[-1]["contrib"]) if rows and len(rows) >= k else 0.0
 
     def _field_avgdl(self) -> Dict[str, float]:
-        import os
+        if self._field_avgdl_cache is not None:
+            return self._field_avgdl_cache
+        from search_engine_spark.index.merge import _fs_exists
 
-        if not os.path.isdir(self.paths.field_stats):
+        if not _fs_exists(self.spark, self.paths.field_stats):
             raise ValueError(
                 "index was not built with index_fields=True — "
                 "multi-field search needs per-field stats"
             )
-        return {
+        self._field_avgdl_cache = {
             r["field"]: float(r["avgdl"])
             for r in self.spark.read.parquet(self.paths.field_stats).collect()
         }
+        return self._field_avgdl_cache
 
     def search_fields(
         self,
@@ -462,11 +466,9 @@ class BM25Index:
             _decode_and_score(idf_by_term, avgdl_by_term, emit_term=True),
             schema=_TERM_CONTRIB_SCHEMA,
         )
-        field_col = (
-            F.when(F.col("term").startswith("t!"), F.lit("title"))
-            .when(F.col("term").startswith("d!"), F.lit("description"))
-            .otherwise(F.lit("content"))
-        )
+        from search_engine_spark.index.builder import _field_of
+
+        field_col = _field_of(F.col("term"))
         boost_map = F.create_map(
             *[x for f, b in boosts.items() for x in (F.lit(f), F.lit(float(b)))]
         )
@@ -524,6 +526,8 @@ class BM25Index:
         the engine's deterministic tie-break (score desc, doc_id asc).
         """
         out_schema = "query_id string, rank int, doc_id long, score double"
+        if join_docs:
+            out_schema += ", url string, title string"
         qterms: Dict[str, List[str]] = {
             qid: sorted(set(tokenize_py(q))) for qid, q in queries.items()
         }

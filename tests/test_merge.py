@@ -205,3 +205,62 @@ class TestMergeResume:
         }
         assert df2 == df1
         assert r1.new_docs == 60 and r1.tombstoned == 20
+
+
+class TestMergeSafety:
+    def _base(self, spark, tmp_path, n=60, cut=40):
+        root = str(tmp_path / "idx")
+        pages = synth_pages(spark, n, num_partitions=2)
+        ordinal = F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+        build_index(
+            spark, pages.filter(ordinal < cut), root, num_buckets=8,
+            block_size=16, num_partitions=2, resume=False,
+        )
+        return root, pages, ordinal
+
+    def test_bucket_mismatch_raises(self, spark, tmp_path):
+        root, pages, o = self._base(spark, tmp_path)
+        with pytest.raises(ValueError, match="num_buckets"):
+            merge_pages(spark, root, pages.filter(o >= 40), num_buckets=16)
+
+    def test_config_resolved_when_omitted(self, spark, tmp_path):
+        root, pages, o = self._base(spark, tmp_path)
+        res = merge_pages(spark, root, pages.filter(o >= 40))
+        assert res.new_docs == 20
+        idx = BM25Index(spark, root)
+        # merged blocks land in the base's 8-bucket layout: every doc
+        # findable
+        assert idx.search("python", k=60).count() > 0
+
+    def test_partial_splice_detected(self, spark, tmp_path):
+        from search_engine_spark.index.builder import _Manifest, IndexPaths
+
+        root, pages, o = self._base(spark, tmp_path)
+        # simulate a crash INSIDE the postings append of build "bidX":
+        # start marker present, no done marker
+        man = _Manifest(spark, IndexPaths(root), "bidX")
+        man.mark("merge_postings", status="start", fingerprint="bidX")
+        with pytest.raises(RuntimeError, match="compact_index"):
+            merge_pages(spark, root, pages.filter(o >= 40), build_id="bidX")
+
+    def test_batch_internal_dup_url_keeps_one(self, spark, tmp_path):
+        root, pages, o = self._base(spark, tmp_path)
+        batch = pages.filter(o >= 40)
+        doubled = batch.unionByName(batch)  # same urls twice in one batch
+        res = merge_pages(spark, root, doubled)
+        assert res.new_docs == 20  # deduped to one doc per url
+        live = live_docs(spark, BM25Index(spark, root).paths)
+        assert live.select("url").distinct().count() == live.count() == 60
+
+    def test_merge_into_empty_base(self, spark, tmp_path):
+        root = str(tmp_path / "emptyidx")
+        pages = synth_pages(spark, 30, num_partitions=2)
+        build_index(
+            spark, pages.filter(F.lit(False)), root, num_buckets=8,
+            block_size=16, num_partitions=2, resume=False,
+        )
+        res = merge_pages(spark, root, pages)
+        assert res.new_docs == 30 and res.tombstoned == 0
+        idx = BM25Index(spark, root)
+        assert idx.n_docs == 30
+        assert idx.search("python", k=5).count() > 0
