@@ -132,7 +132,7 @@ def measure_scaling(pages_dir: str, cpus: int) -> dict:
     measures the job, not the neighbors.
     """
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
     hi = min(lo * 4, cpus)
     ratio = hi / lo
 
@@ -253,7 +253,7 @@ def main() -> None:
     # tiny corpus measures overhead, not the job.
     scaling = None
     if do_scaling:
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "60000"))
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "48000"))
         spark_sc = get_spark(app_name="bench_scale_gen", master=f"local[{cpus}]",
                              shuffle_partitions=max(cpus * 2, 8))
         scale_dir = materialize_pages(spark_sc, max(n_scale, n_pages), cache_root)
