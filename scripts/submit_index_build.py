@@ -58,7 +58,11 @@ def main() -> None:
         # PYTHONPATH (the local-mode stand-in for --py-files)
         from search_engine_spark.session import get_spark
 
-        spark = get_spark(app_name="sgs-index-build", master=args.master)
+        spark = get_spark(
+            app_name="sgs-index-build", master=args.master,
+            # the stage-metrics collector reads the status REST API
+            extra_conf={"spark.ui.enabled": "true"} if args.metrics else None,
+        )
     else:
         # under spark-submit the builder inherits the submitted conf and
         # --py-files handles code shipping

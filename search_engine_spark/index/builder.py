@@ -439,6 +439,7 @@ def build_index(
     collect_metrics: bool = False,
     id_offset: int = 0,
     index_fields: bool = False,
+    rows_per_salt: int = ROWS_PER_SALT,
 ) -> IndexPaths:
     """Build the full inverted index under out_dir. Returns paths.
 
@@ -467,6 +468,12 @@ def build_index(
         from search_engine_spark.metrics import StageMetricsCollector
 
         metrics_coll = StageMetricsCollector(spark, build_id)
+        if metrics_coll._base is None:
+            # fail loudly, not with a silently-empty metrics table
+            raise ValueError(
+                "collect_metrics=True needs the Spark status REST API: "
+                "set spark.ui.enabled=true on the session"
+            )
         metrics_coll.begin()
 
     # ---- stage: docs + token stage table ----------------------------------
@@ -770,7 +777,7 @@ def build_index(
                     F.xxhash64("doc_id"),
                     F.greatest(
                         F.lit(1),
-                        F.ceil(F.col("df") / F.lit(ROWS_PER_SALT)),
+                        F.ceil(F.col("df") / F.lit(rows_per_salt)),
                     ).cast("long"),
                 ).cast("int"),
             )
