@@ -423,6 +423,7 @@ class BM25Index:
         boosts: Optional[Dict[str, float]] = None,
         tie_breaker: float = 0.0,
         join_docs: bool = True,
+        mode: str = "blockmax",
     ) -> DataFrame:
         """Multi-field best_fields BM25 — the reference's flagship query
         shape (backend/search_api/main.py:162-189: ES `multi_match`
@@ -434,9 +435,23 @@ class BM25Index:
             max_f(boost_f·score_f) + tie_breaker·Σ_others(boost·score)
         (tie_breaker=0 is pure best_fields, ES's default).  One decode
         pass over the union of namespaced terms; per-field aggregation
-        and the combine are native column ops.  Exhaustive within the
-        query terms' postings (block-max pruning bounds are per-term;
-        safe to add later with per-field gmax, not needed for parity).
+        and the combine are native column ops.
+
+        mode "blockmax" (default, tie_breaker=0 only) prunes blocks
+        with the per-field WAND condition: a block b of term t in field
+        f survives iff  boost_f·(bound(b) + Σ_{t'∈f, t'≠t} gmax(t'))
+        ≥ θ.  Safety: for any doc d in a pruned block, either d's true
+        best field is f — then its total ≤ that bound < θ, so d is not
+        in the top-k — or d's best field is some f' whose blocks
+        holding d all survived, in which case d's computed score is
+        still exact (missing f-contributions can only lower the non-
+        best fields).  θ is seeded from the best boosted single-term
+        contribution list, a lower bound on the k-th best_fields total.
+        Bounds ALWAYS come from (max_tf, min_dl) under the field's own
+        avgdl — the stored block_max_score/max_score were computed
+        under the content avgdl and are not valid for field postings.
+        mode "exhaustive" disables pruning (required when tie_breaker>0:
+        the prune argument covers only the pure-max combine).
         """
         boosts = boosts or {"content": 1.0, "title": 3.0, "description": 2.0}
         from search_engine_spark.index.builder import FIELD_PREFIX
@@ -460,6 +475,59 @@ class BM25Index:
         blocks = self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(live)
         )
+
+        if mode == "blockmax" and tie_breaker == 0.0:
+            gmax = {
+                t: float(
+                    score_np(
+                        np.array([stats[t][3]], dtype=np.int64),
+                        np.array([stats[t][4]], dtype=np.int64),
+                        idf_by_term[t],
+                        avgdl_by_term[t],
+                    )[0]
+                )
+                for t in live
+            }
+            theta = self._seed_theta_fields(
+                live, stats, idf_by_term, avgdl_by_term, want, boosts, k
+            )
+            if theta > 0.0:
+                # per-term surviving threshold: boost_f*(bound + rest_f) >= θ
+                # rest_f = other live terms' gmax within the SAME field
+                rest = {
+                    t: sum(
+                        gmax[u]
+                        for u in live
+                        if u != t and want[u] == want[t]
+                    )
+                    for t in live
+                }
+                idf_map = F.create_map(
+                    *[x for t in live for x in (F.lit(t), F.lit(idf_by_term[t]))]
+                )
+                avg_map = F.create_map(
+                    *[x for t in live for x in (F.lit(t), F.lit(avgdl_by_term[t]))]
+                )
+                thr_map = F.create_map(
+                    *[
+                        x
+                        for t in live
+                        for x in (
+                            F.lit(t),
+                            F.lit(
+                                theta / float(boosts[want[t]]) - rest[t]
+                            ),
+                        )
+                    ]
+                )
+                bound = score_col(
+                    F.col("max_tf").cast("double"),
+                    F.col("min_dl").cast("double"),
+                    idf_map[F.col("term")],
+                    avg_map[F.col("term")],
+                )
+                blocks = blocks.filter(bound >= thr_map[F.col("term")])
+
         contribs = blocks.select(
             "term", "count", "doc_ids", "tfs", "doclens"
         ).mapInPandas(
@@ -499,6 +567,52 @@ class BM25Index:
         if not join_docs:
             return topk
         return self._join_docs(topk)
+
+    def _seed_theta_fields(
+        self,
+        live: List[str],
+        stats,
+        idf_by_term: Dict[str, float],
+        avgdl_by_term: Dict[str, float],
+        want: Dict[str, str],
+        boosts: Dict[str, float],
+        k: int,
+    ) -> float:
+        """θ for fielded WAND: the k-th best boosted single-term
+        contribution of the rarest sufficiently-large term — a valid
+        lower bound on the k-th best_fields total, since for any doc
+        total = max_f(boost_f·S_f) ≥ boost_f(t)·contrib_t."""
+        cands = [t for t in live if stats[t][0] > max(k, self.seed_min_df)]
+        if not cands:
+            return 0.0
+        rare = min(cands, key=lambda t: stats[t][0])
+        n_blocks = max(2, -(-k // 128) + 1)
+        rare_blocks = (
+            self.postings.filter(
+                (F.col("term_bucket") == stats[rare][2])
+                & (F.col("term") == rare)
+            )
+            .orderBy(F.desc("block_max_score"))
+            .limit(n_blocks)
+        )
+        seeds = rare_blocks.select(
+            "term", "count", "doc_ids", "tfs", "doclens"
+        ).mapInPandas(
+            _decode_and_score(
+                {rare: idf_by_term[rare]}, {rare: avgdl_by_term[rare]}
+            ),
+            schema=_CONTRIB_SCHEMA,
+        )
+        if self.tombstones is not None:
+            seeds = seeds.join(
+                F.broadcast(self.tombstones.select("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+        rows = seeds.orderBy(F.desc("contrib")).limit(k).collect()
+        if rows and len(rows) >= k:
+            return float(boosts[want[rare]]) * float(rows[-1]["contrib"])
+        return 0.0
 
     def search_many(
         self,

@@ -179,3 +179,40 @@ class TestFieldedMerge:
                 for r in idx_f.search_fields(q, k=160, boosts=BOOSTS).collect()
             )
             assert a == b, q
+
+
+class TestFieldedWAND:
+    def test_blockmax_equals_exhaustive(self, spark, fielded):
+        """Fielded WAND pruning is exact: per-block bounds use each
+        field's own avgdl and the boost-aware survive condition."""
+        paths, _ = fielded
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        for q in QUERIES:
+            bm = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in idx.search_fields(
+                    q, k=10, boosts=BOOSTS, mode="blockmax", join_docs=False
+                ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+            ]
+            ex = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in idx.search_fields(
+                    q, k=10, boosts=BOOSTS, mode="exhaustive", join_docs=False
+                ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+            ]
+            assert bm == ex, q
+
+    def test_tie_breaker_skips_pruning(self, spark, fielded):
+        """tie_breaker>0 falls back to exhaustive (prune proof only
+        covers the pure-max combine) and stays oracle-correct."""
+        paths, oracle = fielded
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = "python programming tutorial"
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_fields(
+                q, k=10, boosts=BOOSTS, tie_breaker=0.5, join_docs=False
+            ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        want = [(d, round(s, 9)) for d, s in oracle.topk(q, k=10, tie_breaker=0.5)]
+        assert got == want
