@@ -63,6 +63,14 @@ _TERM_CONTRIB_SCHEMA = StructType(
 )
 
 
+def _lit_map(d: Dict[str, float]):
+    """string->double literal map column (term-keyed constants in
+    native filters/expressions)."""
+    return F.create_map(
+        *[x for k, v in d.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+
+
 def _decode_and_score(
     idf_by_term: Dict[str, float],
     avgdl,
@@ -193,6 +201,20 @@ class BM25Index:
             [], "doc_id long, score double, url string, title string"
         )
 
+    def _empty_scored(self, join_docs: bool) -> DataFrame:
+        if join_docs:
+            return self._empty()
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    def _drop_tombstones(self, df: DataFrame) -> DataFrame:
+        """Deleted-docs mask (Lucene-style): tombstoned ids never
+        surface from any query mode."""
+        if self.tombstones is None:
+            return df
+        return df.join(
+            F.broadcast(self.tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
+
     def search(
         self,
         query: str,
@@ -214,16 +236,12 @@ class BM25Index:
               so no pruning).
         """
         if k <= 0:
-            return self._empty() if join_docs else self.spark.createDataFrame(
-                [], "doc_id long, score double"
-            )
+            return self._empty_scored(join_docs)
         terms = sorted(set(tokenize_py(query)))
         stats = self._query_stats(terms)
         terms = [t for t in terms if t in stats]
         if not terms:
-            return self._empty() if join_docs else self.spark.createDataFrame(
-                [], "doc_id long, score double"
-            )
+            return self._empty_scored(join_docs)
 
         if mode == "tfidf":
             import math
@@ -245,9 +263,7 @@ class BM25Index:
             if theta > 0.0:
                 gmax = {t: self._gmax(t, stats, idf_by_term) for t in terms}
                 s_tot = sum(gmax.values())
-                gmax_map = F.create_map(
-                    *[x for t in terms for x in (F.lit(t), F.lit(gmax[t]))]
-                )
+                gmax_map = _lit_map(gmax)
                 if self.merged:
                     # Stored block_max_score is exact only under the
                     # stats of the build that wrote the block; after a
@@ -256,13 +272,7 @@ class BM25Index:
                     # so score(max_tf, min_dl) under CURRENT stats is a
                     # valid per-block upper bound — computed JVM-side,
                     # still a native filter on block metadata.
-                    idf_map = F.create_map(
-                        *[
-                            x
-                            for t in terms
-                            for x in (F.lit(t), F.lit(idf_by_term[t]))
-                        ]
-                    )
+                    idf_map = _lit_map(idf_by_term)
                     bound = score_col(
                         F.col("max_tf").cast("double"),
                         F.col("min_dl").cast("double"),
@@ -305,15 +315,9 @@ class BM25Index:
             if mode == "tfidf":
                 # B5: positive-score filter (tfidf.py:531-535)
                 scored = scored.filter(F.col("score") > 0)
-        if self.tombstones is not None:
-            # Deleted-docs mask (Lucene-style): tombstoned ids never
-            # surface.  Anti-join after the per-doc aggregation — k×
-            # fewer rows than filtering raw contributions.
-            scored = scored.join(
-                F.broadcast(self.tombstones.select("doc_id")),
-                "doc_id",
-                "left_anti",
-            )
+        # anti-join after the per-doc aggregation — k× fewer rows
+        # than filtering raw contributions
+        scored = self._drop_tombstones(scored)
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk
@@ -330,25 +334,21 @@ class BM25Index:
         broadcast join (harmless at 12k docs, a full scan at 10^12).
         Below the gate the lazy single-job broadcast join wins.
         """
+        winners, docs = topk, self.docs
         if self.n_docs >= self.lookup_min_docs:
             rows = topk.collect()
             if not rows:
                 return self._empty()
-            scored = self.spark.createDataFrame(
+            winners = self.spark.createDataFrame(
                 [(int(r["doc_id"]), float(r["score"])) for r in rows],
                 "doc_id long, score double",
             )
-            ids = [int(r["doc_id"]) for r in rows]
-            pruned = self.docs.filter(F.col("doc_id").isin(ids))
-            return (
-                F.broadcast(scored)
-                .join(pruned.select("doc_id", "url", "title"), "doc_id")
-                .select("doc_id", "score", "url", "title")
-                .orderBy(F.desc("score"), F.asc("doc_id"))
+            docs = docs.filter(
+                F.col("doc_id").isin([int(r["doc_id"]) for r in rows])
             )
         return (
-            F.broadcast(topk)
-            .join(self.docs.select("doc_id", "url", "title"), "doc_id")
+            F.broadcast(winners)
+            .join(docs.select("doc_id", "url", "title"), "doc_id")
             .select("doc_id", "score", "url", "title")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
@@ -356,24 +356,35 @@ class BM25Index:
     def _seed_theta(
         self,
         terms: List[str],
-        stats: Dict[str, Tuple[int, float, int]],
+        stats,
         idf_by_term: Dict[str, float],
         k: int,
+        avgdl=None,
+        multiplier: Optional[Dict[str, float]] = None,
     ) -> float:
-        """θ = k-th best single-term contribution of the rarest term —
-        a valid lower bound on the k-th best total score.
+        """θ = k-th best single-term contribution (×multiplier) of the
+        rarest sufficiently-large term — a valid lower bound on the
+        k-th best total score: every total ≥ any one of its per-term
+        contributions (single-field sum; best_fields via the boosted
+        field containing the term).
 
         Only the highest-block_max blocks are decoded: the k-th best
         contribution within ANY ≥k-posting subset is ≤ the true k-th
         best (adding postings only pushes rank-k up), so it remains a
         valid lower bound while decoding O(k) postings instead of the
         term's full df — the difference between O(k) and O(10^9) Arrow
-        work for a Zipf-head term at full scale."""
-        rare = min(terms, key=lambda t: stats[t][0])
-        # cost gate: below seed_min_df the scan being pruned is smaller
-        # than the seed job itself — skip pruning (exact either way)
-        if stats[rare][0] <= max(k, self.seed_min_df):
+        work for a Zipf-head term at full scale.
+
+        avgdl: scalar (default self.avgdl) or per-term dict (fielded);
+        multiplier: per-term factor applied to θ (field boosts).
+        Cost gate: terms at df ≤ max(k, seed_min_df) are skipped — the
+        scan they would prune is already cheaper than the seed job."""
+        cands = [t for t in terms if stats[t][0] > max(k, self.seed_min_df)]
+        if not cands:
             return 0.0
+        rare = min(cands, key=lambda t: stats[t][0])
+        avgdl = self.avgdl if avgdl is None else avgdl
+        rare_avgdl = avgdl[rare] if isinstance(avgdl, dict) else avgdl
         n_blocks = max(2, -(-k // 128) + 1)  # ≥ k postings from full blocks
         rare_blocks = (
             self.postings.filter(
@@ -385,20 +396,17 @@ class BM25Index:
         seeds = rare_blocks.select(
             "term", "count", "doc_ids", "tfs", "doclens"
         ).mapInPandas(
-            _decode_and_score({rare: idf_by_term[rare]}, self.avgdl),
+            _decode_and_score({rare: idf_by_term[rare]}, rare_avgdl),
             schema=_CONTRIB_SCHEMA,
         )
-        if self.tombstones is not None:
-            # A tombstoned doc can't be in the final top-k, so its
-            # contribution must not raise θ — a θ above the true k-th
-            # LIVE total would over-prune.
-            seeds = seeds.join(
-                F.broadcast(self.tombstones.select("doc_id")),
-                "doc_id",
-                "left_anti",
-            )
+        # a tombstoned doc can't be in the final top-k, so its
+        # contribution must not raise θ (over-pruning)
+        seeds = self._drop_tombstones(seeds)
         rows = seeds.orderBy(F.desc("contrib")).limit(k).collect()
-        return float(rows[-1]["contrib"]) if rows and len(rows) >= k else 0.0
+        if not rows or len(rows) < k:
+            return 0.0
+        mult = multiplier.get(rare, 1.0) if multiplier else 1.0
+        return float(mult) * float(rows[-1]["contrib"])
 
     def _field_avgdl(self) -> Dict[str, float]:
         if self._field_avgdl_cache is not None:
@@ -465,9 +473,7 @@ class BM25Index:
         stats = self._query_stats(sorted(want))
         live = sorted(t for t in want if t in stats)
         if not live or k <= 0:
-            return self._empty() if join_docs else self.spark.createDataFrame(
-                [], "doc_id long, score double"
-            )
+            return self._empty_scored(join_docs)
         idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in live}
         avgdl_by_term = {t: avgdl_by_field[want[t]] for t in live}
         buckets = sorted({stats[t][2] for t in live})
@@ -488,8 +494,10 @@ class BM25Index:
                 )
                 for t in live
             }
-            theta = self._seed_theta_fields(
-                live, stats, idf_by_term, avgdl_by_term, want, boosts, k
+            theta = self._seed_theta(
+                live, stats, idf_by_term, k,
+                avgdl=avgdl_by_term,
+                multiplier={t: float(boosts[want[t]]) for t in live},
             )
             if theta > 0.0:
                 # per-term surviving threshold: boost_f*(bound + rest_f) >= θ
@@ -502,23 +510,10 @@ class BM25Index:
                     )
                     for t in live
                 }
-                idf_map = F.create_map(
-                    *[x for t in live for x in (F.lit(t), F.lit(idf_by_term[t]))]
-                )
-                avg_map = F.create_map(
-                    *[x for t in live for x in (F.lit(t), F.lit(avgdl_by_term[t]))]
-                )
-                thr_map = F.create_map(
-                    *[
-                        x
-                        for t in live
-                        for x in (
-                            F.lit(t),
-                            F.lit(
-                                theta / float(boosts[want[t]]) - rest[t]
-                            ),
-                        )
-                    ]
+                idf_map = _lit_map(idf_by_term)
+                avg_map = _lit_map(avgdl_by_term)
+                thr_map = _lit_map(
+                    {t: theta / float(boosts[want[t]]) - rest[t] for t in live}
                 )
                 bound = score_col(
                     F.col("max_tf").cast("double"),
@@ -537,9 +532,7 @@ class BM25Index:
         from search_engine_spark.index.builder import _field_of
 
         field_col = _field_of(F.col("term"))
-        boost_map = F.create_map(
-            *[x for f, b in boosts.items() for x in (F.lit(f), F.lit(float(b)))]
-        )
+        boost_map = _lit_map(boosts)
         per_field = (
             contribs.withColumn("field", field_col)
             .groupBy("doc_id", "field")
@@ -557,62 +550,11 @@ class BM25Index:
                 ).alias("score"),
             )
         )
-        if self.tombstones is not None:
-            scored = scored.join(
-                F.broadcast(self.tombstones.select("doc_id")),
-                "doc_id",
-                "left_anti",
-            )
+        scored = self._drop_tombstones(scored)
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk
         return self._join_docs(topk)
-
-    def _seed_theta_fields(
-        self,
-        live: List[str],
-        stats,
-        idf_by_term: Dict[str, float],
-        avgdl_by_term: Dict[str, float],
-        want: Dict[str, str],
-        boosts: Dict[str, float],
-        k: int,
-    ) -> float:
-        """θ for fielded WAND: the k-th best boosted single-term
-        contribution of the rarest sufficiently-large term — a valid
-        lower bound on the k-th best_fields total, since for any doc
-        total = max_f(boost_f·S_f) ≥ boost_f(t)·contrib_t."""
-        cands = [t for t in live if stats[t][0] > max(k, self.seed_min_df)]
-        if not cands:
-            return 0.0
-        rare = min(cands, key=lambda t: stats[t][0])
-        n_blocks = max(2, -(-k // 128) + 1)
-        rare_blocks = (
-            self.postings.filter(
-                (F.col("term_bucket") == stats[rare][2])
-                & (F.col("term") == rare)
-            )
-            .orderBy(F.desc("block_max_score"))
-            .limit(n_blocks)
-        )
-        seeds = rare_blocks.select(
-            "term", "count", "doc_ids", "tfs", "doclens"
-        ).mapInPandas(
-            _decode_and_score(
-                {rare: idf_by_term[rare]}, {rare: avgdl_by_term[rare]}
-            ),
-            schema=_CONTRIB_SCHEMA,
-        )
-        if self.tombstones is not None:
-            seeds = seeds.join(
-                F.broadcast(self.tombstones.select("doc_id")),
-                "doc_id",
-                "left_anti",
-            )
-        rows = seeds.orderBy(F.desc("contrib")).limit(k).collect()
-        if rows and len(rows) >= k:
-            return float(boosts[want[rare]]) * float(rows[-1]["contrib"])
-        return 0.0
 
     def search_many(
         self,
@@ -686,12 +628,7 @@ class BM25Index:
                 F.col("_nt") == F.col("n_terms")
             )
         per_doc = per_doc.drop("_nt", "n_terms")
-        if self.tombstones is not None:
-            per_doc = per_doc.join(
-                F.broadcast(self.tombstones.select("doc_id")),
-                "doc_id",
-                "left_anti",
-            )
+        per_doc = self._drop_tombstones(per_doc)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
