@@ -199,6 +199,26 @@ def parquet_rowcount(path: str) -> int:
     )
 
 
+def write_term_stats(df, path: str) -> None:
+    """Write term_stats range-partitioned + sorted by term.
+
+    The query engine's per-query stats lookup is
+    `term_stats.filter(term.isin(q_terms)).collect()`: at web scale the
+    vocabulary is billions of rows (unique junk tokens), so the lookup
+    must prune, not scan.  Range layout gives each file/row-group a
+    narrow, monotone [min,max] term span, which parquet's pushed In
+    filter skips on — same pattern as the docs table's doc_id layout.
+    (Hash output from the upstream groupBy spreads every term range
+    over every file, defeating min/max stats entirely.)
+    """
+    (
+        df.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 _CORPUS_PA = None
 
 
@@ -696,7 +716,7 @@ def build_index(
         # ONE aggregation pass: idf is constant within a term, so
         # max(score) = idf(df) * max(saturation) — df and max_score come
         # out of the same groupBy (no df-join + rescore second shuffle).
-        (
+        stats_df = (
             tf.groupBy("term")
             .agg(
                 F.count(F.lit(1)).alias("df"),
@@ -719,9 +739,8 @@ def build_index(
                 F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"),
             )
             .select("term", "df", "max_score", "term_bucket", "max_tf", "min_dl")
-            .write.mode("overwrite")
-            .parquet(paths.term_stats)
         )
+        write_term_stats(stats_df, paths.term_stats)
         man.mark_done("stats", 0, n_docs, int((time.time() - t0) * 1000))
 
     # ---- stage: posting blocks (bucket groups = resume unit) ---------------

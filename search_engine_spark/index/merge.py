@@ -85,6 +85,7 @@ from search_engine_spark.index.builder import (
     build_index,
     read_build_config,
     write_corpus_stats,
+    write_term_stats,
 )
 
 
@@ -412,7 +413,7 @@ def merge_pages(
             .select("term", "df", "max_score", "term_bucket", "max_tf", "min_dl")
         )
         ts_tmp = paths.term_stats + ".tmp"
-        merged_ts.write.mode("overwrite").parquet(ts_tmp)
+        write_term_stats(merged_ts, ts_tmp)
         _replace_dir(spark, ts_tmp, paths.term_stats)
 
         base_cs = spark.read.parquet(pre_cs).collect()[0]
