@@ -77,3 +77,45 @@ def test_search_many_single_shuffle_topk(idx):
     # per-query cut is a window, query fan-out join is broadcast
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _file_term_spans(stats_dir):
+    """Per-parquet-file [min,max] term span from footer statistics."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(os.path.join(stats_dir, "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        col = pf.schema_arrow.names.index("term")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    return sorted(spans)
+
+
+def test_term_stats_lookup_prunes(spark, idx):
+    # Layout: range-partitioned + sorted by term => each file covers a
+    # disjoint term span, so parquet min/max stats can skip files/row
+    # groups for an In(term, ...) lookup.  (At test scale Spark may
+    # coalesce to few files; the disjointness invariant is what must
+    # hold — at web scale it is what turns the per-query stats lookup
+    # from a vocabulary scan into an O(q_terms) probe.)
+    spans = _file_term_spans(idx.paths.term_stats)
+    assert spans, "no term_stats files"
+    for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo, f"term spans overlap: {a_hi!r} > {b_lo!r}"
+
+    # and the lookup predicate actually reaches the parquet scan
+    lookup = idx.term_stats.filter(F.col("term").isin(["python", "code"]))
+    plan = explain_str(lookup)
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2, "no PushedFilters in stats scan plan"
+    assert "term" in pushed[1][:200]
