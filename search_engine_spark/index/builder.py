@@ -54,7 +54,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark import schemas
-from search_engine_spark.index.codec import delta_encode, varint_encode
+from search_engine_spark.index.codec import (
+    delta_encode,
+    segmented_delta_encode,
+    varint_encode,
+)
 from search_engine_spark.index.scoring import idf_col, saturation_col, score_col
 from search_engine_spark.text.extract import (
     extract_tokenize_batches,
@@ -100,6 +104,10 @@ class IndexPaths:
     @property
     def postings(self) -> str:
         return os.path.join(self.root, "postings")
+
+    @property
+    def pos_postings(self) -> str:
+        return os.path.join(self.root, "pos_postings")
 
     @property
     def term_stats(self) -> str:
@@ -264,13 +272,18 @@ def _config_pa_schema():
                 ("num_buckets", pa.int32()),
                 ("block_size", pa.int32()),
                 ("index_fields", pa.bool_()),
+                ("index_positions", pa.bool_()),
             ]
         )
     return _CONFIG_PA
 
 
 def write_build_config(
-    path: str, num_buckets: int, block_size: int, index_fields: bool
+    path: str,
+    num_buckets: int,
+    block_size: int,
+    index_fields: bool,
+    index_positions: bool = False,
 ) -> None:
     """Persist the layout-defining build parameters next to the index.
     Incremental merges MUST reuse them — a delta built with a different
@@ -282,6 +295,7 @@ def write_build_config(
             "num_buckets": [num_buckets],
             "block_size": [block_size],
             "index_fields": [index_fields],
+            "index_positions": [index_positions],
         },
     )
 
@@ -296,6 +310,8 @@ def read_build_config(path: str) -> Optional[dict]:
             "num_buckets": int(row["num_buckets"]),
             "block_size": int(row["block_size"]),
             "index_fields": bool(row["index_fields"]),
+            # absent in configs written before positional support
+            "index_positions": bool(row.get("index_positions", False)),
         }
     except Exception:
         return None
@@ -444,6 +460,91 @@ def _pack_blocks(block_size: int, num_buckets: int):
     return pack
 
 
+def _pack_pos_blocks(block_size: int):
+    """mapInPandas generator factory for POSITIONAL blocks: sorted
+    (term, term_bucket, doc_id, dl, positions:list<long>) rows ->
+    POS_POSTINGS blocks (Lucene .prx analogue, schemas.POS_POSTINGS).
+
+    Same carry protocol as _pack_blocks: a term's run may span Arrow
+    batches, incomplete trailing runs carry over and flush at
+    end-of-partition.
+    """
+
+    cols = ["term", "term_bucket", "doc_id", "dl", "positions"]
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {k: [] for k in (
+                "term", "term_bucket", "first_doc_id", "last_doc_id",
+                "count", "doc_ids", "pos_counts", "positions", "doclens",
+            )}
+            terms = pdf["term"].to_numpy()
+            change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(terms)]))
+            ids_all = pdf["doc_id"].to_numpy(np.int64)
+            dl_all = pdf["dl"].to_numpy(np.int64)
+            bkt_all = pdf["term_bucket"].to_numpy(np.int32)
+            pos_all = pdf["positions"].to_numpy()
+            for s, e in zip(starts, ends):
+                term = terms[s]
+                bucket = int(bkt_all[s])
+                for b in range(s, e, block_size):
+                    be = min(b + block_size, e)
+                    ids = ids_all[b:be].astype(np.uint64)
+                    plists = [
+                        np.asarray(p, dtype=np.uint64) for p in pos_all[b:be]
+                    ]
+                    counts = np.array([len(p) for p in plists], dtype=np.int64)
+                    flat = (
+                        np.concatenate(plists)
+                        if plists
+                        else np.empty(0, dtype=np.uint64)
+                    )
+                    out["term"].append(term)
+                    out["term_bucket"].append(bucket)
+                    out["first_doc_id"].append(int(ids[0]))
+                    out["last_doc_id"].append(int(ids[-1]))
+                    out["count"].append(be - b)
+                    out["doc_ids"].append(delta_encode(ids))
+                    out["pos_counts"].append(
+                        varint_encode(counts.astype(np.uint64))
+                    )
+                    out["positions"].append(
+                        segmented_delta_encode(flat, counts)
+                    )
+                    out["doclens"].append(
+                        varint_encode(dl_all[b:be].astype(np.uint64))
+                    )
+            return pd.DataFrame(out).astype(
+                {
+                    "term_bucket": "int32",
+                    "first_doc_id": "int64",
+                    "last_doc_id": "int64",
+                    "count": "int32",
+                }
+            )
+
+        for pdf in batches:
+            pdf = pdf[cols]
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            last_term = pdf["term"].iloc[-1]
+            head = pdf[pdf["term"] != last_term]
+            carry = pdf[pdf["term"] == last_term].reset_index(drop=True)
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return pack
+
+
 def build_index(
     spark: SparkSession,
     pages: Optional[DataFrame],
@@ -459,6 +560,7 @@ def build_index(
     collect_metrics: bool = False,
     id_offset: int = 0,
     index_fields: bool = False,
+    index_positions: bool = False,
     rows_per_salt: int = ROWS_PER_SALT,
 ) -> IndexPaths:
     """Build the full inverted index under out_dir. Returns paths.
@@ -480,7 +582,8 @@ def build_index(
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
     if read_build_config(paths.build_config) is None:
         write_build_config(
-            paths.build_config, num_buckets, block_size, index_fields
+            paths.build_config, num_buckets, block_size, index_fields,
+            index_positions,
         )
 
     metrics_coll = None
@@ -813,6 +916,69 @@ def build_index(
             .parquet(paths.postings)
         )
         man.mark_done("blocks", g, -1, int((time.time() - t0) * 1000))
+
+    # ---- stage: positional blocks (optional; bucket groups = resume unit) --
+    # Phrase-query support (Lucene .prx analogue): per (term, doc) the
+    # sorted 0-based positions in the filtered token stream, re-packed
+    # into delta+varint blocks under the SAME (term_bucket, salt)
+    # shuffle/layout discipline as the score postings.  Content field
+    # only — phrase semantics on title/description are out of scope.
+    # Scale: the groupBy key is (doc_id, term) — no Zipf skew (doc_id
+    # spreads hot terms) — and collect_list sizes are bounded by doclen
+    # (≤50k-char extraction cap); the block shuffle reuses the df-scaled
+    # salting, so "the"-scale terms fan out exactly like score blocks.
+    if index_positions:
+        done_pos = man.done_keys("pos_blocks") if resume else set()
+        toks = spark.read.parquet(paths.tokens_stage)
+        pos_src = (
+            toks.select(
+                "doc_id",
+                F.col("doclen").alias("dl"),
+                F.posexplode("tokens").alias("pos", "term"),
+            )
+            .groupBy("doc_id", "term")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.col("pos").cast("long"))
+                ).alias("positions"),
+                F.first("dl").alias("dl"),
+            )
+            .join(stats, "term")
+            .select("term", "term_bucket", "doc_id", "dl", "positions", "df")
+        )
+        for g in range(bucket_groups):
+            if g in done_pos:
+                continue
+            t0 = time.time()
+            part = pos_src
+            if bucket_groups > 1:
+                part = pos_src.filter(
+                    F.pmod(F.col("term_bucket"), F.lit(bucket_groups)) == g
+                )
+            pblocks = (
+                part.withColumn(
+                    "salt",
+                    F.pmod(
+                        F.xxhash64("doc_id"),
+                        F.greatest(
+                            F.lit(1),
+                            F.ceil(F.col("df") / F.lit(rows_per_salt)),
+                        ).cast("long"),
+                    ).cast("int"),
+                )
+                .repartition(P, "term_bucket", "salt")
+                .sortWithinPartitions("term", "doc_id")
+                .drop("salt", "df")
+                .mapInPandas(
+                    _pack_pos_blocks(block_size), schema=schemas.POS_POSTINGS
+                )
+            )
+            (
+                pblocks.write.mode("append")
+                .partitionBy("term_bucket")
+                .parquet(paths.pos_postings)
+            )
+            man.mark_done("pos_blocks", g, -1, int((time.time() - t0) * 1000))
 
     if metrics_coll is not None:
         (

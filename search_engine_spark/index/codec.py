@@ -70,3 +70,50 @@ def delta_encode(sorted_ids: np.ndarray) -> bytes:
 def delta_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     gaps = varint_decode(buf, count)
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+def segmented_delta_encode(flat: np.ndarray, counts: np.ndarray) -> bytes:
+    """Gap-encode CONCATENATED sorted segments (each segment's first
+    value absolute) then varint the whole stream.
+
+    This is the positional-postings payload (Lucene .prx analogue): one
+    block stores each doc's sorted term positions back-to-back; `counts`
+    (positions per doc, varint-encoded alongside) delimits the segments
+    at decode time.  Vectorized: one subtract over the flat array with
+    the segment heads patched back to absolute values.
+    """
+    a = np.ascontiguousarray(flat, dtype=np.uint64)
+    c = np.asarray(counts, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    starts = np.zeros(len(c), dtype=np.int64)
+    np.cumsum(c[:-1], out=starts[1:])
+    starts = starts[c > 0]
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    gaps[starts] = a[starts]  # segment heads stay absolute
+    return varint_encode(gaps)
+
+
+def segmented_delta_decode(
+    buf: bytes, counts: np.ndarray, total: int | None = None
+) -> np.ndarray:
+    """Inverse of segmented_delta_encode: returns the flat concatenated
+    positions array; split with np.split(cumsum(counts)[:-1]) if per-doc
+    arrays are needed.  Segmented cumsum without a Python loop:
+    global-cumsum the gaps, then subtract each segment's preceding
+    prefix (standard reduceat trick)."""
+    c = np.asarray(counts, dtype=np.int64)
+    gaps = varint_decode(buf, total if total is not None else int(c.sum()))
+    if gaps.size == 0:
+        return gaps
+    starts = np.zeros(len(c), dtype=np.int64)
+    np.cumsum(c[:-1], out=starts[1:])
+    starts = starts[c > 0]
+    run = np.cumsum(gaps, dtype=np.uint64)
+    # value to subtract in each segment = run[start-1] (0 for first)
+    base = np.zeros(len(starts), dtype=np.uint64)
+    base[1:] = run[starts[1:] - 1]
+    seg_len = np.diff(np.append(starts, gaps.size))
+    return run - np.repeat(base, seg_len)

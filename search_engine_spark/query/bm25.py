@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -43,7 +44,11 @@ from pyspark.sql.types import (
 )
 
 from search_engine_spark.index.builder import IndexPaths
-from search_engine_spark.index.codec import varint_decode
+from search_engine_spark.index.codec import (
+    delta_decode,
+    segmented_delta_decode,
+    varint_decode,
+)
 from search_engine_spark.index.scoring import idf_py, score_col, score_np
 from search_engine_spark.text.tokenizer import tokenize_py
 
@@ -125,6 +130,74 @@ def _decode_and_score(
     return run
 
 
+_PHRASE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dl", LongType(), False),
+        StructField("starts", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def _decode_phrase_starts(offsets_by_term: Dict[str, List[int]]):
+    """mapInPandas body: positional blocks -> candidate phrase-start rows.
+
+    For a phrase t_0..t_{n-1}, doc d matches at start position p iff
+    p + i ∈ positions(t_i, d) for every pair (t_i, i).  Each (term,
+    offset) pair emits one row per doc carrying positions(t, d) - i
+    (negative values dropped — they cannot be starts; a doc whose
+    shifted list empties is dropped too, which the downstream
+    count == n_pairs filter turns into a correct non-match).  The
+    per-doc split/shift is pure numpy — no Python loop over positions.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: List[np.ndarray] = []
+            out_dls: List[np.ndarray] = []
+            out_starts: List[np.ndarray] = []
+            for term, n, ids_b, pc_b, pos_b, dls_b in zip(
+                pdf["term"], pdf["count"], pdf["doc_ids"],
+                pdf["pos_counts"], pdf["positions"], pdf["doclens"],
+            ):
+                offs = offsets_by_term.get(term)
+                if offs is None:
+                    continue
+                n = int(n)
+                ids = delta_decode(bytes(ids_b), n).astype(np.int64)
+                counts = varint_decode(bytes(pc_b), n).astype(np.int64)
+                flat = segmented_delta_decode(bytes(pos_b), counts).astype(
+                    np.int64
+                )
+                dls = varint_decode(bytes(dls_b), n).astype(np.int64)
+                seg_starts = np.cumsum(counts) - counts
+                for off in offs:
+                    shifted = flat - off
+                    keep = shifted >= 0
+                    kept_counts = np.add.reduceat(
+                        keep.astype(np.int64), seg_starts
+                    )
+                    sel = np.flatnonzero(kept_counts > 0)
+                    if not len(sel):
+                        continue
+                    segs = np.split(
+                        shifted[keep], np.cumsum(kept_counts)[:-1]
+                    )
+                    out_ids.append(ids[sel])
+                    out_dls.append(dls[sel])
+                    out_starts.extend(segs[j] for j in sel)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_ids),
+                        "dl": np.concatenate(out_dls),
+                        "starts": pd.Series(out_starts, dtype=object),
+                    }
+                )
+
+    return run
+
+
 class BM25Index:
     """Query-side handle on an index built by index.builder.build_index."""
 
@@ -172,6 +245,7 @@ class BM25Index:
         # vocabulary actually seen, not the corpus vocabulary.
         self._stats_memo: Dict[str, Optional[Tuple[int, Optional[float], int, int, int]]] = {}
         self._field_avgdl_cache: Optional[Dict[str, float]] = None
+        self._pos_cache: Optional[DataFrame] = None
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -547,6 +621,111 @@ class BM25Index:
                 (
                     F.col("best")
                     + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+                ).alias("score"),
+            )
+        )
+        scored = self._drop_tombstones(scored)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
+
+    def _pos_postings(self) -> DataFrame:
+        if self._pos_cache is None:
+            from search_engine_spark import schemas
+            from search_engine_spark.index.merge import _fs_exists
+
+            if not _fs_exists(self.spark, self.paths.pos_postings):
+                raise ValueError(
+                    "index was not built with index_positions=True — "
+                    "phrase search needs positional postings"
+                )
+            self._pos_cache = self.spark.read.schema(
+                schemas.POS_POSTINGS
+            ).parquet(self.paths.pos_postings)
+        return self._pos_cache
+
+    def search_phrase(
+        self, query: str, k: int = 10, join_docs: bool = True
+    ) -> DataFrame:
+        """Exact-phrase top-k over the positional postings (Lucene
+        PhraseQuery / ES match_phrase analogue).  The reference PARSES
+        quoted phrases (tfidf.py:589-626, F17) but never executes them
+        — this makes the parsed phrase operator real.
+
+        Semantics: the phrase's tokens (canonical tokenizer — stopwords
+        removed, stemmed) must occupy consecutive positions in the
+        doc's filtered token stream, i.e. adjacency-after-stopword-
+        removal, matching how positions were assigned at build time
+        (schemas.POS_POSTINGS).  A phrase containing any unindexed term
+        matches nothing (conjunctive).  Scoring follows Lucene's
+        PhraseQuery shape: the phrase acts as a pseudo-term with
+        tf = occurrence count and idf = Σ idf over the phrase's
+        DISTINCT terms; score = BM25(ptf, dl, idf_sum, avgdl).
+
+        Plan shape (scale notes): the positional scan prunes to the
+        query terms' term_bucket partitions + term predicate pushdown
+        exactly like the score-posting scan; the Arrow decoder emits
+        one row per (term-offset pair, matching doc) carrying that
+        doc's SHIFTED position list, so the only shuffle is the
+        groupBy(doc_id) whose width is bounded by the RAREST term's df
+        after the count == n_pairs conjunctive cut; the n-way position
+        intersection (ptf) runs as native array_intersect inside
+        whole-stage codegen, not Python.
+        """
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        toks = tokenize_py(query)
+        if not toks:
+            return self._empty_scored(join_docs)
+        offs: Dict[str, List[int]] = {}
+        for i, t in enumerate(toks):
+            offs.setdefault(t, []).append(i)
+        terms = sorted(offs)
+        stats = self._query_stats(terms)
+        if any(t not in stats for t in terms):
+            return self._empty_scored(join_docs)
+        idf_sum = sum(idf_py(self.n_docs, stats[t][0]) for t in terms)
+        buckets = sorted({stats[t][2] for t in terms})
+        n_pairs = len(toks)
+
+        blocks = self._pos_postings().filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        cand = blocks.select(
+            "term", "count", "doc_ids", "pos_counts", "positions", "doclens"
+        ).mapInPandas(_decode_phrase_starts(offs), schema=_PHRASE_SCHEMA)
+        # Conjunctive cut: each (term, offset) pair contributes exactly
+        # one row per doc (a (term, doc) lives in exactly one block run
+        # — tf is pre-aggregated and the salt splits by doc hash), so a
+        # doc survives iff all n_pairs shifted lists are non-empty.
+        grouped = (
+            cand.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("_np"),
+                F.first("dl").alias("dl"),
+                F.collect_list("starts").alias("_arrs"),
+            )
+            .filter(F.col("_np") == n_pairs)
+        )
+        if n_pairs > 1:
+            inter = F.aggregate(
+                F.slice("_arrs", 2, n_pairs - 1),
+                F.element_at("_arrs", 1),
+                lambda acc, x: F.array_intersect(acc, x),
+            )
+        else:
+            inter = F.element_at("_arrs", 1)
+        scored = (
+            grouped.withColumn("_ptf", F.size(inter))
+            .filter(F.col("_ptf") > 0)
+            .select(
+                "doc_id",
+                score_col(
+                    F.col("_ptf").cast("double"),
+                    F.col("dl").cast("double"),
+                    F.lit(float(idf_sum)),
+                    self.avgdl,
                 ).alias("score"),
             )
         )

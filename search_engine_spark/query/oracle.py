@@ -77,6 +77,38 @@ class BM25Oracle:
         return scored[:k]
 
 
+class PhraseOracle(BM25Oracle):
+    """Exact-phrase BM25 ground truth (Lucene PhraseQuery shape; the
+    reference parses quoted phrases at tfidf.py:589-626 but never
+    executes them).  A doc matches iff its filtered token stream holds
+    the phrase's tokens at consecutive positions; tf = occurrence
+    count, idf = Σ idf over the phrase's distinct terms,
+    score = BM25(ptf, dl, idf_sum, avgdl)."""
+
+    def topk_phrase(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        toks = tokenize_py(query)
+        if not toks or any(self.df.get(t, 0) == 0 for t in set(toks)):
+            return []
+        idf_sum = sum(self.idf(t) for t in set(toks))
+        n = len(toks)
+        out = []
+        for d, dtoks in self.docs.items():
+            ptf = sum(
+                1
+                for i in range(len(dtoks) - n + 1)
+                if dtoks[i : i + n] == toks
+            )
+            if ptf == 0:
+                continue
+            dl = self.doclen[d]
+            s = idf_sum * (ptf * (K1 + 1.0)) / (
+                ptf + K1 * (1.0 - B + B * dl / self.avgdl)
+            )
+            out.append((d, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+
 class TFIDFOracle:
     """Reference TF-IDF semantics (tfidf.py:167-572): log TF
     (1 + log10(count)), smooth IDF (log10((N+1)/(df+1))), score =

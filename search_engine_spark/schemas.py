@@ -66,6 +66,29 @@ POSTINGS = StructType(
     ]
 )
 
+# Positional posting blocks (Lucene .prx analogue; built only when
+# build_index(index_positions=True)).  Positions are 0-based offsets in
+# the FILTERED token stream (stopwords removed, stemmed) — the same
+# stream tokens_stage stores — so phrase adjacency means "adjacent after
+# stopword removal", like Lucene's StopFilter without position
+# increments.  Payload layout per block: doc_ids delta+varint,
+# pos_counts varint (positions per doc), positions = concatenated
+# per-doc sorted position lists, segmented-delta+varint; doclens varint
+# for join-free phrase BM25 scoring.
+POS_POSTINGS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("term_bucket", IntegerType(), False),
+        StructField("first_doc_id", LongType(), False),
+        StructField("last_doc_id", LongType(), False),
+        StructField("count", IntegerType(), False),  # docs in block
+        StructField("doc_ids", BinaryType(), False),
+        StructField("pos_counts", BinaryType(), False),
+        StructField("positions", BinaryType(), False),
+        StructField("doclens", BinaryType(), False),
+    ]
+)
+
 # Per-term statistics (broadcast at query time).
 TERM_STATS = StructType(
     [

@@ -1,0 +1,163 @@
+"""Positional index + exact-phrase search vs the pure-Python oracle.
+
+Phrase queries are derived FROM the corpus token streams (guaranteed
+hits) plus fixed negative cases; the engine must be rank-identical to
+PhraseOracle (tie-break score desc, doc_id asc; scores to 1e-9).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.index.builder import IndexPaths, build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.query.oracle import PhraseOracle
+from search_engine_spark.synth import synth_pages
+from search_engine_spark.text.tokenizer import tokenize_py
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("posindex"))
+    pages = synth_pages(spark, N_PAGES, num_partitions=4)
+    paths = build_index(
+        spark,
+        pages,
+        root,
+        num_buckets=16,
+        block_size=32,
+        num_partitions=8,
+        index_positions=True,
+    )
+    docs = spark.read.parquet(paths.docs).select("doc_id", "url").collect()
+    id_by_url = {r["url"]: r["doc_id"] for r in docs}
+    texts = pages.select("url", "text").collect()
+    oracle_docs = {id_by_url[r["url"]]: tokenize_py(r["text"]) for r in texts}
+    raw_by_id = {id_by_url[r["url"]]: r["text"] for r in texts}
+    idx = BM25Index(spark, root, seed_min_df=0)
+    return paths, PhraseOracle(oracle_docs), idx, raw_by_id
+
+
+def _phrases(raw_by_id):
+    """Phrases lifted from RAW text word spans + fixed negatives.
+
+    A raw span's tokenization is a contiguous subsequence of the doc's
+    filtered token stream (stopword filtering is per-token), and both
+    the engine and the oracle tokenize the query string the same way —
+    so span-derived phrases are guaranteed hits without assuming Porter
+    idempotence (it is NOT idempotent: respons -> respon)."""
+    out = []
+    for d in sorted(raw_by_id)[:6]:
+        words = raw_by_id[d].split()
+        if len(words) >= 12:
+            for sl in (slice(3, 6), slice(6, 10), slice(4, 5)):
+                span = " ".join(words[sl])
+                if tokenize_py(span):
+                    out.append(span)
+    out += [
+        "zzzznotaterm anything",  # unknown term -> empty
+        "the and is",             # stopword-only -> empty
+    ]
+    # dedupe, keep order
+    seen = set()
+    return [p for p in out if not (p in seen or seen.add(p))]
+
+
+class TestPosBlocks:
+    def test_block_invariants(self, spark, corpus):
+        paths, _, _, _ = corpus
+        blocks = spark.read.parquet(paths.pos_postings)
+        assert blocks.count() > 0
+        assert blocks.filter(F.col("first_doc_id") > F.col("last_doc_id")).count() == 0
+        assert blocks.filter(F.col("count") < 1).count() == 0
+        # positional df per term == score-posting df per term
+        score_df = (
+            spark.read.parquet(paths.postings)
+            .groupBy("term").agg(F.sum("count").alias("n"))
+        )
+        pos_df = blocks.groupBy("term").agg(F.sum("count").alias("np"))
+        joined = score_df.join(pos_df, "term", "full")
+        assert joined.filter(
+            F.col("n").isNull() | F.col("np").isNull() | (F.col("n") != F.col("np"))
+        ).count() == 0
+
+    def test_positions_decode_to_doclen_bounded(self, spark, corpus):
+        paths, oracle, _, _ = corpus
+        import numpy as np
+
+        from search_engine_spark.index.codec import (
+            delta_decode,
+            segmented_delta_decode,
+            varint_decode,
+        )
+
+        rows = spark.read.parquet(paths.pos_postings).limit(50).collect()
+        for r in rows:
+            n = int(r["count"])
+            ids = delta_decode(bytes(r["doc_ids"]), n)
+            counts = varint_decode(bytes(r["pos_counts"]), n).astype(np.int64)
+            flat = segmented_delta_decode(bytes(r["positions"]), counts)
+            dls = varint_decode(bytes(r["doclens"]), n).astype(np.int64)
+            assert len(ids) == n
+            segs = np.split(flat, np.cumsum(counts)[:-1])
+            for did, seg, cnt, dl in zip(ids, segs, counts, dls):
+                toks = oracle.docs[int(did)]
+                assert dl == len(toks)
+                assert len(seg) == cnt >= 1
+                assert (np.diff(seg.astype(np.int64)) > 0).all()
+                # positions are the term's actual offsets in the stream
+                term = r["term"]
+                assert [toks[int(p)] for p in seg] == [term] * int(cnt)
+
+
+class TestPhraseRankIdentity:
+    def test_matches_oracle(self, spark, corpus):
+        _, oracle, idx, raw = corpus
+        phrases = _phrases(raw)
+        assert len(phrases) > 8
+        for q in phrases:
+            expected = oracle.topk_phrase(q, k=10)
+            got = [
+                (r["doc_id"], r["score"])
+                for r in idx.search_phrase(q, k=10, join_docs=False).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in expected], q
+            for (_, a), (_, b) in zip(got, expected):
+                assert abs(a - b) < 1e-9, q
+
+    def test_phrase_stricter_than_and(self, spark, corpus):
+        """Every phrase match must also be a conjunctive match."""
+        _, oracle, idx, raw = corpus
+        q = _phrases(raw)[1]  # a longer span
+        ph = {r["doc_id"] for r in idx.search_phrase(q, k=100, join_docs=False).collect()}
+        an = {r["doc_id"] for r in idx.search(q, k=100, mode="and", join_docs=False).collect()}
+        assert ph and ph <= an
+
+    def test_join_docs(self, spark, corpus):
+        _, oracle, idx, raw = corpus
+        q = _phrases(raw)[0]
+        rows = idx.search_phrase(q, k=3).collect()
+        assert rows and set(rows[0].asDict()) == {"doc_id", "score", "url", "title"}
+
+    def test_empty_and_guard(self, spark, corpus, tmp_path):
+        _, _, idx, _ = corpus
+        assert idx.search_phrase("", k=5, join_docs=False).count() == 0
+        assert idx.search_phrase("xy zq", k=0, join_docs=False).count() == 0
+        # index without positions refuses phrase search loudly
+        pages = synth_pages(spark, 20, num_partitions=2)
+        root = str(tmp_path / "nopos")
+        build_index(spark, pages, root, num_buckets=4, block_size=16,
+                    num_partitions=2)
+        bare = BM25Index(spark, root)
+        # pick an indexed term that re-tokenizes to itself (Porter is
+        # not idempotent) so the guard — not the early missing-term
+        # empty return — is what fires
+        terms = [
+            r["term"]
+            for r in spark.read.parquet(IndexPaths(root).term_stats)
+            .select("term").collect()
+        ]
+        term = next(t for t in terms if tokenize_py(t) == [t])
+        with pytest.raises(ValueError, match="positions"):
+            bare.search_phrase(term, join_docs=False)
