@@ -200,6 +200,7 @@ def _resolve_config(
     num_buckets: Optional[int],
     block_size: Optional[int],
     index_fields: Optional[bool],
+    index_positions: Optional[bool] = None,
 ):
     """Resolve build parameters from the index's persisted build_config.
 
@@ -221,11 +222,15 @@ def _resolve_config(
             bool(index_fields)
             if index_fields is not None
             else _fs_exists(spark, paths.field_stats),
+            bool(index_positions)
+            if index_positions is not None
+            else _fs_exists(spark, paths.pos_postings),
         )
     for name, given, stored in (
         ("num_buckets", num_buckets, cfg["num_buckets"]),
         ("block_size", block_size, cfg["block_size"]),
         ("index_fields", index_fields, cfg["index_fields"]),
+        ("index_positions", index_positions, cfg["index_positions"]),
     ):
         if given is not None and given != stored:
             raise ValueError(
@@ -233,7 +238,12 @@ def _resolve_config(
                 f"({name}={stored}); a mismatched merge would silently "
                 f"lose search results"
             )
-    return cfg["num_buckets"], cfg["block_size"], cfg["index_fields"]
+    return (
+        cfg["num_buckets"],
+        cfg["block_size"],
+        cfg["index_fields"],
+        cfg["index_positions"],
+    )
 
 
 def merge_pages(
@@ -246,6 +256,7 @@ def merge_pages(
     run_extraction: bool = True,
     build_id: Optional[str] = None,
     index_fields: Optional[bool] = None,
+    index_positions: Optional[bool] = None,
 ) -> MergeResult:
     """Upsert a batch of pages into an existing index (A9/A10/A11).
 
@@ -265,8 +276,8 @@ def merge_pages(
     paths = IndexPaths(index_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
     man = _Manifest(spark, paths, build_id)
-    num_buckets, block_size, index_fields = _resolve_config(
-        spark, paths, num_buckets, block_size, index_fields
+    num_buckets, block_size, index_fields, index_positions = _resolve_config(
+        spark, paths, num_buckets, block_size, index_fields, index_positions
     )
 
     def step_state(step: str) -> Optional[str]:
@@ -333,6 +344,7 @@ def merge_pages(
         run_extraction=run_extraction,
         id_offset=next_id,
         index_fields=index_fields,
+        index_positions=index_positions,
     )
     delta_docs = spark.read.schema(schemas.DOCS).parquet(delta.docs)
     n_new = delta_docs.count()
@@ -372,6 +384,17 @@ def merge_pages(
             .parquet(paths.postings)
         )
         man.mark_done("merge_postings", 0, -1, 0, fingerprint=build_id)
+    # positional blocks splice the same way — without it a merged index
+    # would silently return phrase results missing every delta doc
+    if index_positions and step_state("pos_postings") != "done":
+        guard_partial("pos_postings")
+        man.mark("merge_pos_postings", status="start", fingerprint=build_id)
+        (
+            spark.read.schema(schemas.POS_POSTINGS).parquet(delta.pos_postings)
+            .write.mode("append").partitionBy("term_bucket")
+            .parquet(paths.pos_postings)
+        )
+        man.mark_done("merge_pos_postings", 0, -1, 0, fingerprint=build_id)
     if step_state("docs") != "done":
         guard_partial("docs")
         man.mark("merge_docs", status="start", fingerprint=build_id)
@@ -488,7 +511,7 @@ def compact_index(
     dst = IndexPaths(out_dir)
     build_id = uuid.uuid4().hex[:12]
     man = _Manifest(spark, dst, build_id)
-    num_buckets, block_size, index_fields = _resolve_config(
+    num_buckets, block_size, index_fields, index_positions = _resolve_config(
         spark, src, num_buckets, block_size, None
     )
 
@@ -513,6 +536,19 @@ def compact_index(
         .parquet(dst.docs)
     )
     n_live = spark.read.parquet(dst.docs).count()
+    if index_positions:
+        # the positional stage re-derives positions from the tokens
+        # stage (tf rows don't carry them) — union the base's and every
+        # delta's token streams, drop tombstoned docs
+        tok_parts = [src.tokens_stage] + [
+            IndexPaths(d).tokens_stage for d in delta_roots(spark, src)
+        ]
+        toks = spark.read.parquet(*tok_parts)
+        if tomb is not None:
+            toks = toks.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            )
+        toks.write.mode("overwrite").parquet(dst.tokens_stage)
     man.mark_done("docs", 0, n_live, 0, fingerprint="compact:" + index_dir)
     man.mark_done("tf", 0, -1, 0)
 
@@ -529,4 +565,5 @@ def compact_index(
         # the compacted tf table already carries namespaced field terms;
         # this just re-derives exact field_stats for the live corpus
         index_fields=index_fields,
+        index_positions=index_positions,
     )

@@ -140,6 +140,60 @@ class TestPhraseRankIdentity:
         rows = idx.search_phrase(q, k=3).collect()
         assert rows and set(rows[0].asDict()) == {"doc_id", "score", "url", "title"}
 
+    def test_merge_splices_positions_and_compact_is_fresh_equivalent(
+        self, spark, tmp_path
+    ):
+        """A merged index must find phrases in DELTA docs (the splice);
+        after compaction phrase ranking equals a from-scratch build."""
+        from search_engine_spark.index.merge import (
+            compact_index,
+            merge_pages,
+            read_tombstones,
+        )
+
+        all_pages = synth_pages(spark, 160, num_partitions=4)
+        ordinal = F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+        base = all_pages.filter(ordinal < 120)
+        batch = all_pages.filter(ordinal >= 80)  # recrawl 80-119, add 120-159
+        root = str(tmp_path / "mergepos")
+        build_index(
+            spark, base, root, num_buckets=8, block_size=16,
+            num_partitions=4, index_positions=True,
+        )
+        merge_pages(spark, root, batch, num_partitions=4)
+        idx = BM25Index(spark, root, seed_min_df=0)
+
+        # phrase lifted from a delta-only page's raw text
+        delta_row = all_pages.filter(ordinal == 150).select("url", "text").first()
+        q = " ".join(delta_row["text"].split()[4:7])
+        got = idx.search_phrase(q, k=20).collect()
+        assert delta_row["url"] in {r["url"] for r in got}
+        tomb_ids = {
+            r["doc_id"] for r in read_tombstones(spark, idx.paths).collect()
+        }
+        assert not ({r["doc_id"] for r in got} & tomb_ids)
+
+        # compacted == fresh rebuild over the live corpus (url + score)
+        croot = str(tmp_path / "compactpos")
+        compact_index(spark, root, croot, num_partitions=4)
+        froot = str(tmp_path / "freshpos")
+        build_index(
+            spark, all_pages, froot, num_buckets=8, block_size=16,
+            num_partitions=4, index_positions=True,
+        )
+        cidx = BM25Index(spark, croot, seed_min_df=0)
+        fidx = BM25Index(spark, froot, seed_min_df=0)
+        for query in (q, " ".join(delta_row["text"].split()[2:4])):
+            a = [
+                (r["url"], round(r["score"], 9))
+                for r in cidx.search_phrase(query, k=15).collect()
+            ]
+            b = [
+                (r["url"], round(r["score"], 9))
+                for r in fidx.search_phrase(query, k=15).collect()
+            ]
+            assert a == b and a
+
     def test_empty_and_guard(self, spark, corpus, tmp_path):
         _, _, idx, _ = corpus
         assert idx.search_phrase("", k=5, join_docs=False).count() == 0
