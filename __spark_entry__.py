@@ -1379,6 +1379,85 @@ SELECT o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
   FROM orders) WHERE rn > 10 AND rn <= 20"""
 
 
+# ---- exact-phrase BM25 (query/bm25.py:search_phrase shape) ----------------
+# The reference PARSES quoted phrases (tfidf.py:589-626) but never
+# executes them; the engine does (positional postings, index/builder.py
+# pos_blocks stage).  Contract mirror over unstemmed SQL-parity tokens:
+# adjacency on the filtered token stream, tf = phrase occurrences,
+# idf = Σ idf over the phrase's distinct terms (Lucene PhraseQuery).
+
+PHRASE_TOKENS = ["filter", "merge", "data"]
+
+
+def _q_phrase_bm25_topk(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    npair = len(PHRASE_TOKENS)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("p", "term"),
+    )
+    pairs = None
+    for j, t in enumerate(PHRASE_TOKENS):
+        fr = pos.filter(F.col("term") == t).select(
+            "doc_id", "dl", (F.col("p") - j).alias("s"), F.lit(j).alias("j")
+        )
+        pairs = fr if pairs is None else pairs.unionByName(fr)
+    # a start position survives iff all npair shifted pair-streams hit it
+    ptf = (
+        pairs.filter(F.col("s") >= 0)
+        .groupBy("doc_id", "dl", "s")
+        .agg(F.count(F.lit(1)).alias("nj"))
+        .filter(F.col("nj") == npair)
+        .groupBy("doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("ptf"))
+    )
+    dfs = (
+        pos.filter(F.col("term").isin(sorted(set(PHRASE_TOKENS))))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf_sum = float(
+        dfs.agg(
+            F.sum(
+                F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+        ).collect()[0][0]
+        or 0.0
+    )
+    score = F.lit(idf_sum) * (F.col("ptf") * (K1 + 1.0)) / (
+        F.col("ptf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        ptf.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_PHRASE_CONDS = " AND ".join(
+    f"l[i+{j}] = '{t}'" for j, t in enumerate(PHRASE_TOKENS)
+)
+_PHRASE_TERMS_SQL = ", ".join(f"'{t}'" for t in sorted(set(PHRASE_TOKENS)))
+_SQL_PHRASE_BM25 = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+ix AS (SELECT doc_id, len(l) AS dl, l,
+              unnest(range(1, len(l) - {len(PHRASE_TOKENS)} + 2)) AS i
+       FROM tok),
+pt AS (SELECT doc_id, dl, count(*) AS ptf FROM ix
+       WHERE {_PHRASE_CONDS} GROUP BY doc_id, dl),
+dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+        FROM tok, unnest(l) AS u(t) WHERE t IN ({_PHRASE_TERMS_SQL})
+        GROUP BY t),
+i2 AS (SELECT sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) AS idf_sum
+       FROM dfs, n)
+SELECT doc_id,
+       round(idf_sum * (ptf * {K1 + 1.0})
+             / (ptf + {K1} * (1.0 - {B} + {B} * dl / avgdl)), 6) AS score
+FROM pt, i2, n ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1392,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
+        "phrase_bm25_topk": _q_phrase_bm25_topk,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
         "tfidf_topk": _q_tfidf_topk,
@@ -1447,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _SQL_CORPUS,
         "bm25_topk": _SQL_BM25,
         "bm25_topk_and": _SQL_BM25_AND,
+        "phrase_bm25_topk": _SQL_PHRASE_BM25,
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "tfidf_topk": _SQL_TFIDF,

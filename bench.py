@@ -237,8 +237,9 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     ops = ["bm25_topk", "multifield_bm25_topk", "batch_bm25_topk",
-           "minhash_signature", "simhash48", "embedding_cosine_topk",
-           "ivf_ann_topk", "pricing_summary", "window_rank_orders"]
+           "phrase_bm25_topk", "minhash_signature", "simhash48",
+           "embedding_cosine_topk", "ivf_ann_topk", "pricing_summary",
+           "window_rank_orders"]
     qmap = entrymod.queries()
     for name in ops:
         t0 = time.time()
