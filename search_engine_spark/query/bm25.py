@@ -139,7 +139,10 @@ _PHRASE_SCHEMA = StructType(
 )
 
 
-def _decode_phrase_starts(offsets_by_term: Dict[str, List[int]]):
+def _decode_phrase_starts(
+    offsets_by_term: Dict[str, List[int]],
+    cand: Optional[np.ndarray] = None,
+):
     """mapInPandas body: positional blocks -> candidate phrase-start rows.
 
     For a phrase t_0..t_{n-1}, doc d matches at start position p iff
@@ -149,6 +152,12 @@ def _decode_phrase_starts(offsets_by_term: Dict[str, List[int]]):
     shifted list empties is dropped too, which the downstream
     count == n_pairs filter turns into a correct non-match).  The
     per-doc split/shift is pure numpy — no Python loop over positions.
+
+    cand: optional SORTED doc_id array (docs containing the phrase's
+    rarest term — an exact superset of all matches).  Blocks whose
+    doc_ids miss it entirely skip position decoding; surviving blocks
+    emit only candidate docs, so the shuffle is bounded by the rarest
+    term's df instead of the Zipf-head term's.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,6 +174,12 @@ def _decode_phrase_starts(offsets_by_term: Dict[str, List[int]]):
                     continue
                 n = int(n)
                 ids = delta_decode(bytes(ids_b), n).astype(np.int64)
+                if cand is not None:
+                    cand_mask = np.isin(ids, cand, assume_unique=True)
+                    if not cand_mask.any():
+                        continue
+                else:
+                    cand_mask = None
                 counts = varint_decode(bytes(pc_b), n).astype(np.int64)
                 flat = segmented_delta_decode(bytes(pos_b), counts).astype(
                     np.int64
@@ -177,7 +192,10 @@ def _decode_phrase_starts(offsets_by_term: Dict[str, List[int]]):
                     kept_counts = np.add.reduceat(
                         keep.astype(np.int64), seg_starts
                     )
-                    sel = np.flatnonzero(kept_counts > 0)
+                    doc_ok = kept_counts > 0
+                    if cand_mask is not None:
+                        doc_ok &= cand_mask
+                    sel = np.flatnonzero(doc_ok)
                     if not len(sel):
                         continue
                     segs = np.split(
@@ -194,6 +212,22 @@ def _decode_phrase_starts(offsets_by_term: Dict[str, List[int]]):
                         "starts": pd.Series(out_starts, dtype=object),
                     }
                 )
+
+    return run
+
+
+def _decode_doc_ids():
+    """mapInPandas body: score-posting blocks -> bare doc_id rows (the
+    phrase candidate pre-pass — ids only, tfs/doclens never decoded)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                delta_decode(bytes(ids_b), int(n)).astype(np.int64)
+                for n, ids_b in zip(pdf["count"], pdf["doc_ids"])
+            ]
+            if out:
+                yield pd.DataFrame({"doc_id": np.concatenate(out)})
 
     return run
 
@@ -246,6 +280,17 @@ class BM25Index:
         self._stats_memo: Dict[str, Optional[Tuple[int, Optional[float], int, int, int]]] = {}
         self._field_avgdl_cache: Optional[Dict[str, float]] = None
         self._pos_cache: Optional[DataFrame] = None
+        # Phrase candidate gate: when a multi-term phrase's rarest term
+        # has df ≤ phrase_cand_max_df AND the commonest term is at least
+        # phrase_cand_ratio× more frequent, a cheap pre-pass collects
+        # the rarest term's doc ids (from the SCORE postings — smaller
+        # payload, same doc sets) and the positional decode intersects
+        # against them, bounding decode+shuffle by the rarest df rather
+        # than the Zipf-head term's.  Below the ratio the pre-pass job
+        # costs more than it prunes; above the max df the collected id
+        # set stops being "tiny driver-side state".
+        self.phrase_cand_max_df = 1_000_000
+        self.phrase_cand_ratio = 8.0
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -645,6 +690,40 @@ class BM25Index:
             ).parquet(self.paths.pos_postings)
         return self._pos_cache
 
+    def _phrase_candidates(
+        self,
+        terms: List[str],
+        stats: Dict[str, Tuple[int, float, int, int, int]],
+    ) -> Optional[np.ndarray]:
+        """Collect the rarest phrase term's doc ids when df skew makes
+        the pre-pass pay (see phrase_cand_* in __init__); returns a
+        sorted unique int64 array, or None when the gate is off.
+
+        Reads the SCORE postings (no positions payload) pruned to one
+        term's bucket — a single tiny job whose output is bounded by
+        phrase_cand_max_df ids.  An empty array is a proof of zero
+        matches (conjunctive semantics), short-circuited by the caller.
+        """
+        if len(terms) < 2:
+            return None
+        dfs = {t: stats[t][0] for t in terms}
+        rare = min(terms, key=lambda t: (dfs[t], t))
+        lo, hi = dfs[rare], max(dfs.values())
+        if lo > self.phrase_cand_max_df or hi < self.phrase_cand_ratio * lo:
+            return None
+        pdf = (
+            self.postings.filter(
+                (F.col("term_bucket") == stats[rare][2])
+                & (F.col("term") == rare)
+            )
+            .select("count", "doc_ids")
+            .mapInPandas(_decode_doc_ids(), schema="doc_id long")
+            .toPandas()
+        )
+        if pdf.empty:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(pdf["doc_id"].to_numpy(np.int64))
+
     def search_phrase(
         self, query: str, k: int = 10, join_docs: bool = True
     ) -> DataFrame:
@@ -689,12 +768,16 @@ class BM25Index:
         buckets = sorted({stats[t][2] for t in terms})
         n_pairs = len(toks)
 
+        cand_ids = self._phrase_candidates(terms, stats)
+        if cand_ids is not None and not len(cand_ids):
+            return self._empty_scored(join_docs)
+
         blocks = self._pos_postings().filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
         cand = blocks.select(
             "term", "count", "doc_ids", "pos_counts", "positions", "doclens"
-        ).mapInPandas(_decode_phrase_starts(offs), schema=_PHRASE_SCHEMA)
+        ).mapInPandas(_decode_phrase_starts(offs, cand_ids), schema=_PHRASE_SCHEMA)
         # Conjunctive cut: each (term, offset) pair contributes exactly
         # one row per doc (a (term, doc) lives in exactly one block run
         # — tf is pre-aggregated and the salt splits by doc hash), so a

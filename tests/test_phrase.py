@@ -194,6 +194,38 @@ class TestPhraseRankIdentity:
             ]
             assert a == b and a
 
+    def test_candidate_gate_rank_identical(self, spark, corpus):
+        """Forcing the rarest-term candidate pre-pass ON must not change
+        any ranking — it is a pure superset filter."""
+        _, oracle, idx, raw = corpus
+        phrases = [p for p in _phrases(raw) if len(set(tokenize_py(p))) >= 2]
+        assert phrases
+        old = (idx.phrase_cand_max_df, idx.phrase_cand_ratio)
+        try:
+            for q in phrases:
+                idx.phrase_cand_max_df, idx.phrase_cand_ratio = 0, 1.0
+                base = [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in idx.search_phrase(q, k=20, join_docs=False).collect()
+                ]
+                idx.phrase_cand_max_df = 10**9  # any df qualifies
+                stats = idx._query_stats(sorted(set(tokenize_py(q))))
+                dfs = sorted(s[0] for s in stats.values())
+                gated = idx._phrase_candidates(sorted(stats), stats)
+                if dfs and dfs[-1] >= idx.phrase_cand_ratio * dfs[0]:
+                    assert gated is not None and len(gated) == dfs[0]
+                got = [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in idx.search_phrase(q, k=20, join_docs=False).collect()
+                ]
+                assert got == base, q
+                exp = [
+                    (d, round(s, 9)) for d, s in oracle.topk_phrase(q, k=20)
+                ]
+                assert got == exp, q
+        finally:
+            idx.phrase_cand_max_df, idx.phrase_cand_ratio = old
+
     def test_empty_and_guard(self, spark, corpus, tmp_path):
         _, _, idx, _ = corpus
         assert idx.search_phrase("", k=5, join_docs=False).count() == 0
