@@ -1386,7 +1386,8 @@ SELECT o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
 # adjacency on the filtered token stream, tf = phrase occurrences,
 # idf = Σ idf over the phrase's distinct terms (Lucene PhraseQuery).
 
-PHRASE_TOKENS = ["filter", "merge", "data"]
+PHRASE_TOKENS = ["agg", "hash", "window"]  # contiguous in sf0.01 docs —
+# the exact-phrase entry must exercise real matches, not a 0-row tie
 
 
 def _q_phrase_bm25_topk(spark, sf_dir):
@@ -1458,6 +1459,96 @@ SELECT doc_id,
 FROM pt, i2, n ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- ordered sloppy phrase (query/bm25.py:search_phrase slop>0 shape) -----
+# ES match_phrase-with-slop, order-preserving variant: tokens at strictly
+# increasing positions p_0 < ... < p_{n-1} with window overhead
+# (p_{n-1} - p_0) - (n-1) <= slop; ptf = COUNT(DISTINCT matching p_0);
+# scored as the same BM25 pseudo-term as the exact phrase.
+
+PHRASE_SLOP = 2
+
+
+def _q_phrase_slop_topk(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    ntok = len(PHRASE_TOKENS)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("p", "term"),
+    )
+    chain = pos.filter(F.col("term") == PHRASE_TOKENS[0]).select(
+        "doc_id", "dl", F.col("p").alias("p0")
+    )
+    for j, t in enumerate(PHRASE_TOKENS[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            "doc_id", F.col("p").alias(f"p{j}")
+        )
+        chain = chain.join(nxt, "doc_id").filter(
+            F.col(f"p{j}") > F.col(f"p{j - 1}")
+        )
+    chain = chain.filter(
+        (F.col(f"p{ntok - 1}") - F.col("p0") - (ntok - 1)) <= PHRASE_SLOP
+    )
+    ptf = chain.groupBy("doc_id", "dl").agg(
+        F.countDistinct("p0").alias("ptf")
+    )
+    dfs = (
+        pos.filter(F.col("term").isin(sorted(set(PHRASE_TOKENS))))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf_sum = float(
+        dfs.agg(
+            F.sum(
+                F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+        ).collect()[0][0]
+        or 0.0
+    )
+    score = F.lit(idf_sum) * (F.col("ptf") * (K1 + 1.0)) / (
+        F.col("ptf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        ptf.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SLOP_LEVEL_CTES = ",\n".join(
+    f"p{j} AS (SELECT doc_id{', dl' if j == 0 else ''}, i FROM pos "
+    f"WHERE t = '{t}')"
+    for j, t in enumerate(PHRASE_TOKENS)
+)
+_SLOP_JOINS = "\n".join(
+    f"       JOIN p{j} ON p{j}.doc_id = p{j - 1}.doc_id "
+    f"AND p{j}.i > p{j - 1}.i"
+    for j in range(1, len(PHRASE_TOKENS))
+)
+_SQL_PHRASE_SLOP = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+pos AS (SELECT doc_id, len(l) AS dl, unnest(l) AS t,
+               unnest(range(1, len(l) + 1)) AS i
+        FROM tok),
+{_SLOP_LEVEL_CTES},
+pt AS (SELECT p0.doc_id, p0.dl, count(DISTINCT p0.i) AS ptf
+       FROM p0
+{_SLOP_JOINS}
+       WHERE (p{len(PHRASE_TOKENS) - 1}.i - p0.i) - {len(PHRASE_TOKENS) - 1}
+             <= {PHRASE_SLOP}
+       GROUP BY p0.doc_id, p0.dl),
+dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+        FROM tok, unnest(l) AS u(t) WHERE t IN ({_PHRASE_TERMS_SQL})
+        GROUP BY t),
+i2 AS (SELECT sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) AS idf_sum
+       FROM dfs, n)
+SELECT doc_id,
+       round(idf_sum * (ptf * {K1 + 1.0})
+             / (ptf + {K1} * (1.0 - {B} + {B} * dl / avgdl)), 6) AS score
+FROM pt, i2, n ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1472,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
+        "phrase_slop_topk": _q_phrase_slop_topk,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
         "tfidf_topk": _q_tfidf_topk,
@@ -1528,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25,
         "bm25_topk_and": _SQL_BM25_AND,
         "phrase_bm25_topk": _SQL_PHRASE_BM25,
+        "phrase_slop_topk": _SQL_PHRASE_SLOP,
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "tfidf_topk": _SQL_TFIDF,

@@ -134,6 +134,7 @@ _PHRASE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("dl", LongType(), False),
+        StructField("off", LongType(), False),
         StructField("starts", ArrayType(LongType(), False), False),
     ]
 )
@@ -164,6 +165,7 @@ def _decode_phrase_starts(
         for pdf in batches:
             out_ids: List[np.ndarray] = []
             out_dls: List[np.ndarray] = []
+            out_offs: List[np.ndarray] = []
             out_starts: List[np.ndarray] = []
             for term, n, ids_b, pc_b, pos_b, dls_b in zip(
                 pdf["term"], pdf["count"], pdf["doc_ids"],
@@ -203,17 +205,58 @@ def _decode_phrase_starts(
                     )
                     out_ids.append(ids[sel])
                     out_dls.append(dls[sel])
+                    out_offs.append(np.full(len(sel), off, dtype=np.int64))
                     out_starts.extend(segs[j] for j in sel)
             if out_ids:
                 yield pd.DataFrame(
                     {
                         "doc_id": np.concatenate(out_ids),
                         "dl": np.concatenate(out_dls),
+                        "off": np.concatenate(out_offs),
                         "starts": pd.Series(out_starts, dtype=object),
                     }
                 )
 
     return run
+
+
+def _sloppy_ptf_udf(slop: int, n_pairs: int):
+    """pandas UDF: per-doc ordered-proximity match count.
+
+    Input rows are collect_list(struct(off, starts)) for docs that
+    passed the count == n_pairs conjunctive cut; starts[off] is the
+    SORTED shifted position list s = p - off of pair off.  A match from
+    s_0 exists iff a non-decreasing chain s_0 <= s_1 <= ... <= s_{n-1}
+    (one element per pair, in pair order) has s_{n-1} - s_0 <= slop —
+    equivalently raw positions p_0 < p_1 < ... < p_{n-1} with window
+    overhead (p_{n-1} - p_0) - (n-1) <= slop.  Greedy smallest-next
+    (one searchsorted per level, vectorized over all s_0 at once)
+    minimizes s_{n-1}, so its span test is exact; ptf = number of
+    distinct matching s_0.  slop=0 degenerates to the all-equal chain,
+    i.e. the exact-phrase intersection (kept native — this UDF only
+    runs for slop > 0)."""
+
+    def ptf_of(plist) -> int:
+        arrs: List[Optional[np.ndarray]] = [None] * n_pairs
+        for p in plist:
+            arrs[int(p["off"])] = np.asarray(p["starts"], dtype=np.int64)
+        s0 = arrs[0]
+        scur = s0
+        for j in range(1, n_pairs):
+            a = arrs[j]
+            idx = np.searchsorted(a, scur, side="left")
+            valid = idx < len(a)
+            s0 = s0[valid]
+            if not len(s0):
+                return 0
+            scur = a[idx[valid]]
+        return int(np.count_nonzero(scur - s0 <= slop))
+
+    @F.pandas_udf(LongType())
+    def ptf(pairs: pd.Series) -> pd.Series:
+        return pd.Series([ptf_of(p) for p in pairs], dtype=np.int64)
+
+    return ptf
 
 
 def _decode_doc_ids():
@@ -725,12 +768,23 @@ class BM25Index:
         return np.unique(pdf["doc_id"].to_numpy(np.int64))
 
     def search_phrase(
-        self, query: str, k: int = 10, join_docs: bool = True
+        self, query: str, k: int = 10, join_docs: bool = True,
+        slop: int = 0,
     ) -> DataFrame:
         """Exact-phrase top-k over the positional postings (Lucene
         PhraseQuery / ES match_phrase analogue).  The reference PARSES
         quoted phrases (tfidf.py:589-626, F17) but never executes them
         — this makes the parsed phrase operator real.
+
+        slop > 0 — ordered proximity (ES match_phrase slop shape,
+        order-preserving variant): tokens must appear in query order
+        at strictly increasing positions p_0 < ... < p_{n-1} with
+        window overhead (p_{n-1} - p_0) - (n-1) <= slop; ptf = number
+        of distinct matching p_0.  The chain check runs in an Arrow
+        pandas UDF only over docs that already passed the conjunctive
+        all-terms cut (bounded by the rarest term's df), one vectorized
+        searchsorted per phrase level per doc.  slop=0 keeps the fully
+        native array_intersect path.
 
         Semantics: the phrase's tokens (canonical tokenizer — stopwords
         removed, stemmed) must occupy consecutive positions in the
@@ -752,6 +806,8 @@ class BM25Index:
         intersection (ptf) runs as native array_intersect inside
         whole-stage codegen, not Python.
         """
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
         if k <= 0:
             return self._empty_scored(join_docs)
         toks = tokenize_py(query)
@@ -782,25 +838,33 @@ class BM25Index:
         # one row per doc (a (term, doc) lives in exactly one block run
         # — tf is pre-aggregated and the salt splits by doc hash), so a
         # doc survives iff all n_pairs shifted lists are non-empty.
+        agg_col = (
+            F.collect_list("starts").alias("_arrs")
+            if slop == 0
+            else F.collect_list(F.struct("off", "starts")).alias("_pairs")
+        )
         grouped = (
             cand.groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).alias("_np"),
                 F.first("dl").alias("dl"),
-                F.collect_list("starts").alias("_arrs"),
+                agg_col,
             )
             .filter(F.col("_np") == n_pairs)
         )
-        if n_pairs > 1:
+        if slop > 0:
+            ptf_col = _sloppy_ptf_udf(slop, n_pairs)(F.col("_pairs"))
+        elif n_pairs > 1:
             inter = F.aggregate(
                 F.slice("_arrs", 2, n_pairs - 1),
                 F.element_at("_arrs", 1),
                 lambda acc, x: F.array_intersect(acc, x),
             )
+            ptf_col = F.size(inter)
         else:
-            inter = F.element_at("_arrs", 1)
+            ptf_col = F.size(F.element_at("_arrs", 1))
         scored = (
-            grouped.withColumn("_ptf", F.size(inter))
+            grouped.withColumn("_ptf", ptf_col)
             .filter(F.col("_ptf") > 0)
             .select(
                 "doc_id",

@@ -85,7 +85,14 @@ class PhraseOracle(BM25Oracle):
     count, idf = Σ idf over the phrase's distinct terms,
     score = BM25(ptf, dl, idf_sum, avgdl)."""
 
-    def topk_phrase(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+    def topk_phrase(
+        self, query: str, k: int = 10, slop: int = 0
+    ) -> List[Tuple[int, float]]:
+        """slop > 0 — ordered proximity (ES match_phrase slop shape,
+        order-preserving variant): doc matches at start p_0 iff there
+        exist positions p_0 < p_1 < ... < p_{n-1}, p_j holding token j,
+        with window overhead (p_{n-1} - p_0) - (n-1) <= slop; ptf =
+        number of distinct matching p_0.  slop=0 is the exact phrase."""
         toks = tokenize_py(query)
         if not toks or any(self.df.get(t, 0) == 0 for t in set(toks)):
             return []
@@ -93,11 +100,32 @@ class PhraseOracle(BM25Oracle):
         n = len(toks)
         out = []
         for d, dtoks in self.docs.items():
-            ptf = sum(
-                1
-                for i in range(len(dtoks) - n + 1)
-                if dtoks[i : i + n] == toks
-            )
+            if slop == 0:
+                ptf = sum(
+                    1
+                    for i in range(len(dtoks) - n + 1)
+                    if dtoks[i : i + n] == toks
+                )
+            else:
+                pos = {t: [] for t in set(toks)}
+                for i, t in enumerate(dtoks):
+                    if t in pos:
+                        pos[t].append(i)
+                ptf = 0
+                for p0 in pos[toks[0]]:
+                    # greedy smallest-next chain minimizes p_{n-1},
+                    # so its span is the minimal achievable from p0
+                    prev, alive = p0, True
+                    for j in range(1, n):
+                        nxt = next(
+                            (p for p in pos[toks[j]] if p > prev), None
+                        )
+                        if nxt is None:
+                            alive = False
+                            break
+                        prev = nxt
+                    if alive and (prev - p0) - (n - 1) <= slop:
+                        ptf += 1
             if ptf == 0:
                 continue
             dl = self.doclen[d]

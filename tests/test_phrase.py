@@ -226,6 +226,59 @@ class TestPhraseRankIdentity:
         finally:
             idx.phrase_cand_max_df, idx.phrase_cand_ratio = old
 
+    def test_slop_rank_identical_and_monotone(self, spark, corpus):
+        """Ordered-proximity (slop) ranking matches the oracle at every
+        slop level; match sets grow monotonically with slop; a gapped
+        phrase (words i and i+2 of a doc) that misses exactly is
+        recovered at slop >= 1."""
+        _, oracle, idx, raw = corpus
+        gapped, contiguous = [], []
+        for d in sorted(raw)[:8]:
+            w = raw[d].split()
+            if len(w) >= 12:
+                gapped.append((d, w[3] + " " + w[5]))
+                gapped.append((d, " ".join([w[2], w[4], w[6]])))
+                contiguous.append((d, " ".join(w[4:7])))
+        queries = [
+            (d, q) for d, q in gapped + contiguous
+            if len(tokenize_py(q)) >= 2
+        ]
+        assert len(queries) >= 5
+        for slop in (0, 1, 2, 4):
+            for _, q in queries:
+                exp = [
+                    (doc, round(s, 9))
+                    for doc, s in oracle.topk_phrase(q, k=20, slop=slop)
+                ]
+                got = [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in idx.search_phrase(
+                        q, k=20, join_docs=False, slop=slop
+                    ).collect()
+                ]
+                assert got == exp, (slop, q)
+        # the source doc of a w[i]+w[i+2] gap matches once slop covers
+        # the skipped word — unless stopword filtering closed the gap
+        hit_any = False
+        for d, q in gapped:
+            toks = tokenize_py(q)
+            if len(toks) < 2:
+                continue
+            at2 = {
+                r["doc_id"]
+                for r in idx.search_phrase(q, k=200, join_docs=False, slop=2).collect()
+            }
+            assert d in at2, (d, q)
+            at0 = {
+                r["doc_id"]
+                for r in idx.search_phrase(q, k=200, join_docs=False).collect()
+            }
+            assert at0 <= at2, (d, q)
+            hit_any = hit_any or (d not in at0)
+        assert hit_any  # slop recovered at least one true gap
+        with pytest.raises(ValueError, match="slop"):
+            idx.search_phrase("alpha beta", slop=-1)
+
     def test_empty_and_guard(self, spark, corpus, tmp_path):
         _, _, idx, _ = corpus
         assert idx.search_phrase("", k=5, join_docs=False).count() == 0
