@@ -325,15 +325,21 @@ class BM25Index:
         self._pos_cache: Optional[DataFrame] = None
         # Phrase candidate gate: when a multi-term phrase's rarest term
         # has df ≤ phrase_cand_max_df AND the commonest term is at least
-        # phrase_cand_ratio× more frequent, a cheap pre-pass collects
-        # the rarest term's doc ids (from the SCORE postings — smaller
-        # payload, same doc sets) and the positional decode intersects
-        # against them, bounding decode+shuffle by the rarest df rather
-        # than the Zipf-head term's.  Below the ratio the pre-pass job
-        # costs more than it prunes; above the max df the collected id
-        # set stops being "tiny driver-side state".
+        # phrase_cand_ratio× more frequent AND the pre-pass would prune
+        # at least phrase_cand_min_pruned posting entries, a cheap
+        # pre-pass collects the rarest term's doc ids (from the SCORE
+        # postings — smaller payload, same doc sets) and the positional
+        # decode intersects against them, bounding decode+shuffle by
+        # the rarest df rather than the Zipf-head term's.  The absolute
+        # floor exists because the pre-pass costs one extra Spark job
+        # (~0.1 s scheduling, measured: scripts/bench_phrase_gate.py is
+        # 1.2× SLOWER gated at 48k pages where decode is trivial);
+        # 2M pruned entries ≈ the decode+emit+shuffle volume whose
+        # saving clears that fixed cost with margin.  Above max_df the
+        # collected id set stops being tiny driver-side state.
         self.phrase_cand_max_df = 1_000_000
         self.phrase_cand_ratio = 8.0
+        self.phrase_cand_min_pruned = 2_000_000
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -752,7 +758,12 @@ class BM25Index:
         dfs = {t: stats[t][0] for t in terms}
         rare = min(terms, key=lambda t: (dfs[t], t))
         lo, hi = dfs[rare], max(dfs.values())
-        if lo > self.phrase_cand_max_df or hi < self.phrase_cand_ratio * lo:
+        pruned = sum(d - lo for d in dfs.values())
+        if (
+            lo > self.phrase_cand_max_df
+            or hi < self.phrase_cand_ratio * lo
+            or pruned < self.phrase_cand_min_pruned
+        ):
             return None
         pdf = (
             self.postings.filter(

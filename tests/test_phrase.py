@@ -200,8 +200,13 @@ class TestPhraseRankIdentity:
         _, oracle, idx, raw = corpus
         phrases = [p for p in _phrases(raw) if len(set(tokenize_py(p))) >= 2]
         assert phrases
-        old = (idx.phrase_cand_max_df, idx.phrase_cand_ratio)
+        old = (
+            idx.phrase_cand_max_df,
+            idx.phrase_cand_ratio,
+            idx.phrase_cand_min_pruned,
+        )
         try:
+            idx.phrase_cand_min_pruned = 0
             for q in phrases:
                 idx.phrase_cand_max_df, idx.phrase_cand_ratio = 0, 1.0
                 base = [
@@ -224,7 +229,11 @@ class TestPhraseRankIdentity:
                 ]
                 assert got == exp, q
         finally:
-            idx.phrase_cand_max_df, idx.phrase_cand_ratio = old
+            (
+                idx.phrase_cand_max_df,
+                idx.phrase_cand_ratio,
+                idx.phrase_cand_min_pruned,
+            ) = old
 
     def test_slop_rank_identical_and_monotone(self, spark, corpus):
         """Ordered-proximity (slop) ranking matches the oracle at every
