@@ -259,6 +259,47 @@ def _sloppy_ptf_udf(slop: int, n_pairs: int):
     return ptf
 
 
+_TF_ROWS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+        StructField("dl", LongType(), False),
+    ]
+)
+
+
+def _decode_tf_rows():
+    """mapInPandas body: posting blocks -> raw (doc_id, tf, dl) rows.
+
+    Prefix/synonym-group scoring sums tf across the expanded terms
+    BEFORE BM25 saturation (Lucene SynonymQuery), so blocks must
+    surface raw tf rather than per-term contributions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: List[np.ndarray] = []
+            tf_out: List[np.ndarray] = []
+            dl_out: List[np.ndarray] = []
+            for n, ids_b, tfs_b, dls_b in zip(
+                pdf["count"], pdf["doc_ids"], pdf["tfs"], pdf["doclens"]
+            ):
+                n = int(n)
+                gaps = varint_decode(bytes(ids_b), n)
+                ids_out.append(np.cumsum(gaps, dtype=np.uint64).astype(np.int64))
+                tf_out.append(varint_decode(bytes(tfs_b), n).astype(np.int64))
+                dl_out.append(varint_decode(bytes(dls_b), n).astype(np.int64))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids_out),
+                        "tf": np.concatenate(tf_out),
+                        "dl": np.concatenate(dl_out),
+                    }
+                )
+
+    return run
+
+
 def _decode_doc_ids():
     """mapInPandas body: score-posting blocks -> bare doc_id rows (the
     phrase candidate pre-pass — ids only, tfs/doclens never decoded)."""
@@ -715,6 +756,95 @@ class BM25Index:
                 (
                     F.col("best")
                     + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+                ).alias("score"),
+            )
+        )
+        scored = self._drop_tombstones(scored)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
+
+    def expand_prefix(
+        self, prefix: str, max_expansions: int = 50
+    ) -> List[Tuple[str, int, int]]:
+        """Expand a prefix against the term dictionary: at most
+        max_expansions matching terms in term order (Lucene's
+        deterministic rewrite cap).  Returns [(term, df, bucket)].
+
+        The prefix is normalized exactly like a token (lowercase,
+        non-[a-z0-9] stripped) but NOT stemmed — ES prefix queries are
+        not analyzed; they match the index's (stemmed) term dictionary
+        directly.  Field-namespaced terms (t!/d! prefixes) are excluded
+        — prefix search addresses the content field.  Scale: term_stats
+        is range-partitioned + sorted by term, and StartsWith pushes to
+        the parquet scan as a string-range predicate, so the expansion
+        reads O(matching range) rather than the whole dictionary."""
+        import re
+
+        p = re.sub(r"[^a-z0-9]", "", prefix.lower())
+        if not p:
+            return []
+        rows = (
+            self.term_stats.filter(
+                F.col("term").startswith(p) & ~F.col("term").contains("!")
+            )
+            .select("term", "df", "term_bucket")
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [(r["term"], int(r["df"]), int(r["term_bucket"])) for r in rows]
+
+    def search_prefix(
+        self,
+        prefix: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Prefix-query top-k (Lucene/ES `prefix` query analogue) —
+        the multi-term rewrite the reference's ES index would perform
+        for wildcard/autocomplete-style lookups.
+
+        Scoring is the synonym-group form: the expansions act as one
+        pseudo-term — tf = Σ tf over matched expansions per doc
+        (summed BEFORE saturation, Lucene SynonymQuery), idf = idf of
+        the most common expansion (BlendedTermQuery max-df blending);
+        score = BM25(tf_sum, dl, idf, avgdl).  Deterministic: the
+        expansion cap keeps the first max_expansions terms in term
+        order, ties broken (score desc, doc_id asc).
+
+        Plan shape: one tiny pruned term_stats scan (expansion), then
+        the usual bucket-pruned posting scan over the expanded terms —
+        Arrow decode to raw (doc_id, tf, dl), one groupBy(doc_id)
+        shuffle bounded by the union of expansion dfs, native scoring,
+        TakeOrderedAndProject top-k."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        exps = self.expand_prefix(prefix, max_expansions)
+        if not exps:
+            return self._empty_scored(join_docs)
+        df_max = max(df for _, df, _ in exps)
+        idf = idf_py(self.n_docs, df_max)
+        terms = [t for t, _, _ in exps]
+        buckets = sorted({b for _, _, b in exps})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        rows = blocks.select("count", "doc_ids", "tfs", "doclens").mapInPandas(
+            _decode_tf_rows(), schema=_TF_ROWS_SCHEMA
+        )
+        scored = (
+            rows.groupBy("doc_id")
+            .agg(F.sum("tf").alias("_tf"), F.first("dl").alias("_dl"))
+            .select(
+                "doc_id",
+                score_col(
+                    F.col("_tf").cast("double"),
+                    F.col("_dl").cast("double"),
+                    F.lit(float(idf)),
+                    self.avgdl,
                 ).alias("score"),
             )
         )

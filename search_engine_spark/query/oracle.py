@@ -77,6 +77,43 @@ class BM25Oracle:
         return scored[:k]
 
 
+class PrefixOracle(BM25Oracle):
+    """Prefix-query ground truth (Lucene/ES prefix query shape).  The
+    prefix — normalized like the engine: lowercased, non-[a-z0-9]
+    stripped, NOT stemmed (ES prefix queries are not analyzed) —
+    expands to at most max_expansions matching terms of the (stemmed)
+    term dictionary in term order.  Scoring is the synonym-group form:
+    a doc's tf is the SUM of tfs over the expansions before BM25
+    saturation (Lucene SynonymQuery) and idf comes from the most
+    common expansion's df (BlendedTermQuery max-df blending)."""
+
+    def topk_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 50
+    ) -> List[Tuple[int, float]]:
+        import re
+
+        p = re.sub(r"[^a-z0-9]", "", prefix.lower())
+        if not p:
+            return []
+        exps = sorted(t for t in self.df if t.startswith(p))[:max_expansions]
+        if not exps:
+            return []
+        df_max = max(self.df[t] for t in exps)
+        idf = math.log(1.0 + (self.n - df_max + 0.5) / (df_max + 0.5))
+        out = []
+        for d in self.docs:
+            tf = sum(self.tf[d].get(t, 0) for t in exps)
+            if tf == 0:
+                continue
+            dl = self.doclen[d]
+            s = idf * (tf * (K1 + 1.0)) / (
+                tf + K1 * (1.0 - B + B * dl / self.avgdl)
+            )
+            out.append((d, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+
 class PhraseOracle(BM25Oracle):
     """Exact-phrase BM25 ground truth (Lucene PhraseQuery shape; the
     reference parses quoted phrases at tfidf.py:589-626 but never
