@@ -115,6 +115,40 @@ def scaling_worker(cpus: int, pages_dir: str) -> None:
         spark.stop()
 
 
+def _host_probe(lo: int, hi: int, secs: float = 3.0) -> float:
+    """Host lo->hi CPU-scaling at this instant: k concurrent pure-CPU
+    processes (tight sha256 loop — no Spark, no IO, no Python-level
+    shared state), summed iteration throughput per level.  1.0 means
+    hi cores are as free as lo; <1.0 means hypervisor-level neighbors
+    (invisible inside the guest) are eating the extra cores, which
+    depresses ANY multi-core job by the same mechanism.  Used to
+    calibrate the job's same-round efficiency: job_eff / probe_eff
+    estimates the job's intrinsic scaling net of host contention."""
+    code = (
+        "import time,hashlib\n"
+        "h=b'x';t=time.time();n=0\n"
+        f"while time.time()-t<{secs}:\n"
+        "    h=hashlib.sha256(h).digest();n+=1\n"
+        "print(n)"
+    )
+
+    def level(k: int) -> float:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.PIPE, text=True,
+            )
+            for _ in range(k)
+        ]
+        total = 0
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            total += int(out.strip())
+        return total / secs
+
+    return (level(hi) / level(lo)) / (hi / lo)
+
+
 def measure_scaling(pages_dir: str, cpus: int) -> dict:
     """Same job, same input, identical plan, N vs 4N cores, in fresh
     subprocesses.
@@ -156,6 +190,7 @@ def measure_scaling(pages_dir: str, cpus: int) -> dict:
     # the spread (i.e. how noisy the host was) is visible.
     best = {lo: None, hi: None}
     round_eff = []
+    probe_eff = []
     for _ in range(reps):
         pair = {}
         for c in (lo, hi):
@@ -167,15 +202,26 @@ def measure_scaling(pages_dir: str, cpus: int) -> dict:
             (pair[lo]["docs"] / pair[lo]["wall_s"]) * ratio
         )
         round_eff.append(round(e, 3))
+        # host state at this round, measured by the SAME lo->hi shape
+        probe_eff.append(round(_host_probe(lo, hi), 3))
     d_lo = best[lo]["docs"] / best[lo]["wall_s"]
     d_hi = best[hi]["docs"] / best[hi]["wall_s"]
     eff = d_hi / (d_lo * ratio)
+    calibrated = [
+        round(e / p, 3) for e, p in zip(round_eff, probe_eff) if p > 0
+    ]
     return {
         "cores_low": lo,
         "cores_high": hi,
         "docs_per_sec_low": round(d_lo, 1),
         "docs_per_sec_high": round(d_hi, 1),
         "rounds": round_eff,
+        # host's own lo->hi CPU scaling per round (1.0 = quiet host);
+        # rounds_calibrated = job eff / host eff, same instant — the
+        # job's intrinsic scaling net of hypervisor neighbor load
+        "host_probe_rounds": probe_eff,
+        "rounds_calibrated": calibrated,
+        "efficiency_calibrated": max(calibrated) if calibrated else None,
         "speedup": round(eff * ratio, 3),
         "efficiency": round(eff, 3),
     }
