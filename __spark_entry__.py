@@ -878,6 +878,91 @@ GROUP BY doc_id HAVING count(DISTINCT term) = {len(BM25_QUERY_TERMS)}
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- boolean must_not BM25 (query/bm25.py:search_boolean shape) -----------
+
+BOOLEAN_NOT_TERM = "query"  # unstemmed, like BM25_QUERY_TERMS
+
+
+def _q_bm25_topk_not(spark, sf_dir):
+    """Boolean NOT (search_boolean / ES bool must_not): BM25 scores
+    over the positive terms exactly as bm25_topk — global N/avgdl/df,
+    never restricted to survivors — then docs containing the negated
+    term are filtered out unscored via anti-join (filter context).
+    Executes the NOT operator the reference only parses
+    (tfidf.py:589-626)."""
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    excl = toks.filter(
+        F.array_contains("toks", BOOLEAN_NOT_TERM)
+    ).select("doc_id")
+    return (
+        tf.join(df_t, "term")
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .join(excl, "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_BM25_NOT = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ex AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+       WHERE t = '{BOOLEAN_NOT_TERM}')
+SELECT doc_id,
+       round(sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ), 6) AS score
+FROM tf JOIN dft USING (term), n
+WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+# ---- index stats (/stats endpoint shape, main.py:606-643) ------------------
+
+
+def _q_index_stats(spark, sf_dir):
+    """The reference's /stats aggregates (indexed_pages, index size)
+    re-expressed over the token table: indexed docs, vocabulary size,
+    posting count (Σ df — the index's logical size), total token
+    occurrences."""
+    ex = _docs_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    return ex.agg(
+        F.countDistinct("doc_id").alias("indexed_docs"),
+        F.countDistinct("term").alias("vocab_terms"),
+        F.countDistinct("doc_id", "term").alias("n_postings"),
+        F.count(F.lit(1)).alias("total_tokens"),
+    )
+
+
+_SQL_INDEX_STATS = f"""{_TOK_CTE},
+ex AS (SELECT doc_id, t FROM tok, unnest(l) AS u(t))
+SELECT (SELECT count(DISTINCT doc_id) FROM ex)::BIGINT AS indexed_docs,
+       (SELECT count(DISTINCT t) FROM ex)::BIGINT AS vocab_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT doc_id, t FROM ex))::BIGINT AS n_postings,
+       (SELECT count(*) FROM ex)::BIGINT AS total_tokens"""
+
+
 # ---- batch multi-query BM25 (query/bm25.py:search_many shape) -------------
 # Offline/bulk retrieval: the whole query batch in ONE plan — shared
 # term decode, a broadcast (query_id, term) fan-out, one per-query
@@ -1622,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
+        "bm25_topk_not": _q_bm25_topk_not,
+        "index_stats": _q_index_stats,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
         "prefix_bm25_topk": _q_prefix_bm25_topk,
@@ -1680,6 +1767,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _SQL_CORPUS,
         "bm25_topk": _SQL_BM25,
         "bm25_topk_and": _SQL_BM25_AND,
+        "bm25_topk_not": _SQL_BM25_NOT,
+        "index_stats": _SQL_INDEX_STATS,
         "phrase_bm25_topk": _SQL_PHRASE_BM25,
         "phrase_slop_topk": _SQL_PHRASE_SLOP,
         "prefix_bm25_topk": _SQL_PREFIX_BM25,

@@ -50,6 +50,7 @@ from search_engine_spark.index.codec import (
     varint_decode,
 )
 from search_engine_spark.index.scoring import idf_py, score_col, score_np
+from search_engine_spark.query.parse import parse_query
 from search_engine_spark.text.tokenizer import tokenize_py
 
 _CONTRIB_SCHEMA = StructType(
@@ -381,6 +382,15 @@ class BM25Index:
         self.phrase_cand_max_df = 1_000_000
         self.phrase_cand_ratio = 8.0
         self.phrase_cand_min_pruned = 2_000_000
+        # Boolean NOT (search_boolean): the exclusion set is decoded
+        # from the negated terms' postings, so its size is their df sum.
+        # Below not_broadcast_max_df the anti-joins hint broadcast
+        # (~8 bytes/id driver+executor copy); above not_seed_max_df the
+        # θ-seed job — which must itself anti-join the exclusion set to
+        # keep θ a valid lower bound — would shuffle more than the scan
+        # it prunes, so pruning is skipped (exhaustive scan, exact).
+        self.not_broadcast_max_df = 5_000_000
+        self.not_seed_max_df = 50_000_000
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -426,10 +436,12 @@ class BM25Index:
 
     def search(
         self,
-        query: str,
+        query,  # raw query string, or pre-tokenized term list
         k: int = 10,
         mode: str = "blockmax",
         join_docs: bool = True,
+        exclude: Optional[DataFrame] = None,
+        exclude_df_sum: int = 0,
     ) -> DataFrame:
         """Top-k BM25 search.
 
@@ -443,10 +455,20 @@ class BM25Index:
               log TF × smooth IDF, positive scores only — the oracle-
               parity ranking mode; block-max bounds are BM25-specific
               so no pruning).
+
+        exclude: doc_id DataFrame that must not surface (ES bool
+        must_not — used by search_boolean); exclude_df_sum is its
+        upper-bound size (Σ df of the negated terms) for the
+        broadcast / θ-seed cost gates.
         """
         if k <= 0:
             return self._empty_scored(join_docs)
-        terms = sorted(set(tokenize_py(query)))
+        # query is a raw string, or a pre-tokenized/stemmed term list
+        # (search_boolean parses once; Porter is not idempotent, so
+        # already-stemmed terms must not re-enter the tokenizer)
+        terms = sorted(
+            set(query) if isinstance(query, list) else set(tokenize_py(query))
+        )
         stats = self._query_stats(terms)
         terms = [t for t in terms if t in stats]
         if not terms:
@@ -467,8 +489,16 @@ class BM25Index:
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
-        if mode == "blockmax" and len(terms) >= 1:
-            theta = self._seed_theta(terms, stats, idf_by_term, k)
+        if (
+            mode == "blockmax"
+            and len(terms) >= 1
+            and exclude_df_sum <= self.not_seed_max_df
+        ):
+            theta = self._seed_theta(
+                terms, stats, idf_by_term, k,
+                exclude=exclude,
+                exclude_bcast=exclude_df_sum <= self.not_broadcast_max_df,
+            )
             if theta > 0.0:
                 gmax = {t: self._gmax(t, stats, idf_by_term) for t in terms}
                 s_tot = sum(gmax.values())
@@ -527,6 +557,13 @@ class BM25Index:
         # anti-join after the per-doc aggregation — k× fewer rows
         # than filtering raw contributions
         scored = self._drop_tombstones(scored)
+        if exclude is not None:
+            rhs = (
+                F.broadcast(exclude)
+                if exclude_df_sum <= self.not_broadcast_max_df
+                else exclude  # AQE picks the strategy for big NOT sets
+            )
+            scored = scored.join(rhs, "doc_id", "left_anti")
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk
@@ -562,6 +599,77 @@ class BM25Index:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def _excluded_docs(
+        self, neg_terms: List[str]
+    ) -> Tuple[Optional[DataFrame], int]:
+        """must_not doc set: decode the negated terms' postings to bare
+        doc ids (score postings — ids only, tfs/doclens stay packed,
+        same decoder as the phrase candidate pre-pass).  Returns
+        (doc_id DataFrame or None, Σ df — the exact row count, used by
+        the broadcast / θ-seed cost gates).  Not de-duplicated: left
+        anti-join semantics are duplicate-insensitive and a distinct
+        would add a shuffle just to shrink a set the gates already
+        bound."""
+        stats = self._query_stats(neg_terms)
+        terms = sorted(t for t in neg_terms if t in stats)
+        if not terms:
+            return None, 0
+        df_sum = sum(stats[t][0] for t in terms)
+        buckets = sorted({stats[t][2] for t in terms})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        excl = blocks.select("count", "doc_ids").mapInPandas(
+            _decode_doc_ids(), schema="doc_id long"
+        )
+        return excl, df_sum
+
+    def search_boolean(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "blockmax",
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Boolean search — EXECUTES the AND/OR/NOT structure the
+        reference only parses (QueryProcessor.parse_query,
+        tfidf.py:589-626: the operator flags are returned and ignored
+        downstream).  ES bool-query semantics:
+
+          * positive terms are `should` clauses (OR) by default; an
+            ` AND ` anywhere makes them `must` (conjunctive C4
+            AND-mode, SURVEY.md §2.C4)
+          * terms after ` NOT ` are `must_not`: a pure filter realized
+            as an anti-join of decoded doc ids — never scored, exactly
+            like ES (filter context contributes 0)
+          * scores are the plain BM25 sum over positive terms, so a
+            boolean result ranks identically to `search` on the same
+            positive terms restricted to the surviving docs
+
+        Quoted phrases are positional operators, not boolean clauses —
+        rejected with a pointer to search_phrase rather than silently
+        degraded to bag-of-words.  Pure negation ("NOT spam") returns
+        empty: the reference has no match_all, and at 10^12 docs
+        "everything except X" is not a rankable result set.
+        """
+        p = parse_query(query)
+        if p.phrases:
+            raise ValueError(
+                "quoted phrases are positional, not boolean clauses — "
+                "use search_phrase (exact or slop matching)"
+            )
+        if not p.terms:
+            return self._empty_scored(join_docs)
+        exclude, df_sum = self._excluded_docs(sorted(set(p.not_terms)))
+        return self.search(
+            p.terms,
+            k=k,
+            mode="and" if p.operators["and"] else mode,
+            join_docs=join_docs,
+            exclude=exclude,
+            exclude_df_sum=df_sum,
+        )
+
     def _seed_theta(
         self,
         terms: List[str],
@@ -570,6 +678,8 @@ class BM25Index:
         k: int,
         avgdl=None,
         multiplier: Optional[Dict[str, float]] = None,
+        exclude: Optional[DataFrame] = None,
+        exclude_bcast: bool = False,
     ) -> float:
         """θ = k-th best single-term contribution (×multiplier) of the
         rarest sufficiently-large term — a valid lower bound on the
@@ -611,6 +721,14 @@ class BM25Index:
         # a tombstoned doc can't be in the final top-k, so its
         # contribution must not raise θ (over-pruning)
         seeds = self._drop_tombstones(seeds)
+        if exclude is not None:
+            # same argument for must_not-excluded docs: a seed the
+            # exclusion removes from the result set must not raise θ
+            seeds = seeds.join(
+                F.broadcast(exclude) if exclude_bcast else exclude,
+                "doc_id",
+                "left_anti",
+            )
         rows = seeds.orderBy(F.desc("contrib")).limit(k).collect()
         if not rows or len(rows) < k:
             return 0.0

@@ -76,6 +76,32 @@ class BM25Oracle:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def topk_boolean(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        """Boolean AND/OR/NOT ground truth (shares the engine's parser,
+        query/parse.py): positive terms score as `topk` (OR) or
+        `topk_and` (conjunctive when an ` AND ` is present); docs
+        holding ANY term after ` NOT ` are filtered out unscored."""
+        from search_engine_spark.query.parse import parse_query
+
+        p = parse_query(query)
+        terms = [t for t in set(p.terms) if self.df.get(t, 0) > 0]
+        if not terms:
+            return []
+        neg = set(p.not_terms)
+        out = []
+        for d in self.docs:
+            if any(self.tf[d].get(t, 0) > 0 for t in neg):
+                continue
+            if p.operators["and"] and not all(
+                self.tf[d].get(t, 0) > 0 for t in terms
+            ):
+                continue
+            s = self.score(d, terms)
+            if s > 0 or p.operators["and"]:
+                out.append((d, s))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
 
 class PrefixOracle(BM25Oracle):
     """Prefix-query ground truth (Lucene/ES prefix query shape).  The

@@ -157,6 +157,79 @@ class TestRankIdentity:
         assert all(r["url"].startswith("https://") for r in rows)
 
 
+BOOLEAN_QUERIES = [
+    "python NOT database",
+    "python programming NOT fox",
+    "python AND tutorial NOT database",
+    "spark OR shuffle",
+    "search engine NOT engine",  # term both positive and negated
+    "fox NOT zzzznotaterm",  # unknown negated term -> plain search
+    "NOT python",  # pure negation -> empty
+]
+
+
+class TestBoolean:
+    """search_boolean executes the AND/OR/NOT structure the reference
+    only parses (tfidf.py:589-626) — rank-identical to the pure-Python
+    boolean oracle, with must_not as unscored filter context."""
+
+    @pytest.mark.parametrize("query", BOOLEAN_QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_boolean(query, k=10, join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        want = oracle.topk_boolean(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
+    @pytest.mark.parametrize("query", ["python NOT database", "fox NOT brown"])
+    def test_blockmax_exclusion_aware_theta(self, spark, corpus, query):
+        """Forced θ-seeding (seed_min_df=0) with NOT terms: the seed
+        anti-join keeps θ a valid lower bound, so pruned == exhaustive."""
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        a = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_boolean(query, k=10, join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_boolean(
+                query, k=10, mode="exhaustive", join_docs=False
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        assert a == b, query
+
+    def test_excluded_docs_never_surface(self, spark, corpus):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        neg_stem = tokenize_py("database")[0]
+        bad = {d for d in oracle.docs if oracle.tf[d].get(neg_stem, 0) > 0}
+        got = {
+            r["doc_id"]
+            for r in idx.search_boolean(
+                "python NOT database", k=400, join_docs=False
+            ).collect()
+        }
+        assert got and not (got & bad)
+
+    def test_phrases_rejected(self, spark, corpus):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        with pytest.raises(ValueError, match="search_phrase"):
+            idx.search_boolean('"quick brown" fox')
+
+
 class TestResume:
     def test_partial_build_resumes_to_identical_index(self, spark, tmp_path):
         full_dir = str(tmp_path / "full")
