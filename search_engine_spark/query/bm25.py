@@ -525,15 +525,8 @@ class BM25Index:
                     bound >= F.lit(theta) - F.lit(s_tot) + gmax_map[F.col("term")]
                 )
 
-        # Only the decode inputs cross the Arrow boundary (column prune
-        # ahead of MapInPandas — block metadata stays JVM-side).
-        contribs = blocks.select("term", "count", "doc_ids", "tfs", "doclens").mapInPandas(
-            _decode_and_score(
-                idf_by_term,
-                self.avgdl,
-                formula="tfidf" if mode == "tfidf" else "bm25",
-            ),
-            schema=_CONTRIB_SCHEMA,
+        contribs = self._decode_contribs(
+            blocks, idf_by_term, formula="tfidf" if mode == "tfidf" else "bm25"
         )
         if mode == "and":
             # Each (doc, term) decodes to exactly one row (tf is
@@ -599,6 +592,19 @@ class BM25Index:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def _decode_contribs(
+        self, blocks: DataFrame, idf_by_term: Dict[str, float], formula: str = "bm25"
+    ) -> DataFrame:
+        """Arrow decode of posting blocks to (doc_id, contrib).  Only
+        the decode inputs cross the Arrow boundary (column prune ahead
+        of MapInPandas — block metadata stays JVM-side)."""
+        return blocks.select(
+            "term", "count", "doc_ids", "tfs", "doclens"
+        ).mapInPandas(
+            _decode_and_score(idf_by_term, self.avgdl, formula=formula),
+            schema=_CONTRIB_SCHEMA,
+        )
+
     def _excluded_docs(
         self, neg_terms: List[str]
     ) -> Tuple[Optional[DataFrame], int]:
@@ -645,19 +651,19 @@ class BM25Index:
           * scores are the plain BM25 sum over positive terms, so a
             boolean result ranks identically to `search` on the same
             positive terms restricted to the surviving docs
+          * quoted phrases are `must` match_phrase clauses: every
+            phrase must occur (positional postings, search_phrase
+            semantics), scored as a pseudo-term and ADDED to the term
+            scores — bare terms then act as should (or must under AND)
+            on top of the phrase-qualified docs
 
-        Quoted phrases are positional operators, not boolean clauses —
-        rejected with a pointer to search_phrase rather than silently
-        degraded to bag-of-words.  Pure negation ("NOT spam") returns
-        empty: the reference has no match_all, and at 10^12 docs
-        "everything except X" is not a rankable result set.
+        Pure negation ("NOT spam") returns empty: the reference has no
+        match_all, and at 10^12 docs "everything except X" is not a
+        rankable result set.
         """
         p = parse_query(query)
         if p.phrases:
-            raise ValueError(
-                "quoted phrases are positional, not boolean clauses — "
-                "use search_phrase (exact or slop matching)"
-            )
+            return self._boolean_with_phrases(p, k, join_docs)
         if not p.terms:
             return self._empty_scored(join_docs)
         exclude, df_sum = self._excluded_docs(sorted(set(p.not_terms)))
@@ -669,6 +675,84 @@ class BM25Index:
             exclude=exclude,
             exclude_df_sum=df_sum,
         )
+
+    def _boolean_with_phrases(
+        self, p, k: int, join_docs: bool
+    ) -> DataFrame:
+        """bool query with match_phrase must clauses.  No block-max
+        pruning here: qualification comes from the phrase intersection,
+        which is already bounded by the rarest phrase term's df — the
+        effective prune.  Unindexed bare terms are dropped (same as
+        search/topk_and); an unindexed phrase term empties the result
+        (conjunctive phrase semantics)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        ph: Optional[DataFrame] = None
+        for q in p.phrases:
+            s = self._phrase_scored(q)
+            if s is None:
+                return self._empty_scored(join_docs)
+            if ph is None:
+                ph = s
+            else:
+                ph = (
+                    ph.join(s.select("doc_id", F.col("score").alias("_ps")),
+                            "doc_id")
+                    .select(
+                        "doc_id",
+                        (F.col("score") + F.col("_ps")).alias("score"),
+                    )
+                )
+        terms = sorted(set(p.terms))
+        stats = self._query_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if terms:
+            idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
+            buckets = sorted({stats[t][2] for t in terms})
+            blocks = self.postings.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            tsc = (
+                self._decode_contribs(blocks, idf_by_term)
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("contrib").alias("_ts"),
+                    F.count(F.lit(1)).alias("_nt"),
+                )
+            )
+            if p.operators["and"]:
+                # must terms: phrase docs must also hold every term
+                ph = (
+                    ph.join(tsc.filter(F.col("_nt") == len(terms)), "doc_id")
+                    .select(
+                        "doc_id",
+                        (F.col("score") + F.col("_ts")).alias("score"),
+                    )
+                )
+            else:
+                # should terms: optional, add score where present
+                ph = (
+                    ph.join(tsc, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        (
+                            F.col("score")
+                            + F.coalesce(F.col("_ts"), F.lit(0.0))
+                        ).alias("score"),
+                    )
+                )
+        exclude, df_sum = self._excluded_docs(sorted(set(p.not_terms)))
+        if exclude is not None:
+            rhs = (
+                F.broadcast(exclude)
+                if df_sum <= self.not_broadcast_max_df
+                else exclude
+            )
+            ph = ph.join(rhs, "doc_id", "left_anti")
+        topk = ph.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
 
     def _seed_theta(
         self,
@@ -1069,23 +1153,38 @@ class BM25Index:
             raise ValueError(f"slop must be >= 0, got {slop}")
         if k <= 0:
             return self._empty_scored(join_docs)
+        scored = self._phrase_scored(query, slop=slop)
+        if scored is None:
+            return self._empty_scored(join_docs)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
+
+    def _phrase_scored(
+        self, query: str, slop: int = 0
+    ) -> Optional[DataFrame]:
+        """(doc_id, score) for EVERY doc matching the phrase, tombstones
+        dropped — search_phrase minus the top-k cut, reused by boolean
+        composition where phrases are must clauses.  None means provably
+        empty (no tokens / unindexed term / empty candidate pre-pass)."""
         toks = tokenize_py(query)
         if not toks:
-            return self._empty_scored(join_docs)
+            return None
         offs: Dict[str, List[int]] = {}
         for i, t in enumerate(toks):
             offs.setdefault(t, []).append(i)
         terms = sorted(offs)
         stats = self._query_stats(terms)
         if any(t not in stats for t in terms):
-            return self._empty_scored(join_docs)
+            return None
         idf_sum = sum(idf_py(self.n_docs, stats[t][0]) for t in terms)
         buckets = sorted({stats[t][2] for t in terms})
         n_pairs = len(toks)
 
         cand_ids = self._phrase_candidates(terms, stats)
         if cand_ids is not None and not len(cand_ids):
-            return self._empty_scored(join_docs)
+            return None
 
         blocks = self._pos_postings().filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
@@ -1135,11 +1234,7 @@ class BM25Index:
                 ).alias("score"),
             )
         )
-        scored = self._drop_tombstones(scored)
-        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        if not join_docs:
-            return topk
-        return self._join_docs(topk)
+        return self._drop_tombstones(scored)
 
     def search_many(
         self,

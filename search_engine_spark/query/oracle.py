@@ -80,24 +80,51 @@ class BM25Oracle:
         """Boolean AND/OR/NOT ground truth (shares the engine's parser,
         query/parse.py): positive terms score as `topk` (OR) or
         `topk_and` (conjunctive when an ` AND ` is present); docs
-        holding ANY term after ` NOT ` are filtered out unscored."""
+        holding ANY term after ` NOT ` are filtered out unscored; each
+        quoted phrase is a must clause — required at consecutive
+        positions, scored as a pseudo-term (PhraseOracle shape) and
+        added to the term score."""
         from search_engine_spark.query.parse import parse_query
 
         p = parse_query(query)
+        ph_specs = []
+        for q in p.phrases:
+            ptoks = tokenize_py(q)
+            if not ptoks or any(self.df.get(t, 0) == 0 for t in set(ptoks)):
+                return []  # conjunctive: an unindexed phrase term empties
+            ph_specs.append((ptoks, sum(self.idf(t) for t in set(ptoks))))
         terms = [t for t in set(p.terms) if self.df.get(t, 0) > 0]
-        if not terms:
+        if not terms and not ph_specs:
             return []
         neg = set(p.not_terms)
         out = []
-        for d in self.docs:
+        for d, dtoks in self.docs.items():
             if any(self.tf[d].get(t, 0) > 0 for t in neg):
                 continue
             if p.operators["and"] and not all(
                 self.tf[d].get(t, 0) > 0 for t in terms
             ):
                 continue
-            s = self.score(d, terms)
-            if s > 0 or p.operators["and"]:
+            dl = self.doclen[d]
+            s, matched_all_phrases = 0.0, True
+            for ptoks, idf_sum in ph_specs:
+                n = len(ptoks)
+                ptf = sum(
+                    1
+                    for i in range(len(dtoks) - n + 1)
+                    if dtoks[i : i + n] == ptoks
+                )
+                if ptf == 0:
+                    matched_all_phrases = False
+                    break
+                s += idf_sum * (ptf * (K1 + 1.0)) / (
+                    ptf + K1 * (1.0 - B + B * dl / self.avgdl)
+                )
+            if not matched_all_phrases:
+                continue
+            if terms:
+                s += self.score(d, terms)
+            if s > 0 or (p.operators["and"] and terms):
                 out.append((d, s))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]

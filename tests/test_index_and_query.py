@@ -223,10 +223,13 @@ class TestBoolean:
         }
         assert got and not (got & bad)
 
-    def test_phrases_rejected(self, spark, corpus):
+    def test_phrase_clause_needs_positions(self, spark, corpus):
+        # phrases ARE boolean must clauses (tests/test_phrase.py), but
+        # this fixture's index has no positional postings — the guard
+        # must fire loudly instead of degrading to bag-of-words
         paths, _ = corpus
         idx = BM25Index(spark, paths.root)
-        with pytest.raises(ValueError, match="search_phrase"):
+        with pytest.raises(ValueError, match="positions"):
             idx.search_boolean('"quick brown" fox')
 
 

@@ -309,3 +309,75 @@ class TestPhraseRankIdentity:
         term = next(t for t in terms if tokenize_py(t) == [t])
         with pytest.raises(ValueError, match="positions"):
             bare.search_phrase(term, join_docs=False)
+
+
+class TestBooleanPhrases:
+    """search_boolean with quoted phrases: each phrase is a must
+    match_phrase clause (scored, required), bare terms should/must on
+    top, NOT filters unscored — rank-identical to topk_boolean."""
+
+    def _spans(self, raw_by_id):
+        for d in sorted(raw_by_id):
+            words = raw_by_id[d].split()
+            if len(words) >= 12:
+                a = " ".join(words[3:6])
+                b = " ".join(words[6:10])
+                if tokenize_py(a) and tokenize_py(b):
+                    return a, b
+        raise AssertionError("no usable spans in corpus")
+
+    def test_matches_oracle(self, spark, corpus):
+        _, oracle, idx, raw_by_id = corpus
+        a, b = self._spans(raw_by_id)
+        queries = [
+            f'"{a}"',                       # pure phrase
+            f'"{a}" python programming',    # phrase + should terms
+            f'"{a}" NOT database',          # phrase + must_not
+            f'"{a}" AND python',            # phrase + must term
+            f'"{a}" "{b}"',                 # two must phrases (same doc)
+            f'"{a}" NOT {a.split()[0]}',    # negate a phrase word -> empty-ish
+            '"zzzznotaterm anything" python',  # unindexed phrase -> empty
+        ]
+        for q in queries:
+            got = [
+                (r["doc_id"], r["score"])
+                for r in idx.search_boolean(q, k=10, join_docs=False)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect()
+            ]
+            want = oracle.topk_boolean(q, k=10)
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, q
+
+    def test_pure_phrase_equals_search_phrase(self, spark, corpus):
+        _, _, idx, raw_by_id = corpus
+        a, _ = self._spans(raw_by_id)
+        bq = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_boolean(f'"{a}"', k=10, join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        pq = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_phrase(a, k=10, join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        assert bq == pq and bq
+
+    def test_no_positions_index_raises(self, spark, corpus, tmp_path):
+        pages = synth_pages(spark, 20, num_partitions=2)
+        root = str(tmp_path / "nopos_bool")
+        build_index(spark, pages, root, num_buckets=4, block_size=16,
+                    num_partitions=2)
+        bare = BM25Index(spark, root)
+        terms = [
+            r["term"]
+            for r in spark.read.parquet(IndexPaths(root).term_stats)
+            .select("term").collect()
+        ]
+        term = next(t for t in terms if tokenize_py(t) == [t])
+        with pytest.raises(ValueError, match="positions"):
+            bare.search_boolean(f'"{term}" other', join_docs=False)

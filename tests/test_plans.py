@@ -119,3 +119,15 @@ def test_term_stats_lookup_prunes(spark, idx):
     pushed = plan.split("PushedFilters", 1)
     assert len(pushed) == 2, "no PushedFilters in stats scan plan"
     assert "term" in pushed[1][:200]
+
+
+def test_boolean_not_is_broadcast_anti_join(idx):
+    # small negated-term df (<= not_broadcast_max_df) => the must_not
+    # exclusion compiles to a broadcast LeftAnti hash join, and the
+    # exclusion's posting scan partition-prunes like any term scan
+    plan = explain_str(
+        idx.search_boolean("python programming NOT database", k=10,
+                           join_docs=False)
+    )
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
