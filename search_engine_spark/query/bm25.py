@@ -592,6 +592,40 @@ class BM25Index:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def stats(self) -> Dict[str, object]:
+        """Engine-level /stats (backend/search_api/main.py:606-643
+        parity): the reference reports indexed_pages (ES doc count) and
+        index_size_mb (ES store bytes) — here the live doc count (net
+        of tombstones), the index's on-disk footprint, vocabulary and
+        posting-block counts, and merge state.  The endpoint's query-log
+        aggregates (queries_24h, avg latency, cache-hit rate) are D9 —
+        query/serving.py over the query-log table."""
+        from search_engine_spark.index.merge import _fs_exists, _hadoop
+
+        n_tomb = 0 if self.tombstones is None else self.tombstones.count()
+        fs, Path = _hadoop(self.spark, self.paths.root)
+        size_bytes = 0
+        for p in (
+            self.paths.docs,
+            self.paths.postings,
+            self.paths.term_stats,
+            self.paths.pos_postings,
+            self.paths.field_stats,
+        ):
+            if _fs_exists(self.spark, p):
+                size_bytes += int(fs.getContentSummary(Path(p)).getLength())
+        return {
+            # corpus n_docs counts every segment's docs; tombstoned old
+            # versions are live-subtracted (index/merge.py:live_docs)
+            "indexed_docs": self.n_docs - n_tomb,
+            "tombstoned_docs": n_tomb,
+            "avgdl": self.avgdl,
+            "vocab_terms": self.term_stats.count(),
+            "posting_blocks": self.postings.count(),
+            "index_size_mb": round(size_bytes / (1024 * 1024), 3),
+            "merged": self.merged,
+        }
+
     def _decode_contribs(
         self, blocks: DataFrame, idf_by_term: Dict[str, float], formula: str = "bm25"
     ) -> DataFrame:

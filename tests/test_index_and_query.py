@@ -156,6 +156,20 @@ class TestRankIdentity:
         assert 0 < len(rows) <= 5
         assert all(r["url"].startswith("https://") for r in rows)
 
+    def test_stats_surface(self, spark, corpus):
+        """Engine /stats parity (main.py:606-643 shape)."""
+        paths, oracle = corpus
+        s = BM25Index(spark, paths.root).stats()
+        assert s["indexed_docs"] == N_PAGES
+        assert s["tombstoned_docs"] == 0
+        assert s["vocab_terms"] == len(
+            {t for toks in oracle.docs.values() for t in toks}
+        )
+        assert s["posting_blocks"] > 0
+        assert s["index_size_mb"] > 0
+        assert abs(s["avgdl"] - oracle.avgdl) < 1e-9
+        assert s["merged"] is False
+
 
 BOOLEAN_QUERIES = [
     "python NOT database",

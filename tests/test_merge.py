@@ -74,6 +74,14 @@ class TestMerge:
         assert idx.n_docs == N_BASE + (N_ALL - BATCH_LO)
         assert idx.merged
 
+    def test_stats_nets_out_tombstones(self, spark, merged):
+        root, _, _ = merged
+        s = BM25Index(spark, root).stats()
+        assert s["indexed_docs"] == N_ALL  # live docs only
+        assert s["tombstoned_docs"] == N_BASE - BATCH_LO
+        assert s["merged"] is True
+        assert s["index_size_mb"] > 0
+
     def test_no_tombstone_in_topk(self, spark, merged):
         root, _, _ = merged
         idx = BM25Index(spark, root)
