@@ -1544,6 +1544,125 @@ SELECT doc_id,
 FROM pt, i2, n ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- composed boolean query (query/bm25.py:search_boolean full shape) -----
+# '"agg hash window" spark merge window NOT dup': the phrase is a must
+# match_phrase clause (required, scored as a pseudo-term), the bare
+# terms are should clauses adding their BM25 contribution where
+# present, and the NOT operand filters unscored (ES bool semantics).
+
+BOOLEAN_PHRASE_NOT_TERM = "dup"
+
+
+def _q_boolean_bm25_topk(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    npair = len(PHRASE_TOKENS)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("p", "term"),
+    )
+    pairs = None
+    for j, t in enumerate(PHRASE_TOKENS):
+        fr = pos.filter(F.col("term") == t).select(
+            "doc_id", "dl", (F.col("p") - j).alias("s")
+        )
+        pairs = fr if pairs is None else pairs.unionByName(fr)
+    ptf = (
+        pairs.filter(F.col("s") >= 0)
+        .groupBy("doc_id", "dl", "s")
+        .agg(F.count(F.lit(1)).alias("nj"))
+        .filter(F.col("nj") == npair)
+        .groupBy("doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("ptf"))
+    )
+    dfs = (
+        pos.filter(F.col("term").isin(sorted(set(PHRASE_TOKENS))))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf_sum = float(
+        dfs.agg(
+            F.sum(
+                F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+        ).collect()[0][0]
+        or 0.0
+    )
+    pscore = F.lit(idf_sum) * (F.col("ptf") * (K1 + 1.0)) / (
+        F.col("ptf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    phrase_scored = ptf.select("doc_id", "dl", pscore.alias("_ps"))
+    # should terms — global df as in bm25_topk, never survivor-restricted
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("tdl"), F.explode("toks").alias("term")
+        )
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("tdl").alias("tdl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("tdl") / F.lit(avgdl))
+    )
+    term_scored = (
+        tf.join(df_t, "term")
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("_ts"))
+    )
+    excl = toks.filter(
+        F.array_contains("toks", BOOLEAN_PHRASE_NOT_TERM)
+    ).select("doc_id")
+    return (
+        phrase_scored.join(term_scored, "doc_id", "left")
+        .join(excl, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("_ps") + F.coalesce(F.col("_ts"), F.lit(0.0)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_BOOLEAN_BM25 = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+ix AS (SELECT doc_id, len(l) AS dl, l,
+              unnest(range(1, len(l) - {len(PHRASE_TOKENS)} + 2)) AS i
+       FROM tok),
+pt AS (SELECT doc_id, dl, count(*) AS ptf FROM ix
+       WHERE {_PHRASE_CONDS} GROUP BY doc_id, dl),
+dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+        FROM tok, unnest(l) AS u(t) WHERE t IN ({_PHRASE_TERMS_SQL})
+        GROUP BY t),
+i2 AS (SELECT sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) AS idf_sum
+       FROM dfs, n),
+ps AS (SELECT doc_id,
+              idf_sum * (ptf * {K1 + 1.0})
+              / (ptf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) AS _ps
+       FROM pt, i2, n),
+tf AS (SELECT doc_id, len(l) AS tdl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts AS (SELECT doc_id,
+              sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {K1 + 1.0})
+                   / (tf + {K1} * (1.0 - {B} + {B} * tdl / avgdl)) ) AS _ts
+       FROM tf JOIN dft USING (term), n GROUP BY doc_id),
+ex AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+       WHERE t = '{BOOLEAN_PHRASE_NOT_TERM}')
+SELECT ps.doc_id, round(_ps + coalesce(_ts, 0.0), 6) AS score
+FROM ps LEFT JOIN ts USING (doc_id)
+WHERE ps.doc_id NOT IN (SELECT doc_id FROM ex)
+ORDER BY score DESC, ps.doc_id LIMIT 10"""
+
+
 # ---- ordered sloppy phrase (query/bm25.py:search_phrase slop>0 shape) -----
 # ES match_phrase-with-slop, order-preserving variant: tokens at strictly
 # increasing positions p_0 < ... < p_{n-1} with window overhead
@@ -1708,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
         "bm25_topk_not": _q_bm25_topk_not,
+        "boolean_bm25_topk": _q_boolean_bm25_topk,
         "index_stats": _q_index_stats,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
@@ -1768,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25,
         "bm25_topk_and": _SQL_BM25_AND,
         "bm25_topk_not": _SQL_BM25_NOT,
+        "boolean_bm25_topk": _SQL_BOOLEAN_BM25,
         "index_stats": _SQL_INDEX_STATS,
         "phrase_bm25_topk": _SQL_PHRASE_BM25,
         "phrase_slop_topk": _SQL_PHRASE_SLOP,
