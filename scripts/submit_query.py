@@ -27,7 +27,10 @@ def main() -> None:
                     help="repeatable; one search per flag")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="blockmax",
-                    choices=["blockmax", "exhaustive", "and", "tfidf"])
+                    choices=["blockmax", "exhaustive", "and", "tfidf",
+                             "boolean", "phrase", "prefix", "fields"])
+    ap.add_argument("--slop", type=int, default=0,
+                    help="ordered proximity for --mode phrase")
     ap.add_argument("--log-dir", help="append query_logs rows here")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -47,7 +50,16 @@ def main() -> None:
     idx = BM25Index(spark, args.index)
     for q in args.query:
         t0 = time.time()
-        rows = idx.search(q, k=args.k, mode=args.mode).collect()
+        if args.mode == "boolean":
+            rows = idx.search_boolean(q, k=args.k).collect()
+        elif args.mode == "phrase":
+            rows = idx.search_phrase(q, k=args.k, slop=args.slop).collect()
+        elif args.mode == "prefix":
+            rows = idx.search_prefix(q, k=args.k).collect()
+        elif args.mode == "fields":
+            rows = idx.search_fields(q, k=args.k).collect()
+        else:
+            rows = idx.search(q, k=args.k, mode=args.mode).collect()
         ms = int((time.time() - t0) * 1000)
         if args.log_dir:
             log_query(spark, args.log_dir, q, len(rows), ms)
