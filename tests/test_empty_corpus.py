@@ -20,6 +20,8 @@ def test_empty_corpus_builds_and_queries(spark, tmp_path):
     assert idx.n_docs == 0 and idx.avgdl == 0.0
     assert idx.search("python tutorial", k=5).count() == 0
     assert idx.search_many({"a": "python"}, k=5).count() == 0
+    assert idx.search_boolean("python NOT tutorial", k=5).count() == 0
+    assert idx.stats()["indexed_docs"] == 0
 
 
 def test_null_text_pages_are_tolerated(spark, tmp_path):
