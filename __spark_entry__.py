@@ -732,7 +732,9 @@ def _q_near_dup(spark, sf_dir):
     )
 
 
-def _sql_near_dup():
+def _near_dup_ctes() -> str:
+    """CTE chain through `verified` — shared by the pair listing and
+    the connected-components closure oracle."""
     x = md5int_sql("s")
     sig_cols = ", ".join(
         f"min({minhash_sql(x, a, b)}) AS mh_{i}"
@@ -757,8 +759,48 @@ verified AS (
          round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
                (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
            AS jaccard
-  FROM cand c JOIN shl sa ON sa.id = c.id_a JOIN shl sb ON sb.id = c.id_b)
+  FROM cand c JOIN shl sa ON sa.id = c.id_a JOIN shl sb ON sb.id = c.id_b)"""
+
+
+def _sql_near_dup():
+    return f"""{_near_dup_ctes()}
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}"""
+
+
+def _q_dedup_components(spark, sf_dir):
+    """Transitive closure of the near-dup pairs (ops/dedup.py:
+    connected_components): every doc labeled with its duplicate-group
+    representative (min doc_id reachable through pairs; itself when
+    unpaired)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text",
+        num_hashes=N_MINHASH, bands=LSH_BANDS,
+        jaccard_threshold=NEAR_DUP_THRESHOLD,
+    )
+    comp = D.connected_components(pairs.select("id_a", "id_b"))
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
+
+
+def _sql_dedup_components():
+    # min-reachable-id via recursive closure == the engine's converged
+    # min-label propagation
+    ctes = _near_dup_ctes().replace("WITH tok", "WITH RECURSIVE tok", 1)
+    return f"""{ctes},
+sel AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {NEAR_DUP_THRESHOLD}),
+und AS (SELECT id_a AS a, id_b AS b FROM sel
+        UNION SELECT id_b, id_a FROM sel),
+reach(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT reach.id, und.b FROM reach JOIN und ON und.a = reach.r),
+cmp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT d.doc_id AS id, coalesce(c.comp, d.doc_id) AS comp
+FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id"""
 
 
 EMB_DUP_THRESHOLD = 0.4  # synthetic embeddings: max pairwise cosine ~0.48
@@ -1869,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality + near-dup (training-data ops)
         "quality_scores": _q_quality,
         "near_dup_pairs": _q_near_dup,
+        "dedup_components": _q_dedup_components,
         "embedding_near_dup": _q_embedding_near_dup,
         # multimodal plumbing
         "media_meta": _q_media_meta,
@@ -1922,6 +1965,7 @@ def oracle_sql() -> dict[str, str]:
         "url_ops": _sql_url_ops(),
         "quality_scores": _SQL_QUALITY,
         "near_dup_pairs": _sql_near_dup(),
+        "dedup_components": _sql_dedup_components(),
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "media_meta": _SQL_MEDIA_META,
         "frame_sample": _SQL_FRAME_SAMPLE,

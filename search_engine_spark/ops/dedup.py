@@ -161,6 +161,91 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over undirected duplicate pairs
+    (id_a, id_b) — the transitive-closure step a dedup pipeline needs
+    on top of pairs: a~b and b~c must land {a,b,c} in ONE group even
+    when (a,c) never surfaced as a pair (LSH banding misses it, or the
+    Jaccard chain is non-transitive).
+
+    Min-label propagation: every node starts labeled with its own id
+    and repeatedly adopts the minimum label across its edges until
+    fixpoint.  At fixpoint the label is constant within a component and
+    equals the component's minimum id (labels only ever take id values
+    and only ever decrease).  Returns (id, comp) for every node that
+    appears in pairs.
+
+    Scale shape: one shuffle per iteration (edges ⋈ labels then
+    groupBy(id).min) and iterations = component diameter in hops —
+    near-dup clusters are dense, so single digits in practice.
+    localCheckpoint(eager) per iteration truncates the join lineage
+    that would otherwise stack one plan level per iteration, and the
+    convergence count piggybacks on that materialization.
+    """
+    # materialize once: edges re-derive from `pairs` (often a whole
+    # LSH pipeline) and are re-joined EVERY iteration — without this
+    # each round would re-run the upstream pair generation
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "nc")
+            .join(labels, "id")
+            .filter(F.col("nc") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup DEDUPLICATION (not just pair listing): MinHash-LSH
+    pairs -> connected components -> keep exactly one doc per duplicate
+    group (the minimum id — deterministic) plus every unpaired doc.
+    The anti-join side is only the LOSERS (dup-group members minus one
+    per group), which is tiny relative to the corpus; AQE broadcasts it
+    when it fits."""
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, num_hashes, bands, jaccard_threshold, shingle_k
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash (48-bit, md5-derived, tf-weighted)
 # ---------------------------------------------------------------------------
