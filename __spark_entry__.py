@@ -675,6 +675,31 @@ SELECT doc_id, url,
 FROM urls"""
 
 
+def _q_frontier_pop(spark, sf_dir):
+    """Priority-ordered frontier pop (A4/G5, crawler.py:137-153 — the
+    Redis ZSET ZRANGE+ZREM made declarative): lowest crawl priority
+    (F15) first, deterministic url tie-break, batch of 20, via
+    web.links.frontier_pop_batch."""
+    from search_engine_spark.web import links as L
+    from search_engine_spark.web import urls as U
+
+    frontier = _urls_df(spark, sf_dir).select(
+        "url",
+        F.round(
+            U.crawl_priority_col(F.col("url"), (F.col("doc_id") % 4)), 6
+        ).alias("priority"),
+    )
+    return L.frontier_pop_batch(frontier, 20)
+
+
+def _sql_frontier_pop():
+    from search_engine_spark.web import urls as U
+
+    return f"""WITH {_URLS_CTE}
+SELECT url, round({U.crawl_priority_sql('url', 'doc_id % 4')}, 6) AS priority
+FROM urls ORDER BY priority, url LIMIT 20"""
+
+
 # ---- quality scoring (training-data text analysis) ------------------------
 
 
@@ -1908,6 +1933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree_graph": _q_out_degree_graph,
         # web/url layer (SURVEY §2.B, §2.F9/F15)
         "url_ops": _q_url_ops,
+        "frontier_pop": _q_frontier_pop,
         # quality + near-dup (training-data ops)
         "quality_scores": _q_quality,
         "near_dup_pairs": _q_near_dup,
@@ -1963,6 +1989,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_5iter": _sql_pagerank(),
         "out_degree_graph": _SQL_OUT_DEGREE_GRAPH,
         "url_ops": _sql_url_ops(),
+        "frontier_pop": _sql_frontier_pop(),
         "quality_scores": _SQL_QUALITY,
         "near_dup_pairs": _sql_near_dup(),
         "dedup_components": _sql_dedup_components(),
