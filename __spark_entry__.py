@@ -165,21 +165,17 @@ SELECT count(*) AS n_docs, round(avg(len(l)), 6) AS avgdl,
        sum(len(l))::BIGINT AS total_tokens FROM tok"""
 
 
-def _q_bm25_topk(spark, sf_dir):
-    """BM25 over the documents table for a fixed query (C4 OR-mode +
-    D14 stats + G1 top-k), computed with the same pinned k1/b/idf as
-    the posting-block engine."""
-    toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    stats = toks.agg(F.avg(F.size("toks")).alias("avgdl")).collect()[0]
-    avgdl = float(stats["avgdl"])
+def _bm25_scored(toks, n: int, avgdl: float, terms) -> DataFrame:
+    """Per-doc BM25 over `terms` with global N/avgdl/df — the ONE
+    definition shared by the OR / AND / NOT / boolean entries:
+    (doc_id, _s unrounded score, _nt matched-term count)."""
     tf = (
         toks.select(
             "doc_id",
             F.size("toks").alias("dl"),
             F.explode("toks").alias("term"),
         )
-        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .filter(F.col("term").isin(list(terms)))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
@@ -192,7 +188,41 @@ def _q_bm25_topk(spark, sf_dir):
         tf.join(df_t, "term")
         .withColumn("c", contrib)
         .groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .agg(F.sum("c").alias("_s"), F.countDistinct("term").alias("_nt"))
+    )
+
+
+def _bm25_cte(terms_sql: str) -> str:
+    """SQL twin of _bm25_scored: CTE chain ending in
+    scored(doc_id, _s, _nt) — append after the tok CTE."""
+    return f"""n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({terms_sql})
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT doc_id,
+       sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * {K1 + 1.0})
+            / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ) AS _s,
+       count(DISTINCT term) AS _nt
+FROM tf JOIN dft USING (term), n GROUP BY doc_id)"""
+
+
+def _corpus_scalars(toks):
+    n = toks.count()
+    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    return n, avgdl
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 over the documents table for a fixed query (C4 OR-mode +
+    D14 stats + G1 top-k), computed with the same pinned k1/b/idf as
+    the posting-block engine."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    return (
+        _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+        .select("doc_id", F.round(F.col("_s"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
@@ -200,16 +230,9 @@ def _q_bm25_topk(spark, sf_dir):
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 _SQL_BM25 = f"""{_TOK_CTE},
-n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
-tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
-       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
-       GROUP BY doc_id, len(l), t),
-dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-SELECT doc_id,
-       round(sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-             * (tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ), 6) AS score
-FROM tf JOIN dft USING (term), n
-GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+{_bm25_cte(_TERMS_SQL)}
+SELECT doc_id, round(_s, 6) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10"""
 
 
 def _q_tfidf_topk(spark, sf_dir):
@@ -901,47 +924,20 @@ def _q_bm25_topk_and(spark, sf_dir):
     """Posting-list intersection: a doc qualifies only when it matches
     EVERY query term (SURVEY §2.C4 AND-mode); scores as in bm25_topk."""
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
-    tf = (
-        toks.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-        .filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
-    )
+    n, avgdl = _corpus_scalars(toks)
     return (
-        tf.join(df_t, "term")
-        .withColumn("c", contrib)
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("c"), 6).alias("score"),
-            F.countDistinct("term").alias("_nt"),
-        )
+        _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
         .filter(F.col("_nt") == len(BM25_QUERY_TERMS))
-        .drop("_nt")
+        .select("doc_id", F.round(F.col("_s"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
 
 
 _SQL_BM25_AND = f"""{_TOK_CTE},
-n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
-tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
-       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
-       GROUP BY doc_id, len(l), t),
-dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
-SELECT doc_id,
-       round(sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-             * (tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ), 6) AS score
-FROM tf JOIN dft USING (term), n
-GROUP BY doc_id HAVING count(DISTINCT term) = {len(BM25_QUERY_TERMS)}
+{_bm25_cte(_TERMS_SQL)}
+SELECT doc_id, round(_s, 6) AS score FROM scored
+WHERE _nt = {len(BM25_QUERY_TERMS)}
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
@@ -958,49 +954,26 @@ def _q_bm25_topk_not(spark, sf_dir):
     Executes the NOT operator the reference only parses
     (tfidf.py:589-626)."""
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
-    tf = (
-        toks.select(
-            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-        )
-        .filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
-    )
+    n, avgdl = _corpus_scalars(toks)
     excl = toks.filter(
         F.array_contains("toks", BOOLEAN_NOT_TERM)
     ).select("doc_id")
     return (
-        tf.join(df_t, "term")
-        .withColumn("c", contrib)
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
+        _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
         .join(excl, "doc_id", "left_anti")
+        .select("doc_id", F.round(F.col("_s"), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
 
 
 _SQL_BM25_NOT = f"""{_TOK_CTE},
-n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
-tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
-       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
-       GROUP BY doc_id, len(l), t),
-dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{_bm25_cte(_TERMS_SQL)},
 ex AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
        WHERE t = '{BOOLEAN_NOT_TERM}')
-SELECT doc_id,
-       round(sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-             * (tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ), 6) AS score
-FROM tf JOIN dft USING (term), n
+SELECT doc_id, round(_s, 6) AS score FROM scored
 WHERE doc_id NOT IN (SELECT doc_id FROM ex)
-GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+ORDER BY score DESC, doc_id LIMIT 10"""
 
 
 # ---- index stats (/stats endpoint shape, main.py:606-643) ------------------
@@ -1661,24 +1634,8 @@ def _q_boolean_bm25_topk(spark, sf_dir):
     )
     phrase_scored = ptf.select("doc_id", "dl", pscore.alias("_ps"))
     # should terms — global df as in bm25_topk, never survivor-restricted
-    tf = (
-        toks.select(
-            "doc_id", F.size("toks").alias("tdl"), F.explode("toks").alias("term")
-        )
-        .filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("tdl").alias("tdl"))
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf") + K1 * (1.0 - B + B * F.col("tdl") / F.lit(avgdl))
-    )
-    term_scored = (
-        tf.join(df_t, "term")
-        .withColumn("c", contrib)
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("_ts"))
+    term_scored = _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS).select(
+        "doc_id", F.col("_s").alias("_ts")
     )
     excl = toks.filter(
         F.array_contains("toks", BOOLEAN_PHRASE_NOT_TERM)
@@ -1698,7 +1655,7 @@ def _q_boolean_bm25_topk(spark, sf_dir):
 
 
 _SQL_BOOLEAN_BM25 = f"""{_TOK_CTE},
-n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+{_bm25_cte(_TERMS_SQL)},
 ix AS (SELECT doc_id, len(l) AS dl, l,
               unnest(range(1, len(l) - {len(PHRASE_TOKENS)} + 2)) AS i
        FROM tok),
@@ -1713,19 +1670,10 @@ ps AS (SELECT doc_id,
               idf_sum * (ptf * {K1 + 1.0})
               / (ptf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) AS _ps
        FROM pt, i2, n),
-tf AS (SELECT doc_id, len(l) AS tdl, t AS term, count(*) AS tf
-       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
-       GROUP BY doc_id, len(l), t),
-dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-ts AS (SELECT doc_id,
-              sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                   * (tf * {K1 + 1.0})
-                   / (tf + {K1} * (1.0 - {B} + {B} * tdl / avgdl)) ) AS _ts
-       FROM tf JOIN dft USING (term), n GROUP BY doc_id),
 ex AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
        WHERE t = '{BOOLEAN_PHRASE_NOT_TERM}')
-SELECT ps.doc_id, round(_ps + coalesce(_ts, 0.0), 6) AS score
-FROM ps LEFT JOIN ts USING (doc_id)
+SELECT ps.doc_id, round(_ps + coalesce(_s, 0.0), 6) AS score
+FROM ps LEFT JOIN scored USING (doc_id)
 WHERE ps.doc_id NOT IN (SELECT doc_id FROM ex)
 ORDER BY score DESC, ps.doc_id LIMIT 10"""
 

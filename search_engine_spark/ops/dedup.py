@@ -199,6 +199,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["b"] == labels["id"]).select(
             F.col("a").alias("id"), "comp"
@@ -218,6 +219,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silently-unconverged result would split one duplicate group
+        # into several "survivors" — refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iter (component diameter exceeds it)"
+        )
     return labels
 
 

@@ -494,6 +494,10 @@ class BM25Index:
             and len(terms) >= 1
             and exclude_df_sum <= self.not_seed_max_df
         ):
+            if exclude is not None:
+                # the θ-seed collect and the final query both anti-join
+                # the exclusion — materialize its posting decode once
+                exclude = exclude.localCheckpoint()
             theta = self._seed_theta(
                 terms, stats, idf_by_term, k,
                 exclude=exclude,
@@ -689,38 +693,75 @@ class BM25Index:
             phrase must occur (positional postings, search_phrase
             semantics), scored as a pseudo-term and ADDED to the term
             scores — bare terms then act as should (or must under AND)
-            on top of the phrase-qualified docs
+            on top of the phrase-qualified docs; a phrase AFTER NOT is
+            a must_not clause: its matching docs are excluded unscored
+          * conjunctive semantics key on an ` AND ` within the POSITIVE
+            segment (ParsedQuery.positive_and) — an AND between negated
+            operands must not force must-mode on the positive terms
 
-        Pure negation ("NOT spam") returns empty: the reference has no
-        match_all, and at 10^12 docs "everything except X" is not a
-        rankable result set.
+        Pure negation ("NOT spam", 'NOT "spam run"') returns empty: the
+        reference has no match_all, and at 10^12 docs "everything
+        except X" is not a rankable result set.
         """
         p = parse_query(query)
-        if p.phrases:
-            return self._boolean_with_phrases(p, k, join_docs)
+        if p.phrases or p.not_phrases:
+            return self._boolean_with_phrases(p, k, mode, join_docs)
         if not p.terms:
             return self._empty_scored(join_docs)
         exclude, df_sum = self._excluded_docs(sorted(set(p.not_terms)))
         return self.search(
             p.terms,
             k=k,
-            mode="and" if p.operators["and"] else mode,
+            mode="and" if p.positive_and else mode,
             join_docs=join_docs,
             exclude=exclude,
             exclude_df_sum=df_sum,
         )
 
+    def _boolean_exclusion(self, p) -> Tuple[Optional[DataFrame], int]:
+        """Combined must_not doc set: negated terms' postings plus the
+        match-doc sets of negated phrases.  The size bound adds each
+        negated phrase's rarest-term df (its match count can't exceed
+        it) so the broadcast/θ-seed gates stay honest."""
+        exclude, df_sum = self._excluded_docs(sorted(set(p.not_terms)))
+        for nq in sorted(set(p.not_phrases)):
+            s = self._phrase_scored(nq)
+            if s is None:  # unindexed/empty phrase matches nothing
+                continue
+            ids = s.select("doc_id")
+            exclude = ids if exclude is None else exclude.unionByName(ids)
+            stats = self._query_stats(sorted(set(tokenize_py(nq))))
+            if stats:
+                df_sum += min(v[0] for v in stats.values())
+        return exclude, df_sum
+
     def _boolean_with_phrases(
-        self, p, k: int, join_docs: bool
+        self, p, k: int, mode: str, join_docs: bool
     ) -> DataFrame:
-        """bool query with match_phrase must clauses.  No block-max
-        pruning here: qualification comes from the phrase intersection,
-        which is already bounded by the rarest phrase term's df — the
-        effective prune.  Unindexed bare terms are dropped (same as
-        search/topk_and); an unindexed phrase term empties the result
-        (conjunctive phrase semantics)."""
+        """bool query with match_phrase clauses (must and/or must_not).
+        No block-max pruning on the must-phrase path: qualification
+        comes from the phrase intersection, which is already bounded by
+        the rarest phrase term's df — the effective prune.  Unindexed
+        bare terms are dropped (same as search/topk_and); an unindexed
+        MUST-phrase term empties the result (conjunctive), an unindexed
+        must_not phrase excludes nothing."""
         if k <= 0:
             return self._empty_scored(join_docs)
+        if not p.terms and not p.phrases:
+            return self._empty_scored(join_docs)
+        exclude, df_sum = self._boolean_exclusion(p)
+
+        if not p.phrases:
+            # terms-only positives with phrase/term exclusion
+            return self.search(
+                p.terms,
+                k=k,
+                mode="and" if p.positive_and else mode,
+                join_docs=join_docs,
+                exclude=exclude,
+                exclude_df_sum=df_sum,
+            )
+
         ph: Optional[DataFrame] = None
         for q in p.phrases:
             s = self._phrase_scored(q)
@@ -754,7 +795,7 @@ class BM25Index:
                     F.count(F.lit(1)).alias("_nt"),
                 )
             )
-            if p.operators["and"]:
+            if p.positive_and:
                 # must terms: phrase docs must also hold every term
                 ph = (
                     ph.join(tsc.filter(F.col("_nt") == len(terms)), "doc_id")
@@ -775,7 +816,6 @@ class BM25Index:
                         ).alias("score"),
                     )
                 )
-        exclude, df_sum = self._excluded_docs(sorted(set(p.not_terms)))
         if exclude is not None:
             rhs = (
                 F.broadcast(exclude)

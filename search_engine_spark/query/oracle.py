@@ -83,7 +83,10 @@ class BM25Oracle:
         holding ANY term after ` NOT ` are filtered out unscored; each
         quoted phrase is a must clause — required at consecutive
         positions, scored as a pseudo-term (PhraseOracle shape) and
-        added to the term score."""
+        added to the term score; a phrase after NOT excludes its
+        matching docs unscored.  Conjunctive semantics key on
+        positive_and (an AND between negated operands is not a must
+        on the positive terms)."""
         from search_engine_spark.query.parse import parse_query
 
         p = parse_query(query)
@@ -93,6 +96,11 @@ class BM25Oracle:
             if not ptoks or any(self.df.get(t, 0) == 0 for t in set(ptoks)):
                 return []  # conjunctive: an unindexed phrase term empties
             ph_specs.append((ptoks, sum(self.idf(t) for t in set(ptoks))))
+        neg_phrases = []
+        for q in p.not_phrases:
+            ptoks = tokenize_py(q)
+            if ptoks and all(self.df.get(t, 0) > 0 for t in set(ptoks)):
+                neg_phrases.append(ptoks)  # unindexed -> excludes nothing
         terms = [t for t in set(p.terms) if self.df.get(t, 0) > 0]
         if not terms and not ph_specs:
             return []
@@ -101,7 +109,15 @@ class BM25Oracle:
         for d, dtoks in self.docs.items():
             if any(self.tf[d].get(t, 0) > 0 for t in neg):
                 continue
-            if p.operators["and"] and not all(
+            if any(
+                any(
+                    dtoks[i : i + len(nt)] == nt
+                    for i in range(len(dtoks) - len(nt) + 1)
+                )
+                for nt in neg_phrases
+            ):
+                continue
+            if p.positive_and and not all(
                 self.tf[d].get(t, 0) > 0 for t in terms
             ):
                 continue
@@ -124,7 +140,7 @@ class BM25Oracle:
                 continue
             if terms:
                 s += self.score(d, terms)
-            if s > 0 or (p.operators["and"] and terms):
+            if s > 0 or (p.positive_and and terms):
                 out.append((d, s))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]

@@ -61,6 +61,33 @@ class TestParse:
         assert p.terms == tokenize_py("alpha beta")
         assert p.not_terms == tokenize_py("gamma")
         assert p.operators["and"] and p.operators["not"]
+        assert p.positive_and  # the AND sits between positive operands
+
+    def test_negated_phrase_lands_in_not_phrases(self):
+        p = parse_query('python NOT "snake venom"')
+        assert p.terms == tokenize_py("python")
+        assert p.phrases == [] and p.not_phrases == ["snake venom"]
+        assert p.operators["not"]
+
+    def test_not_inside_quotes_does_not_split(self):
+        p = parse_query('"do not go" beta')
+        assert p.phrases == ["do not go"]
+        assert p.not_phrases == [] and p.not_terms == []
+        assert not p.operators["not"]  # reference: flags on phrase-free rest
+
+    def test_and_between_negated_operands_is_not_positive_and(self):
+        p = parse_query("spark flink NOT hadoop AND hive")
+        assert p.operators["and"]  # reference-faithful global flag
+        assert not p.positive_and  # but execution must stay disjunctive
+        assert p.terms == tokenize_py("spark flink")
+        assert sorted(p.not_terms) == sorted(tokenize_py("hadoop hive"))
+
+    def test_mixed_polarity_phrases(self):
+        p = parse_query('"alpha beta" gamma NOT "delta epsilon" zeta')
+        assert p.phrases == ["alpha beta"]
+        assert p.not_phrases == ["delta epsilon"]
+        assert p.terms == tokenize_py("gamma")
+        assert p.not_terms == tokenize_py("zeta")
 
 
 def _mk_oracle():
@@ -109,3 +136,27 @@ class TestBooleanOracle:
 
     def test_pure_negation_empty(self):
         assert _mk_oracle().topk_boolean("NOT python", k=10) == []
+
+    def test_negated_phrase_excludes_matching_docs(self):
+        o = _mk_oracle()
+        # docs 2 and 4 contain the contiguous (filtered) token pair
+        # "python snake"... doc 2: python snake reptile; doc 4: python
+        # programming snake (NOT contiguous) -> only doc 2 excluded
+        got = {d for d, _ in o.topk_boolean('python NOT "python snake"', k=10)}
+        assert 2 not in got and 4 in got and 1 in got
+
+    def test_unindexed_negated_phrase_excludes_nothing(self):
+        o = _mk_oracle()
+        assert o.topk_boolean(
+            'python NOT "zzzz qqqq"', k=10
+        ) == o.topk("python", k=10)
+
+    def test_and_in_not_segment_stays_disjunctive(self):
+        o = _mk_oracle()
+        # AND binds the two negated operands' segment, not the positives
+        got = {
+            d for d, _ in o.topk_boolean(
+                "python tutorial NOT cooking AND pasta", k=10
+            )
+        }
+        assert got == {1, 2, 4, 3}  # OR semantics; only doc 5 excluded

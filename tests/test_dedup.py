@@ -27,6 +27,16 @@ def test_cc_long_path_converges(spark):
     assert {r["comp"] for r in rows} == {0}
 
 
+def test_cc_refuses_unconverged(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(pairs, max_iter=2)
+
+
 def test_cc_empty_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(pairs).count() == 0

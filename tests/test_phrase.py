@@ -337,6 +337,9 @@ class TestBooleanPhrases:
             f'"{a}" "{b}"',                 # two must phrases (same doc)
             f'"{a}" NOT {a.split()[0]}',    # negate a phrase word -> empty-ish
             '"zzzznotaterm anything" python',  # unindexed phrase -> empty
+            f'python NOT "{a}"',            # negated phrase excludes its docs
+            f'"{a}" NOT "{b}"',             # must phrase + must_not phrase
+            f'python NOT "zzzz qqqq"',      # unindexed neg phrase -> no-op
         ]
         for q in queries:
             got = [
@@ -366,6 +369,22 @@ class TestBooleanPhrases:
             .collect()
         ]
         assert bq == pq and bq
+
+    def test_negated_phrase_docs_never_surface(self, spark, corpus):
+        _, oracle, idx, raw_by_id = corpus
+        a, _ = self._spans(raw_by_id)
+        matched = {
+            r["doc_id"]
+            for r in idx.search_phrase(a, k=500, join_docs=False).collect()
+        }
+        assert matched
+        got = {
+            r["doc_id"]
+            for r in idx.search_boolean(
+                f'python NOT "{a}"', k=500, join_docs=False
+            ).collect()
+        }
+        assert got and not (got & matched)
 
     def test_no_positions_index_raises(self, spark, corpus, tmp_path):
         pages = synth_pages(spark, 20, num_partitions=2)
