@@ -1,5 +1,5 @@
 """Measure the phrase rarest-term candidate gate (query/bm25.py
-_phrase_candidates) on a corpus large enough for decode+shuffle to
+_conjunctive_candidates) on a corpus large enough for decode+shuffle to
 matter.  Phrases pair a Zipf-head term with a rare term, the shape the
 gate exists for: ungated, the positional decode pays the head term's
 full posting volume; gated, it is bounded by the rare term's df.

@@ -82,6 +82,7 @@ def _decode_and_score(
     avgdl,
     formula: str = "bm25",
     emit_term: bool = False,
+    cand: Optional[np.ndarray] = None,
 ):
     """mapInPandas body: posting blocks -> (doc_id, contrib) rows.
 
@@ -92,7 +93,11 @@ def _decode_and_score(
     avgdl: a float, or a per-term dict (multi-field search — each
     field-namespaced term normalizes by its FIELD's avgdl).
     emit_term=True additionally outputs the term column (batch
-    multi-query mode joins contributions to per-query term sets)."""
+    multi-query mode joins contributions to per-query term sets).
+    cand: optional SORTED doc_id array — an exact superset of all
+    possible result docs (conjunctive AND-mode: docs holding the
+    rarest term).  Non-candidate rows are dropped before scoring so
+    the shuffle is bounded by the rarest term's df."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,13 +113,24 @@ def _decode_and_score(
                 gaps = varint_decode(bytes(ids_b), int(n))
                 ids = np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
                 tfs = varint_decode(bytes(tfs_b), int(n))
+                dls = (
+                    None
+                    if formula == "tfidf"
+                    else varint_decode(bytes(dls_b), int(n))
+                )
+                if cand is not None:
+                    m = np.isin(ids, cand, assume_unique=True)
+                    if not m.any():
+                        continue
+                    ids, tfs = ids[m], tfs[m]
+                    if dls is not None:
+                        dls = dls[m]
                 ids_out.append(ids)
                 if formula == "tfidf":
                     contrib_out.append(
                         (1.0 + np.log10(tfs.astype(np.float64))) * idf
                     )
                 else:
-                    dls = varint_decode(bytes(dls_b), int(n))
                     avg = avgdl[term] if isinstance(avgdl, dict) else avgdl
                     contrib_out.append(score_np(tfs, dls, idf, avg))
                 if emit_term:
@@ -529,8 +545,20 @@ class BM25Index:
                     bound >= F.lit(theta) - F.lit(s_tot) + gmax_map[F.col("term")]
                 )
 
+        cand_ids = None
+        if mode == "and":
+            # conjunctive queries are bounded by the rarest term's df:
+            # when df skew clears the cost gates, collect its doc ids
+            # and decode only candidate rows — 'the AND zebra' then
+            # Arrow-decodes O(df(zebra)) postings, not O(df(the))
+            cand_ids = self._conjunctive_candidates(terms, stats)
+            if cand_ids is not None and not len(cand_ids):
+                return self._empty_scored(join_docs)
         contribs = self._decode_contribs(
-            blocks, idf_by_term, formula="tfidf" if mode == "tfidf" else "bm25"
+            blocks,
+            idf_by_term,
+            formula="tfidf" if mode == "tfidf" else "bm25",
+            cand=cand_ids,
         )
         if mode == "and":
             # Each (doc, term) decodes to exactly one row (tf is
@@ -631,7 +659,11 @@ class BM25Index:
         }
 
     def _decode_contribs(
-        self, blocks: DataFrame, idf_by_term: Dict[str, float], formula: str = "bm25"
+        self,
+        blocks: DataFrame,
+        idf_by_term: Dict[str, float],
+        formula: str = "bm25",
+        cand: Optional[np.ndarray] = None,
     ) -> DataFrame:
         """Arrow decode of posting blocks to (doc_id, contrib).  Only
         the decode inputs cross the Arrow boundary (column prune ahead
@@ -639,7 +671,7 @@ class BM25Index:
         return blocks.select(
             "term", "count", "doc_ids", "tfs", "doclens"
         ).mapInPandas(
-            _decode_and_score(idf_by_term, self.avgdl, formula=formula),
+            _decode_and_score(idf_by_term, self.avgdl, formula=formula, cand=cand),
             schema=_CONTRIB_SCHEMA,
         )
 
@@ -1145,14 +1177,17 @@ class BM25Index:
             ).parquet(self.paths.pos_postings)
         return self._pos_cache
 
-    def _phrase_candidates(
+    def _conjunctive_candidates(
         self,
         terms: List[str],
         stats: Dict[str, Tuple[int, float, int, int, int]],
     ) -> Optional[np.ndarray]:
-        """Collect the rarest phrase term's doc ids when df skew makes
-        the pre-pass pay (see phrase_cand_* in __init__); returns a
-        sorted unique int64 array, or None when the gate is off.
+        """Collect the rarest term's doc ids when df skew makes the
+        pre-pass pay (see phrase_cand_* in __init__); returns a sorted
+        unique int64 array, or None when the gate is off.  Any
+        conjunctive operator uses it — exact phrases (all terms must
+        co-occur with positions) and AND-mode search (all terms must
+        co-occur) share the same bound: results ⊆ docs(rarest term).
 
         Reads the SCORE postings (no positions payload) pruned to one
         term's bucket — a single tiny job whose output is bounded by
@@ -1256,7 +1291,7 @@ class BM25Index:
         buckets = sorted({stats[t][2] for t in terms})
         n_pairs = len(toks)
 
-        cand_ids = self._phrase_candidates(terms, stats)
+        cand_ids = self._conjunctive_candidates(terms, stats)
         if cand_ids is not None and not len(cand_ids):
             return None
 

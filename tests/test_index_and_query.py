@@ -156,6 +156,32 @@ class TestRankIdentity:
         assert 0 < len(rows) <= 5
         assert all(r["url"].startswith("https://") for r in rows)
 
+    @pytest.mark.parametrize(
+        "query", ["python programming tutorial", "fox database python"]
+    )
+    def test_and_candidate_gate_rank_identical(self, spark, corpus, query):
+        """AND-mode with the rarest-term candidate gate FORCED ON must
+        rank identically to the ungated oracle — decode is then bounded
+        by the rarest term's df, not the Zipf-head term's."""
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        idx.phrase_cand_max_df = 10**9
+        idx.phrase_cand_ratio = 0.0
+        idx.phrase_cand_min_pruned = 0
+        terms = sorted(set(tokenize_py(query)))
+        stats = idx._query_stats(terms)
+        assert idx._conjunctive_candidates(terms, stats) is not None
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(query, k=10, mode="and", join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        want = oracle.topk_and(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
     def test_stats_surface(self, spark, corpus):
         """Engine /stats parity (main.py:606-643 shape)."""
         paths, oracle = corpus

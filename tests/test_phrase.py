@@ -216,7 +216,7 @@ class TestPhraseRankIdentity:
                 idx.phrase_cand_max_df = 10**9  # any df qualifies
                 stats = idx._query_stats(sorted(set(tokenize_py(q))))
                 dfs = sorted(s[0] for s in stats.values())
-                gated = idx._phrase_candidates(sorted(stats), stats)
+                gated = idx._conjunctive_candidates(sorted(stats), stats)
                 if dfs and dfs[-1] >= idx.phrase_cand_ratio * dfs[0]:
                     assert gated is not None and len(gated) == dfs[0]
                 got = [
