@@ -814,13 +814,34 @@ class BM25Index:
         stats = self._query_stats(terms)
         terms = [t for t in terms if t in stats]
         if terms:
+            # Result docs ⊆ matches of every must phrase ⊆ docs(rarest
+            # term of phrase 1) — when that bound is tiny next to the
+            # bare terms' Σ df (Zipf-head should-terms beside a rare
+            # phrase), collect it and gate the term decode on it.  Same
+            # cost model as the conjunctive candidate gate: the id set
+            # must stay small driver-side state AND the spared decode+
+            # shuffle volume must clear the extra job's fixed cost.
+            term_cand = None
+            ptoks = sorted(set(tokenize_py(p.phrases[0])))
+            pstats = self._query_stats(ptoks)
+            if ptoks and all(t in pstats for t in ptoks):
+                rare = min(ptoks, key=lambda t: (pstats[t][0], t))
+                lo = pstats[rare][0]
+                spared = sum(stats[t][0] for t in terms) - len(terms) * lo
+                if (
+                    lo <= self.phrase_cand_max_df
+                    and spared >= self.phrase_cand_min_pruned
+                ):
+                    term_cand = self._term_doc_ids(rare, pstats)
+                    if not len(term_cand):
+                        return self._empty_scored(join_docs)
             idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
             buckets = sorted({stats[t][2] for t in terms})
             blocks = self.postings.filter(
                 F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
             )
             tsc = (
-                self._decode_contribs(blocks, idf_by_term)
+                self._decode_contribs(blocks, idf_by_term, cand=term_cand)
                 .groupBy("doc_id")
                 .agg(
                     F.sum("contrib").alias("_ts"),
@@ -1206,10 +1227,17 @@ class BM25Index:
             or pruned < self.phrase_cand_min_pruned
         ):
             return None
+        return self._term_doc_ids(rare, stats)
+
+    def _term_doc_ids(self, term: str, stats) -> np.ndarray:
+        """One term's doc ids, collected driver-side as a sorted unique
+        int64 array (SCORE postings — ids only, tfs/doclens never
+        decoded).  Callers gate on df before calling (the array lives
+        on the driver and ships to every decode task)."""
         pdf = (
             self.postings.filter(
-                (F.col("term_bucket") == stats[rare][2])
-                & (F.col("term") == rare)
+                (F.col("term_bucket") == stats[term][2])
+                & (F.col("term") == term)
             )
             .select("count", "doc_ids")
             .mapInPandas(_decode_doc_ids(), schema="doc_id long")

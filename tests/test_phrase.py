@@ -370,6 +370,30 @@ class TestBooleanPhrases:
         ]
         assert bq == pq and bq
 
+    def test_term_decode_gate_rank_identical(self, spark, corpus):
+        """Boolean phrase+terms with the should-term decode gated by
+        the phrase's rarest-term candidates == ungated (forced gate)."""
+        paths, oracle, _, raw_by_id = corpus
+        a, _ = self._spans(raw_by_id)
+        q = f'"{a}" python programming'
+
+        def run(idx):
+            return [
+                (r["doc_id"], round(r["score"], 9))
+                for r in idx.search_boolean(q, k=10, join_docs=False)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .collect()
+            ]
+
+        plain = run(BM25Index(spark, paths.root))
+        forced = BM25Index(spark, paths.root)
+        forced.phrase_cand_max_df = 10**9
+        forced.phrase_cand_ratio = 0.0
+        forced.phrase_cand_min_pruned = 0
+        assert run(forced) == plain and plain
+        want = oracle.topk_boolean(q, k=10)
+        assert [d for d, _ in plain] == [d for d, _ in want]
+
     def test_negated_phrase_docs_never_surface(self, spark, corpus):
         _, oracle, idx, raw_by_id = corpus
         a, _ = self._spans(raw_by_id)
