@@ -28,7 +28,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="blockmax",
                     choices=["blockmax", "exhaustive", "and", "tfidf",
-                             "boolean", "phrase", "prefix", "fields"])
+                             "boolean", "phrase", "prefix", "wildcard",
+                             "fields"])
     ap.add_argument("--slop", type=int, default=0,
                     help="ordered proximity for --mode phrase")
     ap.add_argument("--log-dir", help="append query_logs rows here")
@@ -56,6 +57,8 @@ def main() -> None:
             rows = idx.search_phrase(q, k=args.k, slop=args.slop).collect()
         elif args.mode == "prefix":
             rows = idx.search_prefix(q, k=args.k).collect()
+        elif args.mode == "wildcard":
+            rows = idx.search_wildcard(q, k=args.k).collect()
         elif args.mode == "fields":
             rows = idx.search_fields(q, k=args.k).collect()
         else:

@@ -1151,7 +1151,69 @@ class BM25Index:
         TakeOrderedAndProject top-k."""
         if k <= 0:
             return self._empty_scored(join_docs)
-        exps = self.expand_prefix(prefix, max_expansions)
+        return self._synonym_group_topk(
+            self.expand_prefix(prefix, max_expansions), k, join_docs
+        )
+
+    def expand_wildcard(
+        self, pattern: str, max_expansions: int = 50
+    ) -> List[Tuple[str, int, int]]:
+        """Expand a wildcard pattern (`*` = any run, `?` = one char —
+        Lucene/ES `wildcard` query) against the term dictionary: at
+        most max_expansions matching terms in term order.  Like
+        prefixes, patterns are normalized but NOT stemmed, and match
+        the (stemmed) dictionary directly.
+
+        Scale: the literal run before the first wildcard pushes down
+        as a StartsWith range predicate on the term-sorted term_stats
+        layout; a LEADING wildcard forfeits that and scans the whole
+        dictionary — same caveat ES documents for leading wildcards."""
+        import re
+
+        p = re.sub(r"[^a-z0-9*?]", "", pattern.lower())
+        if not p.strip("*?"):
+            return []  # pure-wildcard patterns match everything: refuse
+        lit_prefix = re.match(r"^[a-z0-9]*", p).group(0)
+        rx = "^" + re.escape(p).replace(r"\*", "[a-z0-9]*").replace(
+            r"\?", "[a-z0-9]"
+        ) + "$"
+        cond = F.col("term").rlike(rx) & ~F.col("term").contains("!")
+        if lit_prefix:
+            cond = F.col("term").startswith(lit_prefix) & cond
+        rows = (
+            self.term_stats.filter(cond)
+            .select("term", "df", "term_bucket")
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [(r["term"], int(r["df"]), int(r["term_bucket"])) for r in rows]
+
+    def search_wildcard(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Wildcard-query top-k (Lucene/ES `wildcard` query analogue):
+        multi-term rewrite over the dictionary, scored exactly like
+        search_prefix (synonym-group: tf summed pre-saturation, max-df
+        blended idf)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        return self._synonym_group_topk(
+            self.expand_wildcard(pattern, max_expansions), k, join_docs
+        )
+
+    def _synonym_group_topk(
+        self, exps: List[Tuple[str, int, int]], k: int, join_docs: bool
+    ) -> DataFrame:
+        """Score a dictionary expansion as ONE pseudo-term (Lucene
+        SynonymQuery / BlendedTermQuery): tf = Σ tf over matched
+        expansions per doc summed BEFORE saturation, idf from the most
+        common expansion's df; BM25(tf_sum, dl, idf, avgdl); top-k with
+        the engine tie-break."""
         if not exps:
             return self._empty_scored(join_docs)
         df_max = max(df for _, df, _ in exps)

@@ -156,15 +156,9 @@ class PrefixOracle(BM25Oracle):
     saturation (Lucene SynonymQuery) and idf comes from the most
     common expansion's df (BlendedTermQuery max-df blending)."""
 
-    def topk_prefix(
-        self, prefix: str, k: int = 10, max_expansions: int = 50
+    def _group_topk(
+        self, exps: List[str], k: int
     ) -> List[Tuple[int, float]]:
-        import re
-
-        p = re.sub(r"[^a-z0-9]", "", prefix.lower())
-        if not p:
-            return []
-        exps = sorted(t for t in self.df if t.startswith(p))[:max_expansions]
         if not exps:
             return []
         df_max = max(self.df[t] for t in exps)
@@ -181,6 +175,37 @@ class PrefixOracle(BM25Oracle):
             out.append((d, s))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
+
+    def topk_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 50
+    ) -> List[Tuple[int, float]]:
+        import re
+
+        p = re.sub(r"[^a-z0-9]", "", prefix.lower())
+        if not p:
+            return []
+        exps = sorted(t for t in self.df if t.startswith(p))[:max_expansions]
+        return self._group_topk(exps, k)
+
+    def topk_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> List[Tuple[int, float]]:
+        """Wildcard ground truth: `*` any run, `?` one char, normalized
+        like the engine (non-[a-z0-9*?] stripped, unstemmed), expanded
+        against the term dictionary in term order, synonym-group
+        scored."""
+        import re
+
+        p = re.sub(r"[^a-z0-9*?]", "", pattern.lower())
+        if not p.strip("*?"):
+            return []
+        rx = re.compile(
+            "^"
+            + re.escape(p).replace(r"\*", "[a-z0-9]*").replace(r"\?", "[a-z0-9]")
+            + "$"
+        )
+        exps = sorted(t for t in self.df if rx.match(t))[:max_expansions]
+        return self._group_topk(exps, k)
 
 
 class PhraseOracle(BM25Oracle):

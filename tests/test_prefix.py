@@ -166,3 +166,59 @@ class TestPrefixRankIdentity:
             ]
             assert gotc == exp, q
             assert gotc
+
+
+def _wildcards(oracle):
+    """Patterns lifted from the term dictionary: mid-`*`, trailing `*`,
+    `?` substitutions, leading `*` (full-dictionary scan), misses."""
+    terms = [t for t in sorted(oracle.df) if len(t) >= 4]
+    out = []
+    for t in terms[:: max(1, len(terms) // 6)]:
+        out += [
+            t[:2] + "*" + t[-1],      # mid star
+            t[:3] + "*",              # trailing star (prefix-equivalent)
+            t[:2] + "?" + t[3:],      # single-char hole
+            "*" + t[-3:],             # leading star
+        ]
+    out += ["zz*qq", "q?x?q", "*", "???", ""]
+    seen = set()
+    return [p for p in out if not (p in seen or seen.add(p))]
+
+
+class TestWildcardRankIdentity:
+    def test_matches_oracle(self, spark, corpus):
+        oracle, idx = corpus
+        pats = _wildcards(oracle)
+        assert len(pats) > 10
+        for cap in (50, 3):
+            for p in pats:
+                exp = [
+                    (d, round(s, 9))
+                    for d, s in oracle.topk_wildcard(p, k=15, max_expansions=cap)
+                ]
+                got = [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in idx.search_wildcard(
+                        p, k=15, max_expansions=cap, join_docs=False
+                    ).collect()
+                ]
+                assert got == exp, (cap, p)
+
+    def test_trailing_star_equals_prefix(self, spark, corpus):
+        oracle, idx = corpus
+        t = sorted(oracle.df)[0]
+        a = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_wildcard(t[:3] + "*", k=10, join_docs=False)
+            .collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_prefix(t[:3], k=10, join_docs=False).collect()
+        ]
+        assert a == b
+
+    def test_pure_wildcard_refused(self, spark, corpus):
+        _, idx = corpus
+        assert idx.search_wildcard("*", k=5, join_docs=False).count() == 0
+        assert idx.search_wildcard("??", k=5, join_docs=False).count() == 0
