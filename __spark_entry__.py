@@ -1887,6 +1887,73 @@ SELECT doc_id,
 FROM tfs, dfm, n ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- fuzzy query (query/bm25.py:search_fuzzy shape) -------------------------
+# Lucene/ES fuzzy rewrite: classic-Levenshtein dictionary expansion
+# (Spark F.levenshtein == DuckDB levenshtein()), closest-first then
+# term order, capped, synonym-group scored like prefix/wildcard.
+
+FUZZY_Q = "custoner"  # 1 edit from 'customer' in the sf vocab
+FUZZY_EDITS = 2
+FUZZY_CAP = 50
+
+
+def _q_fuzzy_bm25_topk(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(FUZZY_Q))
+    exps = [
+        r["term"]
+        for r in pos.select("term").distinct()
+        .filter(
+            (F.abs(F.length("term") - F.lit(len(FUZZY_Q))) <= FUZZY_EDITS)
+            & (dist <= FUZZY_EDITS)
+        )
+        .orderBy(dist, F.col("term"))
+        .limit(FUZZY_CAP)
+        .collect()
+    ]
+    hit = pos.filter(F.col("term").isin(exps) if exps else F.lit(False))
+    df_max = int(
+        hit.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.max("df")).collect()[0][0]
+        or 0
+    )
+    import math
+
+    idf = math.log(1.0 + (n - df_max + 0.5) / (df_max + 0.5))
+    tf = hit.groupBy("doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    score = F.lit(idf) * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_FUZZY_BM25 = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+pos AS (SELECT doc_id, len(l) AS dl, unnest(l) AS t FROM tok),
+exp AS (SELECT t FROM (SELECT DISTINCT t FROM pos) u
+        WHERE abs(len(t) - {len(FUZZY_Q)}) <= {FUZZY_EDITS}
+          AND levenshtein(t, '{FUZZY_Q}') <= {FUZZY_EDITS}
+        ORDER BY levenshtein(t, '{FUZZY_Q}'), t LIMIT {FUZZY_CAP}),
+dfm AS (SELECT max(df) AS df_max FROM
+        (SELECT count(DISTINCT doc_id) AS df
+         FROM pos JOIN exp USING (t) GROUP BY t)),
+tfs AS (SELECT doc_id, dl, count(*) AS tf
+        FROM pos JOIN exp USING (t) GROUP BY doc_id, dl)
+SELECT doc_id,
+       round(ln(1.0 + (n_docs - df_max + 0.5) / (df_max + 0.5))
+             * (tf * {K1 + 1.0})
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)), 6) AS score
+FROM tfs, dfm, n ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1907,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_slop_topk": _q_phrase_slop_topk,
         "prefix_bm25_topk": _q_prefix_bm25_topk,
         "wildcard_bm25_topk": _q_wildcard_bm25_topk,
+        "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
         "tfidf_topk": _q_tfidf_topk,
@@ -1971,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_slop_topk": _SQL_PHRASE_SLOP,
         "prefix_bm25_topk": _SQL_PREFIX_BM25,
         "wildcard_bm25_topk": _SQL_WILDCARD_BM25,
+        "fuzzy_bm25_topk": _SQL_FUZZY_BM25,
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "tfidf_topk": _SQL_TFIDF,

@@ -29,7 +29,7 @@ def main() -> None:
     ap.add_argument("--mode", default="blockmax",
                     choices=["blockmax", "exhaustive", "and", "tfidf",
                              "boolean", "phrase", "prefix", "wildcard",
-                             "fields"])
+                             "fuzzy", "fields"])
     ap.add_argument("--slop", type=int, default=0,
                     help="ordered proximity for --mode phrase")
     ap.add_argument("--log-dir", help="append query_logs rows here")
@@ -59,6 +59,8 @@ def main() -> None:
             rows = idx.search_prefix(q, k=args.k).collect()
         elif args.mode == "wildcard":
             rows = idx.search_wildcard(q, k=args.k).collect()
+        elif args.mode == "fuzzy":
+            rows = idx.search_fuzzy(q, k=args.k).collect()
         elif args.mode == "fields":
             rows = idx.search_fields(q, k=args.k).collect()
         else:

@@ -1206,6 +1206,79 @@ class BM25Index:
             self.expand_wildcard(pattern, max_expansions), k, join_docs
         )
 
+    def expand_fuzzy(
+        self,
+        word: str,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> List[Tuple[str, int, int]]:
+        """Expand a word to dictionary terms within `max_edits` edit
+        distance (Lucene/ES `fuzzy` query analogue).  Distance is
+        classic Levenshtein — Spark's native `levenshtein()` — not
+        Lucene's Damerau variant (a transposition costs 2 here, not 1);
+        native keeps the whole expansion JVM-side and matches the
+        DuckDB oracle bit-for-bit.  Like prefixes, the word is
+        normalized but NOT stemmed and matches the (stemmed)
+        dictionary directly.
+
+        Selection order is Lucene's: closest first (edit distance asc),
+        then term order — so a tight max_expansions keeps exact/1-edit
+        matches over 2-edit ones.
+
+        Scale: `prefix_length` > 0 (ES's knob for exactly this) pushes
+        a StartsWith range predicate onto the term-sorted term_stats
+        layout; the residual candidates are further cut by a native
+        length-band filter (|len(t) - len(w)| ≤ max_edits) BEFORE the
+        O(len²) levenshtein evaluates, so the distance function runs
+        on a sliver of the dictionary."""
+        import re
+
+        w = re.sub(r"[^a-z0-9]", "", word.lower())
+        if not w:
+            return []
+        max_edits = max(0, min(int(max_edits), 2))  # Lucene's cap
+        dist = F.levenshtein(F.col("term"), F.lit(w))
+        cond = (
+            ~F.col("term").contains("!")
+            & (F.abs(F.length("term") - F.lit(len(w))) <= max_edits)
+            & (dist <= max_edits)
+        )
+        if prefix_length > 0:
+            if len(w) <= prefix_length:
+                cond = F.col("term") == w
+            else:
+                cond = F.col("term").startswith(w[:prefix_length]) & cond
+        rows = (
+            self.term_stats.filter(cond)
+            .select("term", "df", "term_bucket", dist.alias("_d"))
+            .orderBy("_d", "term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [(r["term"], int(r["df"]), int(r["term_bucket"])) for r in rows]
+
+    def search_fuzzy(
+        self,
+        word: str,
+        k: int = 10,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Fuzzy-query top-k (Lucene/ES `fuzzy` query analogue):
+        edit-distance dictionary rewrite, scored exactly like
+        search_prefix / search_wildcard (synonym-group: tf summed
+        pre-saturation, max-df blended idf)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        return self._synonym_group_topk(
+            self.expand_fuzzy(word, max_edits, prefix_length, max_expansions),
+            k,
+            join_docs,
+        )
+
     def _synonym_group_topk(
         self, exps: List[Tuple[str, int, int]], k: int, join_docs: bool
     ) -> DataFrame:

@@ -207,6 +207,54 @@ class PrefixOracle(BM25Oracle):
         exps = sorted(t for t in self.df if rx.match(t))[:max_expansions]
         return self._group_topk(exps, k)
 
+    def topk_fuzzy(
+        self,
+        word: str,
+        k: int = 10,
+        max_edits: int = 2,
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> List[Tuple[int, float]]:
+        """Fuzzy ground truth: classic Levenshtein (matching Spark's
+        native levenshtein, NOT Damerau), expansions ordered closest
+        first then term order, synonym-group scored."""
+        import re
+
+        w = re.sub(r"[^a-z0-9]", "", word.lower())
+        if not w:
+            return []
+        max_edits = max(0, min(int(max_edits), 2))
+
+        def lev(a: str, b: str) -> int:
+            if abs(len(a) - len(b)) > max_edits:
+                return max_edits + 1
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        cands = sorted(self.df)
+        if prefix_length > 0:
+            if len(w) <= prefix_length:
+                cands = [t for t in cands if t == w]
+            else:
+                cands = [t for t in cands if t.startswith(w[:prefix_length])]
+        scored = [(t, lev(t, w)) for t in cands]
+        exps = [
+            t
+            for t, d in sorted(
+                ((t, d) for t, d in scored if d <= max_edits),
+                key=lambda x: (x[1], x[0]),
+            )
+        ][:max_expansions]
+        return self._group_topk(exps, k)
+
 
 class PhraseOracle(BM25Oracle):
     """Exact-phrase BM25 ground truth (Lucene PhraseQuery shape; the

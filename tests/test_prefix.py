@@ -222,3 +222,62 @@ class TestWildcardRankIdentity:
         _, idx = corpus
         assert idx.search_wildcard("*", k=5, join_docs=False).count() == 0
         assert idx.search_wildcard("??", k=5, join_docs=False).count() == 0
+
+
+def _fuzzy_probes(oracle):
+    """Probes lifted from the dictionary: exact hits, 1-edit
+    (substitute/delete/insert), 2-edit, and guaranteed misses."""
+    terms = [t for t in sorted(oracle.df) if len(t) >= 5]
+    out = []
+    for t in terms[:: max(1, len(terms) // 5)]:
+        out += [
+            t,                              # 0 edits
+            t[:-1],                         # deletion
+            t[:2] + "x" + t[3:],            # substitution
+            t + "x",                        # insertion
+            "x" + t[1:-1] + "x",            # 2 substitutions
+        ]
+    out += ["zzzzzzzzzz", "q", ""]
+    seen = set()
+    return [p for p in out if not (p in seen or seen.add(p))]
+
+
+class TestFuzzyRankIdentity:
+    def test_matches_oracle(self, spark, corpus):
+        oracle, idx = corpus
+        probes = _fuzzy_probes(oracle)
+        assert len(probes) > 10
+        for max_edits, plen, cap in [(2, 0, 50), (1, 0, 50), (2, 2, 50),
+                                     (2, 0, 3)]:
+            for p in probes:
+                exp = [
+                    (d, round(s, 9))
+                    for d, s in oracle.topk_fuzzy(
+                        p, k=15, max_edits=max_edits,
+                        prefix_length=plen, max_expansions=cap,
+                    )
+                ]
+                got = [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in idx.search_fuzzy(
+                        p, k=15, max_edits=max_edits,
+                        prefix_length=plen, max_expansions=cap,
+                        join_docs=False,
+                    ).collect()
+                ]
+                assert got == exp, (max_edits, plen, cap, p)
+
+    def test_exact_term_included_at_zero_edits(self, spark, corpus):
+        oracle, idx = corpus
+        t = sorted(t for t in oracle.df if len(t) >= 5)[0]
+        rows = idx.search_fuzzy(t, k=5, max_edits=0, join_docs=False).collect()
+        exp = [(d, round(s, 9)) for d, s in oracle.topk_fuzzy(t, k=5, max_edits=0)]
+        assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == exp
+        assert rows
+
+    def test_empty_and_miss(self, spark, corpus):
+        _, idx = corpus
+        assert idx.search_fuzzy("", k=5, join_docs=False).count() == 0
+        assert (
+            idx.search_fuzzy("zzzzzzzzzzzz", k=5, join_docs=False).count() == 0
+        )
