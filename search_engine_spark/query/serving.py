@@ -212,3 +212,178 @@ def search_with_log(index, query: str, k: int = 10, log_dir: Optional[str] = Non
     if log_dir:
         log_query(index.spark, log_dir, query, len(rows), ms, cache_hit=False)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Query-result cache (A15): backend/search_api/main.py:146-158,235 and
+# backend/shared/utils.py:16-18.  The reference caches the whole JSON
+# search response in Redis under md5(f"{q}:{page}:{size}") with SETEX
+# TTL 3600 (config.py:51).  Here the cache is an append-only parquet
+# table (cache_key, response_json, cached_at); a GET is a key-pushdown
+# point lookup taking the newest unexpired row.  Append-only + newest-
+# wins gives Redis's last-SETEX-wins without any read-modify-write, so
+# concurrent writers never conflict; `compact_cache` folds the table
+# down to live rows (the SETEX expiry made physical).
+
+CACHE_TTL_S = 3600  # config.py:51 cache_ttl
+
+
+def cache_key(q: str, page: int = 1, size: int = 10) -> str:
+    """md5 cache key (utils.py:16-18; main.py:146 — sans the 'search:'
+    Redis namespace prefix, which is storage addressing, not key
+    identity)."""
+    import hashlib
+
+    return hashlib.md5(f"{q}:{page}:{size}".encode()).hexdigest()
+
+
+class QueryResultCache:
+    """Parquet-backed GET-or-compute response cache.
+
+    `now` is always an explicit parameter: expiry is computed from
+    caller-supplied clocks so tests (and replays) are deterministic —
+    the engine's no-now()-in-the-data-path rule (SURVEY.md F12) holds.
+
+    Scale: the table is tiny relative to the corpus (one row per
+    distinct (q,page,size) per TTL window) and the key filter pushes
+    to the parquet scan, so a GET reads only row groups whose key-range
+    statistics can match — no shuffle, no full scan.
+    """
+
+    def __init__(self, spark: SparkSession, cache_dir: str,
+                 ttl_s: int = CACHE_TTL_S):
+        self.spark = spark
+        self.cache_dir = cache_dir
+        self.ttl_s = int(ttl_s)
+
+    def _table(self) -> Optional[DataFrame]:
+        from search_engine_spark.index.merge import _fs_exists
+
+        if not _fs_exists(self.spark, self.cache_dir):
+            return None  # no cache table yet
+        return self.spark.read.schema(schemas.QUERY_CACHE).parquet(
+            self.cache_dir
+        )
+
+    def get(self, key: str, now: datetime) -> Optional[str]:
+        """Newest unexpired response_json for key, or None (= miss)."""
+        t = self._table()
+        if t is None:
+            return None
+        rows = (
+            t.filter(
+                (F.col("cache_key") == key)
+                & (F.col("cached_at")
+                   > F.lit(now) - F.expr(f"INTERVAL {self.ttl_s} SECONDS"))
+            )
+            .orderBy(F.desc("cached_at"))
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["response_json"] if rows else None
+
+    def put(self, key: str, response_json: str, now: datetime) -> None:
+        rec = [(key, response_json, now)]
+        (
+            self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(rec, 1),
+                schema=schemas.QUERY_CACHE,
+            )
+            .write.mode("append")
+            .parquet(self.cache_dir)
+        )
+
+    def compact_cache(self, now: datetime) -> None:
+        """Drop expired and superseded rows (SETEX expiry + last-write-
+        wins made physical).  Rewrites the table in place."""
+        t = self._table()
+        if t is None:
+            return
+        from pyspark.sql import Window
+
+        live = (
+            t.filter(
+                F.col("cached_at")
+                > F.lit(now) - F.expr(f"INTERVAL {self.ttl_s} SECONDS")
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("cache_key").orderBy(
+                        F.desc("cached_at")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        rows = live.collect()  # cache tables are small by construction
+        (
+            self.spark.createDataFrame(rows, schema=schemas.QUERY_CACHE)
+            if rows
+            else self.spark.createDataFrame([], schema=schemas.QUERY_CACHE)
+        ).coalesce(1).write.mode("overwrite").parquet(self.cache_dir)
+
+
+def search_cached(
+    index,
+    q: str,
+    page: int = 1,
+    size: int = 10,
+    cache: Optional[QueryResultCache] = None,
+    log_dir: Optional[str] = None,
+    now: Optional[datetime] = None,
+) -> dict:
+    """GET-or-compute search response (main.py:125-240 shape).
+
+    Returns the reference's response dict: query, total, page, size,
+    total_pages, has_next, has_prev, results, took_ms, cached.  `total`
+    is the number of hits the top-k engine surfaced at the requested
+    depth (page*size) — the engine prunes, it does not count the full
+    match set (documented deviation from ES's total).  Pagination is
+    the reference's from=(page-1)*size slice (G3) applied to one
+    deterministic top-(page*size) ranking, so page 2 never disagrees
+    with page 1 about order.
+    """
+    import json
+
+    t0 = time.time()
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
+    key = cache_key(q, page, size)
+    if cache is not None:
+        hit = cache.get(key, now)
+        if hit is not None:
+            resp = json.loads(hit)
+            resp["cached"] = True
+            resp["took_ms"] = int((time.time() - t0) * 1000)
+            if log_dir:
+                log_query(index.spark, log_dir, q, resp["total"],
+                          resp["took_ms"], cache_hit=True, queried_at=now)
+            return resp
+
+    rows = index.search(q, k=page * size).collect()
+    start = (page - 1) * size
+    results = [
+        {"doc_id": r["doc_id"], "url": r["url"], "score": r["score"]}
+        for r in rows[start:start + size]
+    ]
+    total = len(rows)
+    total_pages = (total + size - 1) // size
+    resp = {
+        "query": q,
+        "total": total,
+        "page": page,
+        "size": size,
+        "total_pages": total_pages,
+        "has_next": page < total_pages,
+        "has_prev": page > 1,
+        "results": results,
+        "took_ms": int((time.time() - t0) * 1000),
+        "cached": False,
+    }
+    if cache is not None:
+        cache.put(key, json.dumps(resp), now)
+    if log_dir:
+        log_query(index.spark, log_dir, q, total, resp["took_ms"],
+                  cache_hit=False, queried_at=now)
+    return resp

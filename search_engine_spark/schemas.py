@@ -146,6 +146,16 @@ QUERY_LOG = StructType(
     ]
 )
 
+# Query-result cache (main.py:146-158,235 — the Redis SETEX response
+# cache as an append-only parquet table; key = md5(q:page:size)).
+QUERY_CACHE = StructType(
+    [
+        StructField("cache_key", StringType(), False),
+        StructField("response_json", StringType(), False),
+        StructField("cached_at", TimestampType(), False),
+    ]
+)
+
 # Link graph (schema.sql:24-31).
 EDGES = StructType(
     [

@@ -109,3 +109,96 @@ class TestQueryLog:
         assert len(logged) == 1
         assert logged[0]["query"] == "python tutorial"
         assert logged[0]["results_count"] == len(rows)
+
+
+class TestQueryResultCache:
+    """A15: md5-keyed GET-or-compute response cache with TTL semantics
+    (main.py:146-158,235; utils.py:16-18; config.py:51)."""
+
+    def test_key_matches_reference(self):
+        import hashlib
+
+        assert serving.cache_key("quick fox", 2, 10) == hashlib.md5(
+            b"quick fox:2:10"
+        ).hexdigest()
+
+    def _index(self, spark, tmp_path):
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.query.bm25 import BM25Index
+        from search_engine_spark.synth import synth_pages
+
+        idx_dir = str(tmp_path / "idx")
+        build_index(
+            spark, synth_pages(spark, 40, num_partitions=2), idx_dir,
+            num_buckets=4, block_size=16, num_partitions=2,
+        )
+        return BM25Index(spark, idx_dir)
+
+    def test_hit_miss_ttl_and_log(self, spark, tmp_path):
+        idx = self._index(spark, tmp_path)
+        cache = serving.QueryResultCache(
+            spark, str(tmp_path / "qcache"), ttl_s=3600
+        )
+        log_dir = str(tmp_path / "qlog")
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+        r1 = serving.search_cached(
+            idx, "python tutorial", page=1, size=5, cache=cache,
+            log_dir=log_dir, now=t0,
+        )
+        assert r1["cached"] is False and r1["results"]
+
+        # within TTL: served from cache, identical payload
+        r2 = serving.search_cached(
+            idx, "python tutorial", page=1, size=5, cache=cache,
+            log_dir=log_dir, now=t0 + timedelta(seconds=100),
+        )
+        assert r2["cached"] is True
+        assert r2["results"] == r1["results"]
+        assert r2["total"] == r1["total"]
+
+        # different page => different key => miss
+        r3 = serving.search_cached(
+            idx, "python tutorial", page=2, size=5, cache=cache,
+            log_dir=log_dir, now=t0 + timedelta(seconds=101),
+        )
+        assert r3["cached"] is False and r3["page"] == 2
+        # page-2 slice disjoint from page-1 but same global ranking
+        ids1 = [x["doc_id"] for x in r1["results"]]
+        ids3 = [x["doc_id"] for x in r3["results"]]
+        assert not set(ids1) & set(ids3)
+
+        # past TTL: expired => recompute
+        r4 = serving.search_cached(
+            idx, "python tutorial", page=1, size=5, cache=cache,
+            log_dir=log_dir, now=t0 + timedelta(seconds=3601),
+        )
+        assert r4["cached"] is False
+        assert r4["results"] == r1["results"]
+
+        logs = serving.read_query_log(spark, log_dir).collect()
+        assert sorted(r["cache_hit"] for r in logs) == [
+            False, False, False, True
+        ]
+
+    def test_newest_wins_and_compact(self, spark, tmp_path):
+        cache = serving.QueryResultCache(
+            spark, str(tmp_path / "qcache2"), ttl_s=3600
+        )
+        t0 = datetime(2024, 1, 1, 12, 0, 0)
+        cache.put("k1", '{"v": 1}', t0)
+        cache.put("k1", '{"v": 2}', t0 + timedelta(seconds=10))
+        cache.put("k2", '{"v": 3}', t0 - timedelta(seconds=7200))  # expired
+        now = t0 + timedelta(seconds=20)
+        assert cache.get("k1", now) == '{"v": 2}'
+        assert cache.get("k2", now) is None
+        cache.compact_cache(now)
+        t = spark.read.parquet(str(tmp_path / "qcache2"))
+        assert t.count() == 1
+        assert t.collect()[0]["response_json"] == '{"v": 2}'
+        # and the survivor still serves
+        assert cache.get("k1", now) == '{"v": 2}'
+
+    def test_get_on_missing_table(self, spark, tmp_path):
+        cache = serving.QueryResultCache(spark, str(tmp_path / "nope"))
+        assert cache.get("k", datetime(2024, 1, 1)) is None
