@@ -723,6 +723,97 @@ SELECT url, round({U.crawl_priority_sql('url', 'doc_id % 4')}, 6) AS priority
 FROM urls ORDER BY priority, url LIMIT 20"""
 
 
+# ---- crawl BFS waves (web/crawl.py:simulate_crawl mechanics) ----------------
+# Two unrolled crawl waves over a synthetic arithmetic link graph
+# (src -> (7·src+3) mod N and (13·src+1) mod N): priority-ordered batch
+# pop (priority = depth·10 + (id mod 7)/2, id tie-break), visited-
+# before-fetch, depth-gated enqueue with min-depth frontier merge —
+# the wave machinery of crawler.py:487-559, SQL-oracled.
+
+CRAWL_BATCH = 8
+CRAWL_SEEDS = 3
+CRAWL_MAX_DEPTH = 3
+
+
+def _q_crawl_bfs_waves(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    n = docs.count()
+    edges = (
+        docs.select(F.col("id").alias("src"), ((F.col("id") * 7 + 3) % n).alias("dst"))
+        .unionByName(
+            docs.select(F.col("id").alias("src"), ((F.col("id") * 13 + 1) % n).alias("dst"))
+        )
+        .distinct()
+    )
+    frontier = docs.filter(F.col("id") < CRAWL_SEEDS).select(
+        F.col("id").alias("url"), F.lit(0).alias("depth")
+    )
+    visited = None
+    waves = []
+    for wave in range(2):
+        prio = F.col("depth") * 10 + (F.col("url") % 7) * 0.5
+        batch = (
+            frontier.orderBy(prio.asc(), F.col("url").asc())
+            .limit(CRAWL_BATCH)
+            .localCheckpoint()
+        )
+        waves.append(
+            batch.select(
+                F.col("url").alias("node_id"),
+                F.col("depth").alias("depth"),
+                F.lit(wave).alias("wave"),
+            )
+        )
+        visited = (
+            batch.select("url")
+            if visited is None
+            else visited.unionByName(batch.select("url"))
+        )
+        disc = (
+            batch.filter(F.col("depth") < CRAWL_MAX_DEPTH)
+            .join(edges, F.col("url") == F.col("src"))
+            .select(F.col("dst").alias("url"), (F.col("depth") + 1).alias("depth"))
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+        )
+        frontier = (
+            frontier.join(batch.select("url"), "url", "left_anti")
+            .unionByName(disc)
+            .join(visited, "url", "left_anti")
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+        )
+    return waves[0].unionByName(waves[1]).orderBy("wave", "node_id")
+
+
+_SQL_CRAWL_BFS = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (SELECT id AS src, (id*7+3) % n AS dst FROM nodes, nn
+          UNION
+          SELECT id AS src, (id*13+1) % n AS dst FROM nodes, nn),
+f0 AS (SELECT id AS url, 0 AS depth FROM nodes WHERE id < {CRAWL_SEEDS}),
+b0 AS (SELECT url, depth FROM f0
+       ORDER BY depth*10 + (url % 7)*0.5, url LIMIT {CRAWL_BATCH}),
+d0 AS (SELECT e.dst AS url, min(b.depth + 1) AS depth
+       FROM b0 b JOIN edges e ON e.src = b.url
+       WHERE b.depth < {CRAWL_MAX_DEPTH} GROUP BY e.dst),
+f1 AS (SELECT url, min(depth) AS depth FROM (
+         SELECT url, depth FROM f0
+         WHERE url NOT IN (SELECT url FROM b0)
+         UNION ALL
+         SELECT url, depth FROM d0)
+       WHERE url NOT IN (SELECT url FROM b0)
+       GROUP BY url),
+b1 AS (SELECT url, depth FROM f1
+       ORDER BY depth*10 + (url % 7)*0.5, url LIMIT {CRAWL_BATCH})
+SELECT node_id, depth, wave FROM (
+  SELECT url AS node_id, depth, 0 AS wave FROM b0
+  UNION ALL
+  SELECT url AS node_id, depth, 1 AS wave FROM b1)
+ORDER BY wave, node_id"""
+
+
 # ---- quality scoring (training-data text analysis) ------------------------
 
 
@@ -2010,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web/url layer (SURVEY §2.B, §2.F9/F15)
         "url_ops": _q_url_ops,
         "frontier_pop": _q_frontier_pop,
+        "crawl_bfs_waves": _q_crawl_bfs_waves,
         # quality + near-dup (training-data ops)
         "quality_scores": _q_quality,
         "near_dup_pairs": _q_near_dup,
@@ -2068,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         "out_degree_graph": _SQL_OUT_DEGREE_GRAPH,
         "url_ops": _sql_url_ops(),
         "frontier_pop": _sql_frontier_pop(),
+        "crawl_bfs_waves": _SQL_CRAWL_BFS,
         "quality_scores": _SQL_QUALITY,
         "near_dup_pairs": _sql_near_dup(),
         "dedup_components": _sql_dedup_components(),

@@ -1,0 +1,186 @@
+"""Batch crawl-wave simulator — the reference's crawl loop (§3.2)
+re-expressed as deterministic DataFrame waves.
+
+Reference: backend/crawler_service/crawler.py:487-559 (`crawl_url` +
+`run`): pop the lowest-priority frontier url, mark it visited BEFORE
+fetching (bloom add, crawler.py:495 — failed fetches stay visited),
+fetch, extract/normalize/validate links (crawler.py:310-331 — done
+inside our `page_links` Arrow pass), save ≤100 edges per page
+(crawler.py:474-485), and, while depth < max_depth (crawler.py:509),
+enqueue unvisited links at priority `_calculate_priority(link,
+depth+1)` (crawler.py:434-458).
+
+Batch re-expression: one WAVE = one `pop_batch(n)` (the reference's own
+batch pop, crawler.py:146-153) processed as a single distributed job —
+fetch is an equi-join against the pages table (the html is pre-fetched
+per the input contract; a url absent from the table IS the failed
+fetch).  Waves are inherently sequential (wave k's frontier depends on
+wave k-1's links) exactly like the reference's loop; everything within
+a wave is distributed.
+
+Scale notes:
+- The popped batch is ≤ batch_size rows → it BROADCASTS to the fetch
+  join, so the 100-TB pages table is never shuffled; with the pages
+  table bucketed/sorted by url the scan prunes to matching buckets.
+- frontier / visited / edges are localCheckpoint'd each wave — the
+  iterative anti-join lineage stays O(1) deep, same hygiene as
+  graph/pagerank.py and ops/dedup.py.
+- `orderBy(...).limit(n)` on the frontier compiles to
+  TakeOrderedAndProject: per-partition top-n then a single merge, no
+  global sort.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from search_engine_spark.web.links import (
+    MAX_LINKS_PER_PAGE,
+    page_links,
+)
+from search_engine_spark.web.urls import crawl_priority_col
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("priority", DoubleType(), False),
+        StructField("depth", IntegerType(), False),
+    ]
+)
+
+MAX_DEPTH_DEFAULT = 3  # config.py crawler_max_depth default
+
+
+def seed_frontier(spark: SparkSession, seed_urls: List[str]) -> DataFrame:
+    """Seeds enter at priority 0.0, depth 0 (crawler.py:576-582, A5)."""
+    rows = [(u, 0.0, 0) for u in sorted(set(seed_urls))]
+    return spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
+
+
+def _empty(spark: SparkSession, schema_ddl: str) -> DataFrame:
+    return spark.createDataFrame([], schema_ddl)
+
+
+def simulate_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seed_urls: List[str],
+    waves: int = 3,
+    batch_size: int = 50,
+    max_depth: int = MAX_DEPTH_DEFAULT,
+) -> Tuple[DataFrame, DataFrame, DataFrame]:
+    """Run `waves` crawl waves over the pre-fetched pages table.
+
+    pages: (url, html, …) — the web, as the input contract delivers it.
+    Returns (crawled, edges, frontier):
+      crawled  (url, wave, fetched)  — popped urls per wave; fetched is
+               False for frontier urls with no pages row (fetch failure
+               — still marked visited, crawler.py:495).
+      edges    (src, dst) distinct   — ≤100 links/page (A12).
+      frontier (url, priority, depth) — remaining queue state.
+    """
+    frontier = seed_frontier(spark, seed_urls)
+    visited = _empty(spark, "url string")
+    crawled = _empty(spark, "url string, wave int, fetched boolean")
+    edges = _empty(spark, "src string, dst string")
+
+    for wave in range(int(waves)):
+        # A4: priority-ordered pop (lowest first, url tie-break) of the
+        # unvisited head.  TakeOrderedAndProject, then broadcast below.
+        batch = (
+            frontier.join(visited, "url", "left_anti")
+            .orderBy(F.asc("priority"), F.asc("url"))
+            .limit(int(batch_size))
+            .localCheckpoint()  # pin the pop — reused 4× this wave
+        )
+        if batch.rdd.isEmpty():
+            break  # frontier drained (run()'s stop condition)
+
+        # mark visited before "fetching" (crawler.py:495)
+        visited = visited.unionByName(batch.select("url")).localCheckpoint(
+            eager=False
+        )
+
+        # A1 as a join: broadcast the tiny batch against the huge table.
+        fetched = F.broadcast(batch).join(pages, "url", "inner")
+
+        # F10 inside one Arrow pass; A12 edge cap; H1 distinct pairs.
+        lk = page_links(fetched).localCheckpoint()  # reused 2× below
+        new_edges = (
+            lk.select(
+                F.col("url").alias("src"),
+                F.explode(F.slice("links", 1, MAX_LINKS_PER_PAGE)).alias(
+                    "dst"
+                ),
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+        edges = (
+            edges.unionByName(new_edges)
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=False)
+        )
+
+        fetched_urls = lk.select("url").withColumn("fetched", F.lit(True))
+        crawled = crawled.unionByName(
+            batch.select("url")
+            .join(fetched_urls, "url", "left")
+            .select(
+                "url",
+                F.lit(wave).alias("wave"),
+                F.coalesce("fetched", F.lit(False)).alias("fetched"),
+            )
+        ).localCheckpoint(eager=False)
+
+        # depth gate (crawler.py:509): only links found at depth <
+        # max_depth spawn frontier entries, at depth+1 / F15 priority.
+        spawning = batch.filter(F.col("depth") < int(max_depth))
+        discovered = (
+            lk.join(
+                F.broadcast(spawning.select("url", "depth")), "url", "inner"
+            )
+            .select(
+                F.explode("links").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .groupBy("url")
+            .agg(F.min("depth").alias("depth"))
+            .join(visited, "url", "left_anti")
+            .select(
+                "url",
+                crawl_priority_col(F.col("url"), F.col("depth")).alias(
+                    "priority"
+                ),
+                "depth",
+            )
+        )
+
+        # A5/H3: pop removes from the queue (ZREM), add keeps the best
+        # (lowest) priority per url — min over (priority, depth, url)
+        # keeps the row atomically, matching a ZADD race deterministically.
+        frontier = (
+            frontier.join(batch.select("url"), "url", "left_anti")
+            .unionByName(discovered)
+            .groupBy("url")
+            .agg(
+                F.min(F.struct("priority", "depth")).alias("_best"),
+            )
+            .select(
+                "url",
+                F.col("_best.priority").alias("priority"),
+                F.col("_best.depth").alias("depth"),
+            )
+            .localCheckpoint()
+        )
+
+    return crawled, edges, frontier

@@ -1,0 +1,119 @@
+"""Crawl-wave simulator (web/crawl.py) vs a pure-Python reference loop.
+
+The oracle replays crawler.py:487-559's semantics wave-by-wave from a
+driver-side snapshot of the pages table: priority-ordered batch pop
+with url tie-break, visited-marked-before-fetch, per-page link lists
+(the SAME extract_links pure function the Arrow pass wraps — link
+extraction itself is pinned byte-exactly in test_graph_web), ≤100-edge
+cap, depth-gated enqueue at F15 priority with min-(priority,depth)
+frontier merge.  The Spark run must match crawled/edges/frontier
+exactly.
+"""
+
+import math
+
+import pytest
+
+from search_engine_spark.synth import synth_pages
+from search_engine_spark.web.crawl import simulate_crawl
+from search_engine_spark.web.links import extract_links
+from search_engine_spark.web.urls import crawl_priority
+
+N_PAGES = 120
+MAX_LINKS = 100
+
+
+def _oracle(pagemap, seeds, waves, batch_size, max_depth):
+    linkmap = {u: extract_links(h, u) for u, h in pagemap.items()}
+    frontier = {u: (0.0, 0) for u in sorted(set(seeds))}
+    visited, crawled, edges = set(), [], set()
+    for wave in range(waves):
+        cand = sorted(
+            ((p, u, d) for u, (p, d) in frontier.items() if u not in visited),
+            key=lambda x: (x[0], x[1]),
+        )[:batch_size]
+        if not cand:
+            break
+        batch = [(u, d) for _, u, d in cand]
+        visited |= {u for u, _ in batch}
+        disc = {}
+        for u, d in batch:
+            if u in pagemap:
+                crawled.append((u, wave, True))
+                links = linkmap[u]
+                edges |= {(u, l) for l in links[:MAX_LINKS]}
+                if d < max_depth:
+                    for l in links:
+                        nd = d + 1
+                        if l in visited:
+                            continue
+                        disc[l] = min(disc.get(l, math.inf), nd)
+            else:
+                crawled.append((u, wave, False))
+            frontier.pop(u, None)
+        for l, nd in disc.items():
+            cand_entry = (crawl_priority(l, nd), nd)
+            frontier[l] = min(frontier.get(l, cand_entry), cand_entry)
+        # anti-join semantics: discovered urls already visited never enter
+        frontier = {u: v for u, v in frontier.items() if u not in visited}
+    return crawled, edges, frontier
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pages = synth_pages(spark, N_PAGES, num_partitions=4)
+    pagemap = {
+        r["url"]: bytes(r["html"]).decode("utf-8")
+        for r in pages.select("url", "html").collect()
+    }
+    return pages, pagemap
+
+
+class TestCrawlWaves:
+    @pytest.mark.parametrize(
+        "waves,batch,max_depth",
+        [(3, 10, 3), (2, 5, 1), (5, 25, 2)],
+    )
+    def test_matches_oracle(self, spark, web, waves, batch, max_depth):
+        pages, pagemap = web
+        seeds = sorted(pagemap)[:4] + ["https://nowhere.example.com/miss"]
+        crawled, edges, frontier = simulate_crawl(
+            spark, pages, seeds, waves=waves, batch_size=batch,
+            max_depth=max_depth,
+        )
+        oc, oe, of = _oracle(pagemap, seeds, waves, batch, max_depth)
+
+        got_c = {
+            (r["url"], r["wave"], r["fetched"]) for r in crawled.collect()
+        }
+        assert got_c == set(oc)
+        got_e = {(r["src"], r["dst"]) for r in edges.collect()}
+        assert got_e == oe
+        got_f = {
+            r["url"]: (round(r["priority"], 9), r["depth"])
+            for r in frontier.collect()
+        }
+        exp_f = {u: (round(p, 9), d) for u, (p, d) in of.items()}
+        assert got_f == exp_f
+
+    def test_depth_zero_never_spawns(self, spark, web):
+        pages, pagemap = web
+        seeds = sorted(pagemap)[:3]
+        crawled, edges, frontier = simulate_crawl(
+            spark, pages, seeds, waves=3, batch_size=10, max_depth=0
+        )
+        # seeds crawl, edges still recorded, but nothing enqueued
+        assert crawled.count() == 3
+        assert frontier.count() == 0
+
+    def test_drains_and_stops(self, spark, web):
+        pages, pagemap = web
+        # a seed with no pages row: wave 0 pops it (fetch-fails), then
+        # the frontier is empty and the loop stops early
+        crawled, edges, frontier = simulate_crawl(
+            spark, pages, ["https://missing.example.com/x"], waves=5,
+            batch_size=10,
+        )
+        rows = crawled.collect()
+        assert [(r["wave"], r["fetched"]) for r in rows] == [(0, False)]
+        assert edges.count() == 0 and frontier.count() == 0
