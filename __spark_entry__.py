@@ -273,6 +273,65 @@ FROM tf JOIN dft USING (term), n
 GROUP BY doc_id HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- explain: per-term score contributions (D6, tfidf.py:484-507) ----------
+# The reference's TFIDFScore.term_scores — every query term keyed per
+# result doc, 0.0 when absent — exploded to (doc_id, term, contrib)
+# rows for SQL comparability.  Engine analogue: BM25Index.search(...,
+# explain=True).
+
+
+def _q_explain_contribs(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    c = tf.join(df_t, "term").withColumn(
+        "c",
+        (1.0 + F.log10(F.col("tf")))
+        * F.log10((F.lit(n) + 1.0) / (F.col("df") + 1.0)),
+    )
+    winners = (
+        c.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return (
+        winners.select("doc_id")
+        .crossJoin(df_t.select("term"))
+        .join(c.select("doc_id", "term", "c"), ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.coalesce("c", F.lit(0.0)), 6).alias("contrib"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+_SQL_EXPLAIN = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
+       GROUP BY doc_id, t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+c AS (SELECT doc_id, term,
+             (1.0 + log10(tf)) * log10((n_docs + 1.0) / (df + 1.0)) AS c
+      FROM tf JOIN dft USING (term), n),
+win AS (SELECT doc_id, round(sum(c), 6) AS score FROM c GROUP BY doc_id
+        HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10)
+SELECT w.doc_id AS doc_id, d.term AS term, round(coalesce(c.c, 0.0), 6) AS contrib
+FROM win w CROSS JOIN (SELECT term FROM dft) d
+LEFT JOIN c ON c.doc_id = w.doc_id AND c.term = d.term
+ORDER BY doc_id, term"""
+
+
 # ---- dedup family ---------------------------------------------------------
 
 
@@ -2069,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
         "tfidf_topk": _q_tfidf_topk,
+        "explain_contribs": _q_explain_contribs,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
@@ -2135,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "tfidf_topk": _SQL_TFIDF,
+        "explain_contribs": _SQL_EXPLAIN,
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,

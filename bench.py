@@ -279,6 +279,17 @@ def main() -> None:
     p50 = lat_sorted[len(lat) // 2]
     p95 = lat_sorted[min(len(lat) - 1, int(0.95 * len(lat)))]
 
+    # multi-term rewrites through the same index (dictionary expansion
+    # + synonym-group scoring): prefix / wildcard / fuzzy
+    for name, fn in [
+        ("engine_prefix", lambda: idx.search_prefix("pyth", k=10)),
+        ("engine_wildcard", lambda: idx.search_wildcard("py*on", k=10)),
+        ("engine_fuzzy", lambda: idx.search_fuzzy("pythn", k=10)),
+    ]:
+        t0 = time.time()
+        fn().collect()
+        queries[name] = round(time.time() - t0, 3)
+
     # 3) representative ops over the sf testdata tables
     import __spark_entry__ as entrymod
 

@@ -436,7 +436,13 @@ class BM25Index:
             [], "doc_id long, score double, url string, title string"
         )
 
-    def _empty_scored(self, join_docs: bool) -> DataFrame:
+    def _empty_scored(
+        self, join_docs: bool, explain: bool = False
+    ) -> DataFrame:
+        if explain:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, term_scores map<string,double>"
+            )
         if join_docs:
             return self._empty()
         return self.spark.createDataFrame([], "doc_id long, score double")
@@ -458,8 +464,18 @@ class BM25Index:
         join_docs: bool = True,
         exclude: Optional[DataFrame] = None,
         exclude_df_sum: int = 0,
+        explain: bool = False,
     ) -> DataFrame:
         """Top-k BM25 search.
+
+        explain=True returns (doc_id, score, term_scores) where
+        term_scores is a map of EVERY query term to its score
+        contribution, 0.0 for terms the doc lacks — the reference's
+        TFIDFScore.term_scores (tfidf.py:484-507, D6).  The docs
+        join-back is skipped (TFIDFScore carries no url/title).
+        Exact under blockmax pruning: a pruned block implies every doc
+        whose term-t contribution it holds totals below θ ≤ the k-th
+        score, so surviving top-k docs keep all their blocks.
 
         mode: "blockmax" (OR semantics, θ-pruned — the default),
               "exhaustive" (OR semantics, no block pruning),
@@ -478,7 +494,7 @@ class BM25Index:
         broadcast / θ-seed cost gates.
         """
         if k <= 0:
-            return self._empty_scored(join_docs)
+            return self._empty_scored(join_docs, explain)
         # query is a raw string, or a pre-tokenized/stemmed term list
         # (search_boolean parses once; Porter is not idempotent, so
         # already-stemmed terms must not re-enter the tokenizer)
@@ -488,7 +504,7 @@ class BM25Index:
         stats = self._query_stats(terms)
         terms = [t for t in terms if t in stats]
         if not terms:
-            return self._empty_scored(join_docs)
+            return self._empty_scored(join_docs, explain)
 
         if mode == "tfidf":
             import math
@@ -553,29 +569,37 @@ class BM25Index:
             # Arrow-decodes O(df(zebra)) postings, not O(df(the))
             cand_ids = self._conjunctive_candidates(terms, stats)
             if cand_ids is not None and not len(cand_ids):
-                return self._empty_scored(join_docs)
+                return self._empty_scored(join_docs, explain)
         contribs = self._decode_contribs(
             blocks,
             idf_by_term,
             formula="tfidf" if mode == "tfidf" else "bm25",
             cand=cand_ids,
+            emit_term=explain,
         )
+        # each (doc, term) decodes to exactly one row (tf is aggregated
+        # per (doc, term) at build time, salting splits a term's
+        # postings by doc hash, and a doc sits in one block per term) —
+        # so count-per-doc == matched terms and the explain map needs
+        # no per-(doc, term) pre-aggregation
+        aggs = [F.sum("contrib").alias("score")]
+        if explain:
+            aggs.append(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("term"), F.col("contrib")))
+                    )
+                ).alias("_ts")
+            )
         if mode == "and":
-            # Each (doc, term) decodes to exactly one row (tf is
-            # aggregated per (doc, term) at build time and salting
-            # splits a term's postings by doc hash), so the row count
-            # per doc == number of matched query terms.
             scored = (
                 contribs.groupBy("doc_id")
-                .agg(
-                    F.sum("contrib").alias("score"),
-                    F.count(F.lit(1)).alias("_nt"),
-                )
+                .agg(*aggs, F.count(F.lit(1)).alias("_nt"))
                 .filter(F.col("_nt") == len(terms))
                 .drop("_nt")
             )
         else:
-            scored = contribs.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+            scored = contribs.groupBy("doc_id").agg(*aggs)
             if mode == "tfidf":
                 # B5: positive-score filter (tfidf.py:531-535)
                 scored = scored.filter(F.col("score") > 0)
@@ -590,6 +614,23 @@ class BM25Index:
             )
             scored = scored.join(rhs, "doc_id", "left_anti")
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if explain:
+            # zero-fill unmatched query terms (tfidf.py:498-501 scores
+            # every query term, absent ones contribute 0.0)
+            entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("key"),
+                        F.coalesce(
+                            F.element_at("_ts", F.lit(t)), F.lit(0.0)
+                        ).alias("value"),
+                    )
+                    for t in terms
+                ]
+            )
+            return topk.select(
+                "doc_id", "score", F.map_from_entries(entries).alias("term_scores")
+            )
         if not join_docs:
             return topk
         return self._join_docs(topk)
@@ -664,15 +705,20 @@ class BM25Index:
         idf_by_term: Dict[str, float],
         formula: str = "bm25",
         cand: Optional[np.ndarray] = None,
+        emit_term: bool = False,
     ) -> DataFrame:
         """Arrow decode of posting blocks to (doc_id, contrib).  Only
         the decode inputs cross the Arrow boundary (column prune ahead
-        of MapInPandas — block metadata stays JVM-side)."""
+        of MapInPandas — block metadata stays JVM-side).  emit_term
+        carries the term column through for explain-mode maps."""
         return blocks.select(
             "term", "count", "doc_ids", "tfs", "doclens"
         ).mapInPandas(
-            _decode_and_score(idf_by_term, self.avgdl, formula=formula, cand=cand),
-            schema=_CONTRIB_SCHEMA,
+            _decode_and_score(
+                idf_by_term, self.avgdl, formula=formula, cand=cand,
+                emit_term=emit_term,
+            ),
+            schema=_TERM_CONTRIB_SCHEMA if emit_term else _CONTRIB_SCHEMA,
         )
 
     def _excluded_docs(

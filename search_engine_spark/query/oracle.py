@@ -62,6 +62,24 @@ class BM25Oracle:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def term_scores(
+        self, doc_id: int, terms: Sequence[str]
+    ) -> Dict[str, float]:
+        """Per-term contributions, 0.0 for absent terms — the
+        reference's TFIDFScore.term_scores shape (tfidf.py:484-507)
+        with this oracle's scoring formula."""
+        dl = self.doclen[doc_id]
+        out = {}
+        for t in sorted(set(terms)):
+            tf = self.tf[doc_id].get(t, 0)
+            if tf == 0 or self.df.get(t, 0) == 0:
+                out[t] = 0.0
+                continue
+            out[t] = self.idf(t) * (tf * (K1 + 1.0)) / (
+                tf + K1 * (1.0 - B + B * dl / self.avgdl)
+            )
+        return out
+
     def topk_and(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         """Conjunctive (C4 AND-semantics): only docs containing EVERY
         indexed query term qualify; same scores as `topk`."""
@@ -351,6 +369,16 @@ class TFIDFOracle:
                 out.append((d, s))
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
+
+    def term_scores(
+        self, doc_id: int, terms: Sequence[str]
+    ) -> Dict[str, float]:
+        """tfidf.py:484-507 term_scores: every query term keyed, 0.0
+        when absent from the doc."""
+        return {
+            t: self.log_tf(doc_id, t) * self.idf_smooth(t)
+            for t in sorted(set(terms))
+        }
 
 
 class BestFieldsOracle:

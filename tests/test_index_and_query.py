@@ -422,3 +422,48 @@ class TestDocsLookup:
             tbl = frag.to_table(columns=["doc_id"])
             ids = tbl.column("doc_id").to_pylist()
             assert ids == sorted(ids)
+
+
+class TestExplain:
+    """explain=True returns the reference's TFIDFScore.term_scores
+    shape (tfidf.py:484-507, D6): a per-query-term contribution map,
+    0.0 for terms the doc lacks, summing exactly to the score —
+    identical ranking to the plain mode in every engine mode."""
+
+    @pytest.mark.parametrize(
+        "mode", ["blockmax", "exhaustive", "and", "tfidf"]
+    )
+    def test_contributions_match_oracle(self, spark, corpus, mode):
+        paths, oracle = corpus
+        tfidf_oracle = TFIDFOracle(
+            {d: list(toks) for d, toks in oracle.docs.items()}
+        )
+        idx = BM25Index(spark, paths.root)
+        for query in ["python programming tutorial", "fox database python"]:
+            rows = idx.search(query, k=10, mode=mode, explain=True).collect()
+            plain = idx.search(
+                query, k=10, mode=mode, join_docs=False
+            ).collect()
+            assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == [
+                (r["doc_id"], round(r["score"], 9)) for r in plain
+            ], (mode, query)
+            ref = tfidf_oracle if mode == "tfidf" else oracle
+            for r in rows:
+                ts = dict(r["term_scores"])
+                # map sums to the score
+                assert abs(sum(ts.values()) - r["score"]) < 1e-9
+                want = ref.term_scores(r["doc_id"], list(ts))
+                for t, v in ts.items():
+                    assert abs(v - want[t]) < 1e-9, (mode, query, t)
+                # zero-filled: every indexed query term is a key
+                assert len(ts) >= 2
+
+    def test_empty_cases_keep_schema(self, spark, corpus):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        for q in ["zzzznotaterm", "the and is of"]:
+            df = idx.search(q, k=5, explain=True)
+            assert df.count() == 0
+            assert set(df.columns) == {"doc_id", "score", "term_scores"}
+        df = idx.search("python", k=0, explain=True)
+        assert df.count() == 0 and "term_scores" in df.columns
