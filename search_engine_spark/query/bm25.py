@@ -635,8 +635,10 @@ class BM25Index:
             return topk
         return self._join_docs(topk)
 
-    def _join_docs(self, topk: DataFrame) -> DataFrame:
-        """Join the k winners back to (url, title).
+    def _join_docs(
+        self, topk: DataFrame, extra_cols: Tuple[str, ...] = ()
+    ) -> DataFrame:
+        """Join the k winners back to (url, title[, extra_cols]).
 
         Above lookup_min_docs the k ids are collected (tiny) and pushed
         as an isin() predicate into the docs scan: the build lays docs
@@ -650,7 +652,12 @@ class BM25Index:
         if self.n_docs >= self.lookup_min_docs:
             rows = topk.collect()
             if not rows:
-                return self._empty()
+                empty = self._empty()
+                for c in extra_cols:
+                    empty = empty.withColumn(
+                        c, F.lit(None).cast(dict(self.docs.dtypes)[c])
+                    )
+                return empty
             winners = self.spark.createDataFrame(
                 [(int(r["doc_id"]), float(r["score"])) for r in rows],
                 "doc_id long, score double",
@@ -658,10 +665,11 @@ class BM25Index:
             docs = docs.filter(
                 F.col("doc_id").isin([int(r["doc_id"]) for r in rows])
             )
+        cols = ["doc_id", "url", "title", *extra_cols]
         return (
             F.broadcast(winners)
-            .join(docs.select("doc_id", "url", "title"), "doc_id")
-            .select("doc_id", "score", "url", "title")
+            .join(docs.select(*cols), "doc_id")
+            .select("doc_id", "score", *cols[1:])
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 

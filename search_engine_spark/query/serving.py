@@ -333,19 +333,30 @@ def search_cached(
     cache: Optional[QueryResultCache] = None,
     log_dir: Optional[str] = None,
     now: Optional[datetime] = None,
+    ranks: Optional[DataFrame] = None,
+    pages: Optional[DataFrame] = None,
+    highlight: bool = True,
 ) -> dict:
-    """GET-or-compute search response (main.py:125-240 shape).
+    """GET-or-compute search response — the full /search handler shape
+    (main.py:125-240): query, total, page, size, total_pages,
+    has_next/has_prev, took_ms, cached, and per-result url, title +
+    description (``<mark>``-highlighted, main.py:175-186), snippet
+    (content fragment when a `pages` DataFrame supplies text, else the
+    reference's description[:200] fallback, main.py:203), score,
+    crawled_at, and — when a `ranks` (id, r) table is given — the
+    PageRank boost 0.7·score + 0.3·r·100 applied WITHIN the returned
+    page then re-sorted, exactly the reference's post-slice boost
+    (main.py:243-267; unranked urls stay unboosted).
 
-    Returns the reference's response dict: query, total, page, size,
-    total_pages, has_next, has_prev, results, took_ms, cached.  `total`
-    is the number of hits the top-k engine surfaced at the requested
-    depth (page*size) — the engine prunes, it does not count the full
-    match set (documented deviation from ES's total).  Pagination is
-    the reference's from=(page-1)*size slice (G3) applied to one
+    `total` is the number of hits the top-k engine surfaced at the
+    requested depth (page*size) — the engine prunes, it does not count
+    the full match set (documented deviation from ES's total).
+    Pagination is the from=(page-1)*size slice (G3) applied to one
     deterministic top-(page*size) ranking, so page 2 never disagrees
     with page 1 about order.
     """
     import json
+    import re as _re
 
     t0 = time.time()
     now = now or datetime.now(timezone.utc).replace(tzinfo=None)
@@ -361,12 +372,64 @@ def search_cached(
                           resp["took_ms"], cache_hit=True, queried_at=now)
             return resp
 
-    rows = index.search(q, k=page * size).collect()
+    hterms = _re.findall(r"[a-z0-9]+", q.lower())
+    topk = index.search(q, k=page * size, join_docs=False)
+    joined = index._join_docs(topk, extra_cols=("description", "warc_ts"))
+    title_c = F.coalesce(F.col("title"), F.lit(""))
+    desc_c = F.coalesce(F.col("description"), F.lit(""))
+    title_out, desc_out = title_c, desc_c
+    if highlight and hterms:
+        title_out = highlight_col(title_c, hterms)
+        desc_out = highlight_col(desc_c, hterms)
+    if pages is not None and hterms:
+        joined = joined.join(pages.select("url", "text"), "url", "left")
+        text_c = F.coalesce(F.col("text"), F.lit(""))
+        snippet = F.when(
+            text_c.rlike(_terms_pattern(hterms)),
+            highlight_col(fragment_col(text_c, hterms), hterms),
+        ).otherwise(F.substring(desc_c, 1, 200))
+    else:
+        snippet = F.substring(desc_c, 1, 200)
+    rows = (
+        joined.select(
+            "doc_id",
+            "score",
+            "url",
+            title_out.alias("title"),
+            desc_out.alias("description"),
+            snippet.alias("snippet"),
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "crawled_at"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .collect()
+    )
     start = (page - 1) * size
     results = [
-        {"doc_id": r["doc_id"], "url": r["url"], "score": r["score"]}
+        {
+            "doc_id": r["doc_id"],
+            "url": r["url"],
+            "title": r["title"],
+            "description": r["description"],
+            "snippet": r["snippet"],
+            "score": r["score"],
+            "crawled_at": r["crawled_at"],
+        }
         for r in rows[start:start + size]
     ]
+    if ranks is not None and results:
+        ids = [r["doc_id"] for r in results]
+        prmap = {
+            row["id"]: float(row["r"])
+            for row in ranks.filter(F.col("id").isin(ids)).collect()
+        }
+        for r in results:
+            pr = prmap.get(r["doc_id"])
+            if pr is not None:
+                r["score"] = 0.7 * r["score"] + 0.3 * pr * 100.0
+                r["pagerank"] = pr
+        results.sort(key=lambda x: x["score"], reverse=True)
     total = len(rows)
     total_pages = (total + size - 1) // size
     resp = {

@@ -202,3 +202,66 @@ class TestQueryResultCache:
     def test_get_on_missing_table(self, spark, tmp_path):
         cache = serving.QueryResultCache(spark, str(tmp_path / "nope"))
         assert cache.get("k", datetime(2024, 1, 1)) is None
+
+
+class TestSearchResponseShape:
+    """Full /search handler parity (main.py:125-267): highlighted
+    title/description, snippet fallback + content fragment, crawled_at,
+    and the post-slice PageRank boost with in-page re-sort."""
+
+    def _index(self, spark, tmp_path):
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.query.bm25 import BM25Index
+        from search_engine_spark.synth import synth_pages
+
+        pages = synth_pages(spark, 60, num_partitions=2)
+        idx_dir = str(tmp_path / "idx")
+        build_index(spark, pages, idx_dir, num_buckets=4, block_size=16,
+                    num_partitions=2)
+        return BM25Index(spark, idx_dir), pages
+
+    def test_result_fields_and_highlight(self, spark, tmp_path):
+        idx, pages = self._index(spark, tmp_path)
+        resp = serving.search_cached(idx, "python tutorial", page=1, size=5,
+                                     pages=pages)
+        assert resp["results"]
+        r0 = resp["results"][0]
+        assert set(r0) == {"doc_id", "url", "title", "description",
+                           "snippet", "score", "crawled_at"}
+        blob = " ".join(
+            (r["title"] or "") + (r["snippet"] or "")
+            for r in resp["results"]
+        ).lower()
+        assert "<mark>" in blob
+        assert r0["crawled_at"] is None or "T" in r0["crawled_at"]
+
+    def test_snippet_fallback_without_pages(self, spark, tmp_path):
+        idx, _ = self._index(spark, tmp_path)
+        resp = serving.search_cached(idx, "python tutorial", page=1, size=5)
+        for r in resp["results"]:
+            # description[:200] fallback (main.py:203) — allowing for the
+            # <mark> wrapping added by the description highlight source
+            assert len(r["snippet"]) <= 200
+
+    def test_pagerank_boost_within_page(self, spark, tmp_path):
+        idx, _ = self._index(spark, tmp_path)
+        base = serving.search_cached(idx, "python tutorial", page=1, size=5)
+        ids = [r["doc_id"] for r in base["results"]]
+        assert len(ids) >= 3
+        # rank the LAST result heavily: it must come first after boost
+        ranks = spark.createDataFrame(
+            [(ids[-1], 0.9)], "id long, r double"
+        )
+        boosted = serving.search_cached(
+            idx, "python tutorial", page=1, size=5, ranks=ranks
+        )
+        bres = boosted["results"]
+        assert bres[0]["doc_id"] == ids[-1]
+        assert bres[0]["pagerank"] == 0.9
+        exp = 0.7 * base["results"][-1]["score"] + 0.3 * 0.9 * 100.0
+        assert abs(bres[0]["score"] - exp) < 1e-9
+        # unranked results keep their raw score (reference leaves them)
+        raw = {r["doc_id"]: r["score"] for r in base["results"]}
+        for r in bres[1:]:
+            assert "pagerank" not in r
+            assert abs(r["score"] - raw[r["doc_id"]]) < 1e-9
