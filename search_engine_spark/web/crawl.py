@@ -48,7 +48,11 @@ from search_engine_spark.web.links import (
     MAX_LINKS_PER_PAGE,
     page_links,
 )
-from search_engine_spark.web.urls import crawl_priority_col
+from search_engine_spark.web.urls import (
+    crawl_priority_col,
+    domain_col,
+    path_col,
+)
 
 FRONTIER_SCHEMA = StructType(
     [
@@ -71,6 +75,15 @@ def _empty(spark: SparkSession, schema_ddl: str) -> DataFrame:
     return spark.createDataFrame([], schema_ddl)
 
 
+def robots_block_cond(url, rules_domain, rules_prefix):
+    """One disallow rule matches a url when the domain equals and the
+    path starts with the rule's prefix — RobotFileParser's effective
+    prefix-disallow semantics (crawler.py:164-208, A2) as columns."""
+    return (domain_col(url) == rules_domain) & path_col(url).startswith(
+        rules_prefix
+    )
+
+
 def simulate_crawl(
     spark: SparkSession,
     pages: DataFrame,
@@ -78,14 +91,23 @@ def simulate_crawl(
     waves: int = 3,
     batch_size: int = 50,
     max_depth: int = MAX_DEPTH_DEFAULT,
+    robots: Optional[DataFrame] = None,
 ) -> Tuple[DataFrame, DataFrame, DataFrame]:
     """Run `waves` crawl waves over the pre-fetched pages table.
 
     pages: (url, html, …) — the web, as the input contract delivers it.
+    robots: optional (domain, path_prefix) DISALLOW rules — the batch
+    analogue of RobotsChecker.can_fetch (crawler.py:164-208, 371-374,
+    A2): the per-domain robots cache becomes a broadcast rules table;
+    a blocked url behaves exactly like a failed fetch (already marked
+    visited, yields no page/links/edges), matching `_fetch_page`
+    returning None.  No rule for a domain = allowed (the reference is
+    permissive on missing/unfetchable robots.txt).
     Returns (crawled, edges, frontier):
       crawled  (url, wave, fetched)  — popped urls per wave; fetched is
                False for frontier urls with no pages row (fetch failure
-               — still marked visited, crawler.py:495).
+               — still marked visited, crawler.py:495) or blocked by
+               robots.
       edges    (src, dst) distinct   — ≤100 links/page (A12).
       frontier (url, priority, depth) — remaining queue state.
     """
@@ -111,8 +133,22 @@ def simulate_crawl(
             eager=False
         )
 
+        # A2: robots disallow as a broadcast anti-join — blocked urls
+        # stay visited but fetch nothing (crawler.py:371-374).
+        fetchable = batch
+        if robots is not None:
+            rules = robots.select(
+                F.col("domain").alias("_rd"),
+                F.col("path_prefix").alias("_rp"),
+            )
+            fetchable = batch.join(
+                F.broadcast(rules),
+                robots_block_cond(F.col("url"), F.col("_rd"), F.col("_rp")),
+                "left_anti",
+            )
+
         # A1 as a join: broadcast the tiny batch against the huge table.
-        fetched = F.broadcast(batch).join(pages, "url", "inner")
+        fetched = F.broadcast(fetchable).join(pages, "url", "inner")
 
         # F10 inside one Arrow pass; A12 edge cap; H1 distinct pairs.
         lk = page_links(fetched).localCheckpoint()  # reused 2× below

@@ -23,7 +23,16 @@ N_PAGES = 120
 MAX_LINKS = 100
 
 
-def _oracle(pagemap, seeds, waves, batch_size, max_depth):
+def _blocked(url, robots):
+    from urllib.parse import urlparse
+
+    p = urlparse(url)
+    return any(
+        p.netloc == dom and p.path.startswith(pref) for dom, pref in robots
+    )
+
+
+def _oracle(pagemap, seeds, waves, batch_size, max_depth, robots=()):
     linkmap = {u: extract_links(h, u) for u, h in pagemap.items()}
     frontier = {u: (0.0, 0) for u in sorted(set(seeds))}
     visited, crawled, edges = set(), [], set()
@@ -38,7 +47,7 @@ def _oracle(pagemap, seeds, waves, batch_size, max_depth):
         visited |= {u for u, _ in batch}
         disc = {}
         for u, d in batch:
-            if u in pagemap:
+            if u in pagemap and not _blocked(u, robots):
                 crawled.append((u, wave, True))
                 links = linkmap[u]
                 edges |= {(u, l) for l in links[:MAX_LINKS]}
@@ -105,6 +114,39 @@ class TestCrawlWaves:
         # seeds crawl, edges still recorded, but nothing enqueued
         assert crawled.count() == 3
         assert frontier.count() == 0
+
+    def test_robots_disallow_blocks_fetch(self, spark, web):
+        """A2: a (domain, path_prefix) disallow rule makes matching
+        urls behave like failed fetches — visited, no links, no edges —
+        rank-identical to the Python replay with the same rules."""
+        from urllib.parse import urlparse
+
+        pages, pagemap = web
+        seeds = sorted(pagemap)[:4]
+        blocked_dom = urlparse(seeds[0]).netloc
+        rules = [(blocked_dom, "/page")]
+        robots = spark.createDataFrame(
+            rules, "domain string, path_prefix string"
+        )
+        crawled, edges, frontier = simulate_crawl(
+            spark, pages, seeds, waves=3, batch_size=10, robots=robots
+        )
+        oc, oe, of = _oracle(pagemap, seeds, 3, 10, 3, robots=rules)
+        got_c = {
+            (r["url"], r["wave"], r["fetched"]) for r in crawled.collect()
+        }
+        assert got_c == set(oc)
+        assert {(r["src"], r["dst"]) for r in edges.collect()} == oe
+        # every blocked-domain url that was popped reads as unfetched
+        blocked_rows = [
+            r for r in got_c if urlparse(r[0]).netloc == blocked_dom
+        ]
+        assert blocked_rows and all(not f for _, _, f in blocked_rows)
+        # and no edge ever originates from the blocked domain
+        assert all(
+            urlparse(s).netloc != blocked_dom
+            for s, _ in {(r["src"], r["dst"]) for r in edges.collect()}
+        )
 
     def test_drains_and_stops(self, spark, web):
         pages, pagemap = web
