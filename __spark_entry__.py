@@ -1025,6 +1025,68 @@ WITH pairs AS (
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {EMB_DUP_THRESHOLD}"""
 
 
+# ---- LSH-bucketed embedding near-dup (the scale path) ----------------------
+# ops/dedup.py:embedding_near_dup_pairs_lsh: candidate pairs only within
+# a hyperplane-signature bucket (equi-join), exact cosine confirm, two
+# independent tables union-ed.  The oracle renders the same planes as
+# SQL literals (same pattern as lsh_ann_topk).
+
+EMB_LSH_PLANES = 4
+EMB_LSH_TABLES = 2
+EMB_LSH_SEED = 7
+
+
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    return D.embedding_near_dup_pairs_lsh(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=EMB_DUP_THRESHOLD, dim=LSH_DIM,
+        n_planes=EMB_LSH_PLANES, n_tables=EMB_LSH_TABLES,
+        seed=EMB_LSH_SEED,
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_near_dup_lsh():
+    from search_engine_spark.ops.similarity import hyperplanes
+
+    def plane_list(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def bucket_terms(planes):
+        return " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, {LSH_DIM} + 1), "
+            f"i -> embedding[i]::DOUBLE * ({plane_list(p)}::DOUBLE[])[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+
+    cos = """
+    round(
+      list_sum(list_transform(range(1, {d} + 1),
+               i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+      / ( sqrt(list_sum(list_transform(range(1, {d} + 1),
+               i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE)))
+        * sqrt(list_sum(list_transform(range(1, {d} + 1),
+               i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE))) ), 6)""".format(
+        d=LSH_DIM
+    )
+    tables = []
+    for t in range(EMB_LSH_TABLES):
+        planes = hyperplanes(LSH_DIM, EMB_LSH_PLANES, EMB_LSH_SEED + t)
+        tables.append(
+            f"""SELECT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+  FROM (SELECT vec_id AS id, embedding AS v, ({bucket_terms(planes)}) AS bk
+        FROM embeddings) a
+  JOIN (SELECT vec_id AS id, embedding AS v, ({bucket_terms(planes)}) AS bk
+        FROM embeddings) b
+    ON a.bk = b.bk AND a.id < b.id
+  WHERE {cos} >= {EMB_DUP_THRESHOLD}"""
+        )
+    union = "\nUNION\n".join(tables)
+    return f"""
+SELECT DISTINCT id_a, id_b, cosine FROM ({union})
+ORDER BY id_a, id_b"""
+
+
 # ---- multimodal plumbing (stubbed decode, real Spark shape) ----------------
 
 
@@ -2167,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": _q_near_dup,
         "dedup_components": _q_dedup_components,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # multimodal plumbing
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
@@ -2226,6 +2289,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": _sql_near_dup(),
         "dedup_components": _sql_dedup_components(),
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "embedding_near_dup_lsh": _sql_embedding_near_dup_lsh(),
         "media_meta": _SQL_MEDIA_META,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "pagination_page2": _SQL_PAGINATION,

@@ -311,3 +311,56 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup: random-hyperplane LSH
+    buckets the vectors, candidate pairs form only WITHIN a bucket
+    (equi-join on the signature — a hash shuffle on bucket id, never
+    the O(n²) theta-join of embedding_near_dup_pairs), and the exact
+    cosine then confirms each candidate.
+
+    Recall: for cosine ≥ t, two vectors disagree on one random plane
+    with probability θ/π (θ = arccos t), so one table catches a pair
+    with (1 − θ/π)^n_planes; `n_tables` independent plane sets
+    union-ed (classic multi-table LSH) drive the miss rate to
+    (1 − p)^n_tables.  Precision is exact — the cosine filter runs on
+    every surviving candidate.  At 10^12 rows the bucket id doubles as
+    a write-partition key so each table's self-join is partition-local.
+    """
+    from search_engine_spark.ops.common import cosine_col
+    from search_engine_spark.ops.similarity import _bucket_col, hyperplanes
+
+    out = None
+    for t in range(int(n_tables)):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        withb = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _bucket_col(F.col(vec_col), planes).alias("_b"),
+        )
+        a = withb.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"), "_b"
+        )
+        b = withb.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"), "_b"
+        )
+        cand = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+        pairs = (
+            cand.withColumn(
+                "cosine", F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.dropDuplicates(["id_a", "id_b"])

@@ -107,3 +107,58 @@ def test_pairwise_topk_join(spark, emb):
         assert len(mine) == 5
         # self is its own nearest neighbor
         assert max(mine, key=lambda r: r["cosine"])["id"] == qid
+
+
+class TestEmbeddingNearDupLSH:
+    """LSH-bucketed near-dup pairs (ops/dedup.py): exact precision
+    (every emitted pair really clears the cosine threshold — it's a
+    subset of the brute-force pairs) and multi-table recall on a
+    corpus with planted near-duplicates."""
+
+    @pytest.fixture(scope="class")
+    def dup_emb(self, spark):
+        rng = np.random.RandomState(11)
+        rows = []
+        for i in range(120):
+            v = rng.randn(DIM)
+            rows.append((2 * i, v.astype(float).tolist()))
+            # planted near-dup: tiny perturbation -> cosine ~0.999
+            rows.append((2 * i + 1, (v + 0.02 * rng.randn(DIM)).astype(float).tolist()))
+        return spark.createDataFrame(rows, "id long, vec array<double>").cache()
+
+    def test_subset_of_brute_and_high_recall(self, spark, dup_emb):
+        from search_engine_spark.ops import dedup as D
+
+        brute = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in D.embedding_near_dup_pairs(
+                dup_emb, "id", "vec", threshold=0.95
+            ).collect()
+        }
+        assert len(brute) >= 100  # the planted pairs all qualify
+        lsh = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in D.embedding_near_dup_pairs_lsh(
+                dup_emb, "id", "vec", threshold=0.95,
+                dim=DIM, n_planes=8, n_tables=3, seed=7,
+            ).collect()
+        }
+        # exact precision: subset with identical cosines
+        for p, c in lsh.items():
+            assert p in brute and abs(c - brute[p]) < 1e-9
+        # multi-table recall on ~0.999-cosine pairs: miss prob per
+        # table (1-(1-θ/π)^8)≈0.10 -> ~1e-3 over 3 tables
+        assert len(lsh) >= 0.97 * len(brute)
+
+    def test_more_tables_monotone(self, spark, dup_emb):
+        from search_engine_spark.ops import dedup as D
+
+        n1 = D.embedding_near_dup_pairs_lsh(
+            dup_emb, "id", "vec", threshold=0.95, dim=DIM,
+            n_planes=8, n_tables=1, seed=7,
+        ).count()
+        n3 = D.embedding_near_dup_pairs_lsh(
+            dup_emb, "id", "vec", threshold=0.95, dim=DIM,
+            n_planes=8, n_tables=3, seed=7,
+        ).count()
+        assert n3 >= n1
