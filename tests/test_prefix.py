@@ -281,3 +281,63 @@ class TestFuzzyRankIdentity:
         assert (
             idx.search_fuzzy("zzzzzzzzzzzz", k=5, join_docs=False).count() == 0
         )
+
+
+class TestMultiTermRewritesOnMergedIndex:
+    """Wildcard + fuzzy share the prefix machinery's dictionary and
+    synonym-group scorer; pin the merge/compact behaviour for them too:
+    tombstoned docs never surface, compacted == live-corpus oracle."""
+
+    def test_merged_and_compacted(self, spark, tmp_path):
+        from search_engine_spark.index.merge import (
+            compact_index,
+            merge_pages,
+            read_tombstones,
+        )
+
+        all_pages = synth_pages(spark, 100, num_partitions=4)
+        ordinal = F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+        root = str(tmp_path / "mergemtq")
+        build_index(
+            spark, all_pages.filter(ordinal < 75), root,
+            num_buckets=8, block_size=16, num_partitions=4,
+        )
+        merge_pages(
+            spark, root, all_pages.filter(ordinal >= 50), num_partitions=4
+        )
+        idx = BM25Index(spark, root, seed_min_df=0)
+        tombs = {
+            r["doc_id"] for r in read_tombstones(spark, idx.paths).collect()
+        }
+        terms = sorted(r["term"] for r in idx.term_stats.select("term").collect())
+        t = next(t for t in terms if len(t) >= 5)
+        wild = t[:2] + "*"
+        fuzz = t[:-1]
+        for got in (
+            idx.search_wildcard(wild, k=200, join_docs=False),
+            idx.search_fuzzy(fuzz, k=200, join_docs=False),
+        ):
+            ids = {r["doc_id"] for r in got.collect()}
+            assert ids and not (ids & tombs)
+
+        croot = str(tmp_path / "compactmtq")
+        compact_index(spark, root, croot, num_partitions=4)
+        cidx = BM25Index(spark, croot, seed_min_df=0)
+        live = spark.read.parquet(IndexPaths(croot).docs).join(
+            all_pages.select("url", "text"), "url"
+        ).select("doc_id", "text").collect()
+        oracle = PrefixOracle(
+            {r["doc_id"]: tokenize_py(r["text"]) for r in live}
+        )
+        exp_w = [(d, round(s, 9)) for d, s in oracle.topk_wildcard(wild, k=20)]
+        got_w = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in cidx.search_wildcard(wild, k=20, join_docs=False).collect()
+        ]
+        assert got_w == exp_w and got_w
+        exp_f = [(d, round(s, 9)) for d, s in oracle.topk_fuzzy(fuzz, k=20)]
+        got_f = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in cidx.search_fuzzy(fuzz, k=20, join_docs=False).collect()
+        ]
+        assert got_f == exp_f and got_f
