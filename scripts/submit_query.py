@@ -32,6 +32,9 @@ def main() -> None:
                              "fuzzy", "fields"])
     ap.add_argument("--slop", type=int, default=0,
                     help="ordered proximity for --mode phrase")
+    ap.add_argument("--explain", action="store_true",
+                    help="per-term score contributions (blockmax/"
+                         "exhaustive/and/tfidf modes)")
     ap.add_argument("--log-dir", help="append query_logs rows here")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -63,20 +66,30 @@ def main() -> None:
             rows = idx.search_fuzzy(q, k=args.k).collect()
         elif args.mode == "fields":
             rows = idx.search_fields(q, k=args.k).collect()
+        elif args.explain:
+            rows = idx.search(q, k=args.k, mode=args.mode,
+                              explain=True).collect()
         else:
             rows = idx.search(q, k=args.k, mode=args.mode).collect()
         ms = int((time.time() - t0) * 1000)
         if args.log_dir:
             log_query(spark, args.log_dir, q, len(rows), ms)
+
+        def _result(r):
+            d = {"doc_id": r["doc_id"], "score": round(r["score"], 6)}
+            if "url" in r.__fields__:
+                d.update(url=r["url"], title=r["title"])
+            if "term_scores" in r.__fields__:
+                d["term_scores"] = {
+                    t: round(v, 6) for t, v in sorted(r["term_scores"].items())
+                }
+            return d
+
         print(json.dumps({
             "query": q,
             "mode": args.mode,
             "took_ms": ms,
-            "results": [
-                {"doc_id": r["doc_id"], "score": round(r["score"], 6),
-                 "url": r["url"], "title": r["title"]}
-                for r in rows
-            ],
+            "results": [_result(r) for r in rows],
         }))
     spark.stop()
 
