@@ -55,7 +55,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _docs_tokens(spark, sf_dir) -> DataFrame:
     """documents with canonical (unstemmed) token array — the SQL-parity
-    tokenizer (SURVEY.md §2.F2 steps 1-5)."""
+    tokenizer (SURVEY.md §2.F2 steps 1-5).
+
+    Measured NOT to benefit from a repartition before tokenizing at the
+    sf sizes the driver runs (the raw-text shuffle costs more than the
+    single-partition tokenize saves; A/B at sf0.1: plain 3.5-5 s vs
+    repartitioned 5-9 s for bm25_topk) — at real scale the input is
+    many files and the scan parallelizes by itself."""
     return _read(spark, sf_dir, "documents").select(
         "doc_id", raw_tokens_col(F.col("text")).alias("toks")
     )
@@ -209,9 +215,12 @@ FROM tf JOIN dft USING (term), n GROUP BY doc_id)"""
 
 
 def _corpus_scalars(toks):
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
-    return n, avgdl
+    # one action — tokenization is the expensive part of this scan, so
+    # fusing count+avg halves the scalar-pass cost of every entry
+    row = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("toks")).alias("a")
+    ).collect()[0]
+    return int(row["n"]), float(row["a"])
 
 
 def _q_bm25_topk(spark, sf_dir):
@@ -1229,8 +1238,7 @@ BATCH_BM25_QUERIES = {
 
 def _q_batch_bm25_topk(spark, sf_dir):
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks")).alias("a")).collect()[0]["a"])
+    n, avgdl = _corpus_scalars(toks)
     all_terms = sorted({t for ts in BATCH_BM25_QUERIES.values() for t in ts})
     tf = (
         toks.select(
@@ -1240,7 +1248,10 @@ def _q_batch_bm25_topk(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df via a window over tf (one row per (doc, term)) instead of a
+    # groupBy+self-join branch: the branch would recompute the whole
+    # tokenize+explode pipeline once per side — the window keeps the
+    # plan linear, one tokenize pass
     idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
         F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
@@ -1250,7 +1261,9 @@ def _q_batch_bm25_topk(spark, sf_dir):
         "query_id string, term string",
     )
     per = (
-        tf.join(df_t, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .withColumn("c", contrib)
         .join(F.broadcast(pairs), "term")
         .groupBy("query_id", "doc_id")
@@ -1403,8 +1416,7 @@ def _q_hybrid_rank(spark, sf_dir):
     from search_engine_spark.graph.pagerank import hybrid_boost, pagerank_fixed
 
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    n, avgdl = _corpus_scalars(toks)
     tf = (
         toks.select(
             "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
@@ -1729,8 +1741,7 @@ PHRASE_TOKENS = ["agg", "hash", "window"]  # contiguous in sf0.01 docs —
 
 def _q_phrase_bm25_topk(spark, sf_dir):
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    n, avgdl = _corpus_scalars(toks)
     npair = len(PHRASE_TOKENS)
     pos = toks.select(
         "doc_id", F.size("toks").alias("dl"),
@@ -1807,8 +1818,7 @@ BOOLEAN_PHRASE_NOT_TERM = "dup"
 
 def _q_boolean_bm25_topk(spark, sf_dir):
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    n, avgdl = _corpus_scalars(toks)
     npair = len(PHRASE_TOKENS)
     pos = toks.select(
         "doc_id", F.size("toks").alias("dl"),
@@ -1901,8 +1911,7 @@ PHRASE_SLOP = 2
 
 def _q_phrase_slop_topk(spark, sf_dir):
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    n, avgdl = _corpus_scalars(toks)
     ntok = len(PHRASE_TOKENS)
     pos = toks.select(
         "doc_id", F.size("toks").alias("dl"),
@@ -1992,8 +2001,7 @@ PREFIX_CAP = 50
 
 def _q_prefix_bm25_topk(spark, sf_dir):
     toks = _docs_tokens(spark, sf_dir)
-    n = toks.count()
-    avgdl = float(toks.agg(F.avg(F.size("toks"))).collect()[0][0])
+    n, avgdl = _corpus_scalars(toks)
     pos = toks.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
