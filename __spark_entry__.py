@@ -255,12 +255,15 @@ def _q_tfidf_topk(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (1.0 + F.log10(F.col("tf"))) * F.log10(
         (F.lit(n) + 1.0) / (F.col("df") + 1.0)
     )
     return (
-        tf.join(df_t, "term")
+        # df as a window over the per-(doc,term) rows — linear plan,
+        # no groupBy branch re-running the tokenize (see batch entry)
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .withColumn("c", contrib)
         .groupBy("doc_id")
         .agg(F.round(F.sum("c"), 6).alias("score"))
@@ -298,11 +301,18 @@ def _q_explain_contribs(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    c = tf.join(df_t, "term").withColumn(
-        "c",
-        (1.0 + F.log10(F.col("tf")))
-        * F.log10((F.lit(n) + 1.0) / (F.col("df") + 1.0)),
+    # window-df (no recompute branch) + one materialization: winners,
+    # the term list, and the final left join all reuse `c`
+    c = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn(
+            "c",
+            (1.0 + F.log10(F.col("tf")))
+            * F.log10((F.lit(n) + 1.0) / (F.col("df") + 1.0)),
+        )
+        .localCheckpoint()
     )
     winners = (
         c.groupBy("doc_id")
@@ -313,7 +323,7 @@ def _q_explain_contribs(spark, sf_dir):
     )
     return (
         winners.select("doc_id")
-        .crossJoin(df_t.select("term"))
+        .crossJoin(c.select("term").distinct())
         .join(c.select("doc_id", "term", "c"), ["doc_id", "term"], "left")
         .select(
             "doc_id",
@@ -2005,7 +2015,10 @@ def _q_prefix_bm25_topk(spark, sf_dir):
     pos = toks.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
-    matches = pos.filter(F.col("term").startswith(PREFIX_Q))
+    # materialize the (tiny) matched slice once: the expansion collect,
+    # df_max collect, and final scoring otherwise EACH re-tokenize the
+    # whole corpus (4 passes -> 2)
+    matches = pos.filter(F.col("term").startswith(PREFIX_Q)).localCheckpoint()
     exps = [
         r["term"]
         for r in matches.select("term").distinct()
@@ -2064,7 +2077,8 @@ def _q_wildcard_bm25_topk(spark, sf_dir):
     pos = toks.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
-    matches = pos.filter(F.col("term").rlike(WILDCARD_RX))
+    # materialized once — see the prefix entry's pass-count note
+    matches = pos.filter(F.col("term").rlike(WILDCARD_RX)).localCheckpoint()
     exps = [
         r["term"]
         for r in matches.select("term").distinct()
@@ -2120,9 +2134,12 @@ FUZZY_CAP = 50
 def _q_fuzzy_bm25_topk(spark, sf_dir):
     toks = _docs_tokens(spark, sf_dir)
     n, avgdl = _corpus_scalars(toks)
+    # fuzzy has no cheap pre-filter (levenshtein runs on the distinct
+    # dictionary), so materialize the exploded rows once for the
+    # expansion collect + df_max collect + final scoring
     pos = toks.select(
         "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
+    ).localCheckpoint()
     dist = F.levenshtein(F.col("term"), F.lit(FUZZY_Q))
     exps = [
         r["term"]
