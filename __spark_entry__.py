@@ -185,13 +185,16 @@ def _bm25_scored(toks, n: int, avgdl: float, terms) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
         F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
     )
     return (
-        tf.join(df_t, "term")
+        # df via window over the per-(doc,term) rows: a groupBy branch
+        # + self-join would re-run the tokenize pipeline per side
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .withColumn("c", contrib)
         .groupBy("doc_id")
         .agg(F.sum("c").alias("_s"), F.countDistinct("term").alias("_nt"))
@@ -1326,7 +1329,10 @@ MF_SLICES = {"content": None, "title": (1, 6), "description": (7, 14)}
 
 
 def _q_multifield_bm25(spark, sf_dir):
-    toks = _docs_tokens(spark, sf_dir)
+    # one materialized token table: the count, the three per-field
+    # avgdl collects, and the three field branches of the final union
+    # otherwise each re-run the tokenize pipeline
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
     n = toks.count()
     frames = []
     for fname, sl in MF_SLICES.items():
@@ -1341,13 +1347,14 @@ def _q_multifield_bm25(spark, sf_dir):
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
         )
-        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
         contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
             F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
         )
         frames.append(
-            tf.join(dft, "term")
+            tf.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
             .withColumn("c", contrib)
             .groupBy("doc_id")
             .agg((F.sum("c") * MF_BOOSTS[fname]).alias("bscore"))
