@@ -1757,7 +1757,10 @@ PHRASE_TOKENS = ["agg", "hash", "window"]  # contiguous in sf0.01 docs —
 
 
 def _q_phrase_bm25_topk(spark, sf_dir):
-    toks = _docs_tokens(spark, sf_dir)
+    # one materialized token table: the positional branches (one per
+    # phrase token), df collects, and term scoring otherwise each
+    # re-run the tokenize pipeline
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
     n, avgdl = _corpus_scalars(toks)
     npair = len(PHRASE_TOKENS)
     pos = toks.select(
@@ -1834,7 +1837,10 @@ BOOLEAN_PHRASE_NOT_TERM = "dup"
 
 
 def _q_boolean_bm25_topk(spark, sf_dir):
-    toks = _docs_tokens(spark, sf_dir)
+    # one materialized token table: the positional branches (one per
+    # phrase token), df collects, and term scoring otherwise each
+    # re-run the tokenize pipeline
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
     n, avgdl = _corpus_scalars(toks)
     npair = len(PHRASE_TOKENS)
     pos = toks.select(
@@ -1927,7 +1933,10 @@ PHRASE_SLOP = 2
 
 
 def _q_phrase_slop_topk(spark, sf_dir):
-    toks = _docs_tokens(spark, sf_dir)
+    # one materialized token table: the positional branches (one per
+    # phrase token), df collects, and term scoring otherwise each
+    # re-run the tokenize pipeline
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
     n, avgdl = _corpus_scalars(toks)
     ntok = len(PHRASE_TOKENS)
     pos = toks.select(
