@@ -1729,11 +1729,21 @@ FROM urls"""
 
 
 def _q_pagination(spark, sf_dir):
+    # page 2 of size 10 = rows 11-20 of the global order.  Cut to the
+    # top page*size FIRST (TakeOrderedAndProject: per-partition top-20
+    # + single merge, no global sort/shuffle), then number the 20
+    # surviving rows — windowing the full table would funnel it
+    # through one partition
     orders = _read(spark, sf_dir, "orders")
+    top = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 10)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
     )
 
