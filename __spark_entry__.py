@@ -288,6 +288,36 @@ FROM tf JOIN dft USING (term), n
 GROUP BY doc_id HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- exact match counts (ES hits.total, main.py:218; engine analogue
+# BM25Index.count_matches) ----------------------------------------------------
+
+
+def _q_match_counts(spark, sf_dir):
+    toks = _docs_tokens(spark, sf_dir)
+    hit = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_nt"))
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_or"),
+        F.sum(
+            F.when(F.col("_nt") == len(BM25_QUERY_TERMS), 1).otherwise(0)
+        ).cast("long").alias("n_and"),
+    )
+
+
+_SQL_MATCH_COUNTS = f"""{_TOK_CTE},
+hit AS (SELECT doc_id, count(DISTINCT t) AS nt
+        FROM tok, unnest(l) AS u(t)
+        WHERE t IN ({_TERMS_SQL}) GROUP BY doc_id)
+SELECT count(*) AS n_or,
+       sum(CASE WHEN nt = {len(BM25_QUERY_TERMS)} THEN 1 ELSE 0 END)::BIGINT
+         AS n_and
+FROM hit"""
+
+
 # ---- explain: per-term score contributions (D6, tfidf.py:484-507) ----------
 # The reference's TFIDFScore.term_scores — every query term keyed per
 # result doc, 0.0 when absent — exploded to (doc_id, term, contrib)
@@ -2242,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_bm25_topk": _q_multifield_bm25,
         "tfidf_topk": _q_tfidf_topk,
         "explain_contribs": _q_explain_contribs,
+        "match_counts": _q_match_counts,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
@@ -2310,6 +2341,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "tfidf_topk": _SQL_TFIDF,
         "explain_contribs": _SQL_EXPLAIN,
+        "match_counts": _SQL_MATCH_COUNTS,
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,

@@ -754,6 +754,44 @@ class BM25Index:
         )
         return excl, df_sum
 
+    def count_matches(self, query, mode: str = "or") -> int:
+        """Exact match count — the ES `hits.total` the reference's
+        /search response reports (main.py:218).  The top-k engine
+        prunes, so `search()` can't report this; here only doc ids
+        decode (tfs/doclens stay packed — the same ids-only decoder as
+        the must_not path), ONE distinct-count aggregate, tombstones
+        excluded.
+
+        mode "or": docs containing ANY indexed query term.
+        mode "and": docs containing EVERY indexed query term (a (doc,
+        term) pair decodes to exactly one row, so match-count per doc
+        == matched terms).
+        """
+        terms = sorted(
+            set(query) if isinstance(query, list) else set(tokenize_py(query))
+        )
+        stats = self._query_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return 0
+        buckets = sorted({stats[t][2] for t in terms})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        ids = blocks.select("count", "doc_ids").mapInPandas(
+            _decode_doc_ids(), schema="doc_id long"
+        )
+        if mode == "and":
+            matched = (
+                ids.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .filter(F.col("_nt") == len(terms))
+            )
+        else:
+            matched = ids.distinct()
+        matched = self._drop_tombstones(matched.select("doc_id"))
+        return int(matched.count())
+
     def search_boolean(
         self,
         query: str,

@@ -336,6 +336,7 @@ def search_cached(
     ranks: Optional[DataFrame] = None,
     pages: Optional[DataFrame] = None,
     highlight: bool = True,
+    exact_total: bool = False,
 ) -> dict:
     """GET-or-compute search response — the full /search handler shape
     (main.py:125-240): query, total, page, size, total_pages,
@@ -350,10 +351,14 @@ def search_cached(
 
     `total` is the number of hits the top-k engine surfaced at the
     requested depth (page*size) — the engine prunes, it does not count
-    the full match set (documented deviation from ES's total).
-    Pagination is the from=(page-1)*size slice (G3) applied to one
-    deterministic top-(page*size) ranking, so page 2 never disagrees
-    with page 1 about order.
+    the full match set by default.  Pass exact_total=True for the
+    reference's ES `hits.total` semantics (main.py:218): an ids-only
+    `count_matches` pass reports the true OR-match count (and drives
+    total_pages / has_next), while the returned page still comes from
+    the pruned top-(page*size) ranking.  Pagination is the
+    from=(page-1)*size slice (G3) applied to one deterministic
+    top-(page*size) ranking, so page 2 never disagrees with page 1
+    about order.
     """
     import json
     import re as _re
@@ -430,7 +435,7 @@ def search_cached(
                 r["score"] = 0.7 * r["score"] + 0.3 * pr * 100.0
                 r["pagerank"] = pr
         results.sort(key=lambda x: x["score"], reverse=True)
-    total = len(rows)
+    total = index.count_matches(q) if exact_total else len(rows)
     total_pages = (total + size - 1) // size
     resp = {
         "query": q,

@@ -467,3 +467,46 @@ class TestExplain:
             assert set(df.columns) == {"doc_id", "score", "term_scores"}
         df = idx.search("python", k=0, explain=True)
         assert df.count() == 0 and "term_scores" in df.columns
+
+
+class TestCountMatches:
+    """count_matches — the ES hits.total the /search response reports
+    (main.py:218): exact OR/AND match counts, ids-only decode."""
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_or_and_vs_oracle(self, spark, corpus, query):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root)
+        from search_engine_spark.text.tokenizer import tokenize_py as tok
+
+        terms = [t for t in set(tok(query)) if oracle.df.get(t, 0) > 0]
+        want_or = sum(
+            1 for d in oracle.docs
+            if any(oracle.tf[d].get(t, 0) > 0 for t in terms)
+        ) if terms else 0
+        want_and = sum(
+            1 for d in oracle.docs
+            if terms and all(oracle.tf[d].get(t, 0) > 0 for t in terms)
+        )
+        assert idx.count_matches(query, mode="or") == want_or, query
+        assert idx.count_matches(query, mode="and") == want_and, query
+
+    def test_tombstones_excluded(self, spark, tmp_path):
+        from search_engine_spark.index.merge import merge_pages, read_tombstones
+
+        all_pages = synth_pages(spark, 80, num_partitions=2)
+        ordinal = F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+        root = str(tmp_path / "cntidx")
+        build_index(spark, all_pages.filter(ordinal < 60), root,
+                    num_buckets=4, block_size=16, num_partitions=2)
+        merge_pages(spark, root, all_pages.filter(ordinal >= 40),
+                    num_partitions=2)
+        idx = BM25Index(spark, root, seed_min_df=0)
+        # a term common enough to hit everything: compare against the
+        # LIVE doc count upper bound and the brute search result
+        live = idx.stats()["indexed_docs"]
+        n = idx.count_matches("the quick data python web page", mode="or")
+        assert 0 < n <= live
+        hits = idx.search("data", k=10_000, mode="exhaustive",
+                          join_docs=False).count()
+        assert idx.count_matches("data", mode="or") == hits

@@ -265,3 +265,27 @@ class TestSearchResponseShape:
         for r in bres[1:]:
             assert "pagerank" not in r
             assert abs(r["score"] - raw[r["doc_id"]]) < 1e-9
+
+
+class TestExactTotal:
+    def test_exact_total_drives_pagination(self, spark, tmp_path):
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.query.bm25 import BM25Index
+        from search_engine_spark.synth import synth_pages
+
+        pages = synth_pages(spark, 60, num_partitions=2)
+        idx_dir = str(tmp_path / "idx")
+        build_index(spark, pages, idx_dir, num_buckets=4, block_size=16,
+                    num_partitions=2)
+        idx = BM25Index(spark, idx_dir)
+        capped = serving.search_cached(idx, "data", page=1, size=3)
+        exact = serving.search_cached(idx, "data", page=1, size=3,
+                                      exact_total=True)
+        assert capped["total"] <= 3  # depth-capped
+        assert exact["total"] == idx.count_matches("data", mode="or")
+        assert exact["total"] >= capped["total"]
+        assert exact["total_pages"] == -(-exact["total"] // 3)
+        # same ranked page either way
+        assert [r["doc_id"] for r in exact["results"]] == [
+            r["doc_id"] for r in capped["results"]
+        ]
