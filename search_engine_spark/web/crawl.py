@@ -32,7 +32,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -220,3 +220,77 @@ def simulate_crawl(
         )
 
     return crawled, edges, frontier
+
+
+def crawl_and_index(
+    spark: SparkSession,
+    index_dir: str,
+    pages: DataFrame,
+    urls: List[str],
+    follow_links: bool = False,
+    max_depth: int = 1,
+    batch_size: int = 50,
+    robots: Optional[DataFrame] = None,
+    job_id: Optional[str] = None,
+) -> Tuple[DataFrame, Dict[str, object]]:
+    """Instant crawl + index (POST /crawl-index, main.py:450-512,
+    fetch_and_index_url 328-447): fetch the given urls (the batch
+    equi-join against the pages table), optionally follow their links
+    `max_depth` further waves, and UPSERT every fetched page into the
+    existing index via merge_pages (A9 overwrite-by-id: a re-crawled
+    url tombstones its old doc).  Extraction happens inside the merge's
+    build pipeline — the same byte-identity path as a fresh build.
+
+    Returns (results, job):
+      results (url, success, title, error) — the reference's per-url
+        CrawlResult rows; title comes from the index's docs table after
+        the merge, error is 'fetch_failed' for urls with no pages row
+        (or robots-blocked — the reference likewise folds every failure
+        cause into one error string per url).
+      job — the crawl_jobs[job_id] summary dict (main.py:520-551
+        shape): status/total/completed/failed.
+    """
+    from search_engine_spark.index.merge import merge_pages
+
+    waves = 1 + (int(max_depth) if follow_links else 0)
+    crawled, edges, _ = simulate_crawl(
+        spark,
+        pages,
+        urls,
+        waves=waves,
+        batch_size=batch_size,
+        max_depth=int(max_depth) if follow_links else 0,
+        robots=robots,
+    )
+    crawled = crawled.localCheckpoint()  # reused: merge input + results
+    fetched = crawled.filter(F.col("fetched")).select("url")
+    batch = pages.join(F.broadcast(fetched), "url", "inner")
+    n_fetched = fetched.count()
+    if n_fetched:
+        res = merge_pages(spark, index_dir, batch, build_id=job_id)
+        job_id = res.build_id  # reuse the merge's resumable id
+    job_id = job_id or "job-0"
+
+    docs = spark.read.parquet(
+        index_dir.rstrip("/") + "/docs"
+    ).select("url", "title")
+    results = (
+        crawled.select("url", F.col("fetched").alias("success"))
+        .join(docs, "url", "left")
+        .select(
+            "url",
+            "success",
+            F.when(F.col("success"), F.col("title")).alias("title"),
+            F.when(~F.col("success"), F.lit("fetch_failed")).alias("error"),
+        )
+        .orderBy("url")
+    )
+    total = crawled.count()
+    job = {
+        "job_id": job_id,
+        "status": "completed",
+        "total": total,
+        "completed": n_fetched,
+        "failed": total - n_fetched,
+    }
+    return results, job

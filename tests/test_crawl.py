@@ -13,6 +13,7 @@ exactly.
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.synth import synth_pages
 from search_engine_spark.web.crawl import simulate_crawl
@@ -159,3 +160,75 @@ class TestCrawlWaves:
         rows = crawled.collect()
         assert [(r["wave"], r["fetched"]) for r in rows] == [(0, False)]
         assert edges.count() == 0 and frontier.count() == 0
+
+
+class TestCrawlAndIndex:
+    """crawl_and_index (POST /crawl-index, main.py:450-512): fetch ->
+    extract -> upsert into the live index via merge_pages, per-url
+    CrawlResult rows + job summary."""
+
+    def test_fetch_index_and_results(self, spark, web, tmp_path):
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.query.bm25 import BM25Index
+        from search_engine_spark.web.crawl import crawl_and_index
+
+        pages, pagemap = web
+        ordinal = F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+        root = str(tmp_path / "ciidx")
+        build_index(spark, pages.filter(ordinal < 40), root,
+                    num_buckets=4, block_size=16, num_partitions=2)
+        base_docs = spark.read.parquet(root + "/docs").count()
+
+        # crawl two urls NOT yet indexed + one re-crawl + one miss
+        new_urls = [
+            r["url"] for r in pages.filter(ordinal >= 40)
+            .select("url").orderBy("url").limit(2).collect()
+        ]
+        recrawl = pages.filter(ordinal == 0).select("url").first()["url"]
+        miss = "https://nowhere.example.com/x"
+        results, job = crawl_and_index(
+            spark, root, pages, new_urls + [recrawl, miss]
+        )
+        rows = {r["url"]: r for r in results.collect()}
+        assert job["status"] == "completed"
+        assert job["total"] == 4 and job["completed"] == 3 and job["failed"] == 1
+        assert not rows[miss]["success"]
+        assert rows[miss]["error"] == "fetch_failed"
+        for u in new_urls + [recrawl]:
+            assert rows[u]["success"] and rows[u]["error"] is None
+
+        # the index grew by the two new urls; the re-crawl replaced,
+        # not duplicated, its old doc
+        idx = BM25Index(spark, root, seed_min_df=0)
+        assert idx.stats()["indexed_docs"] == base_docs + 2
+        urls_in_index = {
+            r["url"] for r in spark.read.parquet(root + "/docs")
+            .select("url").collect()
+        }
+        assert set(new_urls) <= urls_in_index
+
+    def test_follow_links_indexes_discovered(self, spark, web, tmp_path):
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.web.crawl import crawl_and_index, simulate_crawl
+
+        pages, pagemap = web
+        root = str(tmp_path / "ciidx2")
+        seed = sorted(pagemap)[0]
+        build_index(
+            spark,
+            pages.filter(F.col("url") != seed).limit(5), root,
+            num_buckets=4, block_size=16, num_partitions=2,
+        )
+        results, job = crawl_and_index(
+            spark, root, pages, [seed], follow_links=True, max_depth=1,
+        )
+        # parity with the plain simulator at the same settings
+        crawled, _, _ = simulate_crawl(
+            spark, pages, [seed], waves=2, batch_size=50, max_depth=1
+        )
+        exp = {
+            (r["url"], r["fetched"]) for r in crawled.collect()
+        }
+        got = {(r["url"], r["success"]) for r in results.collect()}
+        assert got == exp
+        assert job["completed"] == sum(1 for _, f in exp if f)
