@@ -455,3 +455,34 @@ def search_cached(
         log_query(index.spark, log_dir, q, total, resp["took_ms"],
                   cache_hit=False, queried_at=now)
     return resp
+
+
+def engine_stats(
+    index,
+    frontier: Optional[DataFrame] = None,
+    log_dir: Optional[str] = None,
+    pages_crawled: Optional[int] = None,
+) -> dict:
+    """The composite GET /stats response (main.py:606-641): index
+    stats (ES indices.stats -> BM25Index.stats), crawler state (the
+    Redis frontier ZCARD / pages-crawled counter -> the frontier
+    DataFrame's count and a caller-supplied crawl total), and the 24h
+    query-log aggregates (D9) — exactly the reference's keys."""
+    s = index.stats()
+    out = {
+        "indexed_pages": s["indexed_docs"],
+        "index_size_mb": s["index_size_mb"],
+        "crawler_queue_size": int(frontier.count()) if frontier is not None else 0,
+        "pages_crawled": int(pages_crawled or 0),
+        "queries_24h": 0,
+        "avg_response_time_ms": 0.0,
+        "cache_hit_rate": 0.0,
+    }
+    if log_dir:
+        logs = read_query_log(index.spark, log_dir)
+        if logs.limit(1).count():
+            row = query_log_stats(logs).collect()[0]
+            out["queries_24h"] = int(row["total_queries"])
+            out["avg_response_time_ms"] = float(row["avg_response_time_ms"])
+            out["cache_hit_rate"] = float(row["cache_hit_rate_pct"])
+    return out

@@ -289,3 +289,49 @@ class TestExactTotal:
         assert [r["doc_id"] for r in exact["results"]] == [
             r["doc_id"] for r in capped["results"]
         ]
+
+
+class TestEngineStats:
+    def test_composite_stats_shape(self, spark, tmp_path):
+        from datetime import datetime
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.query.bm25 import BM25Index
+        from search_engine_spark.synth import synth_pages
+        from search_engine_spark.web.crawl import seed_frontier
+
+        idx_dir = str(tmp_path / "idx")
+        build_index(spark, synth_pages(spark, 30, num_partitions=2), idx_dir,
+                    num_buckets=4, block_size=16, num_partitions=2)
+        idx = BM25Index(spark, idx_dir)
+        log_dir = str(tmp_path / "qlog")
+        t = datetime(2024, 1, 1, 12, 0, 0)
+        serving.log_query(spark, log_dir, "a", 3, 120, cache_hit=False,
+                          queried_at=t)
+        serving.log_query(spark, log_dir, "a", 3, 4, cache_hit=True,
+                          queried_at=t)
+        frontier = seed_frontier(spark, ["https://a.com/", "https://b.com/"])
+        out = serving.engine_stats(idx, frontier=frontier, log_dir=log_dir,
+                                   pages_crawled=30)
+        assert out["indexed_pages"] == 30
+        assert out["crawler_queue_size"] == 2
+        assert out["pages_crawled"] == 30
+        assert out["queries_24h"] == 2
+        assert out["avg_response_time_ms"] == 62.0
+        assert out["cache_hit_rate"] == 50.0
+        # reference key set, exactly (main.py:631-639)
+        assert set(out) == {
+            "indexed_pages", "index_size_mb", "crawler_queue_size",
+            "pages_crawled", "queries_24h", "avg_response_time_ms",
+            "cache_hit_rate",
+        }
+
+    def test_no_logs_no_frontier(self, spark, tmp_path):
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.query.bm25 import BM25Index
+        from search_engine_spark.synth import synth_pages
+
+        idx_dir = str(tmp_path / "idx2")
+        build_index(spark, synth_pages(spark, 20, num_partitions=2), idx_dir,
+                    num_buckets=4, block_size=16, num_partitions=2)
+        out = serving.engine_stats(BM25Index(spark, idx_dir))
+        assert out["queries_24h"] == 0 and out["crawler_queue_size"] == 0
