@@ -288,6 +288,55 @@ FROM tf JOIN dft USING (term), n
 GROUP BY doc_id HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- deterministic sampling (ops/sampling.py — training-data curation) ----
+
+
+def _q_sample_10pct(spark, sf_dir):
+    from search_engine_spark.ops import sampling as SA
+
+    return (
+        SA.sample(_read(spark, sf_dir, "documents"), "doc_id", 0.10)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_sample_10pct():
+    from search_engine_spark.ops.sampling import BUCKETS, bucket_sql
+
+    return f"""
+SELECT doc_id FROM documents
+WHERE {bucket_sql('doc_id', 's0')} < {int(0.10 * BUCKETS)}
+ORDER BY doc_id"""
+
+
+def _q_split_assign(spark, sf_dir):
+    from search_engine_spark.ops import sampling as SA
+
+    return (
+        SA.split(
+            _read(spark, sf_dir, "documents"), "doc_id",
+            [("train", 8), ("val", 1), ("test", 1)],
+        )
+        .select("doc_id", F.col("_split").alias("part"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_split_assign():
+    from search_engine_spark.ops.sampling import BUCKETS, bucket_sql
+
+    b = bucket_sql("doc_id", "split")
+    b80 = int(round(0.8 * BUCKETS))
+    b90 = int(round(0.9 * BUCKETS))
+    return f"""
+SELECT doc_id,
+       CASE WHEN {b} < {b80} THEN 'train'
+            WHEN {b} < {b90} THEN 'val'
+            ELSE 'test' END AS part
+FROM documents ORDER BY doc_id"""
+
+
 # ---- exact match counts (ES hits.total, main.py:218; engine analogue
 # BM25Index.count_matches) ----------------------------------------------------
 
@@ -2273,6 +2322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "explain_contribs": _q_explain_contribs,
         "match_counts": _q_match_counts,
+        "sample_10pct": _q_sample_10pct,
+        "split_assign": _q_split_assign,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
@@ -2342,6 +2393,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _SQL_TFIDF,
         "explain_contribs": _SQL_EXPLAIN,
         "match_counts": _SQL_MATCH_COUNTS,
+        "sample_10pct": _sql_sample_10pct(),
+        "split_assign": _sql_split_assign(),
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,
