@@ -288,6 +288,35 @@ FROM tf JOIN dft USING (term), n
 GROUP BY doc_id HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- repetition stats (ops/textstats.py — Gopher-style filters) -----------
+
+
+def _q_repetition_stats(spark, sf_dir):
+    return T.repetition_stats(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).orderBy("id")
+
+
+_SQL_REPETITION = f"""{_TOK_CTE},
+uni AS (SELECT doc_id, t AS g, count(*) AS c
+        FROM tok, unnest(l) AS u(t) GROUP BY doc_id, t),
+un AS (SELECT doc_id, sum(c) AS n, max(c) AS m FROM uni GROUP BY doc_id),
+bg AS (SELECT doc_id, g, count(*) AS c FROM
+         (SELECT doc_id,
+                 unnest(list_transform(range(1, len(l)),
+                        i -> l[i] || ' ' || l[i+1])) AS g
+          FROM tok) GROUP BY doc_id, g),
+bn AS (SELECT doc_id, sum(c) AS bn, max(c) AS bm FROM bg GROUP BY doc_id)
+SELECT t.doc_id AS id,
+       coalesce(n, 0)::BIGINT AS n_tokens,
+       round(CASE WHEN coalesce(n, 0) > 0
+                  THEN m::DOUBLE / n ELSE 0.0 END, 6) AS top_unigram_frac,
+       round(CASE WHEN coalesce(bn, 0) > 0
+                  THEN bm::DOUBLE / bn ELSE 0.0 END, 6) AS top_bigram_frac
+FROM tok t LEFT JOIN un USING (doc_id) LEFT JOIN bn USING (doc_id)
+ORDER BY id"""
+
+
 # ---- deterministic sampling (ops/sampling.py — training-data curation) ----
 
 
@@ -2322,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "explain_contribs": _q_explain_contribs,
         "match_counts": _q_match_counts,
+        "repetition_stats": _q_repetition_stats,
         "sample_10pct": _q_sample_10pct,
         "split_assign": _q_split_assign,
         "hybrid_rank": _q_hybrid_rank,
@@ -2393,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _SQL_TFIDF,
         "explain_contribs": _SQL_EXPLAIN,
         "match_counts": _SQL_MATCH_COUNTS,
+        "repetition_stats": _SQL_REPETITION,
         "sample_10pct": _sql_sample_10pct(),
         "split_assign": _sql_split_assign(),
         "hybrid_rank": _sql_hybrid_rank(),

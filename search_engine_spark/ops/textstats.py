@@ -123,3 +123,76 @@ def doc_fingerprint(
     shdf = base.select("id", shingles_col(F.col("toks"), shingle_k).alias("sh"))
     fp = F.array_min(F.transform(F.col("sh"), lambda s: md5int_col(s)))
     return shdf.select("id", fp.alias("fingerprint"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.1): the
+    fraction of tokens taken by the most frequent unigram and the
+    fraction of bigrams taken by the most frequent bigram.  High values
+    flag boilerplate / keyword-stuffed pages that pretraining filters
+    drop.
+
+    Returns (id, n_tokens, top_unigram_frac, top_bigram_frac); docs
+    with <1 token (or <2 for bigrams) report 0.0 fractions.
+
+    Scale: one explode + groupBy keyed by (doc, gram) — partial
+    aggregation absorbs the heavy duplication that is precisely the
+    signal being measured, so the shuffle carries distinct grams, not
+    raw tokens.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        raw_tokens_col(F.col(text_col)).alias("_t"),
+    ).withColumn(
+        "_b",
+        # guard: sequence(1, 0) DESCENDS in Spark, so short docs must
+        # short-circuit to an empty bigram list
+        F.when(
+            F.size("_t") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_t) - 1),"
+                " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>")),
+    )
+    uni = (
+        toks.select("id", F.explode_outer("_t").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), F.col("c"))).alias("_n"),
+            F.max(F.when(F.col("g").isNotNull(), F.col("c"))).alias("_m"),
+        )
+    )
+    bi = (
+        toks.select("id", F.explode_outer("_b").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), F.col("c"))).alias("_bn"),
+            F.max(F.when(F.col("g").isNotNull(), F.col("c"))).alias("_bm"),
+        )
+    )
+    return (
+        uni.join(bi, "id")
+        .select(
+            "id",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.coalesce("_n", F.lit(0)) > 0,
+                    F.col("_m") / F.col("_n"),
+                ).otherwise(0.0),
+                6,
+            ).alias("top_unigram_frac"),
+            F.round(
+                F.when(
+                    F.coalesce("_bn", F.lit(0)) > 0,
+                    F.col("_bm") / F.col("_bn"),
+                ).otherwise(0.0),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -114,3 +114,36 @@ class TestExtraction:
         p1, p2 = make_page(17), make_page(17)
         assert p1 == p2
         assert make_page(18) != p1
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition features (ops/textstats.py) vs a
+    Counter-based oracle, incl. empty / single-token / degenerate
+    all-same-token docs."""
+
+    def test_matches_counter_oracle(self, spark):
+        from collections import Counter
+        from search_engine_spark.ops.textstats import repetition_stats
+        from search_engine_spark.text.tokenizer import tokenize_py
+
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog dog dog"),
+            (2, "spam spam spam spam spam"),          # max repetition
+            (3, "unique words only here today"),
+            (4, ""),                                   # empty
+            (5, "word"),                               # 1 token
+            (6, "a b a b a b a b"),                    # bigram cycle
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["id"]: (r["n_tokens"], r["top_unigram_frac"], r["top_bigram_frac"])
+            for r in repetition_stats(df, "doc_id", "text").collect()
+        }
+        for i, t in texts:
+            toks = tokenize_py(t, stem=False)
+            n = len(toks)
+            uf = round(max(Counter(toks).values()) / n, 6) if n else 0.0
+            bis = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            bf = round(max(Counter(bis).values()) / len(bis), 6) if bis else 0.0
+            assert got[i] == (n, uf, bf), (i, got[i], (n, uf, bf))
+        assert got[2][1] == 1.0 and got[2][2] == 1.0  # all-spam doc
