@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Full-lifecycle demo — every reference capability in one run.
+
+Chains the whole engine the way the reference's services compose
+(SURVEY.md §3): synthesize a Common-Crawl-shaped corpus → crawl waves
+from seeds → build the inverted index → instant crawl+index of a late
+batch (merge upsert) → PageRank over the extracted link graph → a
+hybrid-boosted, highlighted, cached /search response → the composite
+/stats. Prints one JSON summary line; non-zero exit if any stage's
+sanity assertion fails.
+
+Usage:
+    python scripts/demo_pipeline.py [--pages N] [--master local[8]]
+    spark-submit --py-files dist/search_engine_spark.zip \
+        scripts/demo_pipeline.py --workdir /data/demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=1000)
+    ap.add_argument("--workdir", help="default: a temp dir, removed after")
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--query", default="python data tutorial")
+    args = ap.parse_args()
+
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="sgs-demo", master=args.master,
+                      shuffle_partitions=16)
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.graph.pagerank import pagerank_fixed
+    from search_engine_spark.index.builder import build_index
+    from search_engine_spark.query import serving
+    from search_engine_spark.query.bm25 import BM25Index
+    from search_engine_spark.synth import synth_pages
+    from search_engine_spark.web.crawl import crawl_and_index, simulate_crawl
+    from search_engine_spark.web.links import edges_from_pages
+
+    work = args.workdir or tempfile.mkdtemp(prefix="sgs_demo_")
+    t0 = time.time()
+    stages = {}
+
+    def tick(name):
+        stages[name] = round(time.time() - sum(stages.values()) - t0, 2)
+
+    try:
+        # 0) the "web": pre-fetched pages table
+        pages = synth_pages(spark, args.pages, num_partitions=8)
+        pages.write.mode("overwrite").parquet(f"{work}/pages")
+        pages = spark.read.parquet(f"{work}/pages")
+        t = time.time()
+
+        # 1) crawl waves from seeds (§3.2)
+        seeds = [r["url"] for r in pages.select("url").orderBy("url")
+                 .limit(5).collect()]
+        crawled, edges_crawl, frontier = simulate_crawl(
+            spark, pages, seeds, waves=3, batch_size=50
+        )
+        n_crawled = crawled.count()
+        assert n_crawled >= 5
+        stages["crawl_s"] = round(time.time() - t, 2); t = time.time()
+
+        # 2) index the first 80% (fields + positions on)
+        ordinal = F.regexp_extract("url", r"page/(\d+)", 1).cast("long")
+        cut = int(args.pages * 0.8)
+        build_index(
+            spark, pages.filter(ordinal < cut), f"{work}/index",
+            index_fields=True, index_positions=True,
+        )
+        stages["build_s"] = round(time.time() - t, 2); t = time.time()
+
+        # 3) instant crawl+index of the late batch (§3.2 -> A9 upsert)
+        late = [r["url"] for r in pages.filter(ordinal >= cut)
+                .select("url").orderBy("url").limit(20).collect()]
+        results, job = crawl_and_index(spark, f"{work}/index", pages, late)
+        assert job["completed"] == len(late)
+        stages["merge_s"] = round(time.time() - t, 2); t = time.time()
+
+        # 4) PageRank over the real link graph (§3.3)
+        edges = edges_from_pages(pages)
+        ranks = pagerank_fixed(edges, n_iter=5)
+        docs = spark.read.parquet(f"{work}/index/docs").select("doc_id", "url")
+        doc_ranks = ranks.join(docs, ranks.id == docs.url).select(
+            F.col("doc_id").alias("id"), "r"
+        )
+        stages["pagerank_s"] = round(time.time() - t, 2); t = time.time()
+
+        # 5) the flagship query path (§3.1): BM25 + boost + highlight +
+        #    cache + log, exact totals
+        idx = BM25Index(spark, f"{work}/index")
+        cache = serving.QueryResultCache(spark, f"{work}/qcache")
+        resp1 = serving.search_cached(
+            idx, args.query, page=1, size=10, cache=cache,
+            log_dir=f"{work}/qlog", ranks=doc_ranks, pages=pages,
+            exact_total=True,
+        )
+        resp2 = serving.search_cached(
+            idx, args.query, page=1, size=10, cache=cache,
+            log_dir=f"{work}/qlog",
+        )
+        assert resp1["results"] and not resp1["cached"] and resp2["cached"]
+        # the query-family sweep on the same index
+        family = {
+            "boolean": idx.search_boolean(
+                'python AND data NOT zebra', k=5
+            ).count(),
+            "phrase": idx.search_phrase("machine learning", k=5).count(),
+            "prefix": idx.search_prefix("pyth", k=5).count(),
+            "wildcard": idx.search_wildcard("py*on", k=5).count(),
+            "fuzzy": idx.search_fuzzy("pythn", k=5).count(),
+            "fields": idx.search_fields("python data", k=5).count(),
+            "explain": idx.search("python", k=5, explain=True).count(),
+        }
+        stages["query_s"] = round(time.time() - t, 2); t = time.time()
+
+        # 6) composite /stats
+        stats = serving.engine_stats(
+            idx, frontier=frontier, log_dir=f"{work}/qlog",
+            pages_crawled=n_crawled,
+        )
+        assert stats["queries_24h"] == 2 and stats["cache_hit_rate"] == 50.0
+        stages["stats_s"] = round(time.time() - t, 2)
+
+        print(json.dumps({
+            "pages": args.pages,
+            "crawled": n_crawled,
+            "indexed": stats["indexed_pages"],
+            "top_hit": resp1["results"][0]["url"],
+            "exact_total": resp1["total"],
+            "family_hits": family,
+            "stats": stats,
+            "stages_s": stages,
+            "total_s": round(time.time() - t0, 2),
+        }))
+    finally:
+        if not args.workdir:
+            shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
