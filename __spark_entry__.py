@@ -247,6 +247,151 @@ SELECT doc_id, round(_s, 6) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+def _q_filtered_bm25_topk(spark, sf_dir):
+    """Filter-context BM25 (ES bool query + filter clause — the shape
+    BM25Index.search_filtered executes): scores use FULL-corpus stats
+    (a filter restricts results, never reweights idf/avgdl), the
+    restriction is a doc_id semi-join against the filtered docs."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    allowed = _read(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    ).select("doc_id")
+    return (
+        _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+        .join(allowed, "doc_id", "left_semi")
+        .select("doc_id", F.round(F.col("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_FILTERED_BM25 = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)}
+SELECT doc_id, round(_s, 6) AS score FROM scored
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+def _q_facet_source_counts(spark, sf_dir):
+    """ES terms aggregation (BM25Index.facet_counts): doc counts per
+    `source` over ALL docs matching any query term, top buckets ordered
+    doc_count desc then value asc."""
+    toks = _docs_tokens(spark, sf_dir)
+    matched = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        matched.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("source"))
+        .limit(10)
+    )
+
+
+_SQL_FACET_SOURCE = f"""{_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+      WHERE t IN ({_TERMS_SQL}))
+SELECT source, count(*) AS doc_count
+FROM m JOIN documents USING (doc_id)
+GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"""
+
+
+# more-like-this: term selection gates (ES-default shape, scaled to the
+# sf corpus) + the fixed source doc
+MLT_SRC_DOC = 7
+MLT_MIN_TF = 2
+MLT_MIN_DF = 5
+MLT_MAX_TERMS = 8
+
+
+def _q_mlt_topk(spark, sf_dir):
+    """More-like-this (BM25Index.more_like_this), fully in-plan: the
+    source doc's terms are ranked by tf × idf (gates min_term_freq /
+    min_doc_freq, ES defaults), the top MLT_MAX_TERMS feed a plain
+    BM25 OR search excluding the source — dynamic term selection with
+    no driver round-trip (the engine collects the tiny term set; this
+    entry shows the same computation as ONE declarative plan)."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    src_tf = (
+        toks.filter(F.col("doc_id") == MLT_SRC_DOC)
+        .select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    df_t = (
+        toks.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .join(F.broadcast(src_tf.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    sel = (
+        src_tf.join(df_t, "term")
+        .filter((F.col("qtf") >= MLT_MIN_TF) & (F.col("df") >= MLT_MIN_DF))
+        # round before ordering: the selection cut must not depend on
+        # sub-1e-9 libm differences vs the DuckDB oracle
+        .orderBy(F.desc(F.round(F.col("qtf") * idf, 9)), F.asc("term"))
+        .limit(MLT_MAX_TERMS)
+        .select("term")
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .join(F.broadcast(sel), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    idf_s = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf_s * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .filter(F.col("doc_id") != MLT_SRC_DOC)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_MLT = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+qtf AS (SELECT t AS term, count(*) AS qtf FROM tok, unnest(l) AS u(t)
+        WHERE doc_id = {MLT_SRC_DOC} GROUP BY t),
+dfq AS (SELECT t AS term, count(DISTINCT doc_id) AS df
+        FROM tok, unnest(l) AS u(t)
+        WHERE t IN (SELECT term FROM qtf) GROUP BY t),
+sel AS (SELECT term FROM qtf JOIN dfq USING (term), n
+        WHERE qtf >= {MLT_MIN_TF} AND df >= {MLT_MIN_DF}
+        ORDER BY round(qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 9)
+                 DESC, term
+        LIMIT {MLT_MAX_TERMS}),
+tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN (SELECT term FROM sel)
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (SELECT doc_id,
+       sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * {K1 + 1.0})
+            / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ) AS _s
+FROM tf JOIN dft USING (term), n GROUP BY doc_id)
+SELECT doc_id, round(_s, 6) AS score FROM scored
+WHERE doc_id <> {MLT_SRC_DOC}
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Reference TF-IDF semantics (tfidf.py:167-572): log10 TF, smooth
     IDF, sum over query terms, positive scores, top-10."""
@@ -2348,6 +2493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
+        "filtered_bm25_topk": _q_filtered_bm25_topk,
+        "facet_source_counts": _q_facet_source_counts,
+        "mlt_topk": _q_mlt_topk,
         "tfidf_topk": _q_tfidf_topk,
         "explain_contribs": _q_explain_contribs,
         "match_counts": _q_match_counts,
@@ -2420,6 +2568,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_bm25_topk": _SQL_FUZZY_BM25,
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
+        "filtered_bm25_topk": _SQL_FILTERED_BM25,
+        "facet_source_counts": _SQL_FACET_SOURCE,
+        "mlt_topk": _SQL_MLT,
         "tfidf_topk": _SQL_TFIDF,
         "explain_contribs": _SQL_EXPLAIN,
         "match_counts": _SQL_MATCH_COUNTS,

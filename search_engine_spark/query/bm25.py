@@ -407,6 +407,14 @@ class BM25Index:
         # it prunes, so pruning is skipped (exhaustive scan, exact).
         self.not_broadcast_max_df = 5_000_000
         self.not_seed_max_df = 50_000_000
+        # Filter context (search_filtered): a filter matching at most
+        # filter_collect_max docs is collected driver-side (8 B/id —
+        # 16 MB at the default) and pushed into the Arrow decode as a
+        # candidate mask, bounding decode+shuffle by the FILTER's
+        # selectivity instead of the query terms' df; broader filters
+        # prune little anyway, so they fall back to an exhaustive scan
+        # + doc_id semi-join (exact, AQE picks the join strategy).
+        self.filter_collect_max = 2_000_000
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -465,6 +473,8 @@ class BM25Index:
         exclude: Optional[DataFrame] = None,
         exclude_df_sum: int = 0,
         explain: bool = False,
+        include: Optional[DataFrame] = None,
+        include_ids: Optional[np.ndarray] = None,
     ) -> DataFrame:
         """Top-k BM25 search.
 
@@ -492,8 +502,20 @@ class BM25Index:
         must_not — used by search_boolean); exclude_df_sum is its
         upper-bound size (Σ df of the negated terms) for the
         broadcast / θ-seed cost gates.
+
+        include / include_ids: ES filter context (used by
+        search_filtered) — results are restricted to these doc ids,
+        scores unchanged (full-corpus stats; the filter contributes 0,
+        exactly like an ES bool `filter` clause).  include_ids (sorted
+        unique int64, collected by the caller under filter_collect_max)
+        is pushed into the Arrow decode as a candidate mask AND into
+        the θ-seed, so both the scan shuffle and the pruning bound
+        honor the filter; a broad filter passes only `include` and the
+        restriction becomes a post-aggregation semi-join with θ-seeding
+        off (an unfiltered θ could exceed the filtered k-th score and
+        over-prune).
         """
-        if k <= 0:
+        if k <= 0 or (include_ids is not None and not len(include_ids)):
             return self._empty_scored(join_docs, explain)
         # query is a raw string, or a pre-tokenized/stemmed term list
         # (search_boolean parses once; Porter is not idempotent, so
@@ -525,6 +547,7 @@ class BM25Index:
             mode == "blockmax"
             and len(terms) >= 1
             and exclude_df_sum <= self.not_seed_max_df
+            and (include is None or include_ids is not None)
         ):
             if exclude is not None:
                 # the θ-seed collect and the final query both anti-join
@@ -534,6 +557,7 @@ class BM25Index:
                 terms, stats, idf_by_term, k,
                 exclude=exclude,
                 exclude_bcast=exclude_df_sum <= self.not_broadcast_max_df,
+                cand=include_ids,
             )
             if theta > 0.0:
                 gmax = {t: self._gmax(t, stats, idf_by_term) for t in terms}
@@ -569,6 +593,16 @@ class BM25Index:
             # Arrow-decodes O(df(zebra)) postings, not O(df(the))
             cand_ids = self._conjunctive_candidates(terms, stats)
             if cand_ids is not None and not len(cand_ids):
+                return self._empty_scored(join_docs, explain)
+        if include_ids is not None:
+            # filter context as a decode-side candidate mask (both
+            # arrays are sorted unique — np.isin/assume_unique safe)
+            cand_ids = (
+                include_ids
+                if cand_ids is None
+                else np.intersect1d(cand_ids, include_ids, assume_unique=True)
+            )
+            if not len(cand_ids):
                 return self._empty_scored(join_docs, explain)
         contribs = self._decode_contribs(
             blocks,
@@ -606,6 +640,9 @@ class BM25Index:
         # anti-join after the per-doc aggregation — k× fewer rows
         # than filtering raw contributions
         scored = self._drop_tombstones(scored)
+        if include is not None and include_ids is None:
+            # broad filter: restriction as a semi-join (AQE strategy)
+            scored = scored.join(include, "doc_id", "left_semi")
         if exclude is not None:
             rhs = (
                 F.broadcast(exclude)
@@ -791,6 +828,157 @@ class BM25Index:
             matched = ids.distinct()
         matched = self._drop_tombstones(matched.select("doc_id"))
         return int(matched.count())
+
+    def search_filtered(
+        self,
+        query,
+        predicate,
+        k: int = 10,
+        mode: str = "blockmax",
+        join_docs: bool = True,
+        explain: bool = False,
+    ) -> DataFrame:
+        """Filter-context search — the ES bool query's `filter` clause
+        (query + filter, filter contributes 0 to the score): top-k BM25
+        restricted to docs satisfying `predicate` (a SQL string or
+        Column over the docs table — domain, warc_ts, url, doclen...),
+        scored with FULL-corpus stats exactly like ES, where a filter
+        narrows the result set but never reweights idf/avgdl.
+
+        Two physical strategies by filter selectivity (one column-
+        pruned docs scan decides):
+          * ≤ filter_collect_max matches: ids collect driver-side and
+            ride into the Arrow decode as a candidate mask — decode +
+            shuffle are bounded by the FILTER's match count, not the
+            query terms' df, and θ-seeding stays on (seeds masked the
+            same way, so the bound is valid for the filtered set);
+          * broader: exhaustive scoring + post-aggregation semi-join
+            (θ-seeding off — an unfiltered θ could over-prune).  A
+            broad filter prunes little, so WAND's value is small there
+            anyway.
+        Both paths are exact; blockmax == exhaustive under either.
+        """
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        filtered = self.docs.filter(pred).select("doc_id")
+        n_match = filtered.count()
+        if n_match == 0:
+            return self._empty_scored(join_docs, explain)
+        if n_match <= self.filter_collect_max:
+            ids = np.unique(
+                filtered.toPandas()["doc_id"].to_numpy(np.int64)
+            )
+            return self.search(
+                query, k=k, mode=mode, join_docs=join_docs,
+                explain=explain, include_ids=ids,
+            )
+        return self.search(
+            query, k=k, mode=mode, join_docs=join_docs,
+            explain=explain, include=filtered,
+        )
+
+    def facet_counts(
+        self,
+        query,
+        field,
+        size: int = 10,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Terms aggregation over ALL matching docs — the ES `terms`
+        agg shape (top `size` buckets of `field`, ordered doc_count
+        desc then value asc).  `field` is a column name or SQL
+        expression over the docs table; `predicate` optionally adds
+        filter context.  Like count_matches, only doc ids decode
+        (tfs/doclens stay packed); the matched-ids ⋈ docs join carries
+        just (doc_id, value) into a tiny groupBy — partial aggregation
+        keeps the shuffle at O(distinct values × partitions)."""
+        empty = self.spark.createDataFrame([], "value string, doc_count long")
+        terms = sorted(
+            set(query) if isinstance(query, list) else set(tokenize_py(query))
+        )
+        stats = self._query_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return empty
+        buckets = sorted({stats[t][2] for t in terms})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        ids = blocks.select("count", "doc_ids").mapInPandas(
+            _decode_doc_ids(), schema="doc_id long"
+        )
+        if mode == "and":
+            matched = (
+                ids.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("_nt"))
+                .filter(F.col("_nt") == len(terms))
+                .select("doc_id")
+            )
+        else:
+            matched = ids.distinct()
+        matched = self._drop_tombstones(matched)
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        vals = docs.select(
+            "doc_id", F.expr(field).cast("string").alias("value")
+        )
+        return (
+            matched.join(vals, "doc_id")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size)
+        )
+
+    def more_like_this(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        mode: str = "blockmax",
+        join_docs: bool = True,
+        exclude_doc_id: Optional[int] = None,
+    ) -> DataFrame:
+        """More-like-this — the ES `more_like_this` query over `like`
+        text (defaults mirror ES: max_query_terms=25, min_term_freq=2,
+        min_doc_freq=5).  Interesting terms are selected from the input
+        text by tf × idf (our BM25 idf, so selection and scoring share
+        one formula; ties break term-asc), then the selection runs as a
+        plain OR search — pruning, merge-awareness, and tie-breaks all
+        inherited.  The selection itself is driver-side O(|like_text|)
+        plus one term-stats lookup: the input is a query, not data.
+
+        exclude_doc_id drops the source doc when `like` came from an
+        indexed document (ES MLT's `like: {_id}` behavior of never
+        returning the liked doc itself)."""
+        from collections import Counter
+
+        tf = Counter(tokenize_py(like_text))
+        cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        stats = self._query_stats(cands)
+        scored_terms = [
+            (tf[t] * idf_py(self.n_docs, stats[t][0]), t)
+            for t in cands
+            if t in stats and stats[t][0] >= min_doc_freq
+        ]
+        scored_terms.sort(key=lambda x: (-x[0], x[1]))
+        selected = [t for _, t in scored_terms[:max_query_terms]]
+        if not selected:
+            return self._empty_scored(join_docs)
+        exclude = None
+        if exclude_doc_id is not None:
+            exclude = self.spark.createDataFrame(
+                [(int(exclude_doc_id),)], "doc_id long"
+            )
+        return self.search(
+            selected, k=k, mode=mode, join_docs=join_docs,
+            exclude=exclude, exclude_df_sum=1 if exclude is not None else 0,
+        )
 
     def search_boolean(
         self,
@@ -983,6 +1171,7 @@ class BM25Index:
         multiplier: Optional[Dict[str, float]] = None,
         exclude: Optional[DataFrame] = None,
         exclude_bcast: bool = False,
+        cand: Optional[np.ndarray] = None,
     ) -> float:
         """θ = k-th best single-term contribution (×multiplier) of the
         rarest sufficiently-large term — a valid lower bound on the
@@ -1015,10 +1204,12 @@ class BM25Index:
             .orderBy(F.desc("block_max_score"))
             .limit(n_blocks)
         )
+        # cand (filter context): seeds outside the include set can't be
+        # results, so they must not raise θ — mask them in the decode
         seeds = rare_blocks.select(
             "term", "count", "doc_ids", "tfs", "doclens"
         ).mapInPandas(
-            _decode_and_score({rare: idf_by_term[rare]}, rare_avgdl),
+            _decode_and_score({rare: idf_by_term[rare]}, rare_avgdl, cand=cand),
             schema=_CONTRIB_SCHEMA,
         )
         # a tombstoned doc can't be in the final top-k, so its

@@ -80,6 +80,83 @@ class BM25Oracle:
             )
         return out
 
+    def topk_filtered(
+        self, query: str, allowed, k: int = 10
+    ) -> List[Tuple[int, float]]:
+        """Filter-context ground truth (ES bool filter clause): top-k
+        over docs in `allowed` only, scored with FULL-corpus stats —
+        the filter restricts, never reweights."""
+        terms = [t for t in set(tokenize_py(query)) if self.df.get(t, 0) > 0]
+        if not terms:
+            return []
+        allowed = set(allowed)
+        scored = [
+            (d, self.score(d, terms))
+            for d in self.docs
+            if d in allowed and self.score(d, terms) > 0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def facets(
+        self,
+        query: str,
+        field_by_doc: Dict[int, str],
+        size: int = 10,
+        mode: str = "or",
+    ) -> List[Tuple[str, int]]:
+        """Terms-aggregation ground truth: doc counts per field value
+        over ALL matching docs (any term for "or", every term for
+        "and"), top `size` buckets ordered count desc then value asc."""
+        terms = [t for t in set(tokenize_py(query)) if self.df.get(t, 0) > 0]
+        if not terms:
+            return []
+        if mode == "and":
+            matched = [
+                d for d in self.docs
+                if all(self.tf[d].get(t, 0) > 0 for t in terms)
+            ]
+        else:
+            matched = [
+                d for d in self.docs
+                if any(self.tf[d].get(t, 0) > 0 for t in terms)
+            ]
+        counts: Counter = Counter(field_by_doc[d] for d in matched)
+        out = sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+        return out[:size]
+
+    def topk_mlt(
+        self,
+        like_text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        exclude_doc_id=None,
+    ) -> List[Tuple[int, float]]:
+        """More-like-this ground truth: select the input text's top
+        terms by tf × idf (gates and tie-breaks as the engine), then
+        plain OR top-k over the selection."""
+        tf = Counter(tokenize_py(like_text))
+        sel = sorted(
+            (
+                (tf[t] * self.idf(t), t)
+                for t, c in tf.items()
+                if c >= min_term_freq and self.df.get(t, 0) >= min_doc_freq
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        terms = [t for _, t in sel[:max_query_terms]]
+        if not terms:
+            return []
+        scored = [
+            (d, self.score(d, terms))
+            for d in self.docs
+            if d != exclude_doc_id and self.score(d, terms) > 0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def topk_and(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         """Conjunctive (C4 AND-semantics): only docs containing EVERY
         indexed query term qualify; same scores as `topk`."""
