@@ -125,8 +125,30 @@ def main() -> None:
             "fuzzy": idx.search_fuzzy("pythn", k=5).count(),
             "fields": idx.search_fields("python data", k=5).count(),
             "explain": idx.search("python", k=5, explain=True).count(),
+            "filtered": idx.search_filtered(
+                "python data", "domain = 'example.com'", k=5
+            ).count(),
+            "facets": idx.facet_counts("python data", "domain", size=5).count(),
+            "mlt": idx.more_like_this(
+                pages.select("text").first()["text"], k=5,
+                min_term_freq=1, min_doc_freq=2,
+            ).count(),
         }
         stages["query_s"] = round(time.time() - t, 2); t = time.time()
+
+        # 5b) delete-by-query (ES _delete_by_query -> Lucene tombstones):
+        # deleted docs vanish from search immediately, pre-compaction
+        from search_engine_spark.index.merge import delete_pages
+
+        gone = "blog.sample.net"
+        n_del = delete_pages(spark, f"{work}/index",
+                             predicate=f"domain = '{gone}'")
+        idx = BM25Index(spark, f"{work}/index")
+        assert n_del > 0
+        assert idx.facet_counts(args.query, "domain", size=100).filter(
+            F.col("value") == gone
+        ).count() == 0
+        stages["delete_s"] = round(time.time() - t, 2); t = time.time()
 
         # 6) composite /stats
         stats = serving.engine_stats(
@@ -142,6 +164,7 @@ def main() -> None:
             "indexed": stats["indexed_pages"],
             "top_hit": resp1["results"][0]["url"],
             "exact_total": resp1["total"],
+            "deleted": n_del,
             "family_hits": family,
             "stats": stats,
             "stages_s": stages,

@@ -470,6 +470,52 @@ def merge_pages(
     return MergeResult(build_id, delta_root, n_new, n_tomb)
 
 
+def delete_pages(
+    spark: SparkSession,
+    index_dir: str,
+    urls: Optional[List[str]] = None,
+    predicate=None,
+    build_id: Optional[str] = None,
+) -> int:
+    """Delete documents from a live index — the ES `DELETE /_doc/{id}`
+    (exact urls) and `_delete_by_query` (docs-table predicate: domain,
+    warc_ts, doclen...) surface, realized the Lucene way: matching LIVE
+    docs are tombstoned, no segment is rewritten.  The query engine
+    masks tombstoned docs from every mode at read time; corpus stats
+    keep counting them (Lucene docFreq/docCount semantics — same
+    staleness contract as merge_pages, documented there) until
+    compact_index folds them out physically.
+
+    Deleting an already-deleted url is a no-op (the match runs against
+    the live-docs view), so retries are idempotent.  Returns the number
+    of newly tombstoned docs; the manifest gets a `delete` row for
+    lineage.
+    """
+    if (urls is None) == (predicate is None):
+        raise ValueError("pass exactly one of urls / predicate")
+    paths = IndexPaths(index_dir)
+    build_id = build_id or uuid.uuid4().hex[:12]
+    docs = live_docs(spark, paths)
+    if urls is not None:
+        if not urls:
+            return 0
+        target = spark.createDataFrame([(u,) for u in urls], "url string")
+        hit = docs.join(F.broadcast(target), "url", "left_semi")
+    else:
+        hit = docs.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    tomb = hit.select("doc_id", "url").withColumn(
+        "build_id", F.lit(build_id)
+    )
+    n = tomb.count()
+    if n:
+        tomb.write.mode("append").parquet(tombstones_path(paths))
+    man = _Manifest(spark, paths, build_id)
+    man.mark_done("delete", 0, n, 0, fingerprint=build_id)
+    return n
+
+
 def is_merged(spark: SparkSession, paths: IndexPaths) -> bool:
     """True if the index has ever taken an incremental merge (stats may
     be Lucene-style approximate; per-block bounds must be recomputed)."""
