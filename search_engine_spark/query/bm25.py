@@ -475,6 +475,7 @@ class BM25Index:
         explain: bool = False,
         include: Optional[DataFrame] = None,
         include_ids: Optional[np.ndarray] = None,
+        after: Optional[Tuple[float, int]] = None,
     ) -> DataFrame:
         """Top-k BM25 search.
 
@@ -514,6 +515,15 @@ class BM25Index:
         restriction becomes a post-aggregation semi-join with θ-seeding
         off (an unfiltered θ could exceed the filtered k-th score and
         over-prune).
+
+        after: deep-pagination cursor (score, doc_id) of the previous
+        page's LAST row (ES search_after): returns the next k rows
+        strictly after it in the (score desc, doc_id asc) total order —
+        page N costs the same one pass as page 1, never O(offset) rows
+        through the top-k heap like from/size.  θ-seeding is off (a θ
+        seeded from global-best contributions exceeds every post-cursor
+        score and would prune the whole page), so the pass is
+        exhaustive-exact; see search_after().
         """
         if k <= 0 or (include_ids is not None and not len(include_ids)):
             return self._empty_scored(join_docs, explain)
@@ -548,6 +558,7 @@ class BM25Index:
             and len(terms) >= 1
             and exclude_df_sum <= self.not_seed_max_df
             and (include is None or include_ids is not None)
+            and after is None
         ):
             if exclude is not None:
                 # the θ-seed collect and the final query both anti-join
@@ -650,6 +661,12 @@ class BM25Index:
                 else exclude  # AQE picks the strategy for big NOT sets
             )
             scored = scored.join(rhs, "doc_id", "left_anti")
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            scored = scored.filter(
+                (F.col("score") < a_s)
+                | ((F.col("score") == a_s) & (F.col("doc_id") > a_d))
+            )
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if explain:
             # zero-fill unmatched query terms (tfidf.py:498-501 scores
@@ -874,6 +891,34 @@ class BM25Index:
         return self.search(
             query, k=k, mode=mode, join_docs=join_docs,
             explain=explain, include=filtered,
+        )
+
+    def search_after(
+        self,
+        query,
+        after: Tuple[float, int],
+        k: int = 10,
+        mode: str = "blockmax",
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Deep pagination — the ES `search_after` cursor: the next k
+        results strictly after `(score, doc_id)` of the previous page's
+        last row in the (score desc, doc_id asc) total order.  Unlike
+        from/size (serving.paginate, G3), page N never pushes O(offset)
+        rows through the top-k heap: every page is one scan + the same
+        TakeOrderedAndProject as page 1 — at web scale offset-1000
+        pagination via from/size materializes 1000+k candidates per
+        partition, a cursor keeps it at k.
+
+        The cursor's score must be passed back EXACTLY as returned
+        (full double precision): the tie branch compares score equality
+        to split ties by doc_id, the same contract as ES, which is why
+        ES requires the sort values verbatim in search_after.  Cursor
+        queries run without θ-pruning (a θ seeded from global-best
+        contributions exceeds every post-cursor score), so they are
+        exhaustive-exact in any mode."""
+        return self.search(
+            query, k=k, mode=mode, join_docs=join_docs, after=after
         )
 
     def facet_counts(
