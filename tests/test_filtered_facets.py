@@ -197,6 +197,26 @@ class TestFacets:
         ]
         assert got == want
 
+    def test_expression_field_date_histogram(self, spark, corpus):
+        # ES date_histogram shape: the facet field is a derived time
+        # bucket expression over the docs table
+        paths, oracle, _, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        rows = spark.read.parquet(paths.docs).select(
+            "doc_id", "warc_ts"
+        ).collect()
+        month_by_doc = {
+            r["doc_id"]: r["warc_ts"].strftime("%Y-%m") for r in rows
+        }
+        query = "python programming"
+        got = [
+            (r["value"], r["doc_count"])
+            for r in idx.facet_counts(
+                query, "date_format(warc_ts, 'yyyy-MM')", size=30
+            ).collect()
+        ]
+        assert got == oracle.facets(query, month_by_doc, size=30)
+
     def test_unknown_terms_empty(self, spark, corpus):
         paths, *_ = corpus
         idx = BM25Index(spark, paths.root)

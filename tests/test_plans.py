@@ -131,3 +131,42 @@ def test_boolean_not_is_broadcast_anti_join(idx):
     )
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_selective_path_has_no_join(idx):
+    # selective filter (<= filter_collect_max matches): ids ride into
+    # the Arrow decode as a candidate mask — the plan must contain NO
+    # join at all (no semi-join shuffle, restriction is decode-side)
+    plan = explain_str(
+        idx.search_filtered(
+            "python programming", "domain = 'example.com'", k=10,
+            join_docs=False,
+        )
+    )
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filtered_broad_path_is_semi_join(idx):
+    # broad filter: restriction compiles to a LeftSemi join after the
+    # per-doc aggregation
+    idx.filter_collect_max = 0
+    try:
+        plan = explain_str(
+            idx.search_filtered(
+                "python programming", "domain = 'example.com'", k=10,
+                join_docs=False,
+            )
+        )
+    finally:
+        idx.filter_collect_max = 2_000_000
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_facets_do_partial_aggregation(idx):
+    # the matched-ids ⋈ docs join feeds a groupBy(value) whose partial
+    # (map-side) aggregate bounds the shuffle at O(values × partitions)
+    plan = explain_str(idx.facet_counts("python programming", "domain"))
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
