@@ -1428,6 +1428,28 @@ WHERE _nt = {len(BM25_QUERY_TERMS)}
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+def _q_bm25_topk_msm2(spark, sf_dir):
+    """ES minimum_should_match=2 (BM25Index.search min_should_match):
+    OR scoring, but a doc qualifies only when it matches at least 2
+    distinct query terms — between plain OR (1) and AND (n_terms)."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    return (
+        _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+        .filter(F.col("_nt") >= 2)
+        .select("doc_id", F.round(F.col("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_BM25_MSM2 = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)}
+SELECT doc_id, round(_s, 6) AS score FROM scored
+WHERE _nt >= 2
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 # ---- boolean must_not BM25 (query/bm25.py:search_boolean shape) -----------
 
 BOOLEAN_NOT_TERM = "query"  # unstemmed, like BM25_QUERY_TERMS
@@ -2483,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
+        "bm25_topk_msm2": _q_bm25_topk_msm2,
         "bm25_topk_not": _q_bm25_topk_not,
         "boolean_bm25_topk": _q_boolean_bm25_topk,
         "index_stats": _q_index_stats,
@@ -2558,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": _SQL_CORPUS,
         "bm25_topk": _SQL_BM25,
         "bm25_topk_and": _SQL_BM25_AND,
+        "bm25_topk_msm2": _SQL_BM25_MSM2,
         "bm25_topk_not": _SQL_BM25_NOT,
         "boolean_bm25_topk": _SQL_BOOLEAN_BM25,
         "index_stats": _SQL_INDEX_STATS,

@@ -476,6 +476,7 @@ class BM25Index:
         include: Optional[DataFrame] = None,
         include_ids: Optional[np.ndarray] = None,
         after: Optional[Tuple[float, int]] = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Top-k BM25 search.
 
@@ -515,6 +516,17 @@ class BM25Index:
         restriction becomes a post-aggregation semi-join with θ-seeding
         off (an unfiltered θ could exceed the filtered k-th score and
         over-prune).
+
+        min_should_match: ES minimum_should_match for OR modes — a doc
+        qualifies only if it matches at least this many distinct query
+        terms (1 = plain OR; len(terms) ≡ AND).  Counted over INDEXED
+        terms, like ES counts analyzable clauses.  θ-pruning is off
+        when > 1: θ is seeded from single-term contributions of docs
+        that may not reach the match threshold, so it could exceed the
+        true k-th qualifying score and over-prune — the pass is
+        exhaustive-exact instead.  Ignored by "and"/"tfidf" modes
+        ("and" is already the strongest threshold; the reference's
+        TF-IDF ranker has no clause-count semantics, tfidf.py:484-507).
 
         after: deep-pagination cursor (score, doc_id) of the previous
         page's LAST row (ES search_after): returns the next k rows
@@ -559,6 +571,7 @@ class BM25Index:
             and exclude_df_sum <= self.not_seed_max_df
             and (include is None or include_ids is not None)
             and after is None
+            and min_should_match <= 1
         ):
             if exclude is not None:
                 # the θ-seed collect and the final query both anti-join
@@ -641,6 +654,15 @@ class BM25Index:
                 contribs.groupBy("doc_id")
                 .agg(*aggs, F.count(F.lit(1)).alias("_nt"))
                 .filter(F.col("_nt") == len(terms))
+                .drop("_nt")
+            )
+        elif min_should_match > 1 and mode in ("blockmax", "exhaustive"):
+            if min_should_match > len(terms):
+                return self._empty_scored(join_docs, explain)
+            scored = (
+                contribs.groupBy("doc_id")
+                .agg(*aggs, F.count(F.lit(1)).alias("_nt"))
+                .filter(F.col("_nt") >= min_should_match)
                 .drop("_nt")
             )
         else:
@@ -808,7 +830,7 @@ class BM25Index:
         )
         return excl, df_sum
 
-    def count_matches(self, query, mode: str = "or") -> int:
+    def count_matches(self, query, mode: str = "or", predicate=None) -> int:
         """Exact match count — the ES `hits.total` the reference's
         /search response reports (main.py:218).  The top-k engine
         prunes, so `search()` can't report this; here only doc ids
@@ -820,6 +842,8 @@ class BM25Index:
         mode "and": docs containing EVERY indexed query term (a (doc,
         term) pair decodes to exactly one row, so match-count per doc
         == matched terms).
+        predicate: optional docs-table filter (SQL string or Column) —
+        the hits.total of a filter-context search (search_filtered).
         """
         terms = sorted(
             set(query) if isinstance(query, list) else set(tokenize_py(query))
@@ -844,6 +868,11 @@ class BM25Index:
         else:
             matched = ids.distinct()
         matched = self._drop_tombstones(matched.select("doc_id"))
+        if predicate is not None:
+            allowed = self.docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            ).select("doc_id")
+            matched = matched.join(allowed, "doc_id", "left_semi")
         return int(matched.count())
 
     def search_filtered(

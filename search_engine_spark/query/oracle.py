@@ -157,6 +157,22 @@ class BM25Oracle:
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
+    def topk_msm(
+        self, query: str, n: int, k: int = 10
+    ) -> List[Tuple[int, float]]:
+        """minimum_should_match ground truth: docs matching at least n
+        distinct indexed query terms, scored as `topk`."""
+        terms = [t for t in set(tokenize_py(query)) if self.df.get(t, 0) > 0]
+        if not terms or n > len(terms):
+            return []
+        scored = [
+            (d, self.score(d, terms))
+            for d in self.docs
+            if sum(1 for t in terms if self.tf[d].get(t, 0) > 0) >= n
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def topk_and(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
         """Conjunctive (C4 AND-semantics): only docs containing EVERY
         indexed query term qualify; same scores as `topk`."""

@@ -223,6 +223,54 @@ class TestFacets:
         assert idx.facet_counts("zzzznotaterm", "domain").count() == 0
 
 
+class TestMinShouldMatch:
+    @pytest.mark.parametrize("n", [2, 3])
+    def test_matches_oracle(self, spark, corpus, n):
+        paths, oracle, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        query = "python programming tutorial"
+        got = _collect(
+            idx.search(query, k=10, join_docs=False, min_should_match=n)
+        )
+        want = oracle.topk_msm(query, n, k=10)
+        _assert_rank_identical(got, want, f"msm={n}")
+
+    def test_msm_equals_and_at_full_count(self, spark, corpus):
+        paths, oracle, *_ = corpus
+        idx = BM25Index(spark, paths.root)
+        query = "python programming"
+        msm = _collect(
+            idx.search(query, k=10, join_docs=False, min_should_match=2)
+        )
+        and_mode = _collect(
+            idx.search(query, k=10, join_docs=False, mode="and")
+        )
+        _assert_rank_identical(msm, and_mode)
+
+    def test_msm_above_term_count_empty(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root)
+        assert (
+            idx.search(
+                "python programming", k=10, join_docs=False,
+                min_should_match=5,
+            ).count()
+            == 0
+        )
+
+    def test_count_matches_with_predicate(self, spark, corpus):
+        paths, oracle, domain_by_doc, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        query = "quick brown fox"
+        total = idx.count_matches(query)
+        filtered = idx.count_matches(
+            query, predicate=f"domain = '{FILTER_DOMAIN}'"
+        )
+        facet = dict(oracle.facets(query, domain_by_doc, size=100))
+        assert filtered == facet.get(FILTER_DOMAIN, 0)
+        assert 0 < filtered < total
+
+
 class TestMoreLikeThis:
     @pytest.mark.parametrize("src_doc", [0, 7, 42])
     def test_matches_oracle(self, spark, corpus, src_doc):
