@@ -1,0 +1,115 @@
+"""Measure the serving-shape query operators added after the core BM25
+path — ES filter-context search, terms-aggregation facets, more_like_this,
+search_after cursors, minimum_should_match, filtered count_matches — on a
+corpus big enough that the physical strategy (ids-only decode, selectivity
+gate, candidate masks) matters.
+
+Usage: python scripts/bench_query_ops.py [n_pages] [cpus]
+Prints one JSON line {n_pages, build_s, ops: {name: {p50, p95}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from search_engine_spark.index.builder import build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.session import get_spark
+from search_engine_spark.synth import synth_pages
+
+QUERIES = [
+    "quick fox",
+    "python tutorial",
+    "data science machine learning",
+    "search engine ranking",
+    "web crawler index",
+    "database partition shuffle",
+]
+
+
+def _pcts(xs):
+    xs = sorted(xs)
+    return {
+        "p50": round(xs[len(xs) // 2], 3),
+        "p95": round(xs[min(len(xs) - 1, int(len(xs) * 0.95))], 3),
+    }
+
+
+_CURSORS = {}
+
+
+def _cursor_of(idx, q):
+    """Page-1 cursor (score, doc_id) of the last top-10 row, computed once."""
+    if q not in _CURSORS:
+        rows = idx.search(q, k=10, join_docs=False).collect()
+        _CURSORS[q] = (rows[-1]["score"], rows[-1]["doc_id"]) if rows else (1e9, -1)
+    return _CURSORS[q]
+
+
+def main() -> None:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = get_spark(
+        app_name="bench_query_ops",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+    )
+    root = tempfile.mkdtemp(prefix="query_ops_")
+    pages = synth_pages(spark, n_pages, num_partitions=cpus * 2)
+    t0 = time.time()
+    build_index(
+        spark, pages, root,
+        num_buckets=32, block_size=128, num_partitions=cpus * 2,
+    )
+    build_s = time.time() - t0
+
+    idx = BM25Index(spark, root)
+    idx.search(QUERIES[0], k=10).collect()  # warm the stats memo + JVM
+
+    mlt_seed = pages.select("text").limit(1).collect()[0]["text"][:2000]
+    for q in QUERIES:  # precompute page-1 cursors outside the timed loop
+        _cursor_of(idx, q)
+
+    ops = {
+        "search": lambda q: idx.search(q, k=10).collect(),
+        "search_msm2": lambda q: idx.search(q + " engine", k=10, min_should_match=2).collect(),
+        "search_filtered": lambda q: idx.search_filtered(
+            q, "domain like '%.org'", k=10
+        ).collect(),
+        "facet_counts": lambda q: idx.facet_counts(q, "domain", size=10).collect(),
+        "search_after": lambda q: idx.search_after(
+            q, _cursor_of(idx, q), k=10
+        ).collect(),
+        "count_filtered": lambda q: idx.count_matches(
+            q, predicate="domain like '%.org'"
+        ),
+        "more_like_this": lambda q: idx.more_like_this(mlt_seed, k=10).collect(),
+    }
+
+    results = {}
+    for name, fn in ops.items():
+        times = []
+        for q in QUERIES:
+            t = time.time()
+            fn(q)
+            times.append(time.time() - t)
+        results[name] = _pcts(times)
+
+    print(json.dumps({
+        "n_pages": n_pages,
+        "cpus": cpus,
+        "build_s": round(build_s, 1),
+        "docs_per_sec": round(n_pages / build_s, 0),
+        "ops": results,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
