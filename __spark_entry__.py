@@ -302,6 +302,199 @@ FROM m JOIN documents USING (doc_id)
 GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"""
 
 
+# ES aggregations beyond `terms` (BM25Index.facet_stats / facet_histogram /
+# facet_range / significant_terms) — same matched-docs foreground, the
+# aggregated field is the doc's token count (the docs-table doclen analogue)
+HIST_INTERVAL = 16
+RANGE_BUCKETS = [(None, 32.0), (32.0, 64.0), (64.0, None)]
+SIG_MIN_DOC_COUNT = 3
+
+
+def _matched_docs(toks) -> DataFrame:
+    return (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .filter(F.col("t").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+_SQL_MATCHED_CTE = f"""m AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+      WHERE t IN ({_TERMS_SQL}))"""
+
+
+def _q_facet_stats(spark, sf_dir):
+    """ES `stats` aggregation (BM25Index.facet_stats): count/min/max/
+    avg/sum of the matching docs' token counts — one single-row
+    aggregate off the matched-ids ⋈ values join."""
+    toks = _docs_tokens(spark, sf_dir)
+    vals = toks.select("doc_id", F.size("toks").cast("double").alias("v"))
+    return _matched_docs(toks).join(vals, "doc_id").agg(
+        F.count("v").alias("doc_count"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(F.avg("v"), 6).alias("avg_v"),
+        F.round(F.sum("v"), 6).alias("sum_v"),
+    )
+
+
+_SQL_FACET_STATS = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE}
+SELECT count(*) AS doc_count,
+       CAST(min(len(l)) AS DOUBLE) AS min_v,
+       CAST(max(len(l)) AS DOUBLE) AS max_v,
+       round(avg(CAST(len(l) AS DOUBLE)), 6) AS avg_v,
+       round(sum(CAST(len(l) AS DOUBLE)), 6) AS sum_v
+FROM m JOIN tok USING (doc_id)"""
+
+
+def _q_facet_histogram(spark, sf_dir):
+    """ES `histogram` aggregation (BM25Index.facet_histogram): fixed-
+    width buckets of the matching docs' token counts, bucket key =
+    floor(value / interval) * interval, ordered key asc."""
+    toks = _docs_tokens(spark, sf_dir)
+    vals = toks.select(
+        "doc_id",
+        (F.floor(F.size("toks") / HIST_INTERVAL) * HIST_INTERVAL).alias(
+            "bucket_key"
+        ),
+    )
+    return (
+        _matched_docs(toks)
+        .join(vals, "doc_id")
+        .groupBy("bucket_key")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket_key")
+    )
+
+
+_SQL_FACET_HISTOGRAM = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE}
+SELECT (len(l) // {HIST_INTERVAL}) * {HIST_INTERVAL} AS bucket_key,
+       count(*) AS doc_count
+FROM m JOIN tok USING (doc_id)
+GROUP BY bucket_key ORDER BY bucket_key"""
+
+
+def _q_facet_range(spark, sf_dir):
+    """ES `range` aggregation (BM25Index.facet_range): half-open
+    [from, to) buckets over the matching docs' token counts — every
+    requested bucket returned (zero-filled), broadcast theta join of
+    the tiny ranges list against the matched values."""
+    toks = _docs_tokens(spark, sf_dir)
+
+    def _fmt(x):
+        return "*" if x is None else f"{float(x):g}"
+
+    rng = spark.createDataFrame(
+        [
+            (i, lo, hi, f"{_fmt(lo)}-{_fmt(hi)}")
+            for i, (lo, hi) in enumerate(RANGE_BUCKETS)
+        ],
+        "idx int, lo double, hi double, bucket_key string",
+    )
+    vals = _matched_docs(toks).join(
+        toks.select("doc_id", F.size("toks").cast("double").alias("v")),
+        "doc_id",
+    )
+    cond = (F.col("lo").isNull() | (F.col("v") >= F.col("lo"))) & (
+        F.col("hi").isNull() | (F.col("v") < F.col("hi"))
+    )
+    counts = (
+        vals.join(F.broadcast(rng), cond)
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        rng.join(counts, "idx", "left")
+        .orderBy("idx")
+        .select(
+            "bucket_key", F.coalesce(F.col("n"), F.lit(0)).alias("doc_count")
+        )
+    )
+
+
+def _sql_facet_range() -> str:
+    vals = ", ".join(
+        "({}, {}, {}, '{}-{}')".format(
+            i,
+            "CAST(NULL AS DOUBLE)" if lo is None else float(lo),
+            "CAST(NULL AS DOUBLE)" if hi is None else float(hi),
+            "*" if lo is None else f"{lo:g}",
+            "*" if hi is None else f"{hi:g}",
+        )
+        for i, (lo, hi) in enumerate(RANGE_BUCKETS)
+    )
+    return f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE},
+r(idx, lo, hi, bucket_key) AS (SELECT * FROM (VALUES {vals})),
+v AS (SELECT CAST(len(l) AS DOUBLE) AS v FROM m JOIN tok USING (doc_id)),
+c AS (SELECT idx, count(*) AS n FROM r JOIN v
+      ON (r.lo IS NULL OR v.v >= r.lo) AND (r.hi IS NULL OR v.v < r.hi)
+      GROUP BY idx)
+SELECT bucket_key, COALESCE(n, 0) AS doc_count
+FROM r LEFT JOIN c USING (idx)"""
+
+
+def _q_significant_terms(spark, sf_dir):
+    """ES `significant_terms` aggregation (BM25Index.significant_terms):
+    terms overrepresented in the matching docs (foreground) vs the whole
+    corpus (background), JLH score (fgPct − bgPct) · (fgPct / bgPct),
+    fg doc count ≥ SIG_MIN_DOC_COUNT, positive scores only, top 10 by
+    score desc then term asc (cut on round(·, 9) so the rank never
+    depends on sub-1e-9 float noise vs the DuckDB oracle)."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n = toks.count()
+    pairs = toks.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    m = (
+        pairs.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    fg_size = m.count()
+    fg = (
+        pairs.join(m, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg_count"))
+    )
+    bg = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("bg_count"))
+    fgp = F.col("fg_count") / F.lit(float(fg_size))
+    bgp = F.col("bg_count") / F.lit(float(n))
+    return (
+        fg.join(bg, "term")
+        .filter(F.col("fg_count") >= SIG_MIN_DOC_COUNT)
+        .withColumn("_s", (fgp - bgp) * (fgp / bgp))
+        .filter(F.col("_s") > 0)
+        .orderBy(F.desc(F.round("_s", 9)), F.asc("term"))
+        .limit(10)
+        .select(
+            "term", "fg_count", "bg_count", F.round("_s", 6).alias("score")
+        )
+    )
+
+
+_SQL_SIGNIFICANT_TERMS = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE},
+n AS (SELECT count(*) AS n_docs FROM tok),
+fgs AS (SELECT count(*) AS fg_size FROM m),
+pairs AS (SELECT DISTINCT doc_id, t AS term FROM tok, unnest(l) AS u(t)),
+fg AS (SELECT term, count(*) AS fg_count FROM pairs JOIN m USING (doc_id)
+       GROUP BY term),
+bg AS (SELECT term, count(*) AS bg_count FROM pairs GROUP BY term),
+s AS (SELECT term, fg_count, bg_count,
+        (fg_count / CAST(fg_size AS DOUBLE) - bg_count / CAST(n_docs AS DOUBLE))
+        * ((fg_count / CAST(fg_size AS DOUBLE))
+           / (bg_count / CAST(n_docs AS DOUBLE))) AS score
+      FROM fg JOIN bg USING (term), n, fgs
+      WHERE fg_count >= {SIG_MIN_DOC_COUNT})
+SELECT term, fg_count, bg_count, round(score, 6) AS score FROM s
+WHERE score > 0
+ORDER BY round(score, 9) DESC, term LIMIT 10"""
+
+
 # more-like-this: term selection gates (ES-default shape, scaled to the
 # sf corpus) + the fixed source doc
 MLT_SRC_DOC = 7
@@ -2518,6 +2711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_bm25_topk": _q_multifield_bm25,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
+        "facet_stats_toklen": _q_facet_stats,
+        "facet_histogram_toklen": _q_facet_histogram,
+        "facet_range_toklen": _q_facet_range,
+        "significant_terms_topk": _q_significant_terms,
         "mlt_topk": _q_mlt_topk,
         "tfidf_topk": _q_tfidf_topk,
         "explain_contribs": _q_explain_contribs,
@@ -2594,6 +2791,10 @@ def oracle_sql() -> dict[str, str]:
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
+        "facet_stats_toklen": _SQL_FACET_STATS,
+        "facet_histogram_toklen": _SQL_FACET_HISTOGRAM,
+        "facet_range_toklen": _sql_facet_range(),
+        "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
         "mlt_topk": _SQL_MLT,
         "tfidf_topk": _SQL_TFIDF,
         "explain_contribs": _SQL_EXPLAIN,

@@ -333,6 +333,35 @@ def _decode_doc_ids():
     return run
 
 
+def _decode_term_doc_ids(cand: Optional[np.ndarray]):
+    """mapInPandas body: score-posting blocks -> (term, doc_id) rows,
+    optionally masked to a SORTED candidate doc_id array (the
+    significant_terms foreground) — non-candidate postings are dropped
+    inside Arrow, before any shuffle; tfs/doclens never decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_out: List[np.ndarray] = []
+            id_out: List[np.ndarray] = []
+            for term, n, ids_b in zip(pdf["term"], pdf["count"], pdf["doc_ids"]):
+                ids = delta_decode(bytes(ids_b), int(n)).astype(np.int64)
+                if cand is not None:
+                    ids = ids[np.isin(ids, cand, assume_unique=True)]
+                    if not len(ids):
+                        continue
+                t_out.append(np.full(len(ids), term, dtype=object))
+                id_out.append(ids)
+            if id_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(t_out),
+                        "doc_id": np.concatenate(id_out),
+                    }
+                )
+
+    return run
+
+
 class BM25Index:
     """Query-side handle on an index built by index.builder.build_index."""
 
@@ -845,13 +874,22 @@ class BM25Index:
         predicate: optional docs-table filter (SQL string or Column) —
         the hits.total of a filter-context search (search_filtered).
         """
+        matched = self._matched_ids(query, mode, predicate)
+        return 0 if matched is None else int(matched.count())
+
+    def _matched_ids(self, query, mode: str = "or", predicate=None):
+        """Matched doc ids (tombstone-free, optionally filter-context) —
+        the ids-only pre-pass shared by count_matches and the whole
+        aggregations family (facet_counts/stats/histogram/range,
+        significant_terms): only doc_ids decode, tfs/doclens stay
+        packed.  Returns None when no query term is indexed."""
         terms = sorted(
             set(query) if isinstance(query, list) else set(tokenize_py(query))
         )
         stats = self._query_stats(terms)
         terms = [t for t in terms if t in stats]
         if not terms:
-            return 0
+            return None
         buckets = sorted({stats[t][2] for t in terms})
         blocks = self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
@@ -864,16 +902,17 @@ class BM25Index:
                 ids.groupBy("doc_id")
                 .agg(F.count(F.lit(1)).alias("_nt"))
                 .filter(F.col("_nt") == len(terms))
+                .select("doc_id")
             )
         else:
             matched = ids.distinct()
-        matched = self._drop_tombstones(matched.select("doc_id"))
+        matched = self._drop_tombstones(matched)
         if predicate is not None:
             allowed = self.docs.filter(
                 F.expr(predicate) if isinstance(predicate, str) else predicate
             ).select("doc_id")
             matched = matched.join(allowed, "doc_id", "left_semi")
-        return int(matched.count())
+        return matched
 
     def search_filtered(
         self,
@@ -967,30 +1006,9 @@ class BM25Index:
         just (doc_id, value) into a tiny groupBy — partial aggregation
         keeps the shuffle at O(distinct values × partitions)."""
         empty = self.spark.createDataFrame([], "value string, doc_count long")
-        terms = sorted(
-            set(query) if isinstance(query, list) else set(tokenize_py(query))
-        )
-        stats = self._query_stats(terms)
-        terms = [t for t in terms if t in stats]
-        if not terms:
+        matched = self._matched_ids(query, mode)
+        if matched is None:
             return empty
-        buckets = sorted({stats[t][2] for t in terms})
-        blocks = self.postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-        )
-        ids = blocks.select("count", "doc_ids").mapInPandas(
-            _decode_doc_ids(), schema="doc_id long"
-        )
-        if mode == "and":
-            matched = (
-                ids.groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("_nt"))
-                .filter(F.col("_nt") == len(terms))
-                .select("doc_id")
-            )
-        else:
-            matched = ids.distinct()
-        matched = self._drop_tombstones(matched)
         docs = self.docs
         if predicate is not None:
             docs = docs.filter(
@@ -1004,6 +1022,201 @@ class BM25Index:
             .groupBy("value")
             .agg(F.count(F.lit(1)).alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size)
+        )
+
+    def facet_stats(
+        self, query, field, mode: str = "or", predicate=None
+    ) -> DataFrame:
+        """Stats aggregation — the ES `stats` agg shape (count/min/max/
+        avg/sum of a numeric field over ALL docs matching the query,
+        optionally filter-context).  `field` is a column name or SQL
+        expression over the docs table.  Same ids-only pre-pass as
+        facet_counts; the matched-ids ⋈ docs join carries ONE numeric
+        column into a single-row aggregate (Spark's partial aggregation
+        keeps the final shuffle at one row per partition).  Like ES,
+        docs where the field is null are ignored by min/max/avg/sum but
+        the join itself only sees matching docs, so `count` is the
+        non-null value count (ES stats.count semantics)."""
+        empty = self.spark.createDataFrame(
+            [], "count long, min double, max double, avg double, sum double"
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        vals = self.docs.select(
+            "doc_id", F.expr(field).cast("double").alias("_v")
+        )
+        return matched.join(vals, "doc_id").agg(
+            F.count("_v").alias("count"),
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.avg("_v").alias("avg"),
+            F.sum("_v").alias("sum"),
+        )
+
+    def facet_histogram(
+        self,
+        query,
+        field,
+        interval: float,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Histogram aggregation — the ES `histogram` agg: fixed-width
+        buckets keyed `floor(value / interval) * interval` (ES's bucket
+        key formula — correct for negative values too), ordered key
+        asc.  Emitted with min_doc_count=1 semantics: zero-count
+        buckets between min and max are a serving-layer fill (at engine
+        level materializing them would generate an unbounded key range
+        for sparse fields).  Null field values are ignored, as in ES."""
+        if interval <= 0:
+            raise ValueError("interval must be > 0")
+        empty = self.spark.createDataFrame([], "key double, doc_count long")
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        key = (
+            F.floor(F.expr(field).cast("double") / F.lit(float(interval)))
+            * F.lit(float(interval))
+        ).alias("key")
+        vals = self.docs.select("doc_id", key).filter(F.col("key").isNotNull())
+        return (
+            matched.join(vals, "doc_id")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("key")
+        )
+
+    def facet_range(
+        self,
+        query,
+        field,
+        ranges: List[Tuple[Optional[float], Optional[float]]],
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Range aggregation — the ES `range` agg: half-open
+        [from, to) buckets (`from` inclusive, `to` exclusive, either
+        side open with None); buckets may overlap — a doc counts in
+        EVERY containing range, exactly like ES.  Every requested
+        bucket comes back (doc_count 0 when empty), in request order,
+        keyed with the ES "from-to"/"*-to"/"from-*" convention.
+
+        Physical plan: the tiny ranges list broadcast-theta-joins the
+        matched values (BroadcastNestedLoopJoin over ≤ a handful of
+        range rows — each value row is tested against every range, no
+        shuffle of the values), then one per-bucket count and a zero-
+        fill left join back onto the request list."""
+        empty = self.spark.createDataFrame(
+            [], "key string, range_from double, range_to double, doc_count long"
+        )
+        if not ranges:
+            return empty
+
+        def _fmt(x):
+            return "*" if x is None else f"{float(x):g}"
+
+        rows = [
+            (i, None if lo is None else float(lo),
+             None if hi is None else float(hi), f"{_fmt(lo)}-{_fmt(hi)}")
+            for i, (lo, hi) in enumerate(ranges)
+        ]
+        rng = self.spark.createDataFrame(
+            rows, "idx int, range_from double, range_to double, key string"
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            counts = None
+        else:
+            vals = matched.join(
+                self.docs.select(
+                    "doc_id", F.expr(field).cast("double").alias("_v")
+                ),
+                "doc_id",
+            ).filter(F.col("_v").isNotNull())
+            cond = (
+                F.col("range_from").isNull() | (F.col("_v") >= F.col("range_from"))
+            ) & (F.col("range_to").isNull() | (F.col("_v") < F.col("range_to")))
+            counts = (
+                vals.join(F.broadcast(rng), cond)
+                .groupBy("idx")
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+        out = rng if counts is None else rng.join(counts, "idx", "left")
+        if counts is None:
+            out = out.withColumn("_n", F.lit(None).cast("long"))
+        return (
+            out.orderBy("idx")
+            .select(
+                "key",
+                "range_from",
+                "range_to",
+                F.coalesce(F.col("_n"), F.lit(0)).alias("doc_count"),
+            )
+        )
+
+    def significant_terms(
+        self,
+        query,
+        size: int = 10,
+        min_doc_count: int = 3,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Significant-terms aggregation — the ES `significant_terms`
+        agg over the indexed text: terms overrepresented in the docs
+        matching the query (foreground) vs the whole index
+        (background), scored with ES's JLH heuristic
+        `score = (fgPct − bgPct) · (fgPct / bgPct)` where
+        fgPct = fg_count/fg_size and bgPct = df/N.  Positive-score
+        buckets only (fgPct must exceed bgPct), fg doc count ≥
+        min_doc_count (ES default 3), top `size` by score desc then
+        term asc.  Like ES, the query's own terms are not excluded
+        (they are simply maximally significant), and background stats
+        are Lucene-stale under deletes until compact_index.
+
+        Physical plan: the matched-ids pre-pass bounds the foreground;
+        when it fits filter_collect_max the ids ride into the Arrow
+        ids-only decode as a candidate mask, so the all-terms pass
+        emits ONLY foreground (term, doc_id) rows — the shuffle is
+        O(fg_size · distinct terms per doc), not O(index).  The scan
+        itself is the full-postings background read this aggregation
+        inherently costs (ES pays the same through per-doc term
+        vectors or field data over the hits).  Broader foregrounds
+        fall back to unmasked decode + semi-join.  Background df comes
+        free from term_stats — no second pass over the index."""
+        empty = self.spark.createDataFrame(
+            [], "term string, fg_count long, bg_count long, score double"
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        fg_size = matched.count()
+        if fg_size == 0:
+            return empty
+        blocks = self.postings.select("term", "count", "doc_ids")
+        if fg_size <= self.filter_collect_max:
+            cand = np.unique(matched.toPandas()["doc_id"].to_numpy(np.int64))
+            pairs = blocks.mapInPandas(
+                _decode_term_doc_ids(cand), schema="term string, doc_id long"
+            )
+        else:
+            pairs = blocks.mapInPandas(
+                _decode_term_doc_ids(None), schema="term string, doc_id long"
+            ).join(matched, "doc_id", "left_semi")
+        fg = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("fg_count"))
+        fg_pct = F.col("fg_count") / F.lit(float(fg_size))
+        bg_pct = F.col("bg_count") / F.lit(float(self.n_docs))
+        return (
+            fg.join(
+                self.term_stats.select("term", F.col("df").alias("bg_count")),
+                "term",
+            )
+            .filter(F.col("fg_count") >= int(min_doc_count))
+            .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("term"))
             .limit(size)
         )
 

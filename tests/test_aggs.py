@@ -1,0 +1,225 @@
+"""ES aggregations family beyond `terms` — stats, histogram, range,
+significant_terms — vs pure-Python oracles.
+
+The reference delegates every aggregation to Elasticsearch (the ES agg
+surface behind backend/search_api/main.py:162-189); here they run over
+the posting-block engine's ids-only matched pre-pass and are pinned
+count-/value-identical to ground truth computed from the token lists,
+including filter context, AND mode, overlap/zero-count range buckets,
+and JLH scoring parity for significant_terms.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.index.builder import build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.query.oracle import BM25Oracle
+from search_engine_spark.synth import synth_pages
+from search_engine_spark.text.tokenizer import tokenize_py
+
+N_PAGES = 300
+
+QUERIES = [
+    "python programming tutorial",
+    "quick brown fox",
+    "machine learning data science",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("aggs"))
+    pages = synth_pages(spark, N_PAGES, num_partitions=4)
+    paths = build_index(
+        spark, pages, root, num_buckets=16, block_size=32, num_partitions=8
+    )
+    docs = spark.read.parquet(paths.docs).select(
+        "doc_id", "url", "domain"
+    ).collect()
+    id_by_url = {r["url"]: r["doc_id"] for r in docs}
+    domain_by_doc = {r["doc_id"]: r["domain"] for r in docs}
+    texts = pages.select("url", "text").collect()
+    oracle = BM25Oracle(
+        {id_by_url[r["url"]]: tokenize_py(r["text"]) for r in texts}
+    )
+    return paths, oracle, domain_by_doc
+
+
+def _matched(oracle, query, mode="or", allowed=None):
+    terms = [t for t in set(tokenize_py(query)) if oracle.df.get(t, 0) > 0]
+    if not terms:
+        return set()
+    if mode == "and":
+        m = {d for d, tf in oracle.tf.items() if all(t in tf for t in terms)}
+    else:
+        m = {d for d, tf in oracle.tf.items() if any(t in tf for t in terms)}
+    return m if allowed is None else m & allowed
+
+
+class TestFacetStats:
+    @pytest.mark.parametrize("query", QUERIES)
+    @pytest.mark.parametrize("mode", ["or", "and"])
+    def test_matches_oracle(self, spark, corpus, query, mode):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query, mode)
+        row = idx.facet_stats(query, "doclen", mode=mode).collect()[0]
+        dls = [oracle.doclen[d] for d in m]
+        assert row["count"] == len(dls)
+        assert row["min"] == min(dls)
+        assert row["max"] == max(dls)
+        assert abs(row["avg"] - sum(dls) / len(dls)) < 1e-9
+        assert row["sum"] == sum(dls)
+
+    def test_filter_context(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        dom = "example.com"
+        allowed = {d for d, v in domain_by_doc.items() if v == dom}
+        m = _matched(oracle, QUERIES[0], allowed=allowed)
+        row = idx.facet_stats(
+            QUERIES[0], "doclen", predicate=f"domain = '{dom}'"
+        ).collect()[0]
+        assert row["count"] == len(m)
+        assert row["sum"] == sum(oracle.doclen[d] for d in m)
+
+    def test_no_indexed_terms(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.facet_stats("zzqqxx", "doclen").collect() == []
+
+
+class TestFacetHistogram:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        interval = 25.0
+        m = _matched(oracle, query)
+        want = {}
+        for d in m:
+            key = math.floor(oracle.doclen[d] / interval) * interval
+            want[key] = want.get(key, 0) + 1
+        rows = idx.facet_histogram(query, "doclen", interval).collect()
+        got = {r["key"]: r["doc_count"] for r in rows}
+        assert got == want
+        # ES histogram order: bucket key ascending
+        assert [r["key"] for r in rows] == sorted(got)
+
+    def test_bad_interval(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_histogram(QUERIES[0], "doclen", 0)
+
+
+RANGES = [(None, 50.0), (50.0, 150.0), (150.0, None), (40.0, 60.0)]
+
+
+class TestFacetRange:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        rows = idx.facet_range(query, "doclen", RANGES).collect()
+        assert [r["key"] for r in rows] == ["*-50", "50-150", "150-*", "40-60"]
+        for r, (lo, hi) in zip(rows, RANGES):
+            want = sum(
+                1
+                for d in m
+                if (lo is None or oracle.doclen[d] >= lo)
+                and (hi is None or oracle.doclen[d] < hi)
+            )
+            assert r["doc_count"] == want, r["key"]
+            assert r["range_from"] == lo and r["range_to"] == hi
+
+    def test_all_buckets_on_no_match(self, spark, corpus):
+        """ES returns every requested bucket even when nothing matches."""
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.facet_range("zzqqxx", "doclen", RANGES).collect()
+        assert len(rows) == len(RANGES)
+        assert all(r["doc_count"] == 0 for r in rows)
+
+
+def _jlh_oracle(oracle, m, min_doc_count, size):
+    fg = {}
+    for d in m:
+        for t in oracle.tf[d]:
+            fg[t] = fg.get(t, 0) + 1
+    out = []
+    for t, c in fg.items():
+        if c < min_doc_count:
+            continue
+        fg_pct = c / len(m)
+        bg_pct = oracle.df[t] / oracle.n
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        if score > 0:
+            out.append((t, c, oracle.df[t], score))
+    out.sort(key=lambda x: (-x[3], x[0]))
+    return out[:size]
+
+
+class TestSignificantTerms:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        want = _jlh_oracle(oracle, m, min_doc_count=2, size=15)
+        rows = idx.significant_terms(query, size=15, min_doc_count=2).collect()
+        assert [r["term"] for r in rows] == [t for t, *_ in want]
+        for r, (t, c, df, s) in zip(rows, want):
+            assert r["fg_count"] == c and r["bg_count"] == df
+            assert abs(r["score"] - s) < 1e-9
+
+    def test_masked_equals_semijoin(self, spark, corpus):
+        """The collect-mask fast path and the semi-join fallback are the
+        same aggregation — force the fallback via filter_collect_max=0."""
+        paths, *_ = corpus
+        q = QUERIES[1]
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        fast = idx.significant_terms(q, size=15, min_doc_count=2).collect()
+        idx.filter_collect_max = 0
+        slow = idx.significant_terms(q, size=15, min_doc_count=2).collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+    def test_query_terms_rank_high(self, spark, corpus):
+        """A query's own (indexed) terms are maximally significant —
+        fgPct = 1.0 for a single-term query's term."""
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        term = tokenize_py("python")[0]
+        rows = idx.significant_terms("python", size=5, min_doc_count=1).collect()
+        assert rows[0]["term"] == term
+        assert rows[0]["fg_count"] == rows[0]["bg_count"] == oracle.df[term]
+
+    def test_filter_context(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        dom = "example.com"
+        allowed = {d for d, v in domain_by_doc.items() if v == dom}
+        m = _matched(oracle, QUERIES[0], allowed=allowed)
+        want = _jlh_oracle(oracle, m, min_doc_count=2, size=10)
+        rows = idx.significant_terms(
+            QUERIES[0], size=10, min_doc_count=2, predicate=f"domain = '{dom}'"
+        ).collect()
+        assert [r["term"] for r in rows] == [t for t, *_ in want]
+
+
+class TestCountMatchesRefactor:
+    """count_matches went through _matched_ids — pin the old contract."""
+
+    @pytest.mark.parametrize("mode", ["or", "and"])
+    def test_counts(self, spark, corpus, mode):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        for q in QUERIES:
+            assert idx.count_matches(q, mode=mode) == len(
+                _matched(oracle, q, mode)
+            )
+        assert idx.count_matches("zzqqxx") == 0
