@@ -436,6 +436,62 @@ SELECT bucket_key, COALESCE(n, 0) AS doc_count
 FROM r LEFT JOIN c USING (idx)"""
 
 
+def _q_facet_cardinality(spark, sf_dir):
+    """ES `cardinality` aggregation (BM25Index.facet_cardinality,
+    exact mode — the engine's approx=True flips the same plan to
+    HLL++ approx_count_distinct for web-scale value domains): distinct
+    `source` values among the matching docs."""
+    toks = _docs_tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        _matched_docs(toks)
+        .join(docs, "doc_id")
+        .agg(F.countDistinct("source").alias("n_values"))
+    )
+
+
+_SQL_FACET_CARDINALITY = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE}
+SELECT count(DISTINCT source) AS n_values
+FROM m JOIN documents USING (doc_id)"""
+
+
+COMPOSITE_AFTER = ("src12", "fr")  # page cursor: strictly after this key
+
+
+def _q_facet_composite(spark, sf_dir):
+    """ES `composite` aggregation (BM25Index.facet_composite): the
+    next 10 (source, lang) buckets strictly after the COMPOSITE_AFTER
+    cursor in key order — key-ordered bucket pagination where page N
+    costs one groupBy + TakeOrderedAndProject like page 1 (the bucket
+    analogue of search_after)."""
+    toks = _docs_tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    a0, a1 = COMPOSITE_AFTER
+    return (
+        _matched_docs(toks)
+        .join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(
+            (F.col("source") > a0)
+            | ((F.col("source") == a0) & (F.col("lang") > a1))
+        )
+        .orderBy(F.asc("source"), F.asc("lang"))
+        .limit(10)
+    )
+
+
+_SQL_FACET_COMPOSITE = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE}
+SELECT source, lang, count(*) AS doc_count
+FROM m JOIN documents USING (doc_id)
+GROUP BY source, lang
+HAVING source > '{COMPOSITE_AFTER[0]}'
+    OR (source = '{COMPOSITE_AFTER[0]}' AND lang > '{COMPOSITE_AFTER[1]}')
+ORDER BY source, lang LIMIT 10"""
+
+
 def _q_significant_terms(spark, sf_dir):
     """ES `significant_terms` aggregation (BM25Index.significant_terms):
     terms overrepresented in the matching docs (foreground) vs the whole
@@ -2714,6 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_stats_toklen": _q_facet_stats,
         "facet_histogram_toklen": _q_facet_histogram,
         "facet_range_toklen": _q_facet_range,
+        "facet_cardinality_source": _q_facet_cardinality,
+        "facet_composite_page": _q_facet_composite,
         "significant_terms_topk": _q_significant_terms,
         "mlt_topk": _q_mlt_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -2794,6 +2852,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_stats_toklen": _SQL_FACET_STATS,
         "facet_histogram_toklen": _SQL_FACET_HISTOGRAM,
         "facet_range_toklen": _sql_facet_range(),
+        "facet_cardinality_source": _SQL_FACET_CARDINALITY,
+        "facet_composite_page": _SQL_FACET_COMPOSITE,
         "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
         "mlt_topk": _SQL_MLT,
         "tfidf_topk": _SQL_TFIDF,

@@ -1220,6 +1220,92 @@ class BM25Index:
             .limit(size)
         )
 
+    def facet_cardinality(
+        self,
+        query,
+        field,
+        mode: str = "or",
+        predicate=None,
+        approx: bool = False,
+        rsd: float = 0.05,
+    ) -> int:
+        """Cardinality aggregation — the ES `cardinality` agg: the
+        number of distinct values of `field` among the matching docs.
+        ES is ALWAYS approximate here (HyperLogLog++, precision_threshold
+        ≈ rsd); `approx=True` is the same algorithm via Spark's
+        approx_count_distinct — constant memory per partition, one
+        sketch-merge shuffle row per partition, the only sane plan at
+        10^12 docs.  The default is exact (count distinct — a real
+        shuffle of the distinct values), which small-scale tests and
+        oracles can pin; flip to approx when the value domain is large.
+        Nulls are ignored, as in ES."""
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return 0
+        vals = matched.join(
+            self.docs.select("doc_id", F.expr(field).alias("_v")), "doc_id"
+        ).filter(F.col("_v").isNotNull())
+        agg = (
+            F.approx_count_distinct("_v", rsd) if approx
+            else F.countDistinct("_v")
+        )
+        return int(vals.agg(agg.alias("n")).collect()[0]["n"])
+
+    def facet_composite(
+        self,
+        query,
+        fields: List[str],
+        size: int = 10,
+        after: Optional[Tuple] = None,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Composite aggregation — the ES `composite` agg: pages
+        through ALL buckets of a multi-field key in key order, `size`
+        buckets per page, resuming strictly after the `after` key tuple
+        (the previous page's last bucket).  This is the scale path for
+        full bucket enumeration: a `terms` agg materializes + sorts
+        every bucket per request to cut the global top-N, while
+        composite's key-ordered cursor makes page N cost the same
+        one groupBy + TakeOrderedAndProject as page 1 — the exact
+        bucket analogue of search_after vs from/size.  Key order is
+        each field asc, nulls excluded (ES composite skips documents
+        missing a source unless missing_bucket is set)."""
+        if not fields:
+            raise ValueError("fields must be non-empty")
+        empty = self.spark.createDataFrame(
+            [],
+            ", ".join(f"{f'k{i}'} string" for i in range(len(fields)))
+            + ", doc_count long",
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        keys = [
+            F.expr(f).cast("string").alias(f"k{i}")
+            for i, f in enumerate(fields)
+        ]
+        vals = matched.join(self.docs.select("doc_id", *keys), "doc_id")
+        for i in range(len(fields)):
+            vals = vals.filter(F.col(f"k{i}").isNotNull())
+        buckets = vals.groupBy(*[f"k{i}" for i in range(len(fields))]).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+        if after is not None:
+            if len(after) != len(fields):
+                raise ValueError("after must have one value per field")
+            # lexicographic strictly-greater: OR over prefix-equal cuts
+            cond = F.lit(False)
+            for i in range(len(fields)):
+                c = F.col(f"k{i}") > F.lit(str(after[i]))
+                for j in range(i):
+                    c = c & (F.col(f"k{j}") == F.lit(str(after[j])))
+                cond = cond | c
+            buckets = buckets.filter(cond)
+        return buckets.orderBy(
+            *[F.asc(f"k{i}") for i in range(len(fields))]
+        ).limit(size)
+
     def more_like_this(
         self,
         like_text: str,

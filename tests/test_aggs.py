@@ -211,6 +211,77 @@ class TestSignificantTerms:
         assert [r["term"] for r in rows] == [t for t, *_ in want]
 
 
+class TestFacetCardinality:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_exact(self, spark, corpus, query):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        want = len({domain_by_doc[d] for d in m})
+        assert idx.facet_cardinality(query, "domain") == want
+
+    def test_approx_close(self, spark, corpus):
+        """The HLL++ scale path lands within rsd of exact on a tiny
+        value domain (HLL is exact below its sparse threshold)."""
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        exact = idx.facet_cardinality(QUERIES[0], "domain")
+        approx = idx.facet_cardinality(QUERIES[0], "domain", approx=True)
+        assert abs(approx - exact) <= max(1, int(0.1 * exact))
+
+    def test_no_match(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.facet_cardinality("zzqqxx", "domain") == 0
+
+
+class TestFacetComposite:
+    def _want(self, oracle, domain_by_doc, query, after=None):
+        m = _matched(oracle, query)
+        counts = {}
+        for d in m:
+            key = (domain_by_doc[d], str(oracle.doclen[d] % 2))
+            counts[key] = counts.get(key, 0) + 1
+        items = sorted(counts.items())
+        if after is not None:
+            items = [kv for kv in items if kv[0] > after]
+        return items
+
+    FIELDS = ["domain", "cast(doclen % 2 as string)"]
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_first_page(self, spark, corpus, query):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        want = self._want(oracle, domain_by_doc, query)[:5]
+        rows = idx.facet_composite(query, self.FIELDS, size=5).collect()
+        assert [((r["k0"], r["k1"]), r["doc_count"]) for r in rows] == want
+
+    def test_cursor_walk_covers_all_buckets(self, spark, corpus):
+        """Paging with after-keys enumerates every bucket exactly once,
+        in key order — the composite contract."""
+        paths, oracle, domain_by_doc = corpus
+        q = QUERIES[0]
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        want = self._want(oracle, domain_by_doc, q)
+        got, after = [], None
+        while True:
+            rows = idx.facet_composite(q, self.FIELDS, size=3, after=after).collect()
+            if not rows:
+                break
+            got.extend(((r["k0"], r["k1"]), r["doc_count"]) for r in rows)
+            after = (rows[-1]["k0"], rows[-1]["k1"])
+        assert got == want
+
+    def test_after_validation(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_composite("python", self.FIELDS, after=("x",))
+        with pytest.raises(ValueError):
+            idx.facet_composite("python", [])
+
+
 class TestCountMatchesRefactor:
     """count_matches went through _matched_ids — pin the old contract."""
 
