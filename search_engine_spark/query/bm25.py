@@ -1143,7 +1143,12 @@ class BM25Index:
                 .groupBy("idx")
                 .agg(F.count(F.lit(1)).alias("_n"))
             )
-        out = rng if counts is None else rng.join(counts, "idx", "left")
+        # zero-fill join: counts has ≤ len(ranges) rows — broadcast it
+        # so the request list never range-shuffles
+        out = (
+            rng if counts is None
+            else rng.join(F.broadcast(counts), "idx", "left")
+        )
         if counts is None:
             out = out.withColumn("_n", F.lit(None).cast("long"))
         return (

@@ -170,3 +170,44 @@ def test_facets_do_partial_aggregation(idx):
     plan = explain_str(idx.facet_counts("python programming", "domain"))
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_facet_stats_single_row_partial_agg(idx):
+    # stats is a global aggregate: partial per partition, one final row
+    # — the shuffle carries one row per partition, never the values
+    plan = explain_str(idx.facet_stats("python programming", "doclen"))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_facet_range_broadcasts_the_range_list(idx):
+    # the tiny ranges list must be the broadcast side of the theta join
+    # (BroadcastNestedLoopJoin) — never a shuffle of the matched values
+    plan = explain_str(
+        idx.facet_range(
+            "python programming", "doclen", [(None, 50.0), (50.0, None)]
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_composite_page_is_take_ordered(idx):
+    # key-ordered bucket pagination compiles to per-partition top-k +
+    # merge, not a global sort — page N costs the same as page 1
+    plan = explain_str(
+        idx.facet_composite("python programming", ["domain"], size=5)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_significant_terms_scans_all_buckets_once(idx):
+    # the background pass is one full-postings scan (no term filter —
+    # every term is a candidate) feeding a partial-aggregated groupBy;
+    # the foreground mask lives inside the Arrow decode, so no join
+    # appears on the pairs side
+    plan = explain_str(
+        idx.significant_terms("python programming", size=5, min_doc_count=1)
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
