@@ -1922,6 +1922,78 @@ FROM per GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+def _q_crossfield_bm25(spark, sf_dir):
+    """ES multi_match cross_fields (BM25Index.search_cross_fields):
+    term-centric over the same synthetic field slices as
+    multifield_bm25_topk — each term scores per field with the field's
+    own tf/dl/avgdl but a BLENDED df (max across fields, the Lucene
+    BlendedTermQuery adjustment); fields combine per term as dis_max
+    (tie_breaker 0) and per-term scores sum."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n = toks.count()
+    frames = []
+    for fname, sl in MF_SLICES.items():
+        expr = F.col("toks") if sl is None else F.slice("toks", sl[0], sl[1])
+        fd = toks.select("doc_id", expr.alias("l"))
+        avgdl = float(fd.agg(F.avg(F.size("l"))).collect()[0][0])
+        tf = (
+            fd.select(
+                "doc_id", F.size("l").alias("dl"), F.explode("l").alias("term")
+            )
+            .filter(F.col("term").isin(BM25_QUERY_TERMS))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        )
+        frames.append(
+            tf.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            ).select(
+                "doc_id", "term", "tf", "dl", "df",
+                F.lit(float(MF_BOOSTS[fname])).alias("boost"),
+                F.lit(avgdl).alias("avgdl"),
+            )
+        )
+    per = frames[0]
+    for fr in frames[1:]:
+        per = per.unionByName(fr)
+    bdf = F.max("df").over(Window.partitionBy("term"))
+    idf = F.log(1.0 + (F.lit(n) - F.col("bdf") + 0.5) / (F.col("bdf") + 0.5))
+    contrib = F.col("boost") * idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        per.withColumn("bdf", bdf)
+        .withColumn("c", contrib)
+        .groupBy("doc_id", "term")
+        .agg(F.max("c").alias("tc"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tc"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _cf_field_select(fname: str) -> str:
+    b = MF_BOOSTS[fname]
+    return f"""SELECT doc_id, term, tf, dl, df, CAST({b} AS DOUBLE) AS boost,
+       (SELECT avgdl FROM {fname}_n) AS avgdl
+FROM {fname}_tf JOIN {fname}_df USING (term)"""
+
+
+_SQL_CROSSFIELD = f"""{_TOK_CTE},
+{",".join(_mf_field_cte(f) for f in MF_SLICES)},
+per AS ({" UNION ALL ".join(_cf_field_select(f) for f in MF_SLICES)}),
+bl AS (SELECT term, max(df) AS bdf FROM per GROUP BY term),
+c AS (SELECT doc_id, term,
+      max( boost
+           * ln(1.0 + ((SELECT count(*) FROM tok) - bdf + 0.5) / (bdf + 0.5))
+           * (tf * {K1 + 1.0})
+           / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ) AS tc
+      FROM per JOIN bl USING (term) GROUP BY doc_id, term)
+SELECT doc_id, round(sum(tc), 6) AS score FROM c GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 # ---- hybrid BM25 + PageRank re-rank (main.py:243-267, C1+G2) --------------
 # Deterministic doc-level link graph: every doc links to
 # (doc_id*31+7) % N and (doc_id*17+3) % N.
@@ -2765,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
+        "crossfield_bm25_topk": _q_crossfield_bm25,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_stats_toklen": _q_facet_stats,
@@ -2847,6 +2920,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_bm25_topk": _SQL_FUZZY_BM25,
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
+        "crossfield_bm25_topk": _SQL_CROSSFIELD,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_stats_toklen": _SQL_FACET_STATS,

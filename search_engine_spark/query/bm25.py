@@ -1755,6 +1755,94 @@ class BM25Index:
             return topk
         return self._join_docs(topk)
 
+    def search_cross_fields(
+        self,
+        query: str,
+        k: int = 10,
+        boosts: Optional[Dict[str, float]] = None,
+        tie_breaker: float = 0.0,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Multi-field cross_fields BM25 — ES `multi_match` type
+        cross_fields (the third multi_match type next to best_fields /
+        most_fields, both covered by search_fields' tie_breaker):
+        TERM-centric instead of field-centric.  Each query term is
+        scored per field with that field's own tf/dl/avgdl but a
+        BLENDED document frequency — df = max over the fields' df, the
+        Lucene BlendedTermQuery adjustment — so a term that is common
+        in one field can't masquerade as rare in another ("first name
+        in the last_name field" ranking pathology).  Per term the
+        fields combine as dis_max + tie_breaker·rest (ES blends with
+        dismaxBlendedQuery, tie_breaker default 0), and the per-term
+        scores SUM over the query (bool should).
+
+        Always exhaustive over the query terms' namespaced postings:
+        the per-field WAND bound of search_fields doesn't transfer (a
+        doc's per-term max can move between fields block by block).
+        The scan is still bounded by the query terms' df — the same
+        decode volume as search_fields' exhaustive mode.
+        """
+        boosts = boosts or {"content": 1.0, "title": 3.0, "description": 2.0}
+        from search_engine_spark.index.builder import FIELD_PREFIX, _field_of
+
+        avgdl_by_field = self._field_avgdl()
+        base_terms = sorted(set(tokenize_py(query)))
+        want: Dict[str, Tuple[str, str]] = {}  # namespaced -> (field, base)
+        for f in boosts:
+            for t in base_terms:
+                want[FIELD_PREFIX[f] + t] = (f, t)
+        stats = self._query_stats(sorted(want))
+        live = sorted(t for t in want if t in stats)
+        if not live or k <= 0:
+            return self._empty_scored(join_docs)
+        # blended df: max across the group's fields (0 df fields absent)
+        df_blended: Dict[str, int] = {}
+        for t in live:
+            base = want[t][1]
+            df_blended[base] = max(df_blended.get(base, 0), stats[t][0])
+        idf_by_term = {
+            t: idf_py(self.n_docs, df_blended[want[t][1]]) for t in live
+        }
+        avgdl_by_term = {t: avgdl_by_field[want[t][0]] for t in live}
+        buckets = sorted({stats[t][2] for t in live})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(live)
+        )
+        contribs = blocks.select(
+            "term", "count", "doc_ids", "tfs", "doclens"
+        ).mapInPandas(
+            _decode_and_score(idf_by_term, avgdl_by_term, emit_term=True),
+            schema=_TERM_CONTRIB_SCHEMA,
+        )
+        base_map = F.create_map(
+            *[x for t in live for x in (F.lit(t), F.lit(want[t][1]))]
+        )
+        boost_map = _lit_map(boosts)
+        per_term = (
+            contribs.withColumn(
+                "bscore", F.col("contrib") * boost_map[_field_of(F.col("term"))]
+            )
+            .withColumn("base", base_map[F.col("term")])
+            .groupBy("doc_id", "base")
+            .agg(F.max("bscore").alias("best"), F.sum("bscore").alias("total"))
+        )
+        scored = (
+            per_term.select(
+                "doc_id",
+                (
+                    F.col("best")
+                    + F.lit(float(tie_breaker)) * (F.col("total") - F.col("best"))
+                ).alias("tscore"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("tscore").alias("score"))
+        )
+        scored = self._drop_tombstones(scored)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
+
     def expand_prefix(
         self, prefix: str, max_expansions: int = 50
     ) -> List[Tuple[str, int, int]]:

@@ -510,3 +510,57 @@ class BestFieldsOracle:
             scored.append((d, best + tie_breaker * (total - best)))
         scored.sort(key=lambda t: (-t[1], t[0]))
         return scored[:k]
+
+
+class CrossFieldsOracle:
+    """ES multi_match cross_fields ground truth — term-centric: each
+    term scores per field with the field's own tf/dl/avgdl but a
+    BLENDED df (max across fields — the Lucene BlendedTermQuery
+    docFreq adjustment); per term the fields combine dis_max +
+    tie_breaker·rest, and per-term scores sum over the query."""
+
+    def __init__(
+        self,
+        field_docs: Dict[str, Dict[int, List[str]]],
+        boosts: Dict[str, float],
+    ):
+        self.oracles = {f: BM25Oracle(d) for f, d in field_docs.items()}
+        self.boosts = dict(boosts)
+
+    def topk(
+        self, query: str, k: int = 10, tie_breaker: float = 0.0
+    ) -> List[Tuple[int, float]]:
+        terms = sorted(set(tokenize_py(query)))
+        n = max(o.n for o in self.oracles.values())
+        idf_b: Dict[str, float] = {}
+        for t in terms:
+            df = max(o.df.get(t, 0) for o in self.oracles.values())
+            if df > 0:
+                idf_b[t] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        doc_ids = set()
+        for o in self.oracles.values():
+            doc_ids |= set(o.docs)
+        scored = []
+        for d in sorted(doc_ids):
+            s = 0.0
+            for t, idf in idf_b.items():
+                per = []
+                for f, o in self.oracles.items():
+                    tf = o.tf[d].get(t, 0) if d in o.docs else 0
+                    if tf == 0:
+                        per.append(0.0)
+                        continue
+                    dl = o.doclen[d]
+                    per.append(
+                        self.boosts[f]
+                        * idf
+                        * (tf * (K1 + 1.0))
+                        / (tf + K1 * (1.0 - B + B * dl / o.avgdl))
+                    )
+                best = max(per)
+                if best > 0.0:
+                    s += best + tie_breaker * (sum(per) - best)
+            if s > 0.0:
+                scored.append((d, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return scored[:k]

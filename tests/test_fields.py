@@ -216,3 +216,82 @@ class TestFieldedWAND:
         ]
         want = [(d, round(s, 9)) for d, s in oracle.topk(q, k=10, tie_breaker=0.5)]
         assert got == want
+
+
+class TestCrossFields:
+    """ES multi_match cross_fields (search_cross_fields) — term-centric
+    blended-df scoring, rank-identical to CrossFieldsOracle."""
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_rank_identity_vs_oracle(self, spark, fielded, query):
+        from search_engine_spark.query.oracle import CrossFieldsOracle
+
+        paths, bf_oracle = fielded
+        oracle = CrossFieldsOracle(
+            {f: o.docs for f, o in bf_oracle.oracles.items()}, BOOSTS
+        )
+        idx = BM25Index(spark, paths.root)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_cross_fields(
+                query, k=10, boosts=BOOSTS, join_docs=False
+            ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        want = oracle.topk(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
+    def test_tie_breaker(self, spark, fielded):
+        from search_engine_spark.query.oracle import CrossFieldsOracle
+
+        paths, bf_oracle = fielded
+        oracle = CrossFieldsOracle(
+            {f: o.docs for f, o in bf_oracle.oracles.items()}, BOOSTS
+        )
+        idx = BM25Index(spark, paths.root)
+        q = "python programming tutorial"
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_cross_fields(
+                q, k=10, boosts=BOOSTS, tie_breaker=0.4, join_docs=False
+            ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        want = [(d, round(s, 9)) for d, s in oracle.topk(q, k=10, tie_breaker=0.4)]
+        assert got == want
+
+    def test_single_field_degenerates_to_plain_search(self, spark, fielded):
+        """With one field the blend is the field's own df — identical
+        to plain exhaustive search."""
+        paths, _ = fielded
+        idx = BM25Index(spark, paths.root)
+        q = "database partition"
+        a = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_cross_fields(
+                q, k=10, boosts={"content": 1.0}, join_docs=False
+            ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search(q, k=10, mode="exhaustive", join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        assert a == b
+
+    def test_differs_from_best_fields_when_df_skews(self, spark, fielded):
+        """Blended df is the point of cross_fields: scores must NOT all
+        equal best_fields' when a term's df differs across fields."""
+        paths, bf_oracle = fielded
+        idx = BM25Index(spark, paths.root)
+        q = "page 17"  # title-heavy terms: title df >> description df
+        cf = {
+            r["doc_id"]: round(r["score"], 9)
+            for r in idx.search_cross_fields(q, k=10, boosts=BOOSTS, join_docs=False).collect()
+        }
+        bf = {
+            r["doc_id"]: round(r["score"], 9)
+            for r in idx.search_fields(q, k=10, boosts=BOOSTS, join_docs=False).collect()
+        }
+        assert cf and bf
+        assert cf != bf
