@@ -1922,6 +1922,74 @@ FROM per GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+SUGGEST_TOKENS = ["sparkk", "mergge", "windoww"]  # misspelled query terms
+
+
+def _q_suggest_terms(spark, sf_dir):
+    """ES term suggester (BM25Index.suggest_terms, "did you mean"):
+    per misspelled token, top-5 dictionary terms within 2 edits sharing
+    the first letter, scored 1 − dist/max(len) and ordered score desc,
+    df desc, term asc — one broadcast theta join of the token list
+    against the dictionary, length-band cut before levenshtein."""
+    toks = _docs_tokens(spark, sf_dir)
+    dic = (
+        toks.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    inp = spark.createDataFrame(
+        [(t, len(t)) for t in SUGGEST_TOKENS], "token string, tlen int"
+    )
+    cond = (
+        (F.col("term") != F.col("token"))
+        & (F.abs(F.length("term") - F.col("tlen")) <= 2)
+        & (F.substring("term", 1, 1) == F.substring("token", 1, 1))
+    )
+    cand = (
+        dic.join(F.broadcast(inp), cond)
+        .withColumn("_d", F.levenshtein(F.col("term"), F.col("token")))
+        .filter(F.col("_d") <= 2)
+        .withColumn(
+            "score",
+            1.0 - F.col("_d") / F.greatest(F.length("term"), F.col("tlen")),
+        )
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.desc(F.round("score", 9)), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select(
+            "token",
+            F.col("term").alias("suggestion"),
+            F.round("score", 6).alias("score"),
+            "df",
+        )
+    )
+
+
+def _sql_suggest_terms() -> str:
+    vals = ", ".join(f"('{t}', {len(t)})" for t in SUGGEST_TOKENS)
+    return f"""{_TOK_CTE},
+dic AS (SELECT t AS term, count(DISTINCT doc_id) AS df
+        FROM tok, unnest(l) AS u(t) GROUP BY t),
+inp(token, tlen) AS (SELECT * FROM (VALUES {vals})),
+cand AS (SELECT token, tlen, term, df, levenshtein(term, token) AS d
+         FROM dic JOIN inp
+           ON term <> token AND abs(length(term) - tlen) <= 2
+              AND substr(term, 1, 1) = substr(token, 1, 1)
+         WHERE levenshtein(term, token) <= 2),
+s AS (SELECT token, term, df,
+             1.0 - d / CAST(greatest(length(term), tlen) AS DOUBLE) AS score
+      FROM cand),
+r AS (SELECT token, term AS suggestion, round(score, 6) AS score, df,
+             row_number() OVER (PARTITION BY token
+                 ORDER BY round(score, 9) DESC, df DESC, term) AS rn
+      FROM s)
+SELECT token, suggestion, score, df FROM r WHERE rn <= 5"""
+
+
 def _q_crossfield_bm25(spark, sf_dir):
     """ES multi_match cross_fields (BM25Index.search_cross_fields):
     term-centric over the same synthetic field slices as
@@ -2838,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
         "crossfield_bm25_topk": _q_crossfield_bm25,
+        "suggest_terms": _q_suggest_terms,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_stats_toklen": _q_facet_stats,
@@ -2921,6 +2990,7 @@ def oracle_sql() -> dict[str, str]:
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "crossfield_bm25_topk": _SQL_CROSSFIELD,
+        "suggest_terms": _sql_suggest_terms(),
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_stats_toklen": _SQL_FACET_STATS,

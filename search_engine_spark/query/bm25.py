@@ -2007,6 +2007,93 @@ class BM25Index:
         )
         return [(r["term"], int(r["df"]), int(r["term_bucket"])) for r in rows]
 
+    def suggest_terms(
+        self,
+        text: str,
+        size: int = 5,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        min_word_length: int = 4,
+        suggest_mode: str = "missing",
+    ) -> DataFrame:
+        """Term suggester — the ES `suggest`/`term` API ("did you
+        mean"): per analyzed token, the top `size` dictionary terms
+        within `max_edits` Levenshtein distance, scored by normalized
+        string similarity `1 − dist / max(len(token), len(term))` and
+        ordered ES-style: similarity desc, doc frequency desc, term
+        asc.  ES defaults mirrored: max_edits 2, prefix_length 1,
+        min_word_length 4, suggest_mode "missing" (only suggest for
+        tokens absent from the index; "popular" keeps only suggestions
+        more frequent than the input token; "always" suggests for
+        every token).  The input term itself is never suggested, like
+        Lucene's DirectSpellChecker.  Distance is classic Levenshtein
+        via the native JVM function (same note as expand_fuzzy: a
+        transposition costs 2, not Lucene's Damerau 1).
+
+        Physical plan: ONE pass — the (tiny) token list broadcast
+        theta-joins the term dictionary; a native length-band filter
+        (|len(term) − len(token)| ≤ max_edits) and the prefix guard
+        cut the dictionary BEFORE the O(len²) levenshtein runs, and a
+        per-token row_number window keeps `size` rows.  The dictionary
+        scan is column-pruned to (term, df) — at web scale that's a
+        fraction of the stats table, and no per-token job is issued.
+        Returns (token, suggestion, score, df)."""
+        if suggest_mode not in ("missing", "popular", "always"):
+            raise ValueError(f"unknown suggest_mode: {suggest_mode}")
+        empty = self.spark.createDataFrame(
+            [], "token string, suggestion string, score double, df long"
+        )
+        toks = sorted(
+            {t for t in set(tokenize_py(text)) if len(t) >= min_word_length}
+        )
+        if not toks:
+            return empty
+        stats = self._query_stats(toks)
+        if suggest_mode == "missing":
+            toks = [t for t in toks if t not in stats]
+        if not toks:
+            return empty
+        tok_df = self.spark.createDataFrame(
+            [(t, len(t), int(stats[t][0]) if t in stats else 0) for t in toks],
+            "token string, tlen int, tdf long",
+        )
+        max_edits = max(0, min(int(max_edits), 2))  # Lucene's cap
+        dist = F.levenshtein(F.col("term"), F.col("token"))
+        cond = (
+            ~F.col("term").contains("!")  # skip field-namespaced terms
+            & (F.col("term") != F.col("token"))
+            & (F.abs(F.length("term") - F.col("tlen")) <= max_edits)
+        )
+        if prefix_length > 0:
+            cond = cond & (
+                F.substring(F.col("term"), 1, prefix_length)
+                == F.substring(F.col("token"), 1, prefix_length)
+            )
+        cand = (
+            self.term_stats.select("term", "df")
+            .join(F.broadcast(tok_df), cond)
+            .withColumn("_d", dist)
+            .filter(F.col("_d") <= max_edits)
+        )
+        if suggest_mode == "popular":
+            cand = cand.filter(F.col("df") > F.col("tdf"))
+        score = 1.0 - F.col("_d") / F.greatest(F.length("term"), F.col("tlen"))
+        w = Window.partitionBy("token").orderBy(
+            F.desc("score"), F.desc("df"), F.asc("term")
+        )
+        return (
+            cand.withColumn("score", score)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= size)
+            .select(
+                "token",
+                F.col("term").alias("suggestion"),
+                "score",
+                "df",
+            )
+            .orderBy("token", F.desc("score"), F.desc("df"), "suggestion")
+        )
+
     def search_fuzzy(
         self,
         word: str,
