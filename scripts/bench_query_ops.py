@@ -66,6 +66,7 @@ def main() -> None:
     build_index(
         spark, pages, root,
         num_buckets=32, block_size=128, num_partitions=cpus * 2,
+        index_fields=True,  # cross_fields needs per-field postings
     )
     build_s = time.time() - t0
 
@@ -90,6 +91,28 @@ def main() -> None:
             q, predicate="domain like '%.org'"
         ),
         "more_like_this": lambda q: idx.more_like_this(mlt_seed, k=10).collect(),
+        "facet_stats": lambda q: idx.facet_stats(q, "doclen").collect(),
+        "facet_histogram": lambda q: idx.facet_histogram(
+            q, "doclen", 25
+        ).collect(),
+        "facet_range": lambda q: idx.facet_range(
+            q, "doclen", [(None, 50.0), (50.0, 150.0), (150.0, None)]
+        ).collect(),
+        "facet_cardinality": lambda q: idx.facet_cardinality(
+            q, "domain", approx=True
+        ),
+        "facet_composite": lambda q: idx.facet_composite(
+            q, ["domain"], size=10
+        ).collect(),
+        "significant_terms": lambda q: idx.significant_terms(
+            q, size=10
+        ).collect(),
+        "cross_fields": lambda q: idx.search_cross_fields(
+            q, k=10, boosts={"content": 1.0}, join_docs=False
+        ).collect(),
+        "suggest_terms": lambda q: idx.suggest_terms(
+            q[:-1] + "x", suggest_mode="always"
+        ).collect(),
     }
 
     results = {}
