@@ -1,0 +1,432 @@
+"""ES Query-DSL interpreter — run the reference's actual query bodies.
+
+The reference talks to Elasticsearch with JSON query bodies (the
+flagship /search request is built at backend/search_api/main.py:162-189:
+a `multi_match` over title^3/description^2/content with from/size
+pagination and a `_source` projection).  `execute_es_query` accepts
+that dict shape directly and lowers it onto the engine's DataFrame
+methods, so a user of the reference can paste their ES request body
+and get the same ranked result from the Spark engine.
+
+Supported grammar (a documented subset — anything outside it raises
+NotImplementedError naming the gap, never a silent wrong answer):
+
+  query nodes
+    match            {"match": {"content": "q"}} or
+                     {"match": {"content": {"query": q,
+                       "operator": "and"|"or",
+                       "minimum_should_match": n}}}
+                     field "content" scores via the main postings;
+                     "title"/"description" via their field namespaces
+    multi_match      {"query": q, "fields": ["title^3", ...],
+                      "type": best_fields|most_fields|cross_fields,
+                      "tie_breaker": f}
+    match_phrase     {"content": "q"} or {"content": {"query": q,
+                      "slop": n}}
+    prefix/wildcard/fuzzy
+                     {"content": {"value": v, ...opts}}
+    more_like_this   {"like": text, "max_query_terms"...}
+    term/terms/range/exists
+                     metadata fields (docs table) — FILTER CONTEXT
+                     only (never scored), as in ES practice
+    bool             {"must": [...], "should": [...],
+                      "must_not": [...], "filter": [...]}
+      · filter: term/terms/range/exists → one docs-table predicate
+      · must: ONE scoring clause (match/match_phrase on content)
+        plus any filter-type clauses
+      · should: match clauses on content (merged OR scoring) when no
+        must is present; top-level minimum_should_match applies at
+        term level (documented divergence: ES counts clauses)
+      · must_not: match (terms) / match_phrase (phrases) on content
+  request body
+    {"query": ..., "from": n, "size": n, "_source": [cols]}
+
+Scoring parity notes: a bool with one must match clause and filters is
+exactly ES's query+filter (full-corpus stats, filter never reweights —
+BM25Index.search_filtered); must_not is an unscored anti-join (filter
+context contributes 0).  Pagination `from/size` is served through the
+exact total order (score desc, doc_id asc).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.query.parse import ParsedQuery
+from search_engine_spark.text.tokenizer import tokenize_py
+
+_SCORING = ("match", "multi_match", "match_phrase", "prefix", "wildcard",
+            "fuzzy", "more_like_this")
+_FILTERING = ("term", "terms", "range", "exists", "match_all")
+
+_TEXT_FIELDS = ("content", "title", "description")
+
+
+def _unsupported(what: str):
+    raise NotImplementedError(
+        f"ES-DSL subset: {what} is not supported (see query/dsl.py grammar)"
+    )
+
+
+def _one_key(node: Dict, ctx: str) -> Tuple[str, object]:
+    if not isinstance(node, dict) or len(node) != 1:
+        _unsupported(f"{ctx}: expected a single-key query node, got {node!r}")
+    return next(iter(node.items()))
+
+
+def _as_list(v) -> List:
+    return v if isinstance(v, list) else [v]
+
+
+def _parse_fields(specs: List[str]) -> Dict[str, float]:
+    """["title^3", "content"] -> {"title": 3.0, "content": 1.0}."""
+    boosts: Dict[str, float] = {}
+    for s in specs:
+        name, _, b = s.partition("^")
+        if name not in _TEXT_FIELDS:
+            _unsupported(f"multi_match field {name!r}")
+        boosts[name] = float(b) if b else 1.0
+    return boosts
+
+
+def _filter_predicate(clauses: List[Dict]) -> Optional[Column]:
+    """term/terms/range/exists clauses -> one docs-table Column."""
+    pred = None
+    for clause in clauses:
+        kind, body = _one_key(clause, "filter")
+        if kind == "match_all":
+            continue
+        if kind == "term":
+            field, v = _one_key(body, "term")
+            if isinstance(v, dict):
+                v = v.get("value")
+            c = F.col(field) == F.lit(v)
+        elif kind == "terms":
+            field, vals = _one_key(body, "terms")
+            c = F.col(field).isin(list(vals))
+        elif kind == "range":
+            field, bounds = _one_key(body, "range")
+            c = F.lit(True)
+            for op, v in bounds.items():
+                col = F.col(field)
+                if op == "gte":
+                    c = c & (col >= F.lit(v))
+                elif op == "gt":
+                    c = c & (col > F.lit(v))
+                elif op == "lte":
+                    c = c & (col <= F.lit(v))
+                elif op == "lt":
+                    c = c & (col < F.lit(v))
+                else:
+                    _unsupported(f"range op {op!r}")
+        elif kind == "exists":
+            c = F.col(body["field"]).isNotNull()
+        else:
+            _unsupported(f"filter clause {kind!r} (scoring clauses don't "
+                         "belong in filter context in this subset)")
+        pred = c if pred is None else (pred & c)
+    return pred
+
+
+def _match_parts(clause) -> Tuple[str, str, str, Optional[int]]:
+    """(field, query, operator, minimum_should_match) of a full
+    {"match": {field: spec}} clause."""
+    _, inner = _one_key(clause, "match")
+    field, spec = _one_key(inner, "match field")
+    if isinstance(spec, str):
+        return field, spec, "or", None
+    return (
+        field,
+        spec["query"],
+        spec.get("operator", "or").lower(),
+        spec.get("minimum_should_match"),
+    )
+
+
+def _phrase_parts(clause) -> Tuple[str, str, int]:
+    """(field, query, slop) of a full {"match_phrase": {...}} clause."""
+    _, inner = _one_key(clause, "match_phrase")
+    field, spec = _one_key(inner, "match_phrase field")
+    if isinstance(spec, str):
+        return field, spec, 0
+    return field, spec["query"], int(spec.get("slop", 0))
+
+
+def _score_match(idx, body, k, predicate, join_docs):
+    field, q, op, msm = _match_parts(body)
+    if field == "content":
+        if predicate is not None:
+            if op != "or" or msm:
+                _unsupported("filter context with non-OR match")
+            return idx.search_filtered(q, predicate, k=k, join_docs=join_docs)
+        return idx.search(
+            q, k=k, mode="and" if op == "and" else "blockmax",
+            min_should_match=int(msm) if msm else 1, join_docs=join_docs,
+        )
+    if field in _TEXT_FIELDS:
+        if op != "or" or msm or predicate is not None:
+            _unsupported(f"match on field {field!r} with operator/msm/filter")
+        return idx.search_fields(
+            q, k=k, boosts={field: 1.0}, join_docs=join_docs
+        )
+    _unsupported(f"match on non-text field {field!r}")
+
+
+def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
+    kind, body = _one_key(node, "query")
+    if kind == "match":
+        return _score_match(idx, node, k, predicate, join_docs)
+    if predicate is not None:
+        _unsupported(f"filter context combined with {kind!r}")
+    if kind == "multi_match":
+        q = body["query"]
+        boosts = _parse_fields(body.get("fields", ["content"]))
+        qtype = body.get("type", "best_fields")
+        tie = float(body.get("tie_breaker", 0.0))
+        if qtype == "best_fields":
+            return idx.search_fields(
+                q, k=k, boosts=boosts, tie_breaker=tie, join_docs=join_docs
+            )
+        if qtype == "most_fields":
+            return idx.search_fields(
+                q, k=k, boosts=boosts, tie_breaker=1.0, join_docs=join_docs,
+                mode="exhaustive",
+            )
+        if qtype == "cross_fields":
+            return idx.search_cross_fields(
+                q, k=k, boosts=boosts, tie_breaker=tie, join_docs=join_docs
+            )
+        _unsupported(f"multi_match type {qtype!r}")
+    if kind == "match_phrase":
+        field, q, slop = _phrase_parts(node)
+        if field != "content":
+            _unsupported(f"match_phrase on field {field!r}")
+        return idx.search_phrase(q, k=k, slop=slop, join_docs=join_docs)
+    if kind == "prefix":
+        field, spec = _one_key(body, "prefix")
+        v = spec["value"] if isinstance(spec, dict) else spec
+        if field != "content":
+            _unsupported(f"prefix on field {field!r}")
+        return idx.search_prefix(v, k=k, join_docs=join_docs)
+    if kind == "wildcard":
+        field, spec = _one_key(body, "wildcard")
+        v = spec["value"] if isinstance(spec, dict) else spec
+        if field != "content":
+            _unsupported(f"wildcard on field {field!r}")
+        return idx.search_wildcard(v, k=k, join_docs=join_docs)
+    if kind == "fuzzy":
+        field, spec = _one_key(body, "fuzzy")
+        if field != "content":
+            _unsupported(f"fuzzy on field {field!r}")
+        if isinstance(spec, dict):
+            v = spec["value"]
+            fz = spec.get("fuzziness", 2)
+            max_edits = 2 if fz == "AUTO" else int(fz)
+            plen = int(spec.get("prefix_length", 0))
+        else:
+            v, max_edits, plen = spec, 2, 0
+        return idx.search_fuzzy(
+            v, k=k, max_edits=max_edits, prefix_length=plen,
+            join_docs=join_docs,
+        )
+    if kind == "more_like_this":
+        like = body["like"]
+        if isinstance(like, list):
+            like = " ".join(like)
+        return idx.more_like_this(
+            like,
+            k=k,
+            max_query_terms=int(body.get("max_query_terms", 25)),
+            min_term_freq=int(body.get("min_term_freq", 2)),
+            min_doc_freq=int(body.get("min_doc_freq", 5)),
+            join_docs=join_docs,
+        )
+    _unsupported(f"query node {kind!r}")
+
+
+def _content_match_terms(clause) -> Tuple[List[str], bool]:
+    """(tokens, is_and) of a match clause restricted to content/no-msm."""
+    field, q, op, msm = _match_parts(clause)
+    if field != "content" or msm:
+        _unsupported("composed bool: match must be on content without msm")
+    return tokenize_py(q), op == "and"
+
+
+def _execute_bool(idx, body, k, join_docs) -> DataFrame:
+    must = _as_list(body.get("must", []))
+    should = _as_list(body.get("should", []))
+    must_not = _as_list(body.get("must_not", []))
+    filters = _as_list(body.get("filter", []))
+
+    # route filter-type clauses that ES users often put under must
+    scoring_must, extra_filters = [], []
+    for c in must:
+        kind, _ = _one_key(c, "bool.must")
+        (extra_filters if kind in _FILTERING else scoring_must).append(c)
+    predicate = _filter_predicate(filters + extra_filters)
+
+    if scoring_must and should:
+        _unsupported("bool with both scoring must and should clauses")
+
+    # must_not -> negative terms/phrases on content
+    not_terms: List[str] = []
+    not_phrases: List[str] = []
+    for c in must_not:
+        kind, _ = _one_key(c, "bool.must_not")
+        if kind == "match":
+            field, q, _, _ = _match_parts(c)
+            if field != "content":
+                _unsupported(f"must_not match on field {field!r}")
+            not_terms.extend(tokenize_py(q))
+        elif kind == "match_phrase":
+            field, q, slop = _phrase_parts(c)
+            if field != "content" or slop:
+                _unsupported("must_not match_phrase with field/slop")
+            not_phrases.append(q)
+        else:
+            _unsupported(f"must_not clause {kind!r}")
+    has_neg = bool(not_terms or not_phrases)
+
+    must_kinds = [_one_key(c, "bool.must")[0] for c in scoring_must]
+
+    # --- composed path: phrases and/or negations over match clauses ---
+    # handles: [match? ... match_phrase*] + must_not — the shape
+    # search_boolean executes natively.  Multiple match clauses are
+    # supported only when each is single-term (ES must = each clause
+    # matches >=1 of ITS terms; single-term clauses make that the plain
+    # conjunction positive_and expresses).
+    composed = (
+        set(must_kinds) <= {"match", "match_phrase"}
+        and ("match_phrase" in must_kinds or not_phrases
+             or len(must_kinds) > 1)
+    )
+    if scoring_must and composed:
+        if predicate is not None:
+            _unsupported("filter context with phrase/multi-clause bool")
+        terms: List[str] = []
+        phrases: List[str] = []
+        match_clauses = [
+            c for c in scoring_must
+            if _one_key(c, "q")[0] == "match"
+        ]
+        positive_and = False
+        if len(match_clauses) == 1:
+            terms, positive_and = _content_match_terms(match_clauses[0])
+        elif match_clauses:
+            for c in match_clauses:
+                toks, _ = _content_match_terms(c)
+                if len(toks) != 1:
+                    _unsupported("multiple multi-term must match clauses "
+                                 "(per-clause OR is not expressible)")
+                terms.extend(toks)
+            positive_and = True
+        for c in scoring_must:
+            kind, _ = _one_key(c, "q")
+            if kind == "match_phrase":
+                field, q, slop = _phrase_parts(c)
+                if field != "content" or slop:
+                    _unsupported("bool match_phrase with field/slop")
+                phrases.append(q)
+        p = ParsedQuery(
+            raw="<dsl>", terms=terms, not_terms=sorted(set(not_terms)),
+            phrases=phrases, not_phrases=not_phrases,
+            positive_and=positive_and,
+        )
+        if not p.terms and not p.phrases:
+            return idx._empty_scored(join_docs)
+        return idx._boolean_with_phrases(p, k, "blockmax", join_docs)
+
+    # --- single scoring must clause ---
+    if scoring_must:
+        if len(scoring_must) > 1:
+            _unsupported("multiple scoring must clauses of this kind")
+        clause = scoring_must[0]
+        if has_neg:
+            if must_kinds[0] != "match" or predicate is not None:
+                _unsupported("must_not combined with non-match or filter")
+            terms, is_and = _content_match_terms(clause)
+            exclude, df_sum = idx._excluded_docs(sorted(set(not_terms)))
+            return idx.search(
+                terms, k=k, mode="and" if is_and else "blockmax",
+                join_docs=join_docs, exclude=exclude, exclude_df_sum=df_sum,
+            )
+        return _score_clause(idx, clause, k, predicate, join_docs)
+
+    # --- should-only bool ---
+    if should:
+        terms = []
+        for c in should:
+            kind, _ = _one_key(c, "bool.should")
+            if kind != "match":
+                _unsupported(f"should clause {kind!r}")
+            toks, is_and = _content_match_terms(c)
+            if is_and:
+                _unsupported("operator=and inside should")
+            terms.extend(toks)
+        msm_top = int(body.get("minimum_should_match", 1))
+        if not_phrases:
+            _unsupported("must_not phrases with should-only bool")
+        if not_terms:
+            if predicate is not None or msm_top > 1:
+                _unsupported("must_not with filter/msm in should bool")
+            exclude, df_sum = idx._excluded_docs(sorted(set(not_terms)))
+            return idx.search(
+                terms, k=k, join_docs=join_docs,
+                exclude=exclude, exclude_df_sum=df_sum,
+            )
+        if predicate is not None:
+            if msm_top > 1:
+                _unsupported("minimum_should_match with filter context")
+            return idx.search_filtered(
+                terms, predicate, k=k, join_docs=join_docs
+            )
+        return idx.search(
+            terms, k=k, min_should_match=msm_top, join_docs=join_docs
+        )
+
+    if predicate is not None:
+        _unsupported("pure filter bool (no scoring clause — the engine "
+                     "has no match_all ranking; query the docs table)")
+    return idx._empty_scored(join_docs)
+
+
+def execute_es_query(
+    idx,
+    body: Dict,
+    join_docs: bool = True,
+) -> DataFrame:
+    """Execute an ES request body against a BM25Index.
+
+    `body` is the JSON dict an ES client would POST to /_search:
+    {"query": {...}, "from": o, "size": n, "_source": [...]}.
+    Returns the page as a DataFrame in (score desc, doc_id asc) order.
+    """
+    query = body.get("query")
+    if query is None:
+        _unsupported("body without a query node")
+    frm = int(body.get("from", 0))
+    size = int(body.get("size", 10))
+    k = frm + size  # exact page through the total order
+    kind, node_body = _one_key(query, "query")
+    if kind == "bool":
+        df = _execute_bool(idx, node_body, k, join_docs)
+    elif kind in _SCORING:
+        df = _score_clause(idx, query, k, None, join_docs)
+    elif kind in _FILTERING:
+        _unsupported(f"top-level filter-type query {kind!r} (wrap it in "
+                     "bool.filter with a scoring clause)")
+    else:
+        _unsupported(f"query node {kind!r}")
+    if frm:
+        w = F.row_number().over(
+            Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        df = df.withColumn("_rn", w).filter(F.col("_rn") > frm).drop("_rn")
+    src = body.get("_source")
+    if src:
+        keep = [c for c in df.columns if c in set(src) | {"score", "doc_id"}]
+        df = df.select(*keep)
+    return df

@@ -1,0 +1,242 @@
+"""ES Query-DSL interpreter (query/dsl.py) — lowering equivalence.
+
+Each engine method is rank-identity-pinned against pure-Python oracles
+in its own suite; here we pin that `execute_es_query` lowers every
+supported ES request-body shape onto EXACTLY the equivalent engine
+call — including the reference's actual /search body
+(backend/search_api/main.py:162-189) — and refuses unsupported shapes
+loudly instead of answering wrong.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.index.builder import build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.query.dsl import execute_es_query
+from search_engine_spark.synth import synth_pages
+
+N_PAGES = 300
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dsl_idx"))
+    pages = synth_pages(spark, N_PAGES, num_partitions=4)
+    build_index(
+        spark, pages, root, num_buckets=16, block_size=32,
+        num_partitions=8, index_fields=True, index_positions=True,
+    )
+    return BM25Index(spark, root, seed_min_df=0)
+
+
+def rows(df):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in df.orderBy(F.desc("score"), F.asc("doc_id")).collect()
+    ]
+
+
+class TestReferenceBody:
+    def test_flagship_search_body(self, idx):
+        """The EXACT query shape the reference sends to ES
+        (main.py:162-189): multi_match best_fields over
+        title^3/description^2/content, from/size, _source."""
+        body = {
+            "query": {
+                "multi_match": {
+                    "query": "python tutorial",
+                    "fields": ["title^3", "description^2", "content"],
+                    "type": "best_fields",
+                }
+            },
+            "from": 0,
+            "size": 10,
+            "_source": ["url", "title"],
+        }
+        got = execute_es_query(idx, body)
+        want = idx.search_fields(
+            "python tutorial", k=10,
+            boosts={"title": 3.0, "description": 2.0, "content": 1.0},
+        )
+        assert rows(got) == rows(want)
+        assert set(got.columns) <= {"doc_id", "score", "url", "title"}
+
+    def test_pagination_page2(self, idx):
+        q = "python programming tutorial"
+        body = {"query": {"match": {"content": q}}, "from": 5, "size": 5}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        full = rows(idx.search(q, k=10, join_docs=False))
+        assert got == full[5:10]
+
+
+class TestLeafLowering:
+    def test_match_or(self, idx):
+        q = "quick brown fox"
+        got = rows(execute_es_query(
+            idx, {"query": {"match": {"content": q}}}, join_docs=False))
+        assert got == rows(idx.search(q, k=10, join_docs=False))
+
+    def test_match_and(self, idx):
+        q = "python database"
+        body = {"query": {"match": {"content": {
+            "query": q, "operator": "and"}}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        assert got == rows(idx.search(q, k=10, mode="and", join_docs=False))
+
+    def test_match_msm(self, idx):
+        q = "python database fox"
+        body = {"query": {"match": {"content": {
+            "query": q, "minimum_should_match": 2}}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        assert got == rows(
+            idx.search(q, k=10, min_should_match=2, join_docs=False))
+
+    def test_match_on_title_field(self, idx):
+        body = {"query": {"match": {"title": "page"}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        assert got == rows(idx.search_fields(
+            "page", k=10, boosts={"title": 1.0}, join_docs=False))
+
+    def test_match_phrase_and_slop(self, idx):
+        body = {"query": {"match_phrase": {"content": "machine learning"}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        assert got == rows(
+            idx.search_phrase("machine learning", k=10, join_docs=False))
+        body = {"query": {"match_phrase": {"content": {
+            "query": "machine learning", "slop": 2}}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        assert got == rows(idx.search_phrase(
+            "machine learning", k=10, slop=2, join_docs=False))
+
+    def test_multi_match_types(self, idx):
+        q = "python tutorial"
+        fields = ["title^3", "description^2", "content"]
+        boosts = {"title": 3.0, "description": 2.0, "content": 1.0}
+        for qtype, want in [
+            ("best_fields",
+             idx.search_fields(q, k=10, boosts=boosts, join_docs=False)),
+            ("most_fields",
+             idx.search_fields(q, k=10, boosts=boosts, tie_breaker=1.0,
+                               mode="exhaustive", join_docs=False)),
+            ("cross_fields",
+             idx.search_cross_fields(q, k=10, boosts=boosts,
+                                     join_docs=False)),
+        ]:
+            body = {"query": {"multi_match": {
+                "query": q, "fields": fields, "type": qtype}}}
+            got = rows(execute_es_query(idx, body, join_docs=False))
+            assert got == rows(want), qtype
+
+    def test_rewrite_queries(self, idx):
+        cases = [
+            ({"prefix": {"content": {"value": "mach"}}},
+             idx.search_prefix("mach", k=10, join_docs=False)),
+            ({"wildcard": {"content": {"value": "ma*ine"}}},
+             idx.search_wildcard("ma*ine", k=10, join_docs=False)),
+            ({"fuzzy": {"content": {"value": "machne",
+                                    "fuzziness": "AUTO"}}},
+             idx.search_fuzzy("machne", k=10, max_edits=2, join_docs=False)),
+        ]
+        for node, want in cases:
+            got = rows(execute_es_query(idx, {"query": node},
+                                        join_docs=False))
+            assert got == rows(want), node
+
+    def test_more_like_this(self, idx):
+        like = ("python tutorial with code examples about loops and "
+                "functions in python for beginners learning python")
+        body = {"query": {"more_like_this": {
+            "like": like, "min_term_freq": 1, "min_doc_freq": 2,
+            "max_query_terms": 8}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.more_like_this(
+            like, k=10, min_term_freq=1, min_doc_freq=2,
+            max_query_terms=8, join_docs=False))
+        assert got == want
+
+
+class TestBoolLowering:
+    def test_query_plus_filter(self, idx):
+        body = {"query": {"bool": {
+            "must": [{"match": {"content": "python tutorial"}}],
+            "filter": [{"term": {"domain": "example.com"}}],
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_filtered(
+            "python tutorial", "domain = 'example.com'", k=10,
+            join_docs=False))
+        assert got == want
+
+    def test_filter_range_and_terms(self, idx):
+        body = {"query": {"bool": {
+            "must": [{"match": {"content": "python"}}],
+            "filter": [
+                {"range": {"doclen": {"gte": 30, "lt": 200}}},
+                {"terms": {"domain": ["example.com", "news.site.com"]}},
+            ],
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_filtered(
+            "python",
+            "doclen >= 30 and doclen < 200 and "
+            "domain in ('example.com', 'news.site.com')",
+            k=10, join_docs=False))
+        assert got == want
+
+    def test_must_not_terms(self, idx):
+        body = {"query": {"bool": {
+            "must": [{"match": {"content": "python tutorial"}}],
+            "must_not": [{"match": {"content": "database"}}],
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(
+            "python tutorial NOT database", k=10, join_docs=False))
+        assert got == want
+
+    def test_phrase_composition_with_negated_phrase(self, idx):
+        body = {"query": {"bool": {
+            "must": [
+                {"match": {"content": "python"}},
+                {"match_phrase": {"content": "machine learning"}},
+            ],
+            "must_not": [{"match_phrase": {"content": "quick brown"}}],
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(
+            'python "machine learning" NOT "quick brown"', k=10,
+            join_docs=False))
+        assert got == want
+
+    def test_should_with_msm(self, idx):
+        body = {"query": {"bool": {
+            "should": [
+                {"match": {"content": "python"}},
+                {"match": {"content": "database"}},
+                {"match": {"content": "fox"}},
+            ],
+            "minimum_should_match": 2,
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search(
+            "python database fox", k=10, min_should_match=2,
+            join_docs=False))
+        assert got == want
+
+
+class TestRefusals:
+    @pytest.mark.parametrize(
+        "body",
+        [
+            {"query": {"bool": {"filter": [{"term": {"domain": "x"}}]}}},
+            {"query": {"term": {"domain": "x"}}},
+            {"query": {"bool": {
+                "must": [{"match": {"content": "a b"}},
+                         {"match": {"content": "c d"}}]}}},
+            {"query": {"function_score": {}}},
+            {"query": {"match": {"nosuchfield": "x"}}},
+        ],
+    )
+    def test_unsupported_shapes_raise(self, idx, body):
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, body)
