@@ -436,6 +436,90 @@ SELECT bucket_key, COALESCE(n, 0) AS doc_count
 FROM r LEFT JOIN c USING (idx)"""
 
 
+PCTS = [25.0, 50.0, 75.0, 95.0]
+
+
+def _q_facet_percentiles(spark, sf_dir):
+    """ES `percentiles` aggregation (BM25Index.facet_percentiles, exact
+    mode — approx=True flips the same plan to the percentile_approx
+    sketch for web scale): interpolated percentiles of the matching
+    docs' token counts."""
+    toks = _docs_tokens(spark, sf_dir)
+    vals = _matched_docs(toks).join(
+        toks.select("doc_id", F.size("toks").cast("double").alias("v")),
+        "doc_id",
+    )
+    q = vals.agg(
+        F.percentile("v", F.array(*[F.lit(p / 100.0) for p in PCTS])).alias("q")
+    )
+    pcs = F.array(*[F.lit(p) for p in PCTS])
+    return q.select(F.posexplode("q").alias("pos", "raw")).select(
+        F.element_at(pcs, F.col("pos") + 1).alias("percent"),
+        F.round("raw", 6).alias("value"),
+    )
+
+
+def _sql_facet_percentiles() -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({p} AS DOUBLE) AS percent, "
+        f"round(quantile_cont(v, {p / 100.0}), 6) AS value FROM v"
+        for p in PCTS
+    )
+    return f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE},
+v AS (SELECT CAST(len(l) AS DOUBLE) AS v FROM m JOIN tok USING (doc_id))
+{rows}"""
+
+
+TOPHITS_BUCKETS = 4
+TOPHITS_PER = 3
+
+
+def _q_facet_top_hits(spark, sf_dir):
+    """ES terms + top_hits sub-aggregation (BM25Index.facet_top_hits):
+    top buckets of `source` by match count, each carrying its best
+    BM25-scored docs — one exhaustive scoring pass, one value join,
+    a per-bucket row_number window, broadcast winning-bucket semi-join
+    (rank cut on round(·,9) so ties never depend on float noise)."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    scored = _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    hits = scored.join(docs, "doc_id")
+    top_b = (
+        hits.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("source"))
+        .limit(TOPHITS_BUCKETS)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.round("_s", 9)), F.asc("doc_id")
+    )
+    return (
+        hits.join(F.broadcast(top_b), "source")
+        .withColumn("hit_rank", F.row_number().over(w))
+        .filter(F.col("hit_rank") <= TOPHITS_PER)
+        .select(
+            "source", "doc_count", "hit_rank", "doc_id",
+            F.round("_s", 6).alias("score"),
+        )
+    )
+
+
+_SQL_TOP_HITS = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)},
+hits AS (SELECT doc_id, _s, source FROM scored JOIN documents USING (doc_id)),
+tb AS (SELECT source, count(*) AS doc_count FROM hits
+       GROUP BY source ORDER BY doc_count DESC, source
+       LIMIT {TOPHITS_BUCKETS}),
+r AS (SELECT source, doc_count, doc_id, _s,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY round(_s, 9) DESC, doc_id) AS hit_rank
+      FROM hits JOIN tb USING (source))
+SELECT source, doc_count, hit_rank, doc_id, round(_s, 6) AS score
+FROM r WHERE hit_rank <= {TOPHITS_PER}"""
+
+
 def _q_facet_cardinality(spark, sf_dir):
     """ES `cardinality` aggregation (BM25Index.facet_cardinality,
     exact mode — the engine's approx=True flips the same plan to
@@ -2914,6 +2998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_toklen": _q_facet_range,
         "facet_cardinality_source": _q_facet_cardinality,
         "facet_composite_page": _q_facet_composite,
+        "facet_percentiles_toklen": _q_facet_percentiles,
+        "facet_top_hits": _q_facet_top_hits,
         "significant_terms_topk": _q_significant_terms,
         "mlt_topk": _q_mlt_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -2998,6 +3084,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_range_toklen": _sql_facet_range(),
         "facet_cardinality_source": _SQL_FACET_CARDINALITY,
         "facet_composite_page": _SQL_FACET_COMPOSITE,
+        "facet_percentiles_toklen": _sql_facet_percentiles(),
+        "facet_top_hits": _SQL_TOP_HITS,
         "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
         "mlt_topk": _SQL_MLT,
         "tfidf_topk": _SQL_TFIDF,

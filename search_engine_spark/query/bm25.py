@@ -1161,6 +1161,131 @@ class BM25Index:
             )
         )
 
+    def facet_percentiles(
+        self,
+        query,
+        field,
+        percents: Optional[List[float]] = None,
+        mode: str = "or",
+        predicate=None,
+        approx: bool = False,
+        accuracy: int = 10000,
+    ) -> DataFrame:
+        """Percentiles aggregation — the ES `percentiles` agg (default
+        percents 1,5,25,50,75,95,99) over a numeric field of the
+        matching docs.  ES is always approximate here (T-Digest);
+        `approx=True` is the scale path via percentile_approx
+        (Greenwald-Khanna sketch — constant memory per partition, one
+        sketch merge, the only sane plan at 10^12 docs; `accuracy`
+        trades memory for error like T-Digest compression).  Default is
+        exact (`percentile`, interpolated like ES/T-Digest's continuous
+        estimate), which small-scale oracles can pin.  Returns one row
+        per percent: (percent, value)."""
+        percents = percents or [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+        empty = self.spark.createDataFrame([], "percent double, value double")
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        vals = matched.join(
+            self.docs.select("doc_id", F.expr(field).cast("double").alias("_v")),
+            "doc_id",
+        ).filter(F.col("_v").isNotNull())
+        fracs = F.array(*[F.lit(p / 100.0) for p in percents])
+        agg = (
+            F.percentile_approx("_v", fracs, accuracy) if approx
+            else F.percentile("_v", fracs)
+        )
+        row = vals.agg(agg.alias("q")).collect()[0]["q"]
+        if row is None:
+            return empty
+        return self.spark.createDataFrame(
+            [(float(p), float(v)) for p, v in zip(percents, row)],
+            "percent double, value double",
+        )
+
+    def facet_top_hits(
+        self,
+        query,
+        field,
+        size: int = 10,
+        hits_per_bucket: int = 3,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Top-hits-per-bucket — the ES `terms` aggregation with a
+        `top_hits` sub-aggregation ("group results by site, show the
+        best N of each"): the top `size` buckets of `field` by match
+        count (doc_count desc, value asc — facet_counts order), each
+        carrying its `hits_per_bucket` best docs by BM25 (score desc,
+        doc_id asc).
+
+        Physical plan: one exhaustive scoring pass over the query
+        terms' postings (like ES, every hit must be scored — a top-k
+        prune can't know a bucket's best doc), ONE hash join to attach
+        the bucket value, a row_number window partitioned by bucket for
+        the per-bucket cut, and a broadcast semi-join of the size-
+        bounded winning-bucket list.  Shuffles are bounded by the
+        match count; the window never sees more than the matched docs.
+        Returns (value, doc_count, rank, doc_id, score)."""
+        empty = self.spark.createDataFrame(
+            [],
+            "value string, doc_count long, rank int, doc_id long, "
+            "score double",
+        )
+        terms = sorted(
+            set(query) if isinstance(query, list) else set(tokenize_py(query))
+        )
+        stats = self._query_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return empty
+        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
+        buckets_ = sorted({stats[t][2] for t in terms})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets_) & F.col("term").isin(terms)
+        )
+        scored = (
+            blocks.select("term", "count", "doc_ids", "tfs", "doclens")
+            .mapInPandas(
+                _decode_and_score(idf_by_term, self.avgdl),
+                schema="doc_id long, contrib double",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        if mode == "and":
+            scored = scored.join(
+                self._matched_ids(terms, "and"), "doc_id", "left_semi"
+            )
+        scored = self._drop_tombstones(scored)
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        vals = docs.select(
+            "doc_id", F.expr(field).cast("string").alias("value")
+        ).filter(F.col("value").isNotNull())
+        hits = scored.join(vals, "doc_id")
+        top_buckets = (
+            hits.groupBy("value")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size)
+        )
+        w = Window.partitionBy("value").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            hits.join(F.broadcast(top_buckets), "value")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= hits_per_bucket)
+            .select("value", "doc_count", "rank", "doc_id", "score")
+            .orderBy(
+                F.desc("doc_count"), F.asc("value"), F.asc("rank")
+            )
+        )
+
     def significant_terms(
         self,
         query,

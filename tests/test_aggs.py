@@ -282,6 +282,108 @@ class TestFacetComposite:
             idx.facet_composite("python", [])
 
 
+class TestFacetPercentiles:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_exact_matches_numpy(self, spark, corpus, query):
+        import numpy as np
+
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        dls = np.array(sorted(oracle.doclen[d] for d in m), dtype=float)
+        percents = [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+        rows = idx.facet_percentiles(query, "doclen", percents).collect()
+        assert [r["percent"] for r in rows] == percents
+        for r, p in zip(rows, percents):
+            want = float(np.percentile(dls, p, method="linear"))
+            assert abs(r["value"] - want) < 1e-9, (query, p)
+
+    def test_approx_within_rank_band(self, spark, corpus):
+        """The sketch path (percentile_approx — the 10^12-doc plan)
+        returns a true order statistic within ±1 percent-rank of the
+        target (GK sketch guarantee at this accuracy); exact
+        interpolates, so compare against the order-statistic band, not
+        the interpolated value."""
+        import numpy as np
+
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, QUERIES[0])
+        dls = np.array(sorted(oracle.doclen[d] for d in m), dtype=float)
+        approx = {
+            r["percent"]: r["value"]
+            for r in idx.facet_percentiles(
+                QUERIES[0], "doclen", approx=True
+            ).collect()
+        }
+        for p, v in approx.items():
+            lo = float(np.percentile(dls, max(p - 1.0, 0.0), method="lower"))
+            hi = float(np.percentile(dls, min(p + 1.0, 100.0), method="higher"))
+            assert lo <= v <= hi, (p, v, lo, hi)
+
+    def test_no_match(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.facet_percentiles("zzqqxx", "doclen").collect() == []
+
+
+class TestFacetTopHits:
+    def _want(self, oracle, domain_by_doc, query, size, hits, mode="or"):
+        terms = [
+            t for t in set(tokenize_py(query)) if oracle.df.get(t, 0) > 0
+        ]
+        m = _matched(oracle, query, mode)
+        scored = [(d, oracle.score(d, terms)) for d in m]
+        by_bucket = {}
+        for d, s in scored:
+            by_bucket.setdefault(domain_by_doc[d], []).append((d, s))
+        buckets = sorted(
+            ((v, len(ds)) for v, ds in by_bucket.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:size]
+        out = []
+        for v, cnt in buckets:
+            docs = sorted(by_bucket[v], key=lambda x: (-x[1], x[0]))[:hits]
+            out.extend(
+                (v, cnt, i + 1, d, s) for i, (d, s) in enumerate(docs)
+            )
+        return out
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        got = [
+            (r["value"], r["doc_count"], r["rank"], r["doc_id"], r["score"])
+            for r in idx.facet_top_hits(
+                query, "domain", size=4, hits_per_bucket=3
+            ).collect()
+        ]
+        want = self._want(oracle, domain_by_doc, query, 4, 3)
+        assert [g[:4] for g in got] == [w[:4] for w in want], query
+        for g, w in zip(got, want):
+            assert abs(g[4] - w[4]) < 1e-9
+
+    def test_and_mode(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        q = QUERIES[0]
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        got = [
+            (r["value"], r["doc_count"], r["rank"], r["doc_id"])
+            for r in idx.facet_top_hits(
+                q, "domain", size=3, hits_per_bucket=2, mode="and"
+            ).collect()
+        ]
+        want = [w[:4] for w in self._want(
+            oracle, domain_by_doc, q, 3, 2, mode="and")]
+        assert got == want
+
+    def test_no_match(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.facet_top_hits("zzqqxx", "domain").collect() == []
+
+
 class TestCountMatchesRefactor:
     """count_matches went through _matched_ids — pin the old contract."""
 
