@@ -393,6 +393,142 @@ def _execute_bool(idx, body, k, join_docs) -> DataFrame:
     return idx._empty_scored(join_docs)
 
 
+def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
+    """(query_terms, mode, predicate) of the query node an aggs block
+    runs under.  Supported: absent/match_all (whole corpus is not an
+    aggregatable foreground here — raise), match on content, or bool
+    {must: [match content], filter: [...]}. """
+    if query is None:
+        _unsupported("aggs without a query (no match_all foreground)")
+    kind, body = _one_key(query, "aggs query")
+    if kind == "match":
+        field, q, op, msm = _match_parts(query)
+        if field != "content" or msm:
+            _unsupported("aggs under non-content match or msm")
+        return q, "and" if op == "and" else "or", None
+    if kind == "bool":
+        must = _as_list(body.get("must", []))
+        filters = _as_list(body.get("filter", []))
+        if body.get("should") or body.get("must_not"):
+            _unsupported("aggs under bool with should/must_not")
+        scoring, extra = [], []
+        for c in must:
+            k, _ = _one_key(c, "aggs bool.must")
+            (extra if k in _FILTERING else scoring).append(c)
+        if len(scoring) != 1 or _one_key(scoring[0], "q")[0] != "match":
+            _unsupported("aggs bool needs exactly one match must clause")
+        field, q, op, msm = _match_parts(scoring[0])
+        if field != "content" or msm:
+            _unsupported("aggs under non-content match or msm")
+        return (
+            q,
+            "and" if op == "and" else "or",
+            _filter_predicate(filters + extra),
+        )
+    _unsupported(f"aggs under query node {kind!r}")
+
+
+def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
+    """Execute the `aggs` section of an ES request body.
+
+    {"query": ..., "aggs": {name: {<type>: {...}}, ...}} → {name:
+    DataFrame} (cardinality returns an int, matching its single-value
+    ES response).  Supported agg types and their engine methods:
+
+      terms → facet_counts (with a nested top_hits sub-agg →
+        facet_top_hits), stats → facet_stats, histogram →
+        facet_histogram, range → facet_range, cardinality →
+        facet_cardinality (precision_threshold>0 keeps ES's
+        always-approximate HLL semantics), percentiles →
+        facet_percentiles, significant_terms → significant_terms
+        (over the indexed text, like ES on the analyzed field),
+        composite → facet_composite (terms sources, after cursor).
+
+    The query node supplies the foreground exactly as in ES: hits of
+    the (match / bool must+filter) query."""
+    aggs = body.get("aggs") or body.get("aggregations")
+    if not aggs:
+        _unsupported("body without an aggs section")
+    q, mode, predicate = _agg_context(body.get("query"))
+    out: Dict[str, object] = {}
+    for name, node in aggs.items():
+        sub = dict(node)
+        nested = sub.pop("aggs", None) or sub.pop("aggregations", None)
+        kind, spec = _one_key(sub, f"agg {name!r}")
+        if kind == "terms":
+            field = spec["field"]
+            size = int(spec.get("size", 10))
+            if nested:
+                nname, nnode = _one_key(nested, "nested agg")
+                nkind, nspec = _one_key(nnode, "nested agg node")
+                if nkind != "top_hits":
+                    _unsupported(f"nested agg {nkind!r} (only top_hits)")
+                out[name] = idx.facet_top_hits(
+                    q, field, size=size,
+                    hits_per_bucket=int(nspec.get("size", 3)),
+                    mode=mode, predicate=predicate,
+                )
+            else:
+                out[name] = idx.facet_counts(
+                    q, field, size=size, mode=mode, predicate=predicate
+                )
+        elif kind == "stats":
+            out[name] = idx.facet_stats(
+                q, spec["field"], mode=mode, predicate=predicate
+            )
+        elif kind == "histogram":
+            out[name] = idx.facet_histogram(
+                q, spec["field"], float(spec["interval"]),
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "range":
+            ranges = [
+                (r.get("from"), r.get("to")) for r in spec["ranges"]
+            ]
+            out[name] = idx.facet_range(
+                q, spec["field"], ranges, mode=mode, predicate=predicate
+            )
+        elif kind == "cardinality":
+            out[name] = idx.facet_cardinality(
+                q, spec["field"], mode=mode, predicate=predicate,
+                approx=bool(spec.get("precision_threshold")),
+            )
+        elif kind == "percentiles":
+            out[name] = idx.facet_percentiles(
+                q, spec["field"],
+                [float(p) for p in spec["percents"]]
+                if spec.get("percents") else None,
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "significant_terms":
+            out[name] = idx.significant_terms(
+                q, size=int(spec.get("size", 10)),
+                min_doc_count=int(spec.get("min_doc_count", 3)),
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "composite":
+            fields, src_names = [], []
+            for src in spec["sources"]:
+                sname, srcnode = _one_key(src, "composite source")
+                skind, sspec = _one_key(srcnode, "composite source node")
+                if skind != "terms":
+                    _unsupported(f"composite source {skind!r}")
+                fields.append(sspec["field"])
+                src_names.append(sname)
+            after = spec.get("after")
+            if isinstance(after, dict):  # ES's {source_name: last_value}
+                after = tuple(after[n] for n in src_names)
+            elif after is not None:
+                after = tuple(after)
+            out[name] = idx.facet_composite(
+                q, fields, size=int(spec.get("size", 10)),
+                after=after, mode=mode, predicate=predicate,
+            )
+        else:
+            _unsupported(f"aggregation type {kind!r}")
+    return out
+
+
 def execute_es_query(
     idx,
     body: Dict,

@@ -240,3 +240,131 @@ class TestRefusals:
     def test_unsupported_shapes_raise(self, idx, body):
         with pytest.raises(NotImplementedError):
             execute_es_query(idx, body)
+
+
+class TestAggsLowering:
+    """execute_es_aggs lowers the request body's aggs section onto the
+    facet methods — each pinned to its oracle in test_aggs.py."""
+
+    Q = {"query": {"match": {"content": "python tutorial"}}}
+
+    def test_terms_stats_histogram(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {**self.Q, "aggs": {
+            "by_domain": {"terms": {"field": "domain", "size": 5}},
+            "len_stats": {"stats": {"field": "doclen"}},
+            "len_hist": {"histogram": {"field": "doclen", "interval": 25}},
+        }}
+        out = execute_es_aggs(idx, body)
+        assert [tuple(r) for r in out["by_domain"].collect()] == [
+            tuple(r)
+            for r in idx.facet_counts("python tutorial", "domain", size=5).collect()
+        ]
+        assert [tuple(r) for r in out["len_stats"].collect()] == [
+            tuple(r)
+            for r in idx.facet_stats("python tutorial", "doclen").collect()
+        ]
+        assert [tuple(r) for r in out["len_hist"].collect()] == [
+            tuple(r)
+            for r in idx.facet_histogram("python tutorial", "doclen", 25).collect()
+        ]
+
+    def test_range_cardinality_percentiles(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {**self.Q, "aggs": {
+            "len_range": {"range": {"field": "doclen", "ranges": [
+                {"to": 50.0}, {"from": 50.0, "to": 150.0}, {"from": 150.0},
+            ]}},
+            "n_domains": {"cardinality": {"field": "domain"}},
+            "len_pct": {"percentiles": {"field": "doclen",
+                                        "percents": [50.0, 95.0]}},
+        }}
+        out = execute_es_aggs(idx, body)
+        assert [tuple(r) for r in out["len_range"].collect()] == [
+            tuple(r) for r in idx.facet_range(
+                "python tutorial", "doclen",
+                [(None, 50.0), (50.0, 150.0), (150.0, None)]).collect()
+        ]
+        assert out["n_domains"] == idx.facet_cardinality(
+            "python tutorial", "domain")
+        assert [tuple(r) for r in out["len_pct"].collect()] == [
+            tuple(r) for r in idx.facet_percentiles(
+                "python tutorial", "doclen", [50.0, 95.0]).collect()
+        ]
+
+    def test_significant_composite_tophits(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {**self.Q, "aggs": {
+            "sig": {"significant_terms": {"field": "content", "size": 5,
+                                          "min_doc_count": 2}},
+            "pages": {"composite": {
+                "size": 5,
+                "sources": [{"dom": {"terms": {"field": "domain"}}}],
+            }},
+            "best_per_domain": {
+                "terms": {"field": "domain", "size": 3},
+                "aggs": {"top": {"top_hits": {"size": 2}}},
+            },
+        }}
+        out = execute_es_aggs(idx, body)
+        assert [tuple(r) for r in out["sig"].collect()] == [
+            tuple(r) for r in idx.significant_terms(
+                "python tutorial", size=5, min_doc_count=2).collect()
+        ]
+        assert [tuple(r) for r in out["pages"].collect()] == [
+            tuple(r) for r in idx.facet_composite(
+                "python tutorial", ["domain"], size=5).collect()
+        ]
+        assert [tuple(r) for r in out["best_per_domain"].collect()] == [
+            tuple(r) for r in idx.facet_top_hits(
+                "python tutorial", "domain", size=3,
+                hits_per_bucket=2).collect()
+        ]
+
+    def test_filter_context_aggs(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"bool": {
+                "must": [{"match": {"content": "python"}}],
+                "filter": [{"term": {"domain": "example.com"}}],
+            }},
+            "aggs": {"len_stats": {"stats": {"field": "doclen"}}},
+        }
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_stats(
+            "python", "doclen",
+            predicate=F.col("domain") == F.lit("example.com"),
+        )
+        assert [tuple(r) for r in out["len_stats"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+    def test_composite_after_dict_cursor(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        p1 = idx.facet_composite("python tutorial", ["domain"], size=2).collect()
+        body = {**self.Q, "aggs": {"pages": {"composite": {
+            "size": 2,
+            "sources": [{"dom": {"terms": {"field": "domain"}}}],
+            "after": {"dom": p1[-1]["k0"]},
+        }}}}
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_composite(
+            "python tutorial", ["domain"], size=2, after=(p1[-1]["k0"],))
+        assert [tuple(r) for r in out["pages"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+    def test_unsupported_agg_raises(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, {**self.Q, "aggs": {
+                "x": {"date_histogram": {"field": "warc_ts"}}}})
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, {"query": {"match_all": {}}, "aggs": {
+                "x": {"stats": {"field": "doclen"}}}})
