@@ -436,6 +436,28 @@ SELECT bucket_key, COALESCE(n, 0) AS doc_count
 FROM r LEFT JOIN c USING (idx)"""
 
 
+def _q_date_histogram(spark, sf_dir):
+    """ES `date_histogram` aggregation (BM25Index.facet_date_histogram
+    — same native date_trunc bucketing, here over the events table's
+    timestamps since documents carry none): daily buckets of click
+    events, key asc, min_doc_count=1."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.date_trunc("day", F.col("ts")).alias("bucket_ts"))
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket_ts")
+    )
+
+
+_SQL_DATE_HISTOGRAM = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+       count(*) AS doc_count
+FROM events WHERE event_type = 'click'
+GROUP BY bucket_ts ORDER BY bucket_ts"""
+
+
 PCTS = [25.0, 50.0, 75.0, 95.0]
 
 
@@ -3000,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_composite_page": _q_facet_composite,
         "facet_percentiles_toklen": _q_facet_percentiles,
         "facet_top_hits": _q_facet_top_hits,
+        "facet_date_histogram": _q_date_histogram,
         "significant_terms_topk": _q_significant_terms,
         "mlt_topk": _q_mlt_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -3086,6 +3109,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_composite_page": _SQL_FACET_COMPOSITE,
         "facet_percentiles_toklen": _sql_facet_percentiles(),
         "facet_top_hits": _SQL_TOP_HITS,
+        "facet_date_histogram": _SQL_DATE_HISTOGRAM,
         "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
         "mlt_topk": _SQL_MLT,
         "tfidf_topk": _SQL_TFIDF,

@@ -1088,6 +1088,42 @@ class BM25Index:
             .orderBy("key")
         )
 
+    def facet_date_histogram(
+        self,
+        query,
+        field: str = "warc_ts",
+        calendar_interval: str = "day",
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Date-histogram aggregation — the ES `date_histogram` agg
+        with a calendar_interval: buckets keyed by the interval start
+        (native `date_trunc`, JVM-side — minute/hour/day/week/month/
+        quarter/year; week starts Monday, as in ES's default), ordered
+        key asc, min_doc_count=1 semantics like facet_histogram (empty
+        calendar buckets are a serving-layer fill).  Null timestamps
+        are ignored, as in ES."""
+        allowed = {"minute", "hour", "day", "week", "month", "quarter",
+                   "year"}
+        if calendar_interval not in allowed:
+            raise ValueError(
+                f"calendar_interval must be one of {sorted(allowed)}"
+            )
+        empty = self.spark.createDataFrame(
+            [], "key timestamp, doc_count long"
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        key = F.date_trunc(calendar_interval, F.expr(field)).alias("key")
+        vals = self.docs.select("doc_id", key).filter(F.col("key").isNotNull())
+        return (
+            matched.join(vals, "doc_id")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("key")
+        )
+
     def facet_range(
         self,
         query,

@@ -481,6 +481,14 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 q, spec["field"], float(spec["interval"]),
                 mode=mode, predicate=predicate,
             )
+        elif kind == "date_histogram":
+            if "calendar_interval" not in spec:
+                _unsupported("date_histogram without calendar_interval "
+                             "(fixed_interval is not supported)")
+            out[name] = idx.facet_date_histogram(
+                q, spec["field"], spec["calendar_interval"],
+                mode=mode, predicate=predicate,
+            )
         elif kind == "range":
             ranges = [
                 (r.get("from"), r.get("to")) for r in spec["ranges"]

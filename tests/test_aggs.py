@@ -282,6 +282,41 @@ class TestFacetComposite:
             idx.facet_composite("python", [])
 
 
+class TestFacetDateHistogram:
+    @pytest.mark.parametrize("interval,trunc", [
+        ("day", lambda t: t.replace(hour=0, minute=0, second=0,
+                                    microsecond=0)),
+        ("month", lambda t: t.replace(day=1, hour=0, minute=0, second=0,
+                                      microsecond=0)),
+        ("year", lambda t: t.replace(month=1, day=1, hour=0, minute=0,
+                                     second=0, microsecond=0)),
+    ])
+    def test_matches_oracle(self, spark, corpus, interval, trunc):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        ts_by_doc = {
+            r["doc_id"]: r["warc_ts"]
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", "warc_ts").collect()
+        }
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        want = {}
+        for d in m:
+            key = trunc(ts_by_doc[d])
+            want[key] = want.get(key, 0) + 1
+        rows = idx.facet_date_histogram(q, "warc_ts", interval).collect()
+        got = {r["key"]: r["doc_count"] for r in rows}
+        assert got == want
+        assert [r["key"] for r in rows] == sorted(got)
+
+    def test_bad_interval(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_date_histogram(QUERIES[0], "warc_ts", "fortnight")
+
+
 class TestFacetPercentiles:
     @pytest.mark.parametrize("query", QUERIES)
     def test_exact_matches_numpy(self, spark, corpus, query):

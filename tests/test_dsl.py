@@ -364,7 +364,24 @@ class TestAggsLowering:
 
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, {**self.Q, "aggs": {
-                "x": {"date_histogram": {"field": "warc_ts"}}}})
+                "x": {"geo_distance": {"field": "location"}}}})
+        with pytest.raises(NotImplementedError):
+            # fixed_interval is not supported — calendar_interval only
+            execute_es_aggs(idx, {**self.Q, "aggs": {
+                "x": {"date_histogram": {"field": "warc_ts",
+                                         "fixed_interval": "1d"}}}})
+
+    def test_date_histogram_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {**self.Q, "aggs": {"by_day": {"date_histogram": {
+            "field": "warc_ts", "calendar_interval": "month"}}}}
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_date_histogram(
+            "python tutorial", "warc_ts", "month")
+        assert [tuple(r) for r in out["by_day"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, {"query": {"match_all": {}}, "aggs": {
                 "x": {"stats": {"field": "doclen"}}}})
