@@ -47,6 +47,7 @@ def main() -> None:
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.query import serving
     from search_engine_spark.query.bm25 import BM25Index
+    from search_engine_spark.query.dsl import execute_es_aggs, execute_es_query
     from search_engine_spark.synth import synth_pages
     from search_engine_spark.web.crawl import crawl_and_index, simulate_crawl
     from search_engine_spark.web.links import edges_from_pages
@@ -133,7 +134,41 @@ def main() -> None:
                 pages.select("text").first()["text"], k=5,
                 min_term_freq=1, min_doc_freq=2,
             ).count(),
+            "cross_fields": idx.search_cross_fields(
+                "python data", k=5
+            ).count(),
+            "suggest": idx.suggest_terms(
+                "pythoon", suggest_mode="always"
+            ).count(),
+            "significant": idx.significant_terms(
+                "python data", size=5, min_doc_count=2
+            ).count(),
+            "top_hits": idx.facet_top_hits(
+                "python data", "domain", size=3, hits_per_bucket=2
+            ).count(),
         }
+        # the ES Query-DSL path: the reference's flagship request body
+        # (main.py:162-189) must rank identically to search_fields
+        dsl_rows = execute_es_query(idx, {
+            "query": {"multi_match": {
+                "query": args.query,
+                "fields": ["title^3", "description^2", "content"],
+                "type": "best_fields",
+            }},
+            "from": 0, "size": 10,
+        }, join_docs=False).collect()
+        direct = idx.search_fields(args.query, k=10, join_docs=False).collect()
+        assert [r["doc_id"] for r in dsl_rows] == [
+            r["doc_id"] for r in direct
+        ], "DSL lowering must match search_fields"
+        dsl_aggs = execute_es_aggs(idx, {
+            "query": {"match": {"content": args.query}},
+            "aggs": {"by_domain": {"terms": {"field": "domain", "size": 5}},
+                     "len_stats": {"stats": {"field": "doclen"}}},
+        })
+        assert dsl_aggs["by_domain"].count() > 0
+        assert dsl_aggs["len_stats"].collect()[0]["count"] > 0
+        family["dsl"] = len(dsl_rows)
         stages["query_s"] = round(time.time() - t, 2); t = time.time()
 
         # 5b) delete-by-query (ES _delete_by_query -> Lucene tombstones):
