@@ -14,7 +14,7 @@ def test_empty_corpus_builds_and_queries(spark, tmp_path):
     pages = synth_pages(spark, 10, num_partitions=2).filter(F.lit(False))
     build_index(
         spark, pages, root, num_buckets=4, block_size=16,
-        num_partitions=2, resume=False,
+        num_partitions=2, resume=False, index_fields=True,
     )
     idx = BM25Index(spark, root)
     assert idx.n_docs == 0 and idx.avgdl == 0.0
@@ -22,6 +22,26 @@ def test_empty_corpus_builds_and_queries(spark, tmp_path):
     assert idx.search_many({"a": "python"}, k=5).count() == 0
     assert idx.search_boolean("python NOT tutorial", k=5).count() == 0
     assert idx.stats()["indexed_docs"] == 0
+    # the aggregations family answers empty, not crashes
+    assert idx.facet_counts("python", "domain").count() == 0
+    assert idx.facet_stats("python", "doclen").count() == 0
+    assert idx.facet_histogram("python", "doclen", 10).count() == 0
+    # range zero-fills every requested bucket even with no index terms
+    rng = idx.facet_range("python", "doclen", [(None, 5.0)]).collect()
+    assert len(rng) == 1 and rng[0]["doc_count"] == 0
+    assert idx.facet_cardinality("python", "domain") == 0
+    assert idx.facet_composite("python", ["domain"]).count() == 0
+    assert idx.facet_percentiles("python", "doclen").count() == 0
+    assert idx.facet_date_histogram("python", "warc_ts").count() == 0
+    assert idx.facet_top_hits("python", "domain").count() == 0
+    assert idx.significant_terms("python").count() == 0
+    assert idx.suggest_terms("pythoon").count() == 0
+    assert idx.search_cross_fields("python", join_docs=False).count() == 0
+    from search_engine_spark.query.dsl import execute_es_query
+
+    assert execute_es_query(
+        idx, {"query": {"match": {"content": "python"}}}, join_docs=False
+    ).count() == 0
 
 
 def test_null_text_pages_are_tolerated(spark, tmp_path):
