@@ -557,6 +557,34 @@ def execute_es_query(
     kind, node_body = _one_key(query, "query")
     if kind == "bool":
         df = _execute_bool(idx, node_body, k, join_docs)
+    elif kind == "constant_score":
+        # ES constant_score: every doc matching the filter scores
+        # `boost` — a pure metadata scan (parquet predicate pushdown),
+        # never touches postings; ties broken doc_id asc like ES's
+        # stable equal-score order
+        pred = _filter_predicate(_as_list(node_body["filter"]))
+        boost = float(node_body.get("boost", 1.0))
+        df = (
+            idx.docs.filter(pred if pred is not None else F.lit(True))
+            .select("doc_id", F.lit(boost).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+        df = idx._drop_tombstones(df)
+        if join_docs:
+            df = idx._join_docs(df)
+    elif kind == "ids":
+        # ES ids query: point lookup by doc id, constant score 1.0
+        vals = [int(v) for v in node_body["values"]]
+        df = (
+            idx.docs.filter(F.col("doc_id").isin(vals))
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+        df = idx._drop_tombstones(df)
+        if join_docs:
+            df = idx._join_docs(df)
     elif kind in _SCORING:
         df = _score_clause(idx, query, k, None, join_docs)
     elif kind in _FILTERING:

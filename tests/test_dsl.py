@@ -385,3 +385,26 @@ class TestAggsLowering:
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, {"query": {"match_all": {}}, "aggs": {
                 "x": {"stats": {"field": "doclen"}}}})
+
+
+class TestConstantScoreAndIds:
+    def test_constant_score(self, idx):
+        body = {"query": {"constant_score": {
+            "filter": [{"term": {"domain": "example.com"}}],
+            "boost": 2.5,
+        }}, "size": 50}
+        rows_ = execute_es_query(idx, body, join_docs=False).collect()
+        want = [
+            r["doc_id"]
+            for r in idx.docs.filter(F.col("domain") == "example.com")
+            .orderBy("doc_id").limit(50).collect()
+        ]
+        assert [r["doc_id"] for r in rows_] == want
+        assert all(r["score"] == 2.5 for r in rows_)
+
+    def test_ids_lookup(self, idx):
+        some = [r["doc_id"] for r in idx.docs.limit(3).collect()]
+        body = {"query": {"ids": {"values": some + [99999999999]}}}
+        rows_ = execute_es_query(idx, body, join_docs=False).collect()
+        assert sorted(r["doc_id"] for r in rows_) == sorted(some)
+        assert all(r["score"] == 1.0 for r in rows_)
