@@ -23,8 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", action="append", required=True,
+    ap.add_argument("--query", action="append",
                     help="repeatable; one search per flag")
+    ap.add_argument("--es-body", action="append",
+                    help="raw ES request-body JSON (string or @file) — "
+                         "executed via query/dsl.py; repeatable")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="blockmax",
                     choices=["blockmax", "exhaustive", "and", "tfidf",
@@ -51,8 +54,33 @@ def main() -> None:
     from search_engine_spark.query.bm25 import BM25Index
     from search_engine_spark.query.serving import log_query
 
+    if not args.query and not args.es_body:
+        ap.error("at least one --query or --es-body is required")
+
     idx = BM25Index(spark, args.index)
-    for q in args.query:
+
+    for spec in args.es_body or []:
+        from search_engine_spark.query.dsl import execute_es_query
+
+        raw = spec[1:] if spec.startswith("@") else spec
+        if spec.startswith("@"):
+            with open(raw) as fh:
+                raw = fh.read()
+        body = json.loads(raw)
+        t0 = time.time()
+        rows = execute_es_query(idx, body).collect()
+        ms = int((time.time() - t0) * 1000)
+        print(json.dumps({
+            "es_body": body,
+            "took_ms": ms,
+            "results": [
+                {k: (round(v, 6) if isinstance(v, float) else v)
+                 for k, v in r.asDict().items()}
+                for r in rows
+            ],
+        }, default=str))
+
+    for q in args.query or []:
         t0 = time.time()
         if args.mode == "boolean":
             rows = idx.search_boolean(q, k=args.k).collect()
