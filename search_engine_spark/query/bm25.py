@@ -1322,6 +1322,76 @@ class BM25Index:
             )
         )
 
+    def search_collapse(
+        self,
+        query,
+        field,
+        k: int = 10,
+        join_docs: bool = True,
+        predicate=None,
+    ) -> DataFrame:
+        """Field collapsing — the ES top-level `collapse` parameter:
+        the top-k results keeping only the BEST-scoring doc per value
+        of `field` ("one result per site").  Ordering is the usual
+        total order (score desc, doc_id asc) over the representatives.
+
+        Physical plan: exhaustive scoring over the query terms'
+        postings (the per-value argmax cannot be WAND-pruned — a
+        collapsed winner may rank below θ globally yet be its group's
+        best), one hash join to attach the value, a row_number window
+        per value for the argmax, then the global
+        TakeOrderedAndProject.  Docs with a null collapse field are
+        dropped, as in ES.  Returns (doc_id, score, value)."""
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, value string"
+        )
+        terms = sorted(
+            set(query) if isinstance(query, list) else set(tokenize_py(query))
+        )
+        stats = self._query_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms or k <= 0:
+            return self._join_docs(empty) if join_docs else empty
+        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
+        buckets = sorted({stats[t][2] for t in terms})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        scored = (
+            blocks.select("term", "count", "doc_ids", "tfs", "doclens")
+            .mapInPandas(
+                _decode_and_score(idf_by_term, self.avgdl),
+                schema="doc_id long, contrib double",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        scored = self._drop_tombstones(scored)
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        vals = docs.select(
+            "doc_id", F.expr(field).cast("string").alias("value")
+        ).filter(F.col("value").isNotNull())
+        w = Window.partitionBy("value").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        topk = (
+            scored.join(vals, "doc_id")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "score", "value")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        if not join_docs:
+            return topk
+        return self._join_docs(topk.select("doc_id", "score")).join(
+            F.broadcast(topk.select("doc_id", "value")), "doc_id"
+        )
+
     def significant_terms(
         self,
         query,

@@ -554,6 +554,23 @@ def execute_es_query(
     frm = int(body.get("from", 0))
     size = int(body.get("size", 10))
     k = frm + size  # exact page through the total order
+    collapse = body.get("collapse")
+    if collapse:
+        # ES top-level collapse: best doc per field value.  Foreground
+        # restricted to a content match (with optional bool filter).
+        cq, cmode, cpred = _agg_context(query)
+        if cmode != "or":
+            _unsupported("collapse under operator=and match")
+        df = idx.search_collapse(
+            cq, collapse["field"], k=k, join_docs=join_docs,
+            predicate=cpred,
+        )
+        if frm:
+            w = F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+            df = df.withColumn("_rn", w).filter(F.col("_rn") > frm).drop("_rn")
+        return df
     kind, node_body = _one_key(query, "query")
     if kind == "bool":
         df = _execute_bool(idx, node_body, k, join_docs)

@@ -431,3 +431,78 @@ class TestCountMatchesRefactor:
                 _matched(oracle, q, mode)
             )
         assert idx.count_matches("zzqqxx") == 0
+
+
+class TestSearchCollapse:
+    def _want(self, oracle, domain_by_doc, query, k, allowed=None):
+        terms = [
+            t for t in set(tokenize_py(query)) if oracle.df.get(t, 0) > 0
+        ]
+        m = _matched(oracle, query, allowed=allowed)
+        best = {}
+        for d in m:
+            v = domain_by_doc[d]
+            s = oracle.score(d, terms)
+            cur = best.get(v)
+            if cur is None or (s, -d) > (cur[1], -cur[0]):
+                best[v] = (d, s)
+        reps = sorted(
+            ((d, s, v) for v, (d, s) in best.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return reps[:k]
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        got = [
+            (r["doc_id"], r["score"], r["value"])
+            for r in idx.search_collapse(
+                query, "domain", k=5, join_docs=False
+            ).collect()
+        ]
+        want = self._want(oracle, domain_by_doc, query, 5)
+        assert [(g[0], g[2]) for g in got] == [(w[0], w[2]) for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[1] - w[1]) < 1e-9
+
+    def test_one_result_per_value(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.search_collapse(
+            QUERIES[0], "domain", k=20, join_docs=False
+        ).collect()
+        vals = [r["value"] for r in rows]
+        assert len(vals) == len(set(vals))
+
+    def test_dsl_collapse(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {
+            "query": {"match": {"content": QUERIES[0]}},
+            "collapse": {"field": "domain"},
+            "size": 5,
+        }
+        got = [
+            tuple(r)
+            for r in execute_es_query(idx, body, join_docs=False).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in idx.search_collapse(
+                QUERIES[0], "domain", k=5, join_docs=False
+            ).collect()
+        ]
+        assert got == want
+
+    def test_join_docs_carries_value(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.search_collapse(QUERIES[0], "domain", k=3).collect()
+        assert rows and all(
+            r["value"] and r["url"] and r["title"] is not None
+            for r in rows
+        )
