@@ -362,6 +362,32 @@ def _decode_term_doc_ids(cand: Optional[np.ndarray]):
     return run
 
 
+def _decode_term_fg_counts(cand: np.ndarray):
+    """mapInPandas body: score-posting blocks -> (term, fg) PARTIAL
+    COUNTS of candidate docs per term.  (term, doc_id) is unique across
+    the postings table (merge assigns re-crawled urls fresh doc ids),
+    so counting masked ids per block inside Arrow and summing partials
+    is exactly the per-term foreground doc count — the shuffle carries
+    one row per (term, partition) instead of one per matched posting."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms: List[str] = []
+            counts: List[int] = []
+            for term, n, ids_b in zip(pdf["term"], pdf["count"], pdf["doc_ids"]):
+                ids = delta_decode(bytes(ids_b), int(n)).astype(np.int64)
+                c = int(np.isin(ids, cand, assume_unique=True).sum())
+                if c:
+                    terms.append(term)
+                    counts.append(c)
+            if terms:
+                yield pd.DataFrame(
+                    {"term": terms, "fg": np.asarray(counts, dtype=np.int64)}
+                )
+
+    return run
+
+
 class BM25Index:
     """Query-side handle on an index built by index.builder.build_index."""
 
@@ -1433,15 +1459,22 @@ class BM25Index:
             return empty
         blocks = self.postings.select("term", "count", "doc_ids")
         if fg_size <= self.filter_collect_max:
+            # fast path: count masked candidates per block INSIDE Arrow
+            # — partial aggregation before the shuffle, one row per
+            # (term, partition) instead of one per matched posting
             cand = np.unique(matched.toPandas()["doc_id"].to_numpy(np.int64))
-            pairs = blocks.mapInPandas(
-                _decode_term_doc_ids(cand), schema="term string, doc_id long"
+            fg = (
+                blocks.mapInPandas(
+                    _decode_term_fg_counts(cand), schema="term string, fg long"
+                )
+                .groupBy("term")
+                .agg(F.sum("fg").alias("fg_count"))
             )
         else:
             pairs = blocks.mapInPandas(
                 _decode_term_doc_ids(None), schema="term string, doc_id long"
             ).join(matched, "doc_id", "left_semi")
-        fg = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("fg_count"))
+            fg = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("fg_count"))
         fg_pct = F.col("fg_count") / F.lit(float(fg_size))
         bg_pct = F.col("bg_count") / F.lit(float(self.n_docs))
         return (
