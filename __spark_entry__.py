@@ -436,6 +436,39 @@ SELECT bucket_key, COALESCE(n, 0) AS doc_count
 FROM r LEFT JOIN c USING (idx)"""
 
 
+def _q_collapse_topk(spark, sf_dir):
+    """ES field collapsing (BM25Index.search_collapse): top-10 over the
+    best-scoring doc per `source` — per-value argmax via a row_number
+    window, then the global top-k (cut on round(·,9) so rank never
+    depends on sub-1e-9 float noise vs the DuckDB oracle)."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    scored = _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    hits = scored.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.round("_s", 9)), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .orderBy(F.desc(F.round("_s", 9)), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("_s", 6).alias("score"), "source")
+    )
+
+
+_SQL_COLLAPSE = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)},
+hits AS (SELECT doc_id, _s, source FROM scored JOIN documents USING (doc_id)),
+r AS (SELECT doc_id, _s, source,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY round(_s, 9) DESC, doc_id) AS rn
+      FROM hits)
+SELECT doc_id, round(_s, 6) AS score, source FROM r WHERE rn = 1
+ORDER BY round(_s, 9) DESC, doc_id LIMIT 10"""
+
+
 def _q_date_histogram(spark, sf_dir):
     """ES `date_histogram` aggregation (BM25Index.facet_date_histogram
     — same native date_trunc bucketing, here over the events table's
@@ -3023,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_percentiles_toklen": _q_facet_percentiles,
         "facet_top_hits": _q_facet_top_hits,
         "facet_date_histogram": _q_date_histogram,
+        "collapse_topk": _q_collapse_topk,
         "significant_terms_topk": _q_significant_terms,
         "mlt_topk": _q_mlt_topk,
         "tfidf_topk": _q_tfidf_topk,
@@ -3110,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_percentiles_toklen": _sql_facet_percentiles(),
         "facet_top_hits": _SQL_TOP_HITS,
         "facet_date_histogram": _SQL_DATE_HISTOGRAM,
+        "collapse_topk": _SQL_COLLAPSE,
         "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
         "mlt_topk": _SQL_MLT,
         "tfidf_topk": _SQL_TFIDF,
