@@ -2608,6 +2608,132 @@ class BM25Index:
         )
         return self._drop_tombstones(scored)
 
+    def search_phrase_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Search-as-you-type — the ES `match_phrase_prefix` query: the
+        phrase's last token is an incomplete prefix; a doc matches at
+        start p iff the full prefix tokens occupy p..p+n−2 and ANY
+        dictionary expansion of the last token (≤ max_expansions, term
+        order — expand_prefix) sits at p+n−1.  Lucene shape:
+        MultiPhraseQuery with a synonym last slot.
+
+        Scoring follows the engine's phrase + synonym conventions:
+        pseudo-term tf = number of distinct matching start positions
+        (union over expansions), idf = Σ idf over the DISTINCT prefix
+        terms + the expansion group's max-df blended idf (the
+        search_prefix synonym convention), score = BM25(ptf, dl,
+        idf_sum, avgdl).
+
+        Physical plan: ONE positional scan pruned to the prefix terms'
+        + expansions' buckets; the Arrow decoder emits one shifted
+        position list per (term, offset, doc); the conjunctive cut
+        requires all prefix offsets plus ≥1 expansion row, so the
+        groupBy is bounded by the rarest PREFIX term's df (the
+        _conjunctive_candidates gate applies to the prefix exactly as
+        in search_phrase); the position intersection and the expansion
+        union run as native array ops inside codegen."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        toks = tokenize_py(query)
+        # the last token is a prefix pattern: normalize like expand_prefix
+        import re
+
+        raw_last = query.strip().split()[-1] if query.strip() else ""
+        last = re.sub(r"[^a-z0-9]", "", raw_last.lower())
+        # tokenize_py may stem/drop the incomplete last token — the
+        # prefix slot must use the RAW normalized prefix, so recompute
+        # the prefix tokens from everything before the last word
+        ptoks = tokenize_py(" ".join(query.strip().split()[:-1]))
+        if not last:
+            return self._empty_scored(join_docs)
+        expansions = self.expand_prefix(last, max_expansions)
+        if not expansions:
+            return self._empty_scored(join_docs)
+        offs: Dict[str, List[int]] = {}
+        for i, t in enumerate(ptoks):
+            offs.setdefault(t, []).append(i)
+        pterms = sorted(offs)
+        stats = self._query_stats(pterms)
+        if any(t not in stats for t in pterms):
+            return self._empty_scored(join_docs)
+        n_prefix = len(ptoks)
+        last_off = n_prefix
+        exp_terms = []
+        for term, df, bucket in expansions:
+            offs.setdefault(term, []).append(last_off)
+            exp_terms.append(term)
+        idf_sum = sum(idf_py(self.n_docs, stats[t][0]) for t in pterms)
+        idf_sum += idf_py(self.n_docs, max(df for _, df, _ in expansions))
+        buckets = sorted(
+            {stats[t][2] for t in pterms} | {b for *_, b in expansions}
+        )
+        all_terms = sorted(set(pterms) | set(exp_terms))
+
+        cand_ids = (
+            self._conjunctive_candidates(pterms, stats) if pterms else None
+        )
+        if cand_ids is not None and not len(cand_ids):
+            return self._empty_scored(join_docs)
+
+        blocks = self._pos_postings().filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms)
+        )
+        cand = blocks.select(
+            "term", "count", "doc_ids", "pos_counts", "positions", "doclens"
+        ).mapInPandas(
+            _decode_phrase_starts(offs, cand_ids), schema=_PHRASE_SCHEMA
+        )
+        is_pfx = F.col("off") < last_off
+        grouped = (
+            cand.groupBy("doc_id")
+            .agg(
+                F.first("dl").alias("dl"),
+                F.sum(F.when(is_pfx, 1).otherwise(0)).alias("_npfx"),
+                F.collect_list(F.when(is_pfx, F.col("starts"))).alias("_pfx"),
+                F.flatten(
+                    F.collect_list(F.when(~is_pfx, F.col("starts")))
+                ).alias("_exp"),
+            )
+            .filter((F.col("_npfx") == n_prefix) & (F.size("_exp") > 0))
+        )
+        exp_u = F.array_distinct(F.col("_exp"))
+        if n_prefix == 0:
+            ptf_col = F.size(exp_u)
+        elif n_prefix == 1:
+            ptf_col = F.size(
+                F.array_intersect(F.element_at("_pfx", 1), exp_u)
+            )
+        else:
+            inter = F.aggregate(
+                F.slice("_pfx", 2, n_prefix - 1),
+                F.element_at("_pfx", 1),
+                lambda acc, x: F.array_intersect(acc, x),
+            )
+            ptf_col = F.size(F.array_intersect(inter, exp_u))
+        scored = (
+            grouped.withColumn("_ptf", ptf_col)
+            .filter(F.col("_ptf") > 0)
+            .select(
+                "doc_id",
+                score_col(
+                    F.col("_ptf").cast("double"),
+                    F.col("dl").cast("double"),
+                    F.lit(float(idf_sum)),
+                    self.avgdl,
+                ).alias("score"),
+            )
+        )
+        scored = self._drop_tombstones(scored)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
+
     def search_many(
         self,
         queries: Dict[str, str],

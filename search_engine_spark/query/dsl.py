@@ -58,8 +58,8 @@ from pyspark.sql import functions as F
 from search_engine_spark.query.parse import ParsedQuery
 from search_engine_spark.text.tokenizer import tokenize_py
 
-_SCORING = ("match", "multi_match", "match_phrase", "prefix", "wildcard",
-            "fuzzy", "more_like_this")
+_SCORING = ("match", "multi_match", "match_phrase", "match_phrase_prefix",
+            "prefix", "wildcard", "fuzzy", "more_like_this")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -205,6 +205,18 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
         if field != "content":
             _unsupported(f"match_phrase on field {field!r}")
         return idx.search_phrase(q, k=k, slop=slop, join_docs=join_docs)
+    if kind == "match_phrase_prefix":
+        field, spec = _one_key(body, "match_phrase_prefix")
+        if field != "content":
+            _unsupported(f"match_phrase_prefix on field {field!r}")
+        q = spec["query"] if isinstance(spec, dict) else spec
+        max_exp = (
+            int(spec.get("max_expansions", 50))
+            if isinstance(spec, dict) else 50
+        )
+        return idx.search_phrase_prefix(
+            q, k=k, max_expansions=max_exp, join_docs=join_docs
+        )
     if kind == "prefix":
         field, spec = _one_key(body, "prefix")
         v = spec["value"] if isinstance(spec, dict) else spec

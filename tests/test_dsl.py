@@ -408,3 +408,14 @@ class TestConstantScoreAndIds:
         rows_ = execute_es_query(idx, body, join_docs=False).collect()
         assert sorted(r["doc_id"] for r in rows_) == sorted(some)
         assert all(r["score"] == 1.0 for r in rows_)
+
+
+class TestPhrasePrefixLowering:
+    def test_match_phrase_prefix(self, idx):
+        body = {"query": {"match_phrase_prefix": {"content": {
+            "query": "machine lear", "max_expansions": 10}}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_phrase_prefix(
+            "machine lear", k=10, max_expansions=10, join_docs=False))
+        assert got == want
+        assert got  # the prefix must actually complete to 'learning'

@@ -424,3 +424,109 @@ class TestBooleanPhrases:
         term = next(t for t in terms if tokenize_py(t) == [t])
         with pytest.raises(ValueError, match="positions"):
             bare.search_boolean(f'"{term}" other', join_docs=False)
+
+
+def _mpp_oracle(oracle_docs, query, max_expansions, k):
+    """Pure-Python match_phrase_prefix ground truth over token streams."""
+    import re
+
+    from search_engine_spark.index.scoring import idf_py, score_py
+
+    words = query.strip().split()
+    last = re.sub(r"[^a-z0-9]", "", words[-1].lower()) if words else ""
+    ptoks = tokenize_py(" ".join(words[:-1]))
+    if not last:
+        return []
+    df = {}
+    n = len(oracle_docs)
+    for toks in oracle_docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    exps = sorted(t for t in df if t.startswith(last))[:max_expansions]
+    if not exps or any(df.get(t, 0) == 0 for t in ptoks):
+        return []
+    avgdl = sum(len(t) for t in oracle_docs.values()) / n
+    idf_sum = sum(idf_py(n, df[t]) for t in set(ptoks))
+    idf_sum += idf_py(n, max(df[t] for t in exps))
+    expset = set(exps)
+    out = []
+    np_ = len(ptoks)
+    for d, toks in oracle_docs.items():
+        ptf = sum(
+            1
+            for i in range(len(toks) - np_)
+            if toks[i:i + np_] == ptoks and toks[i + np_] in expset
+        )
+        if ptf:
+            out.append((d, score_py(ptf, len(toks), idf_sum, avgdl)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+class TestPhrasePrefix:
+    """ES match_phrase_prefix (search_phrase_prefix) vs the oracle."""
+
+    def _queries(self, raw_by_id):
+        out = []
+        for d in sorted(raw_by_id)[:8]:
+            words = raw_by_id[d].split()
+            if len(words) >= 10:
+                span = " ".join(words[3:6])
+                if len(tokenize_py(" ".join(words[3:5]))) >= 1:
+                    # truncate the last word to 4 chars -> a real prefix
+                    parts = span.split()
+                    parts[-1] = parts[-1][:4]
+                    out.append(" ".join(parts))
+        return out[:5]
+
+    def test_rank_identity_vs_oracle(self, spark, corpus):
+        paths, oracle, idx, raw_by_id = corpus
+        queries = self._queries(raw_by_id)
+        assert queries
+        hit_any = False
+        for q in queries:
+            got = [
+                (r["doc_id"], r["score"])
+                for r in idx.search_phrase_prefix(q, k=10, join_docs=False)
+                .orderBy(F.desc("score"), F.asc("doc_id")).collect()
+            ]
+            want = _mpp_oracle(oracle.docs, q, 50, 10)
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9, q
+            hit_any = hit_any or bool(got)
+        assert hit_any  # span-derived prefixes must actually match
+
+    def test_single_word_prefix(self, spark, corpus):
+        """One-word query: pure positional prefix counting."""
+        paths, oracle, idx, raw_by_id = corpus
+        q = "pyth"
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_phrase_prefix(q, k=10, join_docs=False)
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        want = _mpp_oracle(oracle.docs, q, 50, 10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+    def test_max_expansions_cap(self, spark, corpus):
+        paths, oracle, idx, raw_by_id = corpus
+        q = "data pr"  # broad prefix: the cap changes the expansion set
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_phrase_prefix(
+                q, k=10, max_expansions=2, join_docs=False
+            ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        want = [
+            (d, round(s, 9)) for d, s in _mpp_oracle(oracle.docs, q, 2, 10)
+        ]
+        assert got == want
+
+    def test_no_expansions_is_empty(self, spark, corpus):
+        paths, _, idx, _ = corpus
+        assert idx.search_phrase_prefix(
+            "python zzzzqq", join_docs=False
+        ).count() == 0
