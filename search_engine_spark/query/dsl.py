@@ -23,9 +23,15 @@ NotImplementedError naming the gap, never a silent wrong answer):
                       "tie_breaker": f}
     match_phrase     {"content": "q"} or {"content": {"query": q,
                       "slop": n}}
+    match_phrase_prefix
+                     {"content": {"query": q, "max_expansions": n}}
+                     (search-as-you-type)
     prefix/wildcard/fuzzy
                      {"content": {"value": v, ...opts}}
     more_like_this   {"like": text, "max_query_terms"...}
+    constant_score   {"filter": [...], "boost": b} — pure metadata
+                     scan, postings never touched
+    ids              {"values": [doc_id, ...]} — point lookup
     term/terms/range/exists
                      metadata fields (docs table) — FILTER CONTEXT
                      only (never scored), as in ES practice
@@ -39,7 +45,9 @@ NotImplementedError naming the gap, never a silent wrong answer):
         term level (documented divergence: ES counts clauses)
       · must_not: match (terms) / match_phrase (phrases) on content
   request body
-    {"query": ..., "from": n, "size": n, "_source": [cols]}
+    {"query": ..., "from": n, "size": n, "_source": [cols],
+     "collapse": {"field": f},          # one best result per value
+     "aggs": {...}}                     # via execute_es_aggs
 
 Scoring parity notes: a bool with one must match clause and filters is
 exactly ES's query+filter (full-corpus stats, filter never reweights —
