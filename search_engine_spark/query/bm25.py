@@ -32,7 +32,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -1348,6 +1348,346 @@ class BM25Index:
             )
         )
 
+    def _or_scored(self, query, mode: str = "or") -> Optional[DataFrame]:
+        """(doc_id, score) of EVERY doc matching the query terms —
+        exhaustive OR (or AND) BM25 with no top-k cut.  The shared
+        scoring pass for operators whose final order cannot be
+        WAND-pruned because scores are combined across subqueries or
+        reweighted afterwards (collapse, dis_max, boosting,
+        function_score): a doc outside the single-query top-k can
+        still win the COMBINED order, so every match must score.
+        Tombstones dropped.  None means no query term is indexed.
+
+        Plan shape: bucket-pruned posting scan over the query terms,
+        Arrow decode, ONE groupBy(doc_id) shuffle bounded by Σ df of
+        the query terms — identical to mode="exhaustive" search minus
+        the TakeOrderedAndProject."""
+        terms = sorted(
+            set(query) if isinstance(query, list) else set(tokenize_py(query))
+        )
+        stats = self._query_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return None
+        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
+        buckets = sorted({stats[t][2] for t in terms})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        contribs = self._decode_contribs(blocks, idf_by_term)
+        if mode == "and":
+            scored = (
+                contribs.groupBy("doc_id")
+                .agg(F.sum("contrib").alias("score"),
+                     F.count(F.lit(1)).alias("_nt"))
+                .filter(F.col("_nt") == len(terms))
+                .drop("_nt")
+            )
+        else:
+            scored = contribs.groupBy("doc_id").agg(
+                F.sum("contrib").alias("score")
+            )
+        return self._drop_tombstones(scored)
+
+    def _clause_scored(self, spec) -> Optional[DataFrame]:
+        """Full (doc_id, score) of one compound-query clause.  Specs:
+        a plain string = match with OR semantics; ("match", q, op)
+        with op "or"/"and"; ("phrase", q, slop) = match_phrase.  The
+        lingua franca dis_max/boosting/function_score subqueries are
+        lowered to (query/dsl.py hands ES nodes down as these)."""
+        if isinstance(spec, str):
+            return self._or_scored(spec)
+        kind = spec[0]
+        if kind == "match":
+            return self._or_scored(spec[1], spec[2] if len(spec) > 2 else "or")
+        if kind == "phrase":
+            return self._phrase_scored(
+                spec[1], slop=int(spec[2]) if len(spec) > 2 else 0
+            )
+        raise ValueError(f"unknown clause spec {spec!r}")
+
+    def search_dis_max(
+        self,
+        queries: List,
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Disjunction-max — the ES `dis_max` compound query: each doc
+        scores max over the subqueries it matches plus tie_breaker ×
+        the sum of the others (Lucene DisjunctionMaxQuery; tie=0 is
+        pure best-clause, tie=1 degrades to a plain sum).  Subqueries
+        take the _clause_scored spec forms (strings = match OR;
+        ("match", q, "and"); ("phrase", q, slop)) — the cross-CLAUSE
+        analogue of search_fields' cross-FIELD dis_max.
+
+        Exhaustive by construction: the max-combine breaks the
+        per-term score monotonicity block-max bounds rely on, so each
+        clause scores all its matches (one decode + one groupBy each,
+        bounded by its Σ df), a single unionByName + groupBy(doc_id)
+        combines them, then TakeOrderedAndProject."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        frames = [self._clause_scored(s) for s in queries]
+        frames = [f for f in frames if f is not None]
+        if not frames:
+            return self._empty_scored(join_docs)
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        tie = float(tie_breaker)
+        combined = F.col("_mx") + F.lit(tie) * (F.col("_sm") - F.col("_mx"))
+        topk = (
+            u.groupBy("doc_id")
+            .agg(F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+            .select("doc_id", combined.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return self._join_docs(topk) if join_docs else topk
+
+    def search_boosting(
+        self,
+        positive,
+        negative,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Boosting query — ES `boosting`: docs matching the positive
+        clause score normally, but any that ALSO match the negative
+        clause are demoted by × negative_boost (still returned, unlike
+        must_not's hard exclusion).  Clause specs as in
+        _clause_scored.
+
+        Exhaustive positive scoring (demotion reorders: a doc below
+        the positive-only top-k rises into the final top-k when those
+        above it are demoted — θ-pruning would be unsound); the
+        negative side only needs MEMBERSHIP, so it decodes ids only
+        (same ids-only pass as must_not) and joins as a flag."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        pos = self._clause_scored(positive)
+        if pos is None:
+            return self._empty_scored(join_docs)
+        if isinstance(negative, tuple) and negative[0] == "phrase":
+            neg_scored = self._phrase_scored(
+                negative[1], slop=int(negative[2]) if len(negative) > 2 else 0
+            )
+            neg = None if neg_scored is None else neg_scored.select("doc_id")
+        else:
+            nq = negative[1] if isinstance(negative, tuple) else negative
+            nmode = (
+                negative[2]
+                if isinstance(negative, tuple) and len(negative) > 2
+                else "or"
+            )
+            neg = self._matched_ids(nq, nmode)
+        if neg is not None:
+            flag = neg.distinct().withColumn("_neg", F.lit(True))
+            pos = pos.join(flag, "doc_id", "left").select(
+                "doc_id",
+                F.when(
+                    F.col("_neg"), F.col("score") * F.lit(float(negative_boost))
+                ).otherwise(F.col("score")).alias("score"),
+            )
+        topk = pos.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._join_docs(topk) if join_docs else topk
+
+    _FVF_MODIFIERS = {
+        "none": lambda c: c,
+        "log1p": lambda c: F.log10(c + 1.0),
+        "log2p": lambda c: F.log10(c + 2.0),
+        "ln1p": lambda c: F.log(c + 1.0),
+        "ln2p": lambda c: F.log(c + 2.0),
+        "sqrt": lambda c: F.sqrt(c),
+        "square": lambda c: c * c,
+        "reciprocal": lambda c: F.lit(1.0) / c,
+    }
+
+    def search_function_score(
+        self,
+        query,
+        field_value_factor: Optional[Dict] = None,
+        functions: Optional[List[Dict]] = None,
+        boost_mode: str = "multiply",
+        score_mode: str = "multiply",
+        max_boost: Optional[float] = None,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Function-score query — ES `function_score`: rescale the
+        inner query's BM25 by document-level signals.  The reference's
+        own PageRank re-rank (main.py:243-267, hybrid 0.7·bm25 +
+        0.3·rank·100) is exactly this query family; here the signals
+        are docs-table columns.
+
+        field_value_factor: {"field": f, "factor": x, "modifier": m,
+          "missing": v} — value = modifier(factor · field), per ES
+          (modifiers: none/log1p/log2p/ln1p/ln2p/sqrt/square/
+          reciprocal); missing fills null fields BEFORE factor.
+        functions: [{"filter": sql-or-Column, "weight": w}, ...] —
+          weight functions gated by docs-table filters (no filter =
+          matches all); combined across matched functions per
+          score_mode (multiply/sum/max/min/avg).  Docs matching NO
+          function keep their query score untouched, as in ES.
+        boost_mode: how the function value meets the query score —
+          multiply/sum/replace/max/min/avg.  max_boost caps the
+          function value first.
+
+        Exhaustive inner scoring (reweighting reorders — see
+        search_boosting); the signal join is one hash join against
+        the column-pruned docs table."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        inner = self._clause_scored(query)
+        if inner is None:
+            return self._empty_scored(join_docs)
+
+        fcols: List[Column] = []
+        if field_value_factor:
+            f_name = field_value_factor["field"]
+            factor = float(field_value_factor.get("factor", 1.0))
+            modifier = field_value_factor.get("modifier", "none")
+            if modifier not in self._FVF_MODIFIERS:
+                raise ValueError(f"unknown fvf modifier {modifier!r}")
+            missing = field_value_factor.get("missing")
+            val = F.col(f_name).cast("double")
+            if missing is not None:
+                val = F.coalesce(val, F.lit(float(missing)))
+            fcols.append(self._FVF_MODIFIERS[modifier](val * F.lit(factor)))
+        for fn in functions or []:
+            w = F.lit(float(fn.get("weight", 1.0))).cast("double")
+            pred = fn.get("filter")
+            if pred is not None:
+                pred = F.expr(pred) if isinstance(pred, str) else pred
+                fcols.append(F.when(pred, w))  # null when unmatched
+            else:
+                fcols.append(w)
+        if not fcols:
+            topk = inner.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            return self._join_docs(topk) if join_docs else topk
+
+        sig_cols = [c.alias(f"_f{i}") for i, c in enumerate(fcols)]
+        sig = self.docs.select("doc_id", *sig_cols)
+        arr = F.filter(
+            F.array(*[F.col(f"_f{i}") for i in range(len(fcols))]),
+            lambda x: x.isNotNull(),
+        )
+        if score_mode == "multiply":
+            fv = F.aggregate(arr, F.lit(1.0), lambda a, x: a * x)
+        elif score_mode == "sum":
+            fv = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+        elif score_mode == "max":
+            fv = F.array_max(arr)
+        elif score_mode == "min":
+            fv = F.array_min(arr)
+        elif score_mode == "avg":
+            fv = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+        else:
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        fv = F.when(F.size(arr) > 0, fv)  # no function matched -> null
+        if max_boost is not None:
+            fv = F.least(fv, F.lit(float(max_boost)))
+
+        s, v = F.col("score"), F.col("_fv")
+        if boost_mode == "multiply":
+            combined = s * v
+        elif boost_mode == "sum":
+            combined = s + v
+        elif boost_mode == "replace":
+            combined = v
+        elif boost_mode == "max":
+            combined = F.greatest(s, v)
+        elif boost_mode == "min":
+            combined = F.least(s, v)
+        elif boost_mode == "avg":
+            combined = (s + v) / F.lit(2.0)
+        else:
+            raise ValueError(f"unknown boost_mode {boost_mode!r}")
+        topk = (
+            inner.join(sig.select("doc_id", fv.alias("_fv")), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_fv").isNotNull(), combined)
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return self._join_docs(topk) if join_docs else topk
+
+    def search_rescore(
+        self,
+        query,
+        rescore_query,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Query rescoring — the ES `rescore` request section: take the
+        top window_size hits of the cheap first-pass query, re-score
+        each with an expensive second query (typically a match_phrase
+        for proximity), and re-sort the window by query_weight ×
+        original + rescore_query_weight × rescore score (ES
+        score_mode=total, the default; docs the rescore query misses
+        keep query_weight × original).  k must be ≤ window_size — ES
+        returns only the rescored window.
+
+        Physical plan: the first pass is the normal θ-pruned blockmax
+        top-window (exact); its ≤ window_size ids collect driver-side
+        (the search_after/collect-gate pattern) and push into the
+        phrase pass's Arrow decode as a candidate mask, so the second
+        pass decodes O(window ∩ rarest-term-df) postings, never the
+        full phrase posting range.  rescore_query takes the
+        _clause_scored spec forms (("phrase", q, slop) is the ES
+        shape; strings = match OR)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        if k > window_size:
+            raise ValueError(
+                f"k ({k}) must be <= window_size ({window_size}) — ES "
+                "rescoring returns only the rescored window"
+            )
+        rows = self.search(query, k=window_size, join_docs=False).collect()
+        if not rows:
+            return self._empty_scored(join_docs)
+        ids = np.unique(np.array([int(r["doc_id"]) for r in rows], np.int64))
+        if isinstance(rescore_query, tuple) and rescore_query[0] == "phrase":
+            resc = self._phrase_scored(
+                rescore_query[1],
+                slop=int(rescore_query[2]) if len(rescore_query) > 2 else 0,
+                cand=ids,
+            )
+        else:
+            resc = self._clause_scored(rescore_query)
+        qw, rw = float(query_weight), float(rescore_query_weight)
+        # the window is already driver-side (≤ window_size rows) and the
+        # rescore pass returns ≤ window_size masked rows — combine here
+        # rather than outer-joining a broadcast against the preserved
+        # side (which Spark cannot build-side a broadcast for)
+        rs: Dict[int, float] = {}
+        if resc is not None:
+            for r in resc.filter(
+                F.col("doc_id").isin([int(i) for i in ids])
+            ).collect():
+                rs[int(r["doc_id"])] = float(r["score"])
+        combined = sorted(
+            (
+                (int(r["doc_id"]),
+                 qw * float(r["score"]) + rw * rs.get(int(r["doc_id"]), 0.0))
+                for r in rows
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        topk = self.spark.createDataFrame(
+            combined, "doc_id long, score double"
+        )
+        return self._join_docs(topk) if join_docs else topk
+
     def search_collapse(
         self,
         query,
@@ -1371,28 +1711,9 @@ class BM25Index:
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, value string"
         )
-        terms = sorted(
-            set(query) if isinstance(query, list) else set(tokenize_py(query))
-        )
-        stats = self._query_stats(terms)
-        terms = [t for t in terms if t in stats]
-        if not terms or k <= 0:
+        scored = self._or_scored(query) if k > 0 else None
+        if scored is None:
             return self._join_docs(empty) if join_docs else empty
-        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in terms}
-        buckets = sorted({stats[t][2] for t in terms})
-        blocks = self.postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-        )
-        scored = (
-            blocks.select("term", "count", "doc_ids", "tfs", "doclens")
-            .mapInPandas(
-                _decode_and_score(idf_by_term, self.avgdl),
-                schema="doc_id long, contrib double",
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"))
-        )
-        scored = self._drop_tombstones(scored)
         docs = self.docs
         if predicate is not None:
             docs = docs.filter(
@@ -2219,6 +2540,64 @@ class BM25Index:
             self.expand_wildcard(pattern, max_expansions), k, join_docs
         )
 
+    def expand_regexp(
+        self, pattern: str, max_expansions: int = 50
+    ) -> List[Tuple[str, int, int]]:
+        """Expand a regular expression (Lucene/ES `regexp` query) to
+        the dictionary terms it FULLY matches (Lucene regexps are
+        implicitly anchored at both ends): at most max_expansions terms
+        in term order.  The supported syntax is the Java-regex subset
+        common to Lucene's default flags — literals, ., ?, +, *,
+        {m,n}, [...], (...) groups, | alternation; Lucene's optional
+        operators (~ complement, @ any-string, <> intervals, &
+        intersection) are NOT supported and raise.
+
+        Scale: like wildcards, the literal run before the first
+        metacharacter pushes down as a StartsWith range predicate on
+        the term-sorted term_stats layout; a pattern with no literal
+        prefix scans the whole dictionary (the caveat ES documents)."""
+        import re
+
+        for op in "~@&<>":
+            if op in pattern:
+                raise NotImplementedError(
+                    f"Lucene optional regexp operator {op!r} is not "
+                    "supported (default-flags subset only)"
+                )
+        re.compile(pattern)  # fail fast on malformed patterns
+        lit_prefix = re.match(r"^[a-z0-9]*", pattern).group(0)
+        cond = (
+            F.col("term").rlike(f"^(?:{pattern})$")
+            & ~F.col("term").contains("!")
+        )
+        if lit_prefix:
+            cond = F.col("term").startswith(lit_prefix) & cond
+        rows = (
+            self.term_stats.filter(cond)
+            .select("term", "df", "term_bucket")
+            .orderBy("term")
+            .limit(max_expansions)
+            .collect()
+        )
+        return [(r["term"], int(r["df"]), int(r["term_bucket"])) for r in rows]
+
+    def search_regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Regexp-query top-k (Lucene/ES `regexp` query analogue):
+        multi-term rewrite over the dictionary, scored exactly like
+        search_prefix/search_wildcard (synonym-group: tf summed
+        pre-saturation, max-df blended idf)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        return self._synonym_group_topk(
+            self.expand_regexp(pattern, max_expansions), k, join_docs
+        )
+
     def expand_fuzzy(
         self,
         word: str,
@@ -2379,16 +2758,16 @@ class BM25Index:
             join_docs,
         )
 
-    def _synonym_group_topk(
-        self, exps: List[Tuple[str, int, int]], k: int, join_docs: bool
-    ) -> DataFrame:
-        """Score a dictionary expansion as ONE pseudo-term (Lucene
-        SynonymQuery / BlendedTermQuery): tf = Σ tf over matched
-        expansions per doc summed BEFORE saturation, idf from the most
-        common expansion's df; BM25(tf_sum, dl, idf, avgdl); top-k with
-        the engine tie-break."""
+    def _synonym_group_scored(
+        self, exps: List[Tuple[str, int, int]]
+    ) -> Optional[DataFrame]:
+        """Full (doc_id, score) of a dictionary expansion scored as ONE
+        pseudo-term (Lucene SynonymQuery / BlendedTermQuery): tf = Σ tf
+        over matched expansions per doc summed BEFORE saturation, idf
+        from the most common expansion's df; BM25(tf_sum, dl, idf,
+        avgdl).  Tombstones dropped; None when the expansion is empty."""
         if not exps:
-            return self._empty_scored(join_docs)
+            return None
         df_max = max(df for _, df, _ in exps)
         idf = idf_py(self.n_docs, df_max)
         terms = [t for t, _, _ in exps]
@@ -2412,11 +2791,84 @@ class BM25Index:
                 ).alias("score"),
             )
         )
-        scored = self._drop_tombstones(scored)
+        return self._drop_tombstones(scored)
+
+    def _synonym_group_topk(
+        self, exps: List[Tuple[str, int, int]], k: int, join_docs: bool
+    ) -> DataFrame:
+        """Top-k of _synonym_group_scored with the engine tie-break."""
+        scored = self._synonym_group_scored(exps)
+        if scored is None:
+            return self._empty_scored(join_docs)
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk
         return self._join_docs(topk)
+
+    def search_bool_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        max_expansions: int = 50,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Search-as-you-type, unordered — the ES `match_bool_prefix`
+        query: every token but the last matches as a plain OR term
+        clause; the last (incomplete) token matches as a prefix.
+        Unlike match_phrase_prefix, tokens may appear ANYWHERE in the
+        doc, in any order (ES lowers it to bool{should: [term...,
+        prefix]}).
+
+        Scoring: Σ of the full terms' plain BM25 contributions plus
+        the prefix expansion's synonym-group score (tf summed
+        pre-saturation, max-df blended idf — the search_prefix
+        convention).  The last token uses the RAW normalized prefix
+        (not stemmed), matching the dictionary directly, exactly like
+        search_phrase_prefix's last slot.
+
+        Physical plan: the full-term side is one exhaustive OR pass
+        (decode + groupBy bounded by Σ df); the prefix side is the
+        synonym-group pass; a full outer join sums the two — no
+        θ-pruning (the combined order spans two score sources)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        import re
+
+        words = query.strip().split()
+        if not words:
+            return self._empty_scored(join_docs)
+        last = re.sub(r"[^a-z0-9]", "", words[-1].lower())
+        full = tokenize_py(" ".join(words[:-1]))
+        term_scores = self._or_scored(full) if full else None
+        group_scores = (
+            self._synonym_group_scored(self.expand_prefix(last, max_expansions))
+            if last
+            else None
+        )
+        if term_scores is None and group_scores is None:
+            return self._empty_scored(join_docs)
+        if term_scores is None:
+            scored = group_scores
+        elif group_scores is None:
+            scored = term_scores
+        else:
+            scored = (
+                term_scores.withColumnRenamed("score", "_ts")
+                .join(
+                    group_scores.withColumnRenamed("score", "_gs"),
+                    "doc_id",
+                    "full_outer",
+                )
+                .select(
+                    "doc_id",
+                    (
+                        F.coalesce(F.col("_ts"), F.lit(0.0))
+                        + F.coalesce(F.col("_gs"), F.lit(0.0))
+                    ).alias("score"),
+                )
+            )
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._join_docs(topk) if join_docs else topk
 
     def _pos_postings(self) -> DataFrame:
         if self._pos_cache is None:
@@ -2534,12 +2986,16 @@ class BM25Index:
         return self._join_docs(topk)
 
     def _phrase_scored(
-        self, query: str, slop: int = 0
+        self, query: str, slop: int = 0,
+        cand: Optional[np.ndarray] = None,
     ) -> Optional[DataFrame]:
         """(doc_id, score) for EVERY doc matching the phrase, tombstones
         dropped — search_phrase minus the top-k cut, reused by boolean
         composition where phrases are must clauses.  None means provably
-        empty (no tokens / unindexed term / empty candidate pre-pass)."""
+        empty (no tokens / unindexed term / empty candidate pre-pass).
+        cand: optional sorted-unique int64 candidate mask pushed into
+        the Arrow decode (rescore windows restrict the phrase pass to
+        the window's docs this way)."""
         toks = tokenize_py(query)
         if not toks:
             return None
@@ -2555,6 +3011,12 @@ class BM25Index:
         n_pairs = len(toks)
 
         cand_ids = self._conjunctive_candidates(terms, stats)
+        if cand is not None:
+            cand_ids = (
+                cand
+                if cand_ids is None
+                else np.intersect1d(cand_ids, cand, assume_unique=True)
+            )
         if cand_ids is not None and not len(cand_ids):
             return None
 

@@ -80,6 +80,121 @@ class BM25Oracle:
             )
         return out
 
+    def or_scores(self, query, mode: str = "or") -> Dict[int, float]:
+        """Full per-doc score map of the query (every matching doc, no
+        top-k) — the oracle twin of the engine's _or_scored, shared by
+        the compound-query ground truths (dis_max, boosting,
+        function_score, rescore, bool_prefix).  mode="and" keeps only
+        docs containing EVERY indexed query term."""
+        toks = query if isinstance(query, list) else tokenize_py(query)
+        terms = [t for t in set(toks) if self.df.get(t, 0) > 0]
+        if not terms:
+            return {}
+        out = {}
+        for d in self.docs:
+            if mode == "and" and any(self.tf[d].get(t, 0) == 0 for t in terms):
+                continue
+            s = self.score(d, terms)
+            if s > 0:
+                out[d] = s
+        return out
+
+    def topk_boosting(
+        self,
+        positive,
+        negative,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        positive_scores: Dict[int, float] = None,
+        negative_ids=None,
+    ) -> List[Tuple[int, float]]:
+        """Boosting-query ground truth (ES `boosting`): positive
+        matches score normally; those also matching the negative
+        clause are demoted × negative_boost.  Callers may hand in
+        precomputed positive score maps / negative id sets (for phrase
+        clauses via PhraseOracle.phrase_scores)."""
+        pos = (
+            positive_scores
+            if positive_scores is not None
+            else self.or_scores(positive)
+        )
+        neg = (
+            set(negative_ids)
+            if negative_ids is not None
+            else set(self.or_scores(negative))
+        )
+        scored = [
+            (d, s * negative_boost if d in neg else s) for d, s in pos.items()
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def topk_dis_max(
+        self,
+        score_maps: List[Dict[int, float]],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """dis_max ground truth over precomputed per-clause score maps
+        (or_scores / phrase_scores): max + tie_breaker × (sum − max)."""
+        docs = set()
+        for m in score_maps:
+            docs |= set(m)
+        out = []
+        for d in docs:
+            ss = [m[d] for m in score_maps if d in m]
+            out.append((d, max(ss) + tie_breaker * (sum(ss) - max(ss))))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
+    def topk_function_score(
+        self,
+        query,
+        fvalue: Dict[int, float],
+        boost_mode: str = "multiply",
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """function_score ground truth: fvalue maps doc_id → combined
+        function value (absent = no function matched → query score
+        unchanged, as in ES).  The test computes fvalue per ES
+        semantics (modifiers, weights, score_mode) — this oracle only
+        applies boost_mode."""
+        combine = {
+            "multiply": lambda s, v: s * v,
+            "sum": lambda s, v: s + v,
+            "replace": lambda s, v: v,
+            "max": max,
+            "min": min,
+            "avg": lambda s, v: (s + v) / 2.0,
+        }[boost_mode]
+        scored = [
+            (d, combine(s, fvalue[d]) if d in fvalue else s)
+            for d, s in self.or_scores(query).items()
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
+    def topk_rescore(
+        self,
+        query,
+        rescore_scores: Dict[int, float],
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_query_weight: float = 1.0,
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """Rescore ground truth (ES rescore, score_mode=total): the
+        top-window of the first-pass query re-sorted by qw × original +
+        rw × rescore score (0 when the rescore query misses)."""
+        window = self.topk(query, k=window_size)
+        out = [
+            (d, query_weight * s
+             + rescore_query_weight * rescore_scores.get(d, 0.0))
+            for d, s in window
+        ]
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def topk_filtered(
         self, query: str, allowed, k: int = 10
     ) -> List[Tuple[int, float]]:
@@ -267,23 +382,66 @@ class PrefixOracle(BM25Oracle):
     saturation (Lucene SynonymQuery) and idf comes from the most
     common expansion's df (BlendedTermQuery max-df blending)."""
 
-    def _group_topk(
-        self, exps: List[str], k: int
-    ) -> List[Tuple[int, float]]:
+    def _group_scores(self, exps: List[str]) -> Dict[int, float]:
+        """Full synonym-group score map (no top-k cut)."""
         if not exps:
-            return []
+            return {}
         df_max = max(self.df[t] for t in exps)
         idf = math.log(1.0 + (self.n - df_max + 0.5) / (df_max + 0.5))
-        out = []
+        out = {}
         for d in self.docs:
             tf = sum(self.tf[d].get(t, 0) for t in exps)
             if tf == 0:
                 continue
             dl = self.doclen[d]
-            s = idf * (tf * (K1 + 1.0)) / (
+            out[d] = idf * (tf * (K1 + 1.0)) / (
                 tf + K1 * (1.0 - B + B * dl / self.avgdl)
             )
-            out.append((d, s))
+        return out
+
+    def _group_topk(
+        self, exps: List[str], k: int
+    ) -> List[Tuple[int, float]]:
+        out = sorted(
+            self._group_scores(exps).items(), key=lambda x: (-x[1], x[0])
+        )
+        return out[:k]
+
+    def topk_regexp(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> List[Tuple[int, float]]:
+        """Regexp ground truth (Lucene/ES regexp query): full-anchored
+        match of the pattern against the term dictionary, expansions in
+        term order, synonym-group scored."""
+        import re
+
+        rx = re.compile(f"^(?:{pattern})$")
+        exps = sorted(t for t in self.df if rx.match(t))[:max_expansions]
+        return self._group_topk(exps, k)
+
+    def topk_bool_prefix(
+        self, query: str, k: int = 10, max_expansions: int = 50
+    ) -> List[Tuple[int, float]]:
+        """match_bool_prefix ground truth: full tokens (all but the
+        last word) score as a plain OR; the last word, normalized but
+        unstemmed, scores as the prefix expansion's synonym group; a
+        doc's score is the sum of the two sides."""
+        import re
+
+        words = query.strip().split()
+        if not words:
+            return []
+        last = re.sub(r"[^a-z0-9]", "", words[-1].lower())
+        full = tokenize_py(" ".join(words[:-1]))
+        term_scores = self.or_scores(full) if full else {}
+        exps = sorted(t for t in self.df if t.startswith(last))[
+            :max_expansions
+        ] if last else []
+        group_scores = self._group_scores(exps)
+        out = [
+            (d, term_scores.get(d, 0.0) + group_scores.get(d, 0.0))
+            for d in set(term_scores) | set(group_scores)
+        ]
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
@@ -378,17 +536,26 @@ class PhraseOracle(BM25Oracle):
     def topk_phrase(
         self, query: str, k: int = 10, slop: int = 0
     ) -> List[Tuple[int, float]]:
-        """slop > 0 — ordered proximity (ES match_phrase slop shape,
+        out = sorted(
+            self.phrase_scores(query, slop=slop).items(),
+            key=lambda x: (-x[1], x[0]),
+        )
+        return out[:k]
+
+    def phrase_scores(self, query: str, slop: int = 0) -> Dict[int, float]:
+        """Full per-doc phrase score map (every matching doc, no top-k).
+
+        slop > 0 — ordered proximity (ES match_phrase slop shape,
         order-preserving variant): doc matches at start p_0 iff there
         exist positions p_0 < p_1 < ... < p_{n-1}, p_j holding token j,
         with window overhead (p_{n-1} - p_0) - (n-1) <= slop; ptf =
         number of distinct matching p_0.  slop=0 is the exact phrase."""
         toks = tokenize_py(query)
         if not toks or any(self.df.get(t, 0) == 0 for t in set(toks)):
-            return []
+            return {}
         idf_sum = sum(self.idf(t) for t in set(toks))
         n = len(toks)
-        out = []
+        out: Dict[int, float] = {}
         for d, dtoks in self.docs.items():
             if slop == 0:
                 ptf = sum(
@@ -419,12 +586,10 @@ class PhraseOracle(BM25Oracle):
             if ptf == 0:
                 continue
             dl = self.doclen[d]
-            s = idf_sum * (ptf * (K1 + 1.0)) / (
+            out[d] = idf_sum * (ptf * (K1 + 1.0)) / (
                 ptf + K1 * (1.0 - B + B * dl / self.avgdl)
             )
-            out.append((d, s))
-        out.sort(key=lambda x: (-x[1], x[0]))
-        return out[:k]
+        return out
 
 
 class TFIDFOracle:

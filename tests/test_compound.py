@@ -1,0 +1,325 @@
+"""Compound queries — dis_max, boosting, function_score, rescore,
+regexp, match_bool_prefix — engine vs pure-Python oracles.
+
+These are the ES compound/rewrite query families layered over the same
+posting machinery (reference delegates all of them to Elasticsearch;
+the /search shape is backend/search_api/main.py:162-189): rank identity
+with tie-break (score desc, doc_id asc), scores to 1e-9.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.index.builder import build_index
+from search_engine_spark.query.bm25 import BM25Index
+from search_engine_spark.query.oracle import PhraseOracle, PrefixOracle
+from search_engine_spark.synth import synth_pages
+from search_engine_spark.text.tokenizer import tokenize_py
+
+N_PAGES = 200
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("compoundindex"))
+    pages = synth_pages(spark, N_PAGES, num_partitions=4)
+    paths = build_index(
+        spark, pages, root, num_buckets=16, block_size=32,
+        num_partitions=8, index_positions=True,
+    )
+    docs = spark.read.parquet(paths.docs).select("doc_id", "url").collect()
+    id_by_url = {r["url"]: r["doc_id"] for r in docs}
+    texts = pages.select("url", "text").collect()
+    oracle_docs = {id_by_url[r["url"]]: tokenize_py(r["text"]) for r in texts}
+    raw_by_id = {id_by_url[r["url"]]: r["text"] for r in texts}
+    doclen = {
+        r["doc_id"]: r["doclen"]
+        for r in spark.read.parquet(paths.docs).select(
+            "doc_id", "doclen"
+        ).collect()
+    }
+    idx = BM25Index(spark, root, seed_min_df=0)
+    return idx, PhraseOracle(oracle_docs), PrefixOracle(oracle_docs), \
+        raw_by_id, doclen
+
+
+def _got(df):
+    return [
+        (r["doc_id"], r["score"])
+        for r in df.orderBy(F.desc("score"), F.asc("doc_id")).collect()
+    ]
+
+
+def _phrase_from(raw_by_id, doc_rank=0, sl=slice(3, 6)):
+    """A guaranteed-hit phrase lifted from a corpus doc's raw words."""
+    d = sorted(raw_by_id)[doc_rank]
+    return " ".join(raw_by_id[d].split()[sl])
+
+
+def _assert_rank_identical(got, want, ctx=""):
+    assert [d for d, _ in got] == [d for d, _ in want], ctx
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9, abs=1e-9), ctx
+
+
+class TestDisMax:
+    @pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+    def test_two_match_clauses(self, corpus, tie):
+        idx, oracle, _, _, _ = corpus
+        q1, q2 = "python programming tutorial", "database transaction"
+        got = _got(idx.search_dis_max([q1, q2], tie_breaker=tie,
+                                      k=10, join_docs=False))
+        want = oracle.topk_dis_max(
+            [oracle.or_scores(q1), oracle.or_scores(q2)],
+            tie_breaker=tie, k=10,
+        )
+        _assert_rank_identical(got, want, f"tie={tie}")
+
+    def test_phrase_clause(self, corpus):
+        idx, oracle, _, raw_by_id, _ = corpus
+        phrase = _phrase_from(raw_by_id)
+        q = "search engine ranking"
+        got = _got(idx.search_dis_max(
+            [q, ("phrase", phrase, 0)], tie_breaker=0.2, k=10,
+            join_docs=False,
+        ))
+        want = oracle.topk_dis_max(
+            [oracle.or_scores(q), oracle.phrase_scores(phrase)],
+            tie_breaker=0.2, k=10,
+        )
+        _assert_rank_identical(got, want)
+
+    def test_and_clause(self, corpus):
+        idx, oracle, _, _, _ = corpus
+        got = _got(idx.search_dis_max(
+            [("match", "python programming", "and"), "fox database"],
+            k=10, join_docs=False,
+        ))
+        want = oracle.topk_dis_max(
+            [oracle.or_scores("python programming", mode="and"),
+             oracle.or_scores("fox database")],
+            k=10,
+        )
+        _assert_rank_identical(got, want)
+
+    def test_unknown_terms_empty(self, corpus):
+        idx, *_ = corpus
+        assert idx.search_dis_max(
+            ["zzzznotaterm", "qqqqnotaterm"], k=10, join_docs=False
+        ).count() == 0
+
+
+class TestBoosting:
+    def test_term_negative(self, corpus):
+        idx, oracle, _, _, _ = corpus
+        pos, neg = "python programming tutorial", "database"
+        got = _got(idx.search_boosting(pos, neg, negative_boost=0.4,
+                                       k=10, join_docs=False))
+        want = oracle.topk_boosting(pos, neg, negative_boost=0.4, k=10)
+        _assert_rank_identical(got, want)
+
+    def test_phrase_negative(self, corpus):
+        idx, oracle, _, raw_by_id, _ = corpus
+        phrase = _phrase_from(raw_by_id, doc_rank=1)
+        pos = "search engine ranking relevance"
+        got = _got(idx.search_boosting(
+            pos, ("phrase", phrase, 0), negative_boost=0.1, k=10,
+            join_docs=False,
+        ))
+        want = oracle.topk_boosting(
+            pos, None, negative_boost=0.1, k=10,
+            positive_scores=oracle.or_scores(pos),
+            negative_ids=set(oracle.phrase_scores(phrase)),
+        )
+        _assert_rank_identical(got, want)
+
+    def test_demotion_reorders(self, corpus):
+        """The boosted order must differ from the plain order when the
+        negative clause hits some of the top docs — guards against a
+        no-op implementation."""
+        idx, oracle, _, _, _ = corpus
+        pos, neg = "python programming tutorial", "python"
+        plain = [d for d, _ in oracle.topk(pos, k=10)]
+        boosted = [
+            r["doc_id"]
+            for r in idx.search_boosting(
+                pos, neg, negative_boost=0.01, k=10, join_docs=False
+            ).collect()
+        ]
+        assert plain != boosted
+
+
+class TestFunctionScore:
+    @pytest.mark.parametrize("modifier,pyfn", [
+        ("none", lambda v: v),
+        ("log1p", lambda v: math.log10(v + 1.0)),
+        ("sqrt", math.sqrt),
+        ("reciprocal", lambda v: 1.0 / v),
+    ])
+    def test_field_value_factor(self, corpus, modifier, pyfn):
+        idx, oracle, _, _, doclen = corpus
+        q = "python programming tutorial"
+        got = _got(idx.search_function_score(
+            q,
+            field_value_factor={"field": "doclen", "factor": 0.5,
+                                "modifier": modifier},
+            boost_mode="multiply", k=10, join_docs=False,
+        ))
+        fvalue = {d: pyfn(0.5 * doclen[d]) for d in doclen}
+        want = oracle.topk_function_score(q, fvalue, "multiply", k=10)
+        _assert_rank_identical(got, want, modifier)
+
+    @pytest.mark.parametrize("boost_mode", ["sum", "replace", "max", "avg"])
+    def test_boost_modes(self, corpus, boost_mode):
+        idx, oracle, _, _, doclen = corpus
+        q = "database transaction"
+        got = _got(idx.search_function_score(
+            q, field_value_factor={"field": "doclen", "factor": 0.01},
+            boost_mode=boost_mode, k=10, join_docs=False,
+        ))
+        fvalue = {d: 0.01 * doclen[d] for d in doclen}
+        want = oracle.topk_function_score(q, fvalue, boost_mode, k=10)
+        _assert_rank_identical(got, want, boost_mode)
+
+    def test_weight_functions_with_filter(self, corpus):
+        idx, oracle, _, _, doclen = corpus
+        q = "search engine ranking"
+        med = sorted(doclen.values())[len(doclen) // 2]
+        got = _got(idx.search_function_score(
+            q,
+            functions=[
+                {"filter": f"doclen >= {med}", "weight": 3.0},
+                {"weight": 1.5},
+            ],
+            score_mode="sum", boost_mode="multiply", k=10,
+            join_docs=False,
+        ))
+        fvalue = {
+            d: (3.0 if doclen[d] >= med else 0.0) + 1.5 for d in doclen
+        }
+        want = oracle.topk_function_score(q, fvalue, "multiply", k=10)
+        _assert_rank_identical(got, want)
+
+    def test_unmatched_functions_keep_score(self, corpus):
+        """Docs matching no function keep the raw query score."""
+        idx, oracle, _, _, _ = corpus
+        q = "fox database"
+        got = _got(idx.search_function_score(
+            q, functions=[{"filter": "doclen < 0", "weight": 99.0}],
+            boost_mode="multiply", k=10, join_docs=False,
+        ))
+        want = oracle.topk(q, k=10)
+        _assert_rank_identical(got, want)
+
+    def test_max_boost_caps(self, corpus):
+        idx, oracle, _, _, doclen = corpus
+        q = "python programming"
+        got = _got(idx.search_function_score(
+            q, field_value_factor={"field": "doclen", "factor": 1.0},
+            boost_mode="multiply", max_boost=5.0, k=10, join_docs=False,
+        ))
+        fvalue = {d: min(float(doclen[d]), 5.0) for d in doclen}
+        want = oracle.topk_function_score(q, fvalue, "multiply", k=10)
+        _assert_rank_identical(got, want)
+
+    def test_no_functions_is_plain_search(self, corpus):
+        idx, oracle, _, _, _ = corpus
+        q = "machine learning data"
+        got = _got(idx.search_function_score(q, k=10, join_docs=False))
+        _assert_rank_identical(got, oracle.topk(q, k=10))
+
+
+class TestRescore:
+    def test_phrase_rescore(self, corpus):
+        idx, oracle, _, raw_by_id, _ = corpus
+        phrase = _phrase_from(raw_by_id)
+        # first-pass query holds the phrase's own words so the window
+        # actually contains phrase matches to promote
+        q = phrase + " python database"
+        got = _got(idx.search_rescore(
+            q, ("phrase", phrase, 0), window_size=30,
+            query_weight=1.0, rescore_query_weight=2.0, k=10,
+            join_docs=False,
+        ))
+        want = oracle.topk_rescore(
+            q, oracle.phrase_scores(phrase), window_size=30,
+            query_weight=1.0, rescore_query_weight=2.0, k=10,
+        )
+        _assert_rank_identical(got, want)
+
+    def test_match_rescore(self, corpus):
+        idx, oracle, _, _, _ = corpus
+        q, rq = "python programming tutorial", "database"
+        got = _got(idx.search_rescore(
+            q, rq, window_size=25, query_weight=0.7,
+            rescore_query_weight=0.3, k=10, join_docs=False,
+        ))
+        want = oracle.topk_rescore(
+            q, oracle.or_scores(rq), window_size=25,
+            query_weight=0.7, rescore_query_weight=0.3, k=10,
+        )
+        _assert_rank_identical(got, want)
+
+    def test_k_beyond_window_raises(self, corpus):
+        idx, *_ = corpus
+        with pytest.raises(ValueError, match="window_size"):
+            idx.search_rescore("python", "database", window_size=5, k=10)
+
+
+class TestRegexp:
+    @pytest.mark.parametrize("pattern", [
+        "progr.*",          # prefix-anchored (StartsWith pushdown)
+        "dat(a|abas).*",    # alternation
+        "[a-f]ox",          # char class, no literal prefix
+        "qu.ck",            # '.' single char
+    ])
+    def test_rank_identity(self, corpus, pattern):
+        idx, _, oracle, _, _ = corpus
+        got = _got(idx.search_regexp(pattern, k=10, join_docs=False))
+        want = oracle.topk_regexp(pattern, k=10)
+        _assert_rank_identical(got, want, pattern)
+
+    def test_lucene_only_operators_raise(self, corpus):
+        idx, *_ = corpus
+        with pytest.raises(NotImplementedError):
+            idx.expand_regexp("foo~bar")
+
+    def test_no_match_empty(self, corpus):
+        idx, *_ = corpus
+        assert idx.search_regexp("zzzz[0-9]+", k=10,
+                                 join_docs=False).count() == 0
+
+
+class TestBoolPrefix:
+    @pytest.mark.parametrize("query", [
+        "python progr",     # full term + prefix
+        "database tran",
+        "quick brown fo",   # two full terms + prefix
+        "pyth",             # single incomplete token
+    ])
+    def test_rank_identity(self, corpus, query):
+        idx, _, oracle, _, _ = corpus
+        got = _got(idx.search_bool_prefix(query, k=10, join_docs=False))
+        want = oracle.topk_bool_prefix(query, k=10)
+        _assert_rank_identical(got, want, query)
+
+    def test_order_free_vs_phrase_prefix(self, corpus):
+        """bool_prefix must find docs where the tokens are NOT adjacent
+        — it is strictly weaker than match_phrase_prefix."""
+        idx, _, oracle, _, _ = corpus
+        q = "fox databa"
+        bool_ids = {
+            r["doc_id"]
+            for r in idx.search_bool_prefix(q, k=50, join_docs=False).collect()
+        }
+        phrase_ids = {
+            r["doc_id"]
+            for r in idx.search_phrase_prefix(q, k=50, join_docs=False).collect()
+        }
+        assert phrase_ids <= bool_ids
+
+    def test_empty_query(self, corpus):
+        idx, *_ = corpus
+        assert idx.search_bool_prefix("  ", k=10, join_docs=False).count() == 0
