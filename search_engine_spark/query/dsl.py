@@ -26,9 +26,22 @@ NotImplementedError naming the gap, never a silent wrong answer):
     match_phrase_prefix
                      {"content": {"query": q, "max_expansions": n}}
                      (search-as-you-type)
-    prefix/wildcard/fuzzy
+    match_bool_prefix
+                     {"content": {"query": q, "max_expansions": n}}
+                     (search-as-you-type, unordered terms)
+    prefix/wildcard/fuzzy/regexp
                      {"content": {"value": v, ...opts}}
     more_like_this   {"like": text, "max_query_terms"...}
+    dis_max          {"queries": [match|match_phrase on content, ...],
+                      "tie_breaker": f} — best-clause scoring
+    boosting         {"positive": node, "negative": node,
+                      "negative_boost": b} — demote, don't exclude
+    function_score   {"query": match|match_phrase,
+                      "field_value_factor": {"field", "factor",
+                        "modifier", "missing"},
+                      "functions": [{"filter": term/terms/range/exists,
+                        "weight": w}, ...],
+                      "boost_mode", "score_mode", "max_boost"}
     constant_score   {"filter": [...], "boost": b} — pure metadata
                      scan, postings never touched
     ids              {"values": [doc_id, ...]} — point lookup
@@ -47,6 +60,9 @@ NotImplementedError naming the gap, never a silent wrong answer):
   request body
     {"query": ..., "from": n, "size": n, "_source": [cols],
      "collapse": {"field": f},          # one best result per value
+     "rescore": {"window_size": w,      # phrase/match second pass
+       "query": {"rescore_query": node, "query_weight": qw,
+                 "rescore_query_weight": rw}},
      "aggs": {...}}                     # via execute_es_aggs
 
 Scoring parity notes: a bool with one must match clause and filters is
@@ -67,7 +83,8 @@ from search_engine_spark.query.parse import ParsedQuery
 from search_engine_spark.text.tokenizer import tokenize_py
 
 _SCORING = ("match", "multi_match", "match_phrase", "match_phrase_prefix",
-            "prefix", "wildcard", "fuzzy", "more_like_this")
+            "match_bool_prefix", "prefix", "wildcard", "fuzzy", "regexp",
+            "more_like_this", "dis_max", "boosting", "function_score")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -163,6 +180,25 @@ def _phrase_parts(clause) -> Tuple[str, str, int]:
     return field, spec["query"], int(spec.get("slop", 0))
 
 
+def _engine_spec(node) -> tuple:
+    """Lower a match / match_phrase node on content to the engine's
+    _clause_scored spec — the subquery form dis_max / boosting /
+    function_score / rescore compose over."""
+    kind, _ = _one_key(node, "compound subquery")
+    if kind == "match":
+        field, q, op, msm = _match_parts(node)
+        if field != "content" or msm:
+            _unsupported("compound subquery: match must be on content "
+                         "without minimum_should_match")
+        return ("match", q, op)
+    if kind == "match_phrase":
+        field, q, slop = _phrase_parts(node)
+        if field != "content":
+            _unsupported(f"compound subquery: match_phrase on {field!r}")
+        return ("phrase", q, slop)
+    _unsupported(f"compound subquery node {kind!r} (match / match_phrase)")
+
+
 def _score_match(idx, body, k, predicate, join_docs):
     field, q, op, msm = _match_parts(body)
     if field == "content":
@@ -251,6 +287,61 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
         return idx.search_fuzzy(
             v, k=k, max_edits=max_edits, prefix_length=plen,
             join_docs=join_docs,
+        )
+    if kind == "regexp":
+        field, spec = _one_key(body, "regexp")
+        v = spec["value"] if isinstance(spec, dict) else spec
+        if field != "content":
+            _unsupported(f"regexp on field {field!r}")
+        return idx.search_regexp(v, k=k, join_docs=join_docs)
+    if kind == "match_bool_prefix":
+        field, spec = _one_key(body, "match_bool_prefix")
+        if field != "content":
+            _unsupported(f"match_bool_prefix on field {field!r}")
+        q = spec["query"] if isinstance(spec, dict) else spec
+        max_exp = (
+            int(spec.get("max_expansions", 50))
+            if isinstance(spec, dict) else 50
+        )
+        return idx.search_bool_prefix(
+            q, k=k, max_expansions=max_exp, join_docs=join_docs
+        )
+    if kind == "dis_max":
+        specs = [_engine_spec(n) for n in _as_list(body["queries"])]
+        return idx.search_dis_max(
+            specs, tie_breaker=float(body.get("tie_breaker", 0.0)),
+            k=k, join_docs=join_docs,
+        )
+    if kind == "boosting":
+        return idx.search_boosting(
+            _engine_spec(body["positive"]),
+            _engine_spec(body["negative"]),
+            negative_boost=float(body.get("negative_boost", 0.5)),
+            k=k, join_docs=join_docs,
+        )
+    if kind == "function_score":
+        inner = body.get("query")
+        if inner is None:
+            _unsupported("function_score without a query (no match_all)")
+        functions = []
+        for fn in _as_list(body.get("functions", [])):
+            if set(fn) - {"filter", "weight"}:
+                _unsupported(f"function_score function keys {sorted(fn)!r} "
+                             "(filter/weight only)")
+            pred = None
+            if "filter" in fn:
+                pred = _filter_predicate([fn["filter"]])
+            functions.append(
+                {"filter": pred, "weight": float(fn.get("weight", 1.0))}
+            )
+        return idx.search_function_score(
+            _engine_spec(inner),
+            field_value_factor=body.get("field_value_factor"),
+            functions=functions or None,
+            boost_mode=body.get("boost_mode", "multiply"),
+            score_mode=body.get("score_mode", "multiply"),
+            max_boost=body.get("max_boost"),
+            k=k, join_docs=join_docs,
         )
     if kind == "more_like_this":
         like = body["like"]
@@ -557,6 +648,39 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
     return out
 
 
+def _execute_rescore(idx, query, rescore, k, join_docs) -> DataFrame:
+    """Body-level `rescore` section: first pass = the top-level query
+    (a plain-OR match on content in this subset), second pass = the
+    rescore_query (match / match_phrase), combined per ES
+    score_mode=total: qw × original + rw × rescore over the window."""
+    if isinstance(rescore, list):
+        if len(rescore) != 1:
+            _unsupported("multiple rescore sections")
+        rescore = rescore[0]
+    window = int(rescore.get("window_size", 10))
+    rq = rescore.get("query")
+    if not rq or "rescore_query" not in rq:
+        _unsupported("rescore without query.rescore_query")
+    if rq.get("score_mode", "total") != "total":
+        _unsupported(f"rescore score_mode {rq.get('score_mode')!r}")
+    base_kind, _ = _one_key(query, "rescore base query")
+    if base_kind != "match":
+        _unsupported(f"rescore under base query {base_kind!r}")
+    field, q, op, msm = _match_parts(query)
+    if field != "content" or op != "or" or msm:
+        _unsupported("rescore base query must be a plain OR match on "
+                     "content")
+    return idx.search_rescore(
+        q,
+        _engine_spec(rq["rescore_query"]),
+        window_size=window,
+        query_weight=float(rq.get("query_weight", 1.0)),
+        rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
+        k=k,
+        join_docs=join_docs,
+    )
+
+
 def execute_es_query(
     idx,
     body: Dict,
@@ -591,8 +715,15 @@ def execute_es_query(
             )
             df = df.withColumn("_rn", w).filter(F.col("_rn") > frm).drop("_rn")
         return df
-    kind, node_body = _one_key(query, "query")
-    if kind == "bool":
+    rescore = body.get("rescore")
+    if rescore:
+        df = _execute_rescore(idx, query, rescore, k, join_docs)
+        kind = "rescore"
+    else:
+        kind, node_body = _one_key(query, "query")
+    if kind == "rescore":
+        pass
+    elif kind == "bool":
         df = _execute_bool(idx, node_body, k, join_docs)
     elif kind == "constant_score":
         # ES constant_score: every doc matching the filter scores

@@ -419,3 +419,133 @@ class TestPhrasePrefixLowering:
             "machine lear", k=10, max_expansions=10, join_docs=False))
         assert got == want
         assert got  # the prefix must actually complete to 'learning'
+
+
+class TestCompoundLowering:
+    def test_dis_max(self, idx):
+        body = {"query": {"dis_max": {
+            "queries": [
+                {"match": {"content": "python programming"}},
+                {"match": {"content": "database transaction"}},
+            ],
+            "tie_breaker": 0.3,
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_dis_max(
+            [("match", "python programming", "or"),
+             ("match", "database transaction", "or")],
+            tie_breaker=0.3, k=10, join_docs=False,
+        ))
+        assert got == want and got
+
+    def test_dis_max_with_phrase(self, idx):
+        body = {"query": {"dis_max": {"queries": [
+            {"match": {"content": "search ranking"}},
+            {"match_phrase": {"content": "quick brown fox"}},
+        ]}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_dis_max(
+            [("match", "search ranking", "or"),
+             ("phrase", "quick brown fox", 0)],
+            k=10, join_docs=False,
+        ))
+        assert got == want
+
+    def test_boosting(self, idx):
+        body = {"query": {"boosting": {
+            "positive": {"match": {"content": "python tutorial"}},
+            "negative": {"match": {"content": "database"}},
+            "negative_boost": 0.2,
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boosting(
+            ("match", "python tutorial", "or"),
+            ("match", "database", "or"),
+            negative_boost=0.2, k=10, join_docs=False,
+        ))
+        assert got == want and got
+
+    def test_function_score_fvf(self, idx):
+        body = {"query": {"function_score": {
+            "query": {"match": {"content": "search engine"}},
+            "field_value_factor": {"field": "doclen", "factor": 0.1,
+                                   "modifier": "log1p"},
+            "boost_mode": "multiply",
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_function_score(
+            ("match", "search engine", "or"),
+            field_value_factor={"field": "doclen", "factor": 0.1,
+                                "modifier": "log1p"},
+            boost_mode="multiply", k=10, join_docs=False,
+        ))
+        assert got == want and got
+
+    def test_function_score_filter_weight(self, idx):
+        body = {"query": {"function_score": {
+            "query": {"match": {"content": "search engine"}},
+            "functions": [
+                {"filter": {"range": {"doclen": {"gte": 40}}},
+                 "weight": 2.0},
+            ],
+            "boost_mode": "sum", "score_mode": "sum",
+        }}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_function_score(
+            ("match", "search engine", "or"),
+            functions=[{"filter": "doclen >= 40", "weight": 2.0}],
+            boost_mode="sum", score_mode="sum", k=10, join_docs=False,
+        ))
+        assert got == want and got
+
+    def test_regexp(self, idx):
+        body = {"query": {"regexp": {"content": {"value": "progr.*"}}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_regexp("progr.*", k=10, join_docs=False))
+        assert got == want and got
+
+    def test_match_bool_prefix(self, idx):
+        body = {"query": {"match_bool_prefix": {"content": {
+            "query": "python progr", "max_expansions": 20}}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_bool_prefix(
+            "python progr", k=10, max_expansions=20, join_docs=False))
+        assert got == want and got
+
+    def test_rescore(self, idx):
+        body = {
+            "query": {"match": {"content": "quick brown fox jumps"}},
+            "rescore": {
+                "window_size": 25,
+                "query": {
+                    "rescore_query": {
+                        "match_phrase": {"content": "quick brown fox"}},
+                    "query_weight": 0.7,
+                    "rescore_query_weight": 1.2,
+                },
+            },
+        }
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_rescore(
+            "quick brown fox jumps", ("phrase", "quick brown fox", 0),
+            window_size=25, query_weight=0.7, rescore_query_weight=1.2,
+            k=10, join_docs=False,
+        ))
+        assert got == want and got
+
+    def test_refusals(self, idx):
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {"query": {"dis_max": {"queries": [
+                {"prefix": {"content": {"value": "py"}}}]}}})
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {
+                "query": {"match_phrase": {"content": "a b"}},
+                "rescore": {"window_size": 5, "query": {
+                    "rescore_query": {"match": {"content": "x"}}}},
+            })
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {"query": {"function_score": {
+                "query": {"match": {"content": "x"}},
+                "functions": [{"script_score": {"script": "1"},
+                               "weight": 1.0}],
+            }}})
