@@ -3020,6 +3020,368 @@ SELECT doc_id,
 FROM tfs, dfm, n ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- compound queries (query/bm25.py dis_max/boosting/function_score/
+# rescore shapes; ES compound query family) ---------------------------------
+# Each combines or reweights clause scores AFTER per-clause BM25, so the
+# contract mirrors compute every clause exhaustively then combine —
+# exactly the engine's physical story (no WAND across clauses).
+
+DISMAX_C1 = ["spark", "merge"]
+DISMAX_C2 = ["window", "hash"]
+DISMAX_TIE = 0.3
+
+
+def _q_dismax_topk(spark, sf_dir):
+    """ES dis_max over two match clauses: per-doc score = best clause +
+    tie_breaker × sum of the others (Lucene DisjunctionMaxQuery)."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    all_terms = DISMAX_C1 + DISMAX_C2
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    pc = (
+        tf.withColumn("c", contrib)
+        .withColumn(
+            "cl", F.when(F.col("term").isin(DISMAX_C1), 1).otherwise(2)
+        )
+        .groupBy("doc_id", "cl")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
+    )
+    score = F.col("mx") + DISMAX_TIE * (F.col("sm") - F.col("mx"))
+    return (
+        pc.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_DISMAX_ALL_SQL = ", ".join(f"'{t}'" for t in DISMAX_C1 + DISMAX_C2)
+_DISMAX_C1_SQL = ", ".join(f"'{t}'" for t in DISMAX_C1)
+_SQL_DISMAX = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+tf AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_DISMAX_ALL_SQL})
+       GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pc AS (SELECT doc_id,
+              CASE WHEN term IN ({_DISMAX_C1_SQL}) THEN 1 ELSE 2 END AS cl,
+              sum( ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {K1 + 1.0})
+                   / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) ) AS s
+       FROM tf JOIN dft USING (term), n GROUP BY doc_id, cl),
+mx AS (SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM pc GROUP BY doc_id)
+SELECT doc_id, round(mx + {DISMAX_TIE} * (sm - mx), 6) AS score
+FROM mx ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+BOOSTING_NEG = "dup"
+BOOSTING_NB = 0.4
+
+
+def _q_boosting_topk(spark, sf_dir):
+    """ES boosting query: positive matches score normally; docs also
+    containing the negative term are demoted × negative_boost (still
+    returned — demotion, not must_not exclusion)."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    scored = _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+    neg = (
+        toks.filter(F.array_contains("toks", BOOSTING_NEG))
+        .select("doc_id")
+        .withColumn("_neg", F.lit(True))
+    )
+    boosted = scored.join(neg, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.when(F.col("_neg"), F.col("_s") * BOOSTING_NB)
+            .otherwise(F.col("_s")),
+            6,
+        ).alias("score"),
+    )
+    return boosted.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+_SQL_BOOSTING = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)},
+neg AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+        WHERE t = '{BOOSTING_NEG}')
+SELECT s.doc_id AS doc_id,
+       round(CASE WHEN n2.doc_id IS NOT NULL
+                  THEN s._s * {BOOSTING_NB} ELSE s._s END, 6) AS score
+FROM scored s LEFT JOIN neg n2 ON s.doc_id = n2.doc_id
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+FSCORE_FACTOR = 0.1
+
+
+def _q_function_score_topk(spark, sf_dir):
+    """ES function_score with field_value_factor on doclen (modifier
+    ln1p, boost_mode multiply): score = bm25 × ln(1 + factor·doclen) —
+    the document-signal re-rank family the reference's PageRank boost
+    (main.py:243-267) belongs to."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    scored = _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+    dls = toks.select("doc_id", F.size("toks").alias("dl"))
+    return (
+        scored.join(dls, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("_s") * F.log(1.0 + FSCORE_FACTOR * F.col("dl")), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_FUNCTION_SCORE = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)},
+dls AS (SELECT doc_id, len(l) AS dl FROM tok)
+SELECT doc_id, round(_s * ln(1.0 + {FSCORE_FACTOR} * dl), 6) AS score
+FROM scored JOIN dls USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+REGEXP_RX = "^s[a-z]*a[a-z]*$"  # scan/small/spark/stream in the sf vocab
+REGEXP_CAP = 50
+
+
+def _q_regexp_bm25_topk(spark, sf_dir):
+    """ES regexp query: full-anchored dictionary expansion, synonym-
+    group scored like the prefix/wildcard entries."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    matches = pos.filter(F.col("term").rlike(REGEXP_RX)).localCheckpoint()
+    exps = [
+        r["term"]
+        for r in matches.select("term").distinct()
+        .orderBy("term").limit(REGEXP_CAP).collect()
+    ]
+    hit = matches.filter(F.col("term").isin(exps))
+    df_max = int(
+        hit.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.max("df")).collect()[0][0]
+        or 0
+    )
+    import math
+
+    idf = math.log(1.0 + (n - df_max + 0.5) / (df_max + 0.5))
+    tf = hit.groupBy("doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    score = F.lit(idf) * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        tf.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_REGEXP_BM25 = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+pos AS (SELECT doc_id, len(l) AS dl, unnest(l) AS t FROM tok),
+exp AS (SELECT DISTINCT t FROM pos WHERE regexp_matches(t, '{REGEXP_RX}')
+        ORDER BY t LIMIT {REGEXP_CAP}),
+dfm AS (SELECT max(df) AS df_max FROM
+        (SELECT count(DISTINCT doc_id) AS df
+         FROM pos JOIN exp USING (t) GROUP BY t)),
+tfs AS (SELECT doc_id, dl, count(*) AS tf
+        FROM pos JOIN exp USING (t) GROUP BY doc_id, dl)
+SELECT doc_id,
+       round(ln(1.0 + (n_docs - df_max + 0.5) / (df_max + 0.5))
+             * (tf * {K1 + 1.0})
+             / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)), 6) AS score
+FROM tfs, dfm, n ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+BOOLPFX_FULL = ["spark"]  # full-term side of 'spark me...'
+BOOLPFX_PREFIX = "me"     # expands to 'merge' in the sf vocab
+BOOLPFX_CAP = 50
+
+
+def _q_bool_prefix_topk(spark, sf_dir):
+    """ES match_bool_prefix: full tokens score as a plain OR, the last
+    (incomplete) token as a prefix synonym group; per-doc score is the
+    sum of the two sides."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    term_side = _bm25_scored(toks, n, avgdl, BOOLPFX_FULL).select(
+        "doc_id", F.col("_s").alias("_ts")
+    )
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    matches = pos.filter(
+        F.col("term").startswith(BOOLPFX_PREFIX)
+    ).localCheckpoint()
+    exps = [
+        r["term"]
+        for r in matches.select("term").distinct()
+        .orderBy("term").limit(BOOLPFX_CAP).collect()
+    ]
+    hit = matches.filter(F.col("term").isin(exps))
+    df_max = int(
+        hit.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.max("df")).collect()[0][0]
+        or 0
+    )
+    import math
+
+    idf = math.log(1.0 + (n - df_max + 0.5) / (df_max + 0.5))
+    tf = hit.groupBy("doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    gscore = F.lit(idf) * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    group_side = tf.select("doc_id", gscore.alias("_gs"))
+    return (
+        term_side.join(group_side, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("_ts"), F.lit(0.0))
+                + F.coalesce(F.col("_gs"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_BOOLPFX_FULL_SQL = ", ".join(f"'{t}'" for t in BOOLPFX_FULL)
+_SQL_BOOL_PREFIX = f"""{_TOK_CTE},
+{_bm25_cte(_BOOLPFX_FULL_SQL)},
+pos AS (SELECT doc_id, len(l) AS dl, unnest(l) AS t FROM tok),
+exp AS (SELECT DISTINCT t FROM pos WHERE t LIKE '{BOOLPFX_PREFIX}%'
+        ORDER BY t LIMIT {BOOLPFX_CAP}),
+dfm AS (SELECT max(df) AS df_max FROM
+        (SELECT count(DISTINCT doc_id) AS df
+         FROM pos JOIN exp USING (t) GROUP BY t)),
+tfs AS (SELECT doc_id, dl, count(*) AS tf
+        FROM pos JOIN exp USING (t) GROUP BY doc_id, dl),
+grp AS (SELECT doc_id,
+               ln(1.0 + (n_docs - df_max + 0.5) / (df_max + 0.5))
+               * (tf * {K1 + 1.0})
+               / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) AS _gs
+        FROM tfs, dfm, n)
+SELECT coalesce(s.doc_id, g.doc_id) AS doc_id,
+       round(coalesce(s._s, 0) + coalesce(g._gs, 0), 6) AS score
+FROM scored s FULL OUTER JOIN grp g ON s.doc_id = g.doc_id
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+RESCORE_WINDOW = 30
+RESCORE_QW = 1.0
+RESCORE_RW = 2.0
+
+
+def _q_rescore_topk(spark, sf_dir):
+    """ES rescore (score_mode=total): top-window of the OR match
+    re-sorted by qw × bm25 + rw × exact-phrase score (phrase misses
+    contribute 0)."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    window = (
+        _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+        .orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(RESCORE_WINDOW)
+    )
+    npair = len(PHRASE_TOKENS)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("p", "term"),
+    )
+    pairs = None
+    for j, t in enumerate(PHRASE_TOKENS):
+        fr = pos.filter(F.col("term") == t).select(
+            "doc_id", "dl", (F.col("p") - j).alias("s")
+        )
+        pairs = fr if pairs is None else pairs.unionByName(fr)
+    ptf = (
+        pairs.filter(F.col("s") >= 0)
+        .groupBy("doc_id", "dl", "s")
+        .agg(F.count(F.lit(1)).alias("nj"))
+        .filter(F.col("nj") == npair)
+        .groupBy("doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("ptf"))
+    )
+    dfs = (
+        pos.filter(F.col("term").isin(sorted(set(PHRASE_TOKENS))))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf_sum = float(
+        dfs.agg(
+            F.sum(
+                F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+        ).collect()[0][0]
+        or 0.0
+    )
+    pscore = F.lit(idf_sum) * (F.col("ptf") * (K1 + 1.0)) / (
+        F.col("ptf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    phrase = ptf.select("doc_id", pscore.alias("_ps"))
+    return (
+        window.join(phrase, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                RESCORE_QW * F.col("_s")
+                + RESCORE_RW * F.coalesce(F.col("_ps"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_RESCORE = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)},
+w AS (SELECT doc_id, _s FROM scored ORDER BY _s DESC, doc_id
+      LIMIT {RESCORE_WINDOW}),
+ix AS (SELECT doc_id, len(l) AS dl, l,
+              unnest(range(1, len(l) - {len(PHRASE_TOKENS)} + 2)) AS i
+       FROM tok),
+pt AS (SELECT doc_id, dl, count(*) AS ptf FROM ix
+       WHERE {_PHRASE_CONDS} GROUP BY doc_id, dl),
+dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+        FROM tok, unnest(l) AS u(t) WHERE t IN ({_PHRASE_TERMS_SQL})
+        GROUP BY t),
+i2 AS (SELECT sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))) AS idf_sum
+       FROM dfs, n),
+ps AS (SELECT doc_id,
+              idf_sum * (ptf * {K1 + 1.0})
+              / (ptf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) AS _ps
+       FROM pt, i2, n)
+SELECT w.doc_id AS doc_id,
+       round({RESCORE_QW} * w._s
+             + {RESCORE_RW} * coalesce(ps._ps, 0), 6) AS score
+FROM w LEFT JOIN ps ON w.doc_id = ps.doc_id
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3042,6 +3404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_bm25_topk": _q_prefix_bm25_topk,
         "wildcard_bm25_topk": _q_wildcard_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
+        "regexp_bm25_topk": _q_regexp_bm25_topk,
+        "bool_prefix_topk": _q_bool_prefix_topk,
+        "dismax_topk": _q_dismax_topk,
+        "boosting_topk": _q_boosting_topk,
+        "function_score_topk": _q_function_score_topk,
+        "rescore_topk": _q_rescore_topk,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
         "crossfield_bm25_topk": _q_crossfield_bm25,
@@ -3130,6 +3498,12 @@ def oracle_sql() -> dict[str, str]:
         "prefix_bm25_topk": _SQL_PREFIX_BM25,
         "wildcard_bm25_topk": _SQL_WILDCARD_BM25,
         "fuzzy_bm25_topk": _SQL_FUZZY_BM25,
+        "regexp_bm25_topk": _SQL_REGEXP_BM25,
+        "bool_prefix_topk": _SQL_BOOL_PREFIX,
+        "dismax_topk": _SQL_DISMAX,
+        "boosting_topk": _SQL_BOOSTING,
+        "function_score_topk": _SQL_FUNCTION_SCORE,
+        "rescore_topk": _SQL_RESCORE,
         "batch_bm25_topk": _SQL_BATCH_BM25,
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "crossfield_bm25_topk": _SQL_CROSSFIELD,
