@@ -211,3 +211,49 @@ def test_significant_terms_scans_all_buckets_once(idx):
     )
     assert plan.count("HashAggregate") >= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dismax_is_one_combine_shuffle_then_take_ordered(idx):
+    # each clause is one exhaustive decode + partial-aggregated groupBy;
+    # the cross-clause combine is ONE more groupBy(doc_id) over the
+    # union, and the final cut is per-partition top-k + merge — no
+    # global sort, no join between the clause frames
+    plan = explain_str(idx.search_dis_max(
+        ["python programming", "database transaction"],
+        tie_breaker=0.3, k=10, join_docs=False,
+    ))
+    assert "TakeOrderedAndProject" in plan
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan
+    # posting scans still prune to the clauses' term_bucket partitions
+    assert "PartitionFilters" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 clauses × partial+final
+
+
+def test_function_score_prunes_docs_columns(idx):
+    # the signal join must read ONLY (doc_id, doclen) from the docs
+    # table — a scan pulling url/title/text for a score multiplier
+    # would stream the wide columns of 10^12 docs through the join
+    plan = explain_str(idx.search_function_score(
+        "python programming",
+        field_value_factor={"field": "doclen", "factor": 0.1},
+        k=10, join_docs=False,
+    ))
+    docs_reads = [
+        seg.split("ReadSchema", 1)[1][:200]
+        for seg in plan.split("Location")
+        if "docs" in seg[:200] and "ReadSchema" in seg
+    ]
+    assert docs_reads, "docs scan missing from plan"
+    for rs in docs_reads:
+        assert "url" not in rs and "title" not in rs and "text" not in rs
+
+
+def test_boosting_flag_join_and_take_ordered(idx):
+    # negative membership decodes ids only and joins as a flag; the
+    # final cut stays TakeOrderedAndProject
+    plan = explain_str(idx.search_boosting(
+        "python programming", "database", negative_boost=0.3,
+        k=10, join_docs=False,
+    ))
+    assert "TakeOrderedAndProject" in plan
