@@ -66,7 +66,8 @@ def main() -> None:
     build_index(
         spark, pages, root,
         num_buckets=32, block_size=128, num_partitions=cpus * 2,
-        index_fields=True,  # cross_fields needs per-field postings
+        index_fields=True,      # cross_fields needs per-field postings
+        index_positions=True,   # phrase_prefix needs positional postings
     )
     build_s = time.time() - t0
 
@@ -112,6 +113,42 @@ def main() -> None:
         ).collect(),
         "suggest_terms": lambda q: idx.suggest_terms(
             q[:-1] + "x", suggest_mode="always"
+        ).collect(),
+        "facet_percentiles": lambda q: idx.facet_percentiles(
+            q, "doclen", approx=True
+        ).collect(),
+        "facet_date_histogram": lambda q: idx.facet_date_histogram(
+            q, "warc_ts", "month"
+        ).collect(),
+        "facet_top_hits": lambda q: idx.facet_top_hits(
+            q, "domain", size=5, hits_per_bucket=3
+        ).collect(),
+        "collapse": lambda q: idx.search_collapse(
+            q, "domain", k=10, join_docs=False
+        ).collect(),
+        "phrase_prefix": lambda q: idx.search_phrase_prefix(
+            " ".join(q.split()[:2])[:-1], k=10, join_docs=False
+        ).collect(),
+        "bool_prefix": lambda q: idx.search_bool_prefix(
+            q[:-1], k=10, join_docs=False
+        ).collect(),
+        "regexp": lambda q: idx.search_regexp(
+            q.split()[0][:3] + "[a-z]*", k=10, join_docs=False
+        ).collect(),
+        "dis_max": lambda q: idx.search_dis_max(
+            [q, "search engine"], tie_breaker=0.3, k=10, join_docs=False
+        ).collect(),
+        "boosting": lambda q: idx.search_boosting(
+            q, "engine", negative_boost=0.3, k=10, join_docs=False
+        ).collect(),
+        "function_score": lambda q: idx.search_function_score(
+            q, field_value_factor={"field": "doclen", "factor": 0.1,
+                                   "modifier": "log1p"},
+            k=10, join_docs=False,
+        ).collect(),
+        "rescore": lambda q: idx.search_rescore(
+            q, ("phrase", " ".join(q.split()[:2]), 0), window_size=50,
+            k=10, join_docs=False,
         ).collect(),
     }
 
