@@ -1089,6 +1089,37 @@ SELECT doc_id,
 FROM w"""
 
 
+def _q_detect_language(spark, sf_dir):
+    return T.detect_language(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_detect_language() -> str:
+    from search_engine_spark.ops.textstats import LANG_MARKERS
+
+    ratio_cols = []
+    for lang in sorted(LANG_MARKERS):
+        in_sql = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        ratio_cols.append(
+            f"CASE WHEN len(ws) > 0 THEN "
+            f"len(list_filter(ws, t -> t IN ({in_sql})))::DOUBLE / len(ws) "
+            f"ELSE 0.0 END AS r_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    # CASE order = alphabetical language code — the pinned tie-break
+    pick = "CASE WHEN " + f"{g} = 0.0 THEN 'und' " + " ".join(
+        f"WHEN r_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH w AS (SELECT doc_id,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+    FROM documents),
+r AS (SELECT doc_id, {', '.join(ratio_cols)} FROM w)
+SELECT doc_id, {pick} AS lang, round({g}, 6) AS lang_score FROM r"""
+
+
 def _q_token_counts(spark, sf_dir):
     return T.token_counts(
         _read(spark, sf_dir, "documents"), "doc_id", "text"
@@ -3442,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         # text analysis
         "lang_en_score": _q_lang_en,
+        "detect_language": _q_detect_language,
         "token_counts": _q_token_counts,
         # embeddings / similarity
         "embedding_cosine_topk": _q_embedding_topk,
@@ -3534,6 +3566,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash48": _simhash_sql(),
         "doc_fingerprint": _SQL_FINGERPRINT,
         "lang_en_score": _SQL_LANG_EN,
+        "detect_language": _sql_detect_language(),
         "token_counts": _SQL_TOKEN_COUNTS,
         "embedding_cosine_topk": _SQL_EMB_TOPK,
         "batch_ann_topk": _SQL_BATCH_ANN,

@@ -40,6 +40,82 @@ def english_stopword_score(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+# Pinned function-word marker lists per language (public common function
+# words; NOT downloaded at runtime — the reference's silent nltk.download
+# divergence, tfidf.py:41-55, is a reproducibility bug we do not copy).
+# Alphabetical language order is the deterministic tie-break everywhere.
+LANG_MARKERS = {
+    "de": sorted({
+        "der", "die", "das", "und", "ist", "nicht", "ich", "du", "er",
+        "sie", "wir", "ein", "eine", "zu", "mit", "von", "auf", "für",
+        "den", "dem", "im", "als", "auch", "sich", "bei",
+    }),
+    "en": sorted({
+        "the", "of", "and", "to", "in", "is", "was", "he", "for", "it",
+        "with", "as", "his", "on", "be", "at", "by", "that", "this",
+        "are", "from", "or", "an", "they", "which",
+    }),
+    "es": sorted({
+        "el", "la", "los", "las", "y", "es", "no", "un", "una", "en",
+        "que", "por", "con", "para", "se", "del", "al", "su", "lo",
+        "como", "más", "pero", "sus", "le", "ya",
+    }),
+    "fr": sorted({
+        "le", "la", "les", "et", "est", "ne", "pas", "un", "une",
+        "dans", "que", "pour", "avec", "sur", "du", "au", "ce", "il",
+        "qui", "plus", "cette", "mais", "aux", "ses", "être",
+    }),
+    "it": sorted({
+        "il", "lo", "la", "gli", "le", "e", "è", "non", "un", "una",
+        "di", "che", "per", "con", "su", "del", "al", "si", "nel",
+        "da", "come", "anche", "dei", "alla", "più",
+    }),
+    "pt": sorted({
+        "o", "os", "a", "as", "e", "é", "não", "um", "uma", "em",
+        "que", "por", "com", "para", "se", "do", "ao", "seu", "na",
+        "dos", "como", "mais", "das", "mas", "foi",
+    }),
+}
+
+
+def detect_language(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """n-gram-free language ID: per-language function-word hit ratio
+    over whitespace words, winner = highest ratio (ties broken by
+    alphabetical language code — the same CASE order the DuckDB oracle
+    evaluates); zero hits in every language → 'und'.  Returns
+    (id, lang, lang_score).
+
+    All native column expressions over ONE materialized word array —
+    six array_contains filters inside whole-stage codegen, no Python,
+    no shuffle (row-local)."""
+    base = df.select(
+        F.col(id_col).alias("id"), _words_col(F.col(text_col)).alias("words")
+    )
+    words, n = F.col("words"), F.size(F.col("words"))
+    def _contains(arr):
+        # two-arg lambdas are read by F.filter as (element, index) —
+        # close over the marker array instead of a default arg
+        return lambda w: F.array_contains(arr, w)
+
+    ratios = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        hits = F.size(F.filter(words, _contains(arr)))
+        ratios[lang] = F.when(
+            n > 0, hits.cast("double") / n.cast("double")
+        ).otherwise(0.0)
+    with_r = base.select(
+        "id", *[ratios[lang].alias(f"_r_{lang}") for lang in sorted(ratios)]
+    )
+    g = F.greatest(*[F.col(f"_r_{lang}") for lang in sorted(ratios)])
+    pick = F.when(g == 0.0, F.lit("und"))
+    for lang in sorted(ratios):  # alphabetical = deterministic tie-break
+        pick = pick.when(F.col(f"_r_{lang}") == g, F.lit(lang))
+    return with_r.select(
+        "id", pick.alias("lang"), F.round(g, 6).alias("lang_score")
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc quality features: char/token counts, mean token length,
     stopword ratio, punctuation ratio, digit ratio, plus a composite

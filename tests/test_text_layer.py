@@ -147,3 +147,70 @@ class TestRepetitionStats:
             bf = round(max(Counter(bis).values()) / len(bis), 6) if bis else 0.0
             assert got[i] == (n, uf, bf), (i, got[i], (n, uf, bf))
         assert got[2][1] == 1.0 and got[2][2] == 1.0  # all-spam doc
+
+
+class TestDetectLanguage:
+    SAMPLES = [
+        (1, "the quick brown fox jumps over the lazy dog and it is fast",
+         "en"),
+        (2, "der hund und die katze sind nicht im haus bei dem baum", "de"),
+        (3, "el perro y el gato no se ven en la casa del pueblo", "es"),
+        (4, "le chien et le chat ne sont pas dans la maison du village",
+         "fr"),
+        (5, "il cane e il gatto non sono nella casa del paese che si vede",
+         "it"),
+        (6, "o cão e o gato não estão em casa do povo que se vê", "pt"),
+        (7, "zzz qqq xxx yyy www", "und"),
+        (8, "", "und"),
+    ]
+
+    def test_winners(self, spark):
+        from search_engine_spark.ops.textstats import detect_language
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.SAMPLES], "doc_id long, text string"
+        )
+        got = {
+            r["id"]: (r["lang"], r["lang_score"])
+            for r in detect_language(df, "doc_id", "text").collect()
+        }
+        for i, _, want in self.SAMPLES:
+            assert got[i][0] == want, (i, got[i])
+        assert got[7][1] == 0.0 and got[8][1] == 0.0
+
+    def test_matches_python_mirror(self, spark):
+        """Ratio + tie-break identical to the dumb per-row Python
+        computation (alphabetical language order on ties)."""
+        from search_engine_spark.ops.textstats import (
+            LANG_MARKERS, detect_language,
+        )
+        import re
+
+        texts = [t for _, t, _ in self.SAMPLES] + [
+            "de la le en un",          # heavy cross-language overlap
+            "que se del al con",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["id"]: (r["lang"], r["lang_score"])
+            for r in detect_language(df, "doc_id", "text").collect()
+        }
+        for i, t in enumerate(texts):
+            words = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+            ratios = {
+                lang: (
+                    sum(w in set(ms) for w in words) / len(words)
+                    if words != [""] else 0.0
+                )
+                for lang, ms in LANG_MARKERS.items()
+            }
+            best = max(ratios.values())
+            want = (
+                "und"
+                if best == 0.0
+                else min(l for l, r in ratios.items() if r == best)
+            )
+            assert got[i][0] == want, (i, t, ratios, got[i])
+            assert got[i][1] == round(best, 6), (i, t)
