@@ -1949,6 +1949,7 @@ class BM25Index:
         k: int = 10,
         mode: str = "blockmax",
         join_docs: bool = True,
+        force_and: bool = False,
     ) -> DataFrame:
         """Boolean search — EXECUTES the AND/OR/NOT structure the
         reference only parses (QueryProcessor.parse_query,
@@ -1977,8 +1978,16 @@ class BM25Index:
         Pure negation ("NOT spam", 'NOT "spam run"') returns empty: the
         reference has no match_all, and at 10^12 docs "everything
         except X" is not a rankable result set.
+
+        force_and=True makes the positive segment conjunctive without
+        textual AND injection — the ES query_string
+        `default_operator=and` / simple_query_string `+` lowering seam
+        (query/dsl.py); it sets ParsedQuery.positive_and so BOTH the
+        terms-only and the phrase paths key must-mode identically.
         """
         p = parse_query(query)
+        if force_and:
+            p.positive_and = True
         if p.phrases or p.not_phrases:
             return self._boolean_with_phrases(p, k, mode, join_docs)
         if not p.terms:

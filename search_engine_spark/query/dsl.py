@@ -32,6 +32,21 @@ NotImplementedError naming the gap, never a silent wrong answer):
     prefix/wildcard/fuzzy/regexp
                      {"content": {"value": v, ...opts}}
     more_like_this   {"like": text, "max_query_terms"...}
+    query_string     {"query": 'a AND b NOT c "exact phrase"',
+                      "default_field": "content",
+                      "default_operator": "and"|"or"} — the reference's
+                     OWN search-box syntax (QueryProcessor.parse_query,
+                     tfidf.py:589-626), executed via search_boolean;
+                     Lucene-only syntax (field:term, ^boost, grouping,
+                     ranges, fuzzy/prefix suffixes, +/-/! prefixes) is
+                     refused, never silently re-tokenized
+    simple_query_string
+                     {"query": 'a +b -c "phrase"', "fields":
+                      ["content"], "default_operator": ...} — the
+                     + (and) / | (or) / -term (not) / "" (phrase)
+                     operator subset translated onto the same boolean
+                     engine; ( ) * ~ refused, mixing + with | refused
+                     (single global positive mode, no precedence)
     dis_max          {"queries": [match|match_phrase on content, ...],
                       "tie_breaker": f} — best-clause scoring
     boosting         {"positive": node, "negative": node,
@@ -74,6 +89,7 @@ exact total order (score desc, doc_id asc).
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -84,7 +100,8 @@ from search_engine_spark.text.tokenizer import tokenize_py
 
 _SCORING = ("match", "multi_match", "match_phrase", "match_phrase_prefix",
             "match_bool_prefix", "prefix", "wildcard", "fuzzy", "regexp",
-            "more_like_this", "dis_max", "boosting", "function_score")
+            "more_like_this", "dis_max", "boosting", "function_score",
+            "query_string", "simple_query_string")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -115,6 +132,79 @@ def _parse_fields(specs: List[str]) -> Dict[str, float]:
             _unsupported(f"multi_match field {name!r}")
         boosts[name] = float(b) if b else 1.0
     return boosts
+
+
+# Lucene query_string syntax our boolean grammar does not cover: field
+# prefixes, boosts, grouping, ranges, fuzzy/proximity/wildcard suffixes,
+# escapes, && / ||, and the +/-/! unary prefixes (a silently-tokenized
+# `-spam` would flip a must_not into a should — refuse instead).
+_QS_LUCENE_RE = re.compile(r'[:^()\[\]{}*?~\\/!]|&&|\|\||(?:^|\s)[+-]\S')
+_PHRASE_STRIP_RE = re.compile(r'-?"[^"]*"')
+_SQS_FORBIDDEN_RE = re.compile(r"[()*~]")
+
+
+def _query_string_args(body) -> Tuple[str, bool]:
+    """(raw boolean query, force_and) of a query_string node."""
+    if isinstance(body, dict):
+        q = body["query"]
+        dfield = body.get("default_field", "content")
+        dop = str(body.get("default_operator", "or")).lower()
+    else:
+        q, dfield, dop = body, "content", "or"
+    if dfield != "content":
+        _unsupported(f"query_string default_field {dfield!r}")
+    # scan the phrase-free remainder: quoted content is literal text in
+    # Lucene query_string, so specials inside quotes are fine (and the
+    # canonical tokenizer strips them anyway)
+    if _QS_LUCENE_RE.search(_PHRASE_STRIP_RE.sub(" ", q)):
+        _unsupported(
+            "query_string Lucene syntax beyond AND/OR/NOT/quotes "
+            f"(in {q!r}) — the reference's QueryProcessor subset"
+        )
+    return q, dop == "and"
+
+
+def _simple_query_string_args(body) -> Tuple[str, bool]:
+    """Translate the ES simple_query_string operator subset onto the
+    boolean grammar: + = and, | = or, leading - negates a token or
+    phrase, "" = phrase.  Returns (boolean query, force_and)."""
+    if isinstance(body, dict):
+        q = body["query"]
+        fields = _as_list(body.get("fields", ["content"]))
+        dop = str(body.get("default_operator", "or")).lower()
+    else:
+        q, fields, dop = body, ["content"], "or"
+    if [f.partition("^")[0] for f in fields] != ["content"]:
+        _unsupported(f"simple_query_string fields {fields!r} "
+                     "(content only)")
+    if _SQS_FORBIDDEN_RE.search(q):
+        _unsupported("simple_query_string ( ) * ~ operators "
+                     "(precedence / prefix / fuzzy)")
+    pos: List[str] = []
+    neg: List[str] = []
+    rest = q
+    for sign, ph in re.findall(r'(-?)"([^"]*)"', q):
+        (neg if sign else pos).append(f'"{ph}"')
+    rest = _PHRASE_STRIP_RE.sub(" ", rest)
+    conj = disj = False
+    for tok in rest.replace("+", " + ").replace("|", " | ").split():
+        if tok == "+":
+            conj = True
+        elif tok == "|":
+            disj = True
+        elif tok == "-":
+            _unsupported("simple_query_string dangling '-'")
+        elif tok.startswith("-"):
+            neg.append(tok[1:])
+        else:
+            pos.append(tok)
+    if conj and disj:
+        _unsupported("simple_query_string mixing + and | "
+                     "(no precedence in the boolean grammar)")
+    out = " ".join(pos)
+    if neg:
+        out = f"{out} NOT {' '.join(neg)}".strip()
+    return out, conj or dop == "and"
 
 
 def _filter_predicate(clauses: List[Dict]) -> Optional[Column]:
@@ -355,6 +445,14 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
             min_doc_freq=int(body.get("min_doc_freq", 5)),
             join_docs=join_docs,
         )
+    if kind == "query_string":
+        q, force_and = _query_string_args(body)
+        return idx.search_boolean(q, k=k, join_docs=join_docs,
+                                  force_and=force_and)
+    if kind == "simple_query_string":
+        q, force_and = _simple_query_string_args(body)
+        return idx.search_boolean(q, k=k, join_docs=join_docs,
+                                  force_and=force_and)
     _unsupported(f"query node {kind!r}")
 
 

@@ -549,3 +549,118 @@ class TestCompoundLowering:
                 "functions": [{"script_score": {"script": "1"},
                                "weight": 1.0}],
             }}})
+
+
+class TestQueryString:
+    """query_string / simple_query_string — the search-box syntaxes
+    lowered onto search_boolean (the reference's QueryProcessor
+    grammar, tfidf.py:589-626, is exactly the supported subset)."""
+
+    def test_query_string_lowers_to_boolean(self, idx):
+        q = 'python tutorial NOT database "machine learning"'
+        body = {"query": {"query_string": {"query": q}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(q, k=10, join_docs=False))
+        assert got == want and got
+
+    def test_query_string_bare_string_form(self, idx):
+        body = {"query": {"query_string": "search engine ranking"}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(
+            "search engine ranking", k=10, join_docs=False))
+        assert got == want and got
+
+    def test_query_string_default_operator_and(self, idx):
+        body = {"query": {"query_string": {
+            "query": "python tutorial", "default_operator": "AND"}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(
+            "python AND tutorial", k=10, join_docs=False))
+        assert got == want and got
+
+    def test_query_string_force_and_through_phrase_path(self, idx):
+        # default_operator=and must key must-mode in the PHRASE branch
+        # too (force_and seam, not textual AND injection)
+        body = {"query": {"query_string": {
+            "query": 'python tutorial "machine learning"',
+            "default_operator": "and"}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(
+            'python AND tutorial "machine learning"', k=10,
+            join_docs=False))
+        assert got == want
+
+    def test_query_string_specials_inside_quotes_ok(self, idx):
+        # quoted content is literal text in Lucene query_string; the
+        # canonical tokenizer strips the punctuation
+        q = '"machine learning: models" python'
+        got = rows(execute_es_query(
+            idx, {"query": {"query_string": {"query": q}}},
+            join_docs=False))
+        want = rows(idx.search_boolean(q, k=10, join_docs=False))
+        assert got == want
+
+    @pytest.mark.parametrize("q", [
+        "title:python", "pyth*", "fuzzy~2", "(a AND b) OR c",
+        "boost^2", "a && b", "foo -bar", "+foo bar", "a /re/ b",
+    ])
+    def test_query_string_refuses_lucene_syntax(self, idx, q):
+        with pytest.raises(NotImplementedError):
+            execute_es_query(
+                idx, {"query": {"query_string": {"query": q}}})
+
+    def test_simple_query_string_or_not_phrase(self, idx):
+        body = {"query": {"simple_query_string": {
+            "query": '-database python | tutorial "machine learning"'}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(
+            'python tutorial "machine learning" NOT database', k=10,
+            join_docs=False))
+        assert got == want and got
+
+    def test_simple_query_string_plus_is_and(self, idx):
+        got = rows(execute_es_query(idx, {"query": {
+            "simple_query_string": {"query": "python + tutorial"}}},
+            join_docs=False))
+        want = rows(idx.search_boolean(
+            "python AND tutorial", k=10, join_docs=False))
+        assert got == want and got
+
+    def test_simple_query_string_attached_plus(self, idx):
+        # ES sqs '+' is an infix operator char, whitespace-optional
+        got = rows(execute_es_query(idx, {"query": {
+            "simple_query_string": {"query": "python+tutorial"}}},
+            join_docs=False))
+        want = rows(idx.search_boolean(
+            "python AND tutorial", k=10, join_docs=False))
+        assert got == want
+
+    def test_simple_query_string_negated_phrase(self, idx):
+        body = {"query": {"simple_query_string": {
+            "query": 'python -"quick brown"'}}}
+        got = rows(execute_es_query(idx, body, join_docs=False))
+        want = rows(idx.search_boolean(
+            'python NOT "quick brown"', k=10, join_docs=False))
+        assert got == want
+
+    def test_simple_query_string_default_operator_and(self, idx):
+        got = rows(execute_es_query(idx, {"query": {
+            "simple_query_string": {"query": "python tutorial",
+                                    "default_operator": "and"}}},
+            join_docs=False))
+        want = rows(idx.search_boolean(
+            "python AND tutorial", k=10, join_docs=False))
+        assert got == want
+
+    @pytest.mark.parametrize("q", [
+        "(a b)", "pyth*", "fuzz~1", "a + b | c", "a - b",
+    ])
+    def test_simple_query_string_refusals(self, idx, q):
+        with pytest.raises(NotImplementedError):
+            execute_es_query(
+                idx, {"query": {"simple_query_string": {"query": q}}})
+
+    def test_simple_query_string_fields_refusal(self, idx):
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {"query": {"simple_query_string": {
+                "query": "python", "fields": ["title"]}}})
