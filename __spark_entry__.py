@@ -929,6 +929,40 @@ SELECT count(*) AS n_or,
 FROM hit"""
 
 
+# ---- field-sorted hits (query/bm25.py:search_sorted / ES sort section) -----
+
+
+def _q_sorted_hits(spark, sf_dir):
+    """Field-sorted search (ES request-body `sort`, search_sorted
+    shape): the OR-matched docs of the pinned query ordered by a
+    metadata column (n_chars desc) instead of relevance — the
+    scoring-skipped plan (ids + one column-pruned docs join +
+    TakeOrderedAndProject over the sort key)."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    return (
+        docs.select(
+            "doc_id", "n_chars", raw_tokens_col(F.col("text")).alias("toks")
+        )
+        .filter(
+            F.arrays_overlap(
+                "toks", F.array(*[F.lit(t) for t in BM25_QUERY_TERMS])
+            )
+        )
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_SORTED_HITS = f"""{_TOK_CTE}
+SELECT d.doc_id, d.n_chars
+FROM tok JOIN documents d USING (doc_id)
+WHERE len(list_intersect(tok.l, [{_TERMS_SQL}])) > 0
+ORDER BY n_chars DESC, doc_id LIMIT 10"""
+
+
 # ---- explain: per-term score contributions (D6, tfidf.py:484-507) ----------
 # The reference's TFIDFScore.term_scores — every query term keyed per
 # result doc, 0.0 when absent — exploded to (doc_id, term, contrib)
@@ -3461,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "explain_contribs": _q_explain_contribs,
         "match_counts": _q_match_counts,
+        "sorted_hits": _q_sorted_hits,
         "repetition_stats": _q_repetition_stats,
         "sample_10pct": _q_sample_10pct,
         "split_assign": _q_split_assign,
@@ -3556,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _SQL_TFIDF,
         "explain_contribs": _SQL_EXPLAIN,
         "match_counts": _SQL_MATCH_COUNTS,
+        "sorted_hits": _SQL_SORTED_HITS,
         "repetition_stats": _SQL_REPETITION,
         "sample_10pct": _sql_sample_10pct(),
         "split_assign": _sql_split_assign(),

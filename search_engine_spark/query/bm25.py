@@ -1739,6 +1739,92 @@ class BM25Index:
             F.broadcast(topk.select("doc_id", "value")), "doc_id"
         )
 
+    def search_sorted(
+        self,
+        query,
+        sort,
+        k: int = 10,
+        mode: str = "or",
+        predicate=None,
+        track_scores: bool = False,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Field-sorted search — the ES request-body `sort` section:
+        the hits of `query`, ordered by metadata sort keys instead of
+        relevance (main use in the reference's domain: newest-first
+        `warc_ts desc` result feeds).
+
+        sort: list of (field, "asc"|"desc") pairs over the docs-table
+        metadata columns (url, domain, warc_ts, doclen, doc_id) plus
+        the pseudo-field "_score" (BM25, like ES).  doc_id asc is the
+        pinned final tie-break (ES's internal-doc-order equivalent,
+        made deterministic).
+
+        ES scoring semantics kept: sorting by fields alone skips
+        scoring entirely (score column is null) unless
+        track_scores=True; a "_score" key anywhere forces it.
+
+        Physical plan by whether scores are needed:
+          * fields-only — the ids-only `_matched_ids` pre-pass (only
+            the doc_ids byte columns decode; tfs/doclens stay packed),
+            semi-joined to the filter, then ONE column-pruned docs
+            join and a TakeOrderedAndProject over the sort keys.  No
+            scoring work at all, exactly like Lucene skipping the
+            scorer under field sorts.
+          * scored — the exhaustive `_or_scored` pass: a field-sorted
+            winner can sit anywhere in the relevance order, so no
+            θ/WAND cut is sound; every match must score (same
+            documented rule as collapse/dis_max).
+        """
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        sort = [tuple(s) for s in sort]
+        fields = [f for f, _ in sort]
+        bad = set(fields) - set(self.docs.columns) - {"_score"}
+        if bad:
+            raise ValueError(f"unknown sort fields {sorted(bad)!r} "
+                             "(docs-table columns or _score)")
+        need_scores = track_scores or "_score" in fields
+        if need_scores:
+            base = self._or_scored(query, mode=mode)
+            if base is not None and predicate is not None:
+                allowed = self.docs.filter(
+                    F.expr(predicate) if isinstance(predicate, str)
+                    else predicate
+                ).select("doc_id")
+                base = base.join(allowed, "doc_id", "left_semi")
+        else:
+            base = self._matched_ids(query, mode=mode, predicate=predicate)
+            if base is not None:
+                base = base.select(
+                    "doc_id", F.lit(None).cast("double").alias("score")
+                )
+        if base is None:
+            return self._empty_scored(join_docs)
+        sort_cols = [c for c in fields if c != "_score"]
+        if sort_cols:
+            base = base.join(
+                self.docs.select("doc_id", *sort_cols), "doc_id"
+            )
+        order = [
+            (F.desc if d == "desc" else F.asc)(
+                "score" if f == "_score" else f
+            )
+            for f, d in sort
+        ] + [F.asc("doc_id")]
+        topk = base.orderBy(*order).limit(k)
+        if not join_docs:
+            return topk
+        keep = topk.select("doc_id", "score", *sort_cols)
+        joined = self._join_docs(keep.select("doc_id", "score"))
+        if sort_cols:
+            extra = [c for c in sort_cols if c not in joined.columns]
+            if extra:
+                joined = joined.join(
+                    F.broadcast(keep.select("doc_id", *extra)), "doc_id"
+                )
+        return joined.orderBy(*order)
+
     def significant_terms(
         self,
         query,

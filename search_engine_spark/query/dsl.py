@@ -74,6 +74,11 @@ NotImplementedError naming the gap, never a silent wrong answer):
       · must_not: match (terms) / match_phrase (phrases) on content
   request body
     {"query": ..., "from": n, "size": n, "_source": [cols],
+     "sort": ["f" | {"f": "desc"} | {"f": {"order": ...}} | "_score"],
+                                        # field-sorted hits
+                                        # (search_sorted; track_scores
+                                        # honored; match / bool
+                                        # must+filter foregrounds)
      "collapse": {"field": f},          # one best result per value
      "rescore": {"window_size": w,      # phrase/match second pass
        "query": {"rescore_query": node, "query_weight": qw,
@@ -602,6 +607,32 @@ def _execute_bool(idx, body, k, join_docs) -> DataFrame:
     return idx._empty_scored(join_docs)
 
 
+def _sort_pairs(entries: List) -> List[Tuple[str, str]]:
+    """Normalize an ES sort section to (field, order) pairs:
+    "f" | {"f": "desc"} | {"f": {"order": "desc"}} | "_score".
+    ES defaults: asc for fields, desc for _score."""
+    pairs: List[Tuple[str, str]] = []
+    for e in entries:
+        if isinstance(e, str):
+            pairs.append((e, "desc" if e == "_score" else "asc"))
+            continue
+        f, spec = _one_key(e, "sort entry")
+        if isinstance(spec, str):
+            order = spec
+        elif isinstance(spec, dict):
+            extra = set(spec) - {"order"}
+            if extra:
+                _unsupported(f"sort options {sorted(extra)!r} "
+                             "(order only — no mode/missing/nested)")
+            order = spec.get("order", "desc" if f == "_score" else "asc")
+        else:
+            _unsupported(f"sort spec {spec!r}")
+        if order not in ("asc", "desc"):
+            _unsupported(f"sort order {order!r}")
+        pairs.append((f, order))
+    return pairs
+
+
 def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
     """(query_terms, mode, predicate) of the query node an aggs block
     runs under.  Supported: absent/match_all (whole corpus is not an
@@ -796,6 +827,43 @@ def execute_es_query(
     frm = int(body.get("from", 0))
     size = int(body.get("size", 10))
     k = frm + size  # exact page through the total order
+    sort = body.get("sort")
+    if sort:
+        pairs = _sort_pairs(_as_list(sort))
+        if pairs == [("_score", "desc")]:
+            pairs = None  # explicit relevance sort IS the default order
+    else:
+        pairs = None
+    if pairs:
+        if body.get("collapse") or body.get("rescore"):
+            _unsupported("sort combined with collapse/rescore")
+        q, mode, pred = _agg_context(query)
+        df = idx.search_sorted(
+            q, pairs, k=k, mode=mode, predicate=pred,
+            track_scores=bool(body.get("track_scores")),
+            join_docs=join_docs,
+        )
+        if frm:
+            order = [
+                (F.desc if d == "desc" else F.asc)(
+                    "score" if f == "_score" else f
+                )
+                for f, d in pairs
+            ] + [F.asc("doc_id")]
+            w = F.row_number().over(Window.orderBy(*order))
+            df = (
+                df.withColumn("_rn", w)
+                .filter(F.col("_rn") > frm)
+                .drop("_rn")
+            )
+        src = body.get("_source")
+        if src:
+            keep = [
+                c for c in df.columns
+                if c in set(src) | {"score", "doc_id"}
+            ]
+            df = df.select(*keep)
+        return df
     collapse = body.get("collapse")
     if collapse:
         # ES top-level collapse: best doc per field value.  Foreground

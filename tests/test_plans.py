@@ -257,3 +257,37 @@ def test_boosting_flag_join_and_take_ordered(idx):
         k=10, join_docs=False,
     ))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sorted_fields_only_skips_scoring_and_prunes(idx):
+    # ES field sort without _score: no scoring work at all — the plan
+    # must be the ids-only decode + ONE docs join pruned to (doc_id,
+    # sort field) + TakeOrderedAndProject over the sort key.  A scan
+    # reading tfs/doclens (the scoring byte columns) or wide docs
+    # columns here would do 10^12-doc work a Lucene field sort skips.
+    plan = explain_str(idx.search_sorted(
+        "python programming", [("warc_ts", "desc")], k=10,
+        join_docs=False,
+    ))
+    assert "TakeOrderedAndProject" in plan
+    # the detailed node (") TakeOrderedAndProject" skips the tree
+    # summary line) must order by the sort field
+    detail = plan.split(") TakeOrderedAndProject", 1)[1][:400]
+    assert "warc_ts" in detail and "DESC" in detail
+    posting_reads = [
+        seg.split("ReadSchema", 1)[1][:300]
+        for seg in plan.split("Location")
+        if "postings" in seg[:200] and "ReadSchema" in seg
+    ]
+    assert posting_reads, "postings scan missing from plan"
+    for rs in posting_reads:
+        assert "tfs" not in rs and "doclens" not in rs  # ids-only
+    docs_reads = [
+        seg.split("ReadSchema", 1)[1][:300]
+        for seg in plan.split("Location")
+        if "docs" in seg[:200] and "ReadSchema" in seg
+    ]
+    assert docs_reads, "docs scan missing from plan"
+    for rs in docs_reads:
+        assert "url" not in rs and "title" not in rs
+        assert "warc_ts" in rs
