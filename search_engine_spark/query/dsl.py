@@ -83,6 +83,9 @@ NotImplementedError naming the gap, never a silent wrong answer):
      "rescore": {"window_size": w,      # phrase/match second pass
        "query": {"rescore_query": node, "query_weight": qw,
                  "rescore_query_weight": rw}},
+     "highlight": {"fields": {"title": {}, "description": {},
+        "content": {"fragment_size": n}},   # highlight_<field> cols;
+       "pre_tags": [..], "post_tags": [..]} # content needs pages=
      "aggs": {...}}                     # via execute_es_aggs
 
 Scoring parity notes: a bool with one must match clause and filters is
@@ -633,6 +636,111 @@ def _sort_pairs(entries: List) -> List[Tuple[str, str]]:
     return pairs
 
 
+def _highlight_terms(query) -> List[str]:
+    """Raw a-z0-9 words of every text-query string in the node tree —
+    the serving layer's highlight-term extraction (search_cached /
+    main.py:175-186 highlight the raw query words); AND/OR/NOT operator
+    words stripped so a query_string's operators never get marked."""
+    texts: List[str] = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            for k, v in n.items():
+                if k in ("match", "match_phrase", "match_phrase_prefix",
+                         "match_bool_prefix"):
+                    _, spec = _one_key(v, "highlight terms")
+                    texts.append(
+                        spec["query"] if isinstance(spec, dict) else spec
+                    )
+                elif k == "multi_match":
+                    texts.append(v["query"])
+                elif k in ("query_string", "simple_query_string"):
+                    texts.append(v["query"] if isinstance(v, dict) else v)
+                elif k == "more_like_this":
+                    like = v["like"]
+                    texts.append(
+                        " ".join(like) if isinstance(like, list) else like
+                    )
+                else:
+                    walk(v)
+        elif isinstance(n, list):
+            for x in n:
+                walk(x)
+
+    walk(query)
+    words = set(re.findall(r"[a-z0-9]+", " ".join(texts).lower()))
+    return sorted(words - {"and", "or", "not"})
+
+
+def _apply_highlight(idx, df, body, query, pages, order) -> DataFrame:
+    """Run the body's `highlight` section: append a highlight_<field>
+    column per requested field.  title/description come from the docs
+    table; content needs the source `pages` DataFrame (the index stores
+    no body text — exactly the serving layer's split).  Joins are
+    broadcast on the tiny hit page; `order` restores the result order
+    the joins destroyed."""
+    from search_engine_spark.query.serving import (
+        HIGHLIGHT_POST, HIGHLIGHT_PRE, fragment_col, highlight_col,
+    )
+
+    spec = body["highlight"]
+    extra = set(spec) - {"fields", "pre_tags", "post_tags"}
+    if extra:
+        _unsupported(f"highlight options {sorted(extra)!r} "
+                     "(fields/pre_tags/post_tags only)")
+    pre = _as_list(spec.get("pre_tags", [HIGHLIGHT_PRE]))[0]
+    post = _as_list(spec.get("post_tags", [HIGHLIGHT_POST]))[0]
+    terms = _highlight_terms(query)
+    if not terms:
+        return df
+    out = df
+    helper_cols: List[str] = []
+    for fld, opts in spec.get("fields", {}).items():
+        opts = opts or {}
+        bad = set(opts) - {"fragment_size", "number_of_fragments"}
+        if bad:
+            _unsupported(f"highlight field options {sorted(bad)!r}")
+        frag = int(opts.get("fragment_size", 0))
+        if int(opts.get("number_of_fragments", 1)) > 1:
+            _unsupported("highlight number_of_fragments > 1 "
+                         "(first-hit fragment only)")
+        if fld in ("title", "description"):
+            if fld not in out.columns:
+                out = out.join(
+                    F.broadcast(idx.docs.select("doc_id", fld)),
+                    "doc_id", "left",
+                )
+                helper_cols.append(fld)
+        elif fld == "content":
+            if pages is None:
+                _unsupported(
+                    "highlight on content without pages= (the index "
+                    "stores no body text; pass the source pages table)"
+                )
+            if "url" not in out.columns:
+                out = out.join(
+                    F.broadcast(idx.docs.select("doc_id", "url")),
+                    "doc_id", "left",
+                )
+                helper_cols.append("url")
+            if "text" not in out.columns:
+                out = out.join(pages.select("url", "text"), "url", "left")
+                helper_cols.append("text")
+        else:
+            _unsupported(f"highlight field {fld!r} "
+                         "(title/description/content)")
+        src = F.coalesce(F.col("text" if fld == "content" else fld),
+                         F.lit(""))
+        if frag:
+            src = fragment_col(src, terms, size=frag)
+        out = out.withColumn(
+            f"highlight_{fld}", highlight_col(src, terms, pre, post)
+        )
+    if helper_cols:
+        out = out.drop(*helper_cols)
+    return out.orderBy(*order)
+
+
 def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
     """(query_terms, mode, predicate) of the query node an aggs block
     runs under.  Supported: absent/match_all (whole corpus is not an
@@ -814,12 +922,15 @@ def execute_es_query(
     idx,
     body: Dict,
     join_docs: bool = True,
+    pages: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Execute an ES request body against a BM25Index.
 
     `body` is the JSON dict an ES client would POST to /_search:
     {"query": {...}, "from": o, "size": n, "_source": [...]}.
-    Returns the page as a DataFrame in (score desc, doc_id asc) order.
+    Returns the page as a DataFrame in (score desc, doc_id asc) order
+    (or the body's `sort` order).  `pages` supplies body text for
+    content highlighting (the index stores none — serving-layer split).
     """
     query = body.get("query")
     if query is None:
@@ -843,24 +954,27 @@ def execute_es_query(
             track_scores=bool(body.get("track_scores")),
             join_docs=join_docs,
         )
+        order = [
+            (F.desc if d == "desc" else F.asc)(
+                "score" if f == "_score" else f
+            )
+            for f, d in pairs
+        ] + [F.asc("doc_id")]
         if frm:
-            order = [
-                (F.desc if d == "desc" else F.asc)(
-                    "score" if f == "_score" else f
-                )
-                for f, d in pairs
-            ] + [F.asc("doc_id")]
             w = F.row_number().over(Window.orderBy(*order))
             df = (
                 df.withColumn("_rn", w)
                 .filter(F.col("_rn") > frm)
                 .drop("_rn")
             )
+        if body.get("highlight"):
+            df = _apply_highlight(idx, df, body, query, pages, order)
         src = body.get("_source")
         if src:
             keep = [
                 c for c in df.columns
                 if c in set(src) | {"score", "doc_id"}
+                or c.startswith("highlight_")
             ]
             df = df.select(*keep)
         return df
@@ -880,6 +994,11 @@ def execute_es_query(
                 Window.orderBy(F.desc("score"), F.asc("doc_id"))
             )
             df = df.withColumn("_rn", w).filter(F.col("_rn") > frm).drop("_rn")
+        if body.get("highlight"):
+            df = _apply_highlight(
+                idx, df, body, query, pages,
+                [F.desc("score"), F.asc("doc_id")],
+            )
         return df
     rescore = body.get("rescore")
     if rescore:
@@ -931,8 +1050,17 @@ def execute_es_query(
             Window.orderBy(F.desc("score"), F.asc("doc_id"))
         )
         df = df.withColumn("_rn", w).filter(F.col("_rn") > frm).drop("_rn")
+    if body.get("highlight"):
+        df = _apply_highlight(
+            idx, df, body, query, pages,
+            [F.desc("score"), F.asc("doc_id")],
+        )
     src = body.get("_source")
     if src:
-        keep = [c for c in df.columns if c in set(src) | {"score", "doc_id"}]
+        keep = [
+            c for c in df.columns
+            if c in set(src) | {"score", "doc_id"}
+            or c.startswith("highlight_")
+        ]
         df = df.select(*keep)
     return df

@@ -62,13 +62,17 @@ def _terms_pattern(terms: Sequence[str]) -> str:
     return r"(?i)\b(" + "|".join(ordered) + r")\b"
 
 
-def highlight_col(text: Column, terms: Sequence[str]) -> Column:
-    """F16: wrap every whole-word query-term occurrence in <mark> tags."""
+def highlight_col(
+    text: Column,
+    terms: Sequence[str],
+    pre: str = HIGHLIGHT_PRE,
+    post: str = HIGHLIGHT_POST,
+) -> Column:
+    """F16: wrap every whole-word query-term occurrence in <mark> tags
+    (pre/post overridable — the ES highlighter's pre_tags/post_tags)."""
     if not terms:
         return text
-    return F.regexp_replace(
-        text, _terms_pattern(terms), f"{HIGHLIGHT_PRE}$1{HIGHLIGHT_POST}"
-    )
+    return F.regexp_replace(text, _terms_pattern(terms), f"{pre}$1{post}")
 
 
 def highlight_sql(text_expr: str, terms: Sequence[str]) -> str:

@@ -664,3 +664,125 @@ class TestQueryString:
         with pytest.raises(NotImplementedError):
             execute_es_query(idx, {"query": {"simple_query_string": {
                 "query": "python", "fields": ["title"]}}})
+
+
+class TestHighlight:
+    """Body-level `highlight` section: highlight_<field> columns with
+    the serving layer's <mark> semantics, custom tags, fragments for
+    content (needs pages=), composition with sort, loud refusals."""
+
+    def _manual(self, text, terms, pre="<mark>", post="</mark>"):
+        import re as _re
+        from search_engine_spark.query.serving import _terms_pattern
+        if text is None:
+            text = ""
+        return _re.sub(
+            _terms_pattern(terms).replace("(?i)", ""),
+            lambda m: f"{pre}{m.group(1)}{post}",
+            text,
+            flags=_re.IGNORECASE,
+        )
+
+    def test_title_description_highlight(self, idx):
+        body = {
+            "query": {"match": {"content": "python tutorial"}},
+            "size": 10,
+            "highlight": {"fields": {"title": {}, "description": {}}},
+        }
+        rows_ = execute_es_query(idx, body).collect()
+        assert rows_
+        terms = ["python", "tutorial"]
+        for r in rows_:
+            assert r["highlight_title"] == self._manual(r["title"], terms)
+
+    def test_custom_tags(self, idx):
+        body = {
+            "query": {"match": {"content": "python"}},
+            "size": 5,
+            "highlight": {
+                "fields": {"title": {}},
+                "pre_tags": ["<em>"],
+                "post_tags": ["</em>"],
+            },
+        }
+        rows_ = execute_es_query(idx, body).collect()
+        for r in rows_:
+            assert r["highlight_title"] == self._manual(
+                r["title"], ["python"], "<em>", "</em>"
+            )
+
+    def test_query_string_operators_not_highlighted(self, idx):
+        body = {
+            "query": {"query_string": {"query": "python AND tutorial"}},
+            "size": 5,
+            "highlight": {"fields": {"title": {}}},
+        }
+        rows_ = execute_es_query(idx, body).collect()
+        for r in rows_:
+            assert "<mark>and</mark>" not in (r["highlight_title"] or "")
+            assert r["highlight_title"] == self._manual(
+                r["title"], ["python", "tutorial"]
+            )
+
+    def test_content_fragment_needs_pages(self, idx, spark):
+        body = {
+            "query": {"match": {"content": "python tutorial"}},
+            "size": 5,
+            "highlight": {"fields": {"content": {"fragment_size": 120}}},
+        }
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, body)
+        pages = synth_pages(spark, N_PAGES, num_partitions=4)
+        got = execute_es_query(idx, body, pages=pages).collect()
+        assert got
+        texts = {
+            r["url"]: r["text"]
+            for r in pages.select("url", "text").collect()
+        }
+        for r in got:
+            text = texts[r["url"]] or ""
+            low = text.lower()
+            hits = [
+                p for p in
+                (low.find("python"), low.find("tutorial")) if p >= 0
+            ]
+            pos = (min(hits) + 1) if hits else 1
+            start = max(1, pos - 40)
+            frag = text[start - 1:start - 1 + 120]
+            assert r["highlight_content"] == self._manual(
+                frag, ["python", "tutorial"]
+            )
+
+    def test_highlight_with_sort(self, idx):
+        body = {
+            "query": {"match": {"content": "python tutorial"}},
+            "sort": [{"warc_ts": "desc"}],
+            "size": 6,
+            "highlight": {"fields": {"title": {}}},
+        }
+        got = execute_es_query(idx, body).collect()
+        want = [
+            r["doc_id"]
+            for r in idx.search_sorted(
+                "python tutorial", [("warc_ts", "desc")], k=6
+            ).collect()
+        ]
+        assert [r["doc_id"] for r in got] == want
+        assert all("highlight_title" in r.asDict() for r in got)
+
+    def test_refusals(self, idx):
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {
+                "query": {"match": {"content": "python"}},
+                "highlight": {"fields": {"domain": {}}},
+            })
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {
+                "query": {"match": {"content": "python"}},
+                "highlight": {"fields": {"title": {"type": "fvh"}}},
+            })
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {
+                "query": {"match": {"content": "python"}},
+                "highlight": {"fields": {"title": {}}, "encoder": "html"},
+            })
