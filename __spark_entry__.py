@@ -119,6 +119,45 @@ SELECT doc_id, t AS term, count(*) AS tf
 FROM tok, unnest(l) AS u(t) GROUP BY doc_id, t"""
 
 
+TV_DOC_IDS = [1, 2, 3]  # term_vectors point-lookup docs
+
+
+def _q_term_vectors(spark, sf_dir):
+    """Doc-major term vectors (ES _termvectors shape, BM25Index.
+    term_vectors): tf + sorted 0-based positions in the filtered token
+    stream for a fixed handful of docs.  Positions serialize as a CSV
+    string so the value-hash compare stays scalar."""
+    pos = (
+        _docs_tokens(spark, sf_dir)
+        .filter(F.col("doc_id").isin(TV_DOC_IDS))
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    )
+    return (
+        pos.groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+_TV_IDS_SQL = ", ".join(str(i) for i in TV_DOC_IDS)
+_SQL_TERM_VECTORS = f"""{_TOK_CTE},
+p AS (SELECT doc_id, l[i] AS term, i - 1 AS pos
+      FROM tok, unnest(range(1, len(l) + 1)) AS r(i)
+      WHERE doc_id IN ({_TV_IDS_SQL}))
+SELECT doc_id, term, count(*)::BIGINT AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM p GROUP BY doc_id, term ORDER BY doc_id, term"""
+
+
 def _q_df_per_term(spark, sf_dir):
     return (
         _docs_tokens(spark, sf_dir)
@@ -3454,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine core (SURVEY §2.D/§2.G/§2.C)
         "tf_raw": _q_tf_raw,
+        "term_vectors": _q_term_vectors,
         "df_per_term": _q_df_per_term,
         "idf_smooth": _q_idf_smooth,
         "doclen": _q_doclen,
@@ -3550,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "tf_raw": _SQL_TF,
+        "term_vectors": _SQL_TERM_VECTORS,
         "df_per_term": _SQL_DF,
         "idf_smooth": _SQL_IDF,
         "doclen": _SQL_DOCLEN,

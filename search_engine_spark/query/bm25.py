@@ -317,6 +317,63 @@ def _decode_tf_rows():
     return run
 
 
+def _decode_term_vectors(cand: np.ndarray, with_positions: bool):
+    """mapInPandas body: posting blocks -> (doc_id, term, tf
+    [, positions]) rows restricted to the requested doc ids — the
+    doc-major term-vectors decode (ES _termvectors).  Ids decode
+    first; blocks with no candidate hit skip their payloads entirely,
+    so only the requested docs' rows ever materialize."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: List[np.ndarray] = []
+            term_out: List[np.ndarray] = []
+            tf_out: List[np.ndarray] = []
+            pos_out: List[np.ndarray] = []
+            for i in range(len(pdf)):
+                n = int(pdf["count"].iloc[i])
+                ids = delta_decode(
+                    bytes(pdf["doc_ids"].iloc[i]), n
+                ).astype(np.int64)
+                mask = np.isin(ids, cand, assume_unique=True)
+                if not mask.any():
+                    continue
+                sel = np.flatnonzero(mask)
+                if with_positions:
+                    counts = varint_decode(
+                        bytes(pdf["pos_counts"].iloc[i]), n
+                    ).astype(np.int64)
+                    flat = segmented_delta_decode(
+                        bytes(pdf["positions"].iloc[i]), counts
+                    ).astype(np.int64)
+                    segs = np.split(flat, np.cumsum(counts)[:-1])
+                    pos_out.extend(segs[j] for j in sel)
+                    tf_out.append(counts[sel])  # tf == |positions|
+                else:
+                    tf_out.append(
+                        varint_decode(
+                            bytes(pdf["tfs"].iloc[i]), n
+                        ).astype(np.int64)[sel]
+                    )
+                ids_out.append(ids[sel])
+                term_out.append(
+                    np.full(len(sel), pdf["term"].iloc[i], dtype=object)
+                )
+            if ids_out:
+                data = {
+                    "doc_id": np.concatenate(ids_out),
+                    "term": np.concatenate(term_out),
+                    "tf": np.concatenate(tf_out),
+                }
+                if with_positions:
+                    data["positions"] = pd.Series(
+                        [p.tolist() for p in pos_out], dtype=object
+                    )
+                yield pd.DataFrame(data)
+
+    return run
+
+
 def _decode_doc_ids():
     """mapInPandas body: score-posting blocks -> bare doc_id rows (the
     phrase candidate pre-pass — ids only, tfs/doclens never decoded)."""
@@ -2028,6 +2085,185 @@ class BM25Index:
             selected, k=k, mode=mode, join_docs=join_docs,
             exclude=exclude, exclude_df_sum=1 if exclude is not None else 0,
         )
+
+    def _resolve_doc_ids(self, docs) -> set:
+        """urls / raw doc_ids (mixed) -> LIVE doc_id set: urls resolve
+        through the docs table, tombstoned ids are dropped either way.
+        Point-lookup scale: one url-pushdown docs scan + (merged index
+        only) one tiny tombstone probe."""
+        if isinstance(docs, (str, int)):
+            docs = [docs]
+        urls = sorted({d for d in docs if isinstance(d, str)})
+        ids = {int(d) for d in docs if not isinstance(d, str)}
+        if urls:
+            resolved = self._drop_tombstones(
+                self.docs.filter(F.col("url").isin(urls)).select("doc_id")
+            ).collect()
+            ids.update(int(r["doc_id"]) for r in resolved)
+        if ids and self.tombstones is not None:
+            dead = self.tombstones.filter(
+                F.col("doc_id").isin(sorted(ids))
+            ).collect()
+            ids -= {int(r["doc_id"]) for r in dead}
+        return ids
+
+    def explain_doc(self, query, doc) -> dict:
+        """Single-document score explanation — the ES
+        `GET /{index}/_explain/{id}` API: why (and exactly how) one
+        document scores against a query.  Returns a dict shaped like
+        ES's response: `found` (doc exists and is live), `matched`
+        (≥1 query term present), total `score`, and per-term `details`
+        rows (tf, df, idf, tf_norm saturation factor, contribution),
+        term-ascending.  Deleted docs report found=False, never stale
+        vectors.
+
+        Scale shape: ES answers _explain from one shard's reader; here
+        it is one point-lookup job — the term-vectors decode restricted
+        to the QUERY's terms (term_bucket + term pushdown) and this one
+        doc (block-range pushdown on first/last_doc_id) — plus a
+        doc_id-pushdown docs-row read; all scoring math is driver-side
+        scalar arithmetic on broadcast stats, the same k1/b/idf as the
+        engine (a drift here would lie about ranking, so the test pins
+        explain_doc's total against search(explain=True))."""
+        from search_engine_spark.index.scoring import score_py
+
+        terms = sorted(
+            set(query) if isinstance(query, list) else set(tokenize_py(query))
+        )
+        ids = self._resolve_doc_ids(doc)
+        if len(ids) > 1:
+            raise ValueError("explain_doc explains exactly one document")
+        base = {"found": False, "matched": False, "score": 0.0, "details": []}
+        if not ids:
+            return base
+        doc_id = next(iter(ids))
+        row = self.docs.filter(F.col("doc_id") == doc_id).select(
+            "doclen"
+        ).collect()
+        if not row:
+            return base
+        dl = int(row[0]["doclen"])
+        stats = self._query_stats(terms)
+        q = [t for t in terms if t in stats]
+        details: List[dict] = []
+        total = 0.0
+        if q:
+            buckets = sorted({stats[t][2] for t in q})
+            cand = np.array([doc_id], dtype=np.int64)
+            rows = (
+                self.postings.filter(
+                    F.col("term_bucket").isin(buckets)
+                    & F.col("term").isin(q)
+                    & (F.col("first_doc_id") <= doc_id)
+                    & (F.col("last_doc_id") >= doc_id)
+                )
+                .select("term", "count", "doc_ids", "tfs")
+                .mapInPandas(
+                    _decode_term_vectors(cand, False),
+                    schema="doc_id long, term string, tf long",
+                )
+                .collect()
+            )
+            tf_by_term = {r["term"]: int(r["tf"]) for r in rows}
+            for t in q:
+                tf = tf_by_term.get(t, 0)
+                if tf == 0:
+                    continue
+                idf = idf_py(self.n_docs, stats[t][0])
+                c = score_py(tf, dl, idf, self.avgdl)
+                details.append(
+                    {
+                        "term": t,
+                        "tf": tf,
+                        "df": stats[t][0],
+                        "idf": idf,
+                        "tf_norm": c / idf,
+                        "contribution": c,
+                    }
+                )
+                total += c
+        return {
+            "found": True,
+            "doc_id": doc_id,
+            "matched": bool(details),
+            "score": total,
+            "doclen": dl,
+            "avgdl": self.avgdl,
+            "details": details,
+        }
+
+    def term_vectors(
+        self,
+        docs,  # url str / doc_id int, or a list of either (mixed OK)
+        with_positions: bool = False,
+        term_statistics: bool = False,
+        max_docs: int = 1024,
+    ) -> DataFrame:
+        """Per-document term vectors — the ES `_termvectors` /
+        `_mtermvectors` API (the reference's ES index serves it over
+        the documents indexer.py:236-247 writes).  Returns one row per
+        (doc_id, term): `tf`, plus `positions array<long>` when
+        with_positions=True (0-based offsets in the filtered token
+        stream, same convention as phrase search), plus the term's
+        corpus `df` when term_statistics=True (ES term_statistics).
+
+        This is a DOC-major point lookup over a TERM-major index, the
+        inverse access path of every search — exactly like ES, which
+        re-derives term vectors per requested doc rather than scanning
+        the index.  Scale shape: the posting scan is pruned by an
+        OR-of-ranges predicate on the (first_doc_id, last_doc_id)
+        block bounds — blocks are doc_id-sorted runs, so parquet
+        row-group min/max stats skip everything outside the requested
+        ids' neighborhoods — and the Arrow decoder decodes ids first,
+        skipping tf/position payloads of blocks with no candidate hit.
+        Requested-doc count is capped (max_docs, ES-style small-batch
+        API): corpus-WIDE term vectors are a rebuild-shaped job (the
+        builder's tokens stage), not a point API.
+
+        Tombstone-aware: a merged index resolves urls to their LIVE
+        doc_id and never reports a deleted doc's vector."""
+        ids = self._resolve_doc_ids(docs)
+        if len(ids) > max_docs:
+            raise ValueError(
+                f"term_vectors is a point-lookup API: {len(ids)} docs "
+                f"requested > max_docs={max_docs}; corpus-wide vectors "
+                "come from the build's tokens stage, not the index"
+            )
+        schema = "doc_id long, term string, tf long"
+        if with_positions:
+            schema += ", positions array<long>"
+        source = self._pos_postings() if with_positions else self.postings
+        if not ids:
+            out = self.spark.createDataFrame([], schema)
+        else:
+            cand = np.array(sorted(ids), dtype=np.int64)
+            hit = None
+            for i in cand:
+                rng = (F.col("first_doc_id") <= int(i)) & (
+                    F.col("last_doc_id") >= int(i)
+                )
+                hit = rng if hit is None else (hit | rng)
+            cols = ["term", "count", "doc_ids"]
+            cols += (
+                ["pos_counts", "positions"] if with_positions else ["tfs"]
+            )
+            out = (
+                source.filter(hit)
+                .select(*cols)
+                .mapInPandas(
+                    _decode_term_vectors(cand, with_positions), schema=schema
+                )
+            )
+        if term_statistics:
+            # broadcast the tiny decoded vector INTO the dictionary
+            # scan — never the (web-scale) term_stats side
+            out_cols = ["doc_id", "term", "tf"] + (
+                ["positions"] if with_positions else []
+            )
+            out = self.term_stats.select("term", "df").join(
+                F.broadcast(out), "term"
+            ).select(*out_cols, "df")
+        return out.orderBy("doc_id", "term")
 
     def search_boolean(
         self,
