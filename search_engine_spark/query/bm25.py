@@ -2107,6 +2107,22 @@ class BM25Index:
             ids -= {int(r["doc_id"]) for r in dead}
         return ids
 
+    def get_docs(self, docs) -> DataFrame:
+        """Document retrieval — the ES `GET /_doc/{id}` / `_mget` API:
+        the docs-table rows (metadata the reference keeps in Postgres
+        `pages` + the ES `_source`) for urls and/or doc_ids, LIVE docs
+        only (a deleted or re-crawled-away doc 404s by absence, like
+        ES after a delete).  Point-lookup scale: doc_id isin() pushdown
+        prunes parquet row groups on the doc_id-sorted docs layout."""
+        from search_engine_spark import schemas
+
+        ids = self._resolve_doc_ids(docs)
+        if not ids:
+            return self.spark.createDataFrame([], schemas.DOCS)
+        return self.docs.filter(
+            F.col("doc_id").isin(sorted(ids))
+        ).orderBy("doc_id")
+
     def explain_doc(self, query, doc) -> dict:
         """Single-document score explanation — the ES
         `GET /{index}/_explain/{id}` API: why (and exactly how) one

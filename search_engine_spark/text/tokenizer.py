@@ -71,6 +71,54 @@ def tokenize_py_cached(text: str, stem_cache: dict) -> List[str]:
     return out
 
 
+def analyze(text: str, explain: bool = False):
+    """The ES `_analyze` API over the canonical pipeline: how a piece
+    of text analyzes, token by token — the introspection endpoint an
+    ES user debugs analyzers with (the reference's index relies on
+    ES's `english` analyzer for the same stages, main.py:68-70).
+
+    Default shape (ES `tokens` list): one dict per emitted token —
+    `token` (stemmed), `start_offset`/`end_offset` (char span of the
+    ORIGINAL surface form; spans are computed on the lowercased,
+    punctuation-blanked text, whose char positions map 1:1 to the
+    input for ASCII), `position` (0-based offset in the FILTERED
+    stream — the convention positional postings and phrase search
+    use, i.e. stopwords consume no position increment).
+
+    explain=True (ES `explain` detail): dict of per-stage outputs —
+    `charfilter` (lowercase + pattern-blank), `tokenizer` (whitespace
+    split), `stop_filter`, `length_filter`, `porter_stem` — each the
+    surviving token list after that stage, so a missing query hit can
+    be blamed on the exact stage that ate the token.
+
+    Invariant: [t["token"] for t in analyze(x)] == tokenize_py(x) —
+    pinned in tests, since a drift here would make the debugging API
+    lie about the real pipeline."""
+    cleaned = _NON_ALNUM.sub(" ", (text or "").lower())
+    raw = [(m.group(0), m.start(), m.end()) for m in re.finditer(r"\S+", cleaned)]
+    post_stop = [r for r in raw if r[0] not in STOPWORDS]
+    post_len = [r for r in post_stop if len(r[0]) >= 2]
+    tokens = [
+        {
+            "token": porter_stem(t),
+            "start_offset": s,
+            "end_offset": e,
+            "position": i,
+        }
+        for i, (t, s, e) in enumerate(post_len)
+    ]
+    if not explain:
+        return tokens
+    return {
+        "charfilter": cleaned,
+        "tokenizer": [t for t, _, _ in raw],
+        "stop_filter": [t for t, _, _ in post_stop],
+        "length_filter": [t for t, _, _ in post_len],
+        "porter_stem": [d["token"] for d in tokens],
+        "tokens": tokens,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Spark-native path (steps 1-5; no Python in the row path)
 # ---------------------------------------------------------------------------

@@ -105,6 +105,24 @@ class TestTermVectors:
             idx.term_vectors(list(range(10)), max_docs=5)
 
 
+class TestGetDocs:
+    def test_mget_by_url_and_id(self, corpus):
+        idx, toks, id_by_url = corpus
+        urls = sorted(id_by_url)[:2]
+        want = {id_by_url[u] for u in urls} | {7}
+        got = idx.get_docs([urls[0], urls[1], 7]).collect()
+        assert {r["doc_id"] for r in got} == want
+        # full docs-table row shape (the ES _source analogue)
+        assert {"doc_id", "url", "title", "domain", "doclen"} <= set(
+            got[0].asDict()
+        )
+
+    def test_missing_is_absence(self, corpus):
+        idx, _, _ = corpus
+        assert idx.get_docs("http://nope.example/x").count() == 0
+        assert idx.get_docs([]).count() == 0
+
+
 class TestExplainDoc:
     QUERY = "crawl index ranking"
 
@@ -168,3 +186,5 @@ def test_tombstoned_doc_hidden(spark, tmp_path):
     # _explain of a deleted doc: found=False by url AND by raw id
     assert not idx.explain_doc("anything", victim["url"])["found"]
     assert not idx.explain_doc("anything", int(victim["doc_id"]))["found"]
+    # _mget of a deleted doc: absent, like ES post-delete
+    assert idx.get_docs([victim["url"], int(victim["doc_id"])]).count() == 0

@@ -214,3 +214,43 @@ class TestDetectLanguage:
             )
             assert got[i][0] == want, (i, t, ratios, got[i])
             assert got[i][1] == round(best, 6), (i, t)
+
+
+class TestAnalyze:
+    """ES _analyze parity: the debugging API must report the REAL
+    pipeline (token drift here would misdiagnose query misses)."""
+
+    def test_tokens_match_tokenize_py(self):
+        from search_engine_spark.text.tokenizer import analyze
+
+        for text in [
+            "The Quick Brown Fox jumps!",
+            "Spark-based BM25: index & query, 100% vectorized.",
+            "a i is the of",  # stopwords + len<2 only -> nothing
+            "",
+        ]:
+            assert [t["token"] for t in analyze(text)] == tokenize_py(text)
+
+    def test_offsets_and_positions(self):
+        from search_engine_spark.text.tokenizer import analyze
+
+        text = "The searching, engines!"
+        toks = analyze(text)
+        # positions are filtered-stream offsets (stopword "the" consumes
+        # no increment) — the phrase-search convention
+        assert [t["position"] for t in toks] == [0, 1]
+        # offsets span the surface forms in the (1:1 for ASCII) input
+        surfaces = [
+            text.lower()[t["start_offset"]:t["end_offset"]] for t in toks
+        ]
+        assert surfaces == ["searching", "engines"]
+
+    def test_explain_stages(self):
+        from search_engine_spark.text.tokenizer import analyze
+
+        d = analyze("The Quick-Brown a Fox", explain=True)
+        assert d["tokenizer"] == ["the", "quick", "brown", "a", "fox"]
+        assert d["stop_filter"] == ["quick", "brown", "fox"]
+        assert d["length_filter"] == ["quick", "brown", "fox"]
+        assert d["porter_stem"] == tokenize_py("The Quick-Brown a Fox")
+        assert [t["token"] for t in d["tokens"]] == d["porter_stem"]
