@@ -291,3 +291,29 @@ def test_sorted_fields_only_skips_scoring_and_prunes(idx):
     for rs in docs_reads:
         assert "url" not in rs and "title" not in rs
         assert "warc_ts" in rs
+
+def test_term_vectors_pushes_block_range_and_prunes_buckets(idx):
+    # doc-major point lookup: the OR-of-ranges predicate on the block
+    # bounds must reach the parquet scan (row-group min/max skipping on
+    # first_doc_id/last_doc_id) — without it a 1-doc _termvectors call
+    # reads every posting block's payload
+    plan = explain_str(idx.term_vectors([3, 5]))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:500]
+    assert "first_doc_id" in pushed and "last_doc_id" in pushed
+
+
+def test_explain_doc_scan_prunes_query_term_buckets(idx):
+    # _explain reads only the QUERY terms' buckets + this doc's block
+    # range, exactly like a search-path posting scan
+    import contextlib as _ctx
+
+    df = idx.postings.filter(
+        (F.col("term_bucket").isin([0, 1]))
+        & F.col("term").isin(["python"])
+        & (F.col("first_doc_id") <= 3)
+        & (F.col("last_doc_id") >= 3)
+    )
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400]
