@@ -776,6 +776,23 @@ def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
     _unsupported(f"aggs under query node {kind!r}")
 
 
+def execute_es_count(idx, body: Dict) -> int:
+    """The ES `GET /{index}/_count` API: exact hits.total of a request
+    body's query — the count the reference's /search response reports
+    as `total_results` (main.py:218) served standalone, with no top-k
+    work.  Lowered onto count_matches (ids-only decode; tfs/doclens
+    never unpack), so the cost is one distinct-count over the query
+    terms' pruned buckets.  Supported query nodes mirror the aggs
+    foreground (match on content / bool must+filter); an absent query
+    or match_all counts the LIVE corpus (tombstones excluded), like ES
+    after deletes.  Unsupported shapes raise NotImplementedError."""
+    query = body.get("query")
+    if query is None or _one_key(query, "count query")[0] == "match_all":
+        return int(idx._drop_tombstones(idx.docs.select("doc_id")).count())
+    q, mode, predicate = _agg_context(query)
+    return int(idx.count_matches(q, mode=mode, predicate=predicate))
+
+
 def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
     """Execute the `aggs` section of an ES request body.
 

@@ -786,3 +786,42 @@ class TestHighlight:
                 "query": {"match": {"content": "python"}},
                 "highlight": {"fields": {"title": {}}, "encoder": "html"},
             })
+
+
+class TestCount:
+    """execute_es_count = the ES _count endpoint: exact hits.total of a
+    body's query, equal to the engine's count_matches lowering."""
+
+    def test_match_count(self, idx):
+        from search_engine_spark.query.dsl import execute_es_count
+
+        body = {"query": {"match": {"content": "search engine"}}}
+        assert execute_es_count(idx, body) == idx.count_matches(
+            "search engine", mode="or"
+        )
+
+    def test_bool_filtered_count(self, idx):
+        from search_engine_spark.query.dsl import execute_es_count
+
+        body = {"query": {"bool": {
+            "must": [{"match": {"content": {
+                "query": "search engine", "operator": "and"}}}],
+            "filter": [{"term": {"domain": "example.com"}}],
+        }}}
+        assert execute_es_count(idx, body) == idx.count_matches(
+            "search engine", mode="and",
+            predicate=F.col("domain") == "example.com",
+        )
+
+    def test_match_all_counts_live_corpus(self, idx):
+        from search_engine_spark.query.dsl import execute_es_count
+
+        n = idx.docs.count()  # fresh index: no tombstones
+        assert execute_es_count(idx, {}) == n
+        assert execute_es_count(idx, {"query": {"match_all": {}}}) == n
+
+    def test_unsupported_refused(self, idx):
+        from search_engine_spark.query.dsl import execute_es_count
+
+        with pytest.raises(NotImplementedError):
+            execute_es_count(idx, {"query": {"dis_max": {"queries": []}}})
