@@ -147,6 +147,21 @@ def main() -> None:
                 "python data", "domain", size=3, hits_per_bucket=2
             ).count(),
         }
+        # doc-inspection APIs compose with the same live index: one
+        # winner's _termvectors / _explain / _mget must agree with its
+        # search-path score and metadata
+        win = idx.search(args.query, k=1, join_docs=False).collect()[0]
+        exp = idx.explain_doc(args.query, int(win["doc_id"]))
+        assert exp["matched"] and abs(exp["score"] - win["score"]) < 1e-9
+        tv = idx.term_vectors(int(win["doc_id"]), term_statistics=True)
+        family["term_vectors"] = tv.count()
+        assert family["term_vectors"] > 0
+        assert idx.get_docs(int(win["doc_id"])).count() == 1
+        # _count agrees with the response's exact total
+        from search_engine_spark.query.dsl import execute_es_count
+        assert execute_es_count(
+            idx, {"query": {"match": {"content": args.query}}}
+        ) == resp1["total"]
         # the ES Query-DSL path: the reference's flagship request body
         # (main.py:162-189) must rank identically to search_fields
         dsl_rows = execute_es_query(idx, {
