@@ -11,6 +11,7 @@ position convention — df = live-corpus doc frequency.
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.index.builder import build_index
 from search_engine_spark.index.merge import delete_pages
@@ -60,6 +61,24 @@ class TestTermVectors:
         # deterministic order: (doc_id, term)
         keys = [(r["doc_id"], r["term"]) for r in got]
         assert keys == sorted(keys)
+
+    def test_tf_sums_to_doclen(self, corpus):
+        """Σ tf over a doc's vector == its doclen — ties the doc-major
+        decode to the docs table's independent token count."""
+        idx, toks, _ = corpus
+        ids = sorted(toks)[:5]
+        got = (
+            idx.term_vectors(ids)
+            .groupBy("doc_id")
+            .agg(F.sum("tf").alias("s"))
+            .collect()
+        )
+        doclens = {
+            r["doc_id"]: r["doclen"]
+            for r in idx.docs.filter(F.col("doc_id").isin(ids)).collect()
+        }
+        assert {r["doc_id"]: r["s"] for r in got} == doclens
+        assert doclens == {d: len(toks[d]) for d in ids}
 
     def test_url_and_mixed_lookup(self, corpus):
         idx, toks, id_by_url = corpus
