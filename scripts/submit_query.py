@@ -40,6 +40,17 @@ def main() -> None:
                          "exhaustive/and/tfidf modes)")
     ap.add_argument("--log-dir", help="append query_logs rows here")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--count-body", action="append",
+                    help="ES _count: request-body JSON (string or "
+                         "@file) -> exact live hits.total; repeatable")
+    ap.add_argument("--term-vectors", action="append",
+                    help="ES _termvectors: url or doc_id; repeatable")
+    ap.add_argument("--positions", action="store_true",
+                    help="include positions in --term-vectors")
+    ap.add_argument("--explain-doc", action="append", metavar="QUERY:DOC",
+                    help="ES _explain: 'query text:url_or_id'; repeatable")
+    ap.add_argument("--mget", action="append",
+                    help="ES _mget: url or doc_id; repeatable")
     args = ap.parse_args()
 
     if args.master:
@@ -54,10 +65,66 @@ def main() -> None:
     from search_engine_spark.query.bm25 import BM25Index
     from search_engine_spark.query.serving import log_query
 
-    if not args.query and not args.es_body:
-        ap.error("at least one --query or --es-body is required")
+    if not any([args.query, args.es_body, args.count_body,
+                args.term_vectors, args.explain_doc, args.mget]):
+        ap.error("at least one --query/--es-body/--count-body/"
+                 "--term-vectors/--explain-doc/--mget is required")
 
     idx = BM25Index(spark, args.index)
+
+    def _doc_arg(s: str):
+        return int(s) if s.lstrip("-").isdigit() else s
+
+    def _body_json(spec: str):
+        raw = spec
+        if spec.startswith("@"):
+            with open(spec[1:]) as fh:
+                raw = fh.read()
+        return json.loads(raw)
+
+    for spec in args.count_body or []:
+        from search_engine_spark.query.dsl import execute_es_count
+
+        body = _body_json(spec)
+        t0 = time.time()
+        n = execute_es_count(idx, body)
+        print(json.dumps({
+            "count_body": body, "count": n,
+            "took_ms": int((time.time() - t0) * 1000),
+        }))
+
+    for d in args.term_vectors or []:
+        t0 = time.time()
+        rows = idx.term_vectors(
+            _doc_arg(d), with_positions=args.positions,
+            term_statistics=True,
+        ).collect()
+        print(json.dumps({
+            "term_vectors": d,
+            "took_ms": int((time.time() - t0) * 1000),
+            "terms": [r.asDict() for r in rows],
+        }, default=str))
+
+    for spec in args.explain_doc or []:
+        # split at the FIRST colon: the doc side may be a url (which
+        # contains colons); the query side's colons are punctuation the
+        # tokenizer strips anyway
+        q, _, d = spec.partition(":")
+        if not d:
+            ap.error("--explain-doc wants 'query text:url_or_id'")
+        t0 = time.time()
+        exp = idx.explain_doc(q, _doc_arg(d))
+        exp["took_ms"] = int((time.time() - t0) * 1000)
+        print(json.dumps({"explain": spec, **exp}))
+
+    for d in args.mget or []:
+        t0 = time.time()
+        rows = idx.get_docs(_doc_arg(d)).collect()
+        print(json.dumps({
+            "mget": d, "found": bool(rows),
+            "took_ms": int((time.time() - t0) * 1000),
+            "docs": [r.asDict() for r in rows],
+        }, default=str))
 
     for spec in args.es_body or []:
         from search_engine_spark.query.dsl import execute_es_query

@@ -3225,7 +3225,8 @@ class BM25Index:
             if not _fs_exists(self.spark, self.paths.pos_postings):
                 raise ValueError(
                     "index was not built with index_positions=True — "
-                    "phrase search needs positional postings"
+                    "phrase search and positional term vectors need "
+                    "positional postings"
                 )
             self._pos_cache = self.spark.read.schema(
                 schemas.POS_POSTINGS
