@@ -341,6 +341,44 @@ FROM m JOIN documents USING (doc_id)
 GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"""
 
 
+def _q_facet_terms_metrics(spark, sf_dir):
+    """ES terms + metric sub-aggs (BM25Index.facet_terms_metrics):
+    per-source doc_count plus avg/max token count, one groupBy."""
+    toks = _docs_tokens(spark, sf_dir)
+    matched = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .select("doc_id")
+        .distinct()
+    )
+    dls = toks.select("doc_id", F.size("toks").cast("double").alias("_dl"))
+    return (
+        matched.join(
+            _read(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .join(dls, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("_dl"), 6).alias("avg_len"),
+            F.max("_dl").alias("max_len"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("source"))
+        .limit(10)
+    )
+
+
+_SQL_FACET_TERMS_METRICS = f"""{_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+      WHERE t IN ({_TERMS_SQL})),
+dl AS (SELECT doc_id, len(l)::DOUBLE AS _dl FROM tok)
+SELECT source, count(*) AS doc_count,
+       round(avg(_dl), 6) AS avg_len, max(_dl) AS max_len
+FROM m JOIN documents USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"""
+
+
 # ES aggregations beyond `terms` (BM25Index.facet_stats / facet_histogram /
 # facet_range / significant_terms) — same matched-docs foreground, the
 # aggregated field is the doc's token count (the docs-table doclen analogue)
@@ -3521,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest_terms,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
+        "facet_terms_metrics": _q_facet_terms_metrics,
         "facet_stats_toklen": _q_facet_stats,
         "facet_histogram_toklen": _q_facet_histogram,
         "facet_range_toklen": _q_facet_range,
@@ -3618,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": _sql_suggest_terms(),
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
+        "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,
         "facet_stats_toklen": _SQL_FACET_STATS,
         "facet_histogram_toklen": _SQL_FACET_HISTOGRAM,
         "facet_range_toklen": _sql_facet_range(),

@@ -1108,6 +1108,72 @@ class BM25Index:
             .limit(size)
         )
 
+    def facet_terms_metrics(
+        self,
+        query,
+        field,
+        metrics: Dict[str, Tuple[str, str]],  # name -> (op, field expr)
+        size: int = 10,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Terms bucket + metric sub-aggregations — the ES shape
+        `{terms: {field}, aggs: {name: {avg: {field: f}}, ...}}` (e.g.
+        avg doclen per domain): top `size` buckets of `field` ordered
+        doc_count desc then value asc (the facet_counts bucket order),
+        with one extra column per requested metric.  `metrics` maps the
+        output column name to (op, numeric docs-table expression); op ∈
+        avg/sum/min/max — nulls ignored per metric, like ES.
+
+        Scale shape: identical to facet_counts — ids-only decode, the
+        matched-ids ⋈ docs join carries (doc_id, value, metric cols),
+        and ONE groupBy computes doc_count AND every metric with
+        partial aggregation (no per-bucket second pass; ES likewise
+        folds metric sub-aggs into the same bucket collection pass),
+        then the TakeOrderedAndProject bucket cut."""
+        _OPS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+        bad = [op for op, _ in metrics.values() if op not in _OPS]
+        if bad or not metrics:
+            raise ValueError(
+                f"metric ops must be one of {sorted(_OPS)} and non-empty,"
+                f" got {bad or metrics}"
+            )
+        reserved = {"value", "doc_count"} & set(metrics)
+        if reserved:
+            raise ValueError(f"metric names collide with buckets: {reserved}")
+        schema = "value string, doc_count long, " + ", ".join(
+            f"`{n}` double" for n in metrics
+        )
+        matched = self._matched_ids(query, mode)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        vals = docs.select(
+            "doc_id",
+            F.expr(field).cast("string").alias("value"),
+            *[
+                F.expr(f).cast("double").alias(f"_m_{n}")
+                for n, (_, f) in metrics.items()
+            ],
+        )
+        return (
+            matched.join(vals, "doc_id")
+            .groupBy("value")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                *[
+                    _OPS[op](f"_m_{n}").alias(n)
+                    for n, (op, _) in metrics.items()
+                ],
+            )
+            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size)
+        )
+
     def facet_stats(
         self, query, field, mode: str = "or", predicate=None
     ) -> DataFrame:

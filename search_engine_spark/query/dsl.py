@@ -824,15 +824,29 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             field = spec["field"]
             size = int(spec.get("size", 10))
             if nested:
-                nname, nnode = _one_key(nested, "nested agg")
-                nkind, nspec = _one_key(nnode, "nested agg node")
-                if nkind != "top_hits":
-                    _unsupported(f"nested agg {nkind!r} (only top_hits)")
-                out[name] = idx.facet_top_hits(
-                    q, field, size=size,
-                    hits_per_bucket=int(nspec.get("size", 3)),
-                    mode=mode, predicate=predicate,
-                )
+                kinds = {
+                    n: _one_key(v, "nested agg node") for n, v in nested.items()
+                }
+                metric_ops = {"avg", "sum", "min", "max"}
+                if all(k in metric_ops for k, _ in kinds.values()):
+                    # metric sub-aggs fold into the bucket pass
+                    out[name] = idx.facet_terms_metrics(
+                        q, field,
+                        {n: (k, s["field"]) for n, (k, s) in kinds.items()},
+                        size=size, mode=mode, predicate=predicate,
+                    )
+                elif len(kinds) == 1 and next(iter(kinds.values()))[0] == "top_hits":
+                    nkind, nspec = next(iter(kinds.values()))
+                    out[name] = idx.facet_top_hits(
+                        q, field, size=size,
+                        hits_per_bucket=int(nspec.get("size", 3)),
+                        mode=mode, predicate=predicate,
+                    )
+                else:
+                    _unsupported(
+                        "nested aggs under terms (supported: one top_hits,"
+                        " or any mix of avg/sum/min/max metrics)"
+                    )
             else:
                 out[name] = idx.facet_counts(
                     q, field, size=size, mode=mode, predicate=predicate

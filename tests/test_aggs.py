@@ -506,3 +506,53 @@ class TestSearchCollapse:
             r["value"] and r["url"] and r["title"] is not None
             for r in rows
         )
+
+
+class TestFacetTermsMetrics:
+    """ES terms + metric sub-aggs: one groupBy yields doc_count AND
+    every metric, bucket order identical to facet_counts."""
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        got = idx.facet_terms_metrics(
+            query, "domain",
+            {"avg_dl": ("avg", "doclen"), "max_dl": ("max", "doclen"),
+             "sum_dl": ("sum", "doclen"), "min_dl": ("min", "doclen")},
+            size=100,
+        ).collect()
+        exp = {}
+        for d in m:
+            exp.setdefault(domain_by_doc[d], []).append(oracle.doclen[d])
+        assert {r["value"] for r in got} == set(exp)
+        for r in got:
+            dls = exp[r["value"]]
+            assert r["doc_count"] == len(dls)
+            assert abs(r["avg_dl"] - sum(dls) / len(dls)) < 1e-9
+            assert r["max_dl"] == max(dls)
+            assert r["sum_dl"] == sum(dls)
+            assert r["min_dl"] == min(dls)
+        # bucket order == facet_counts order (doc_count desc, value asc)
+        counts = idx.facet_counts(query, "domain", size=100).collect()
+        assert [r["value"] for r in got] == [r["value"] for r in counts]
+
+    def test_validation(self, spark, corpus):
+        paths, _, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="metric ops"):
+            idx.facet_terms_metrics("python", "domain",
+                                    {"x": ("median", "doclen")})
+        with pytest.raises(ValueError, match="collide"):
+            idx.facet_terms_metrics("python", "domain",
+                                    {"doc_count": ("avg", "doclen")})
+
+    def test_unknown_query_empty_schema(self, spark, corpus):
+        paths, _, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        df = idx.facet_terms_metrics(
+            "zzzznotaterm", "domain", {"avg_dl": ("avg", "doclen")}
+        )
+        assert df.columns == ["value", "doc_count", "avg_dl"]
+        assert df.count() == 0

@@ -825,3 +825,41 @@ class TestCount:
 
         with pytest.raises(NotImplementedError):
             execute_es_count(idx, {"query": {"dis_max": {"queries": []}}})
+
+
+class TestTermsMetricSubAggs:
+    """terms agg with nested avg/sum/min/max sub-aggs lowers onto
+    facet_terms_metrics; top_hits stays on its own path; mixes refuse."""
+
+    def test_metric_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"by_domain": {
+                "terms": {"field": "domain", "size": 5},
+                "aggs": {"avg_dl": {"avg": {"field": "doclen"}},
+                         "max_dl": {"max": {"field": "doclen"}}},
+            }},
+        }
+        got = execute_es_aggs(idx, body)["by_domain"].collect()
+        direct = idx.facet_terms_metrics(
+            "search engine", "domain",
+            {"avg_dl": ("avg", "doclen"), "max_dl": ("max", "doclen")},
+            size=5,
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+
+    def test_mixed_nested_refused(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"x": {
+                "terms": {"field": "domain"},
+                "aggs": {"h": {"top_hits": {"size": 2}},
+                         "a": {"avg": {"field": "doclen"}}},
+            }},
+        }
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, body)
