@@ -1211,6 +1211,7 @@ class BM25Index:
         interval: float,
         mode: str = "or",
         predicate=None,
+        metrics: Optional[Dict[str, Tuple[str, str]]] = None,
     ) -> DataFrame:
         """Histogram aggregation — the ES `histogram` agg: fixed-width
         buckets keyed `floor(value / interval) * interval` (ES's bucket
@@ -1218,23 +1219,19 @@ class BM25Index:
         asc.  Emitted with min_doc_count=1 semantics: zero-count
         buckets between min and max are a serving-layer fill (at engine
         level materializing them would generate an unbounded key range
-        for sparse fields).  Null field values are ignored, as in ES."""
+        for sparse fields).  Null field values are ignored, as in ES.
+
+        `metrics` optionally adds avg/sum/min/max metric sub-agg
+        columns (the facet_terms_metrics contract — name -> (op, field
+        expr)), folded into the SAME bucket groupBy."""
         if interval <= 0:
             raise ValueError("interval must be > 0")
-        empty = self.spark.createDataFrame([], "key double, doc_count long")
-        matched = self._matched_ids(query, mode, predicate)
-        if matched is None:
-            return empty
         key = (
             F.floor(F.expr(field).cast("double") / F.lit(float(interval)))
             * F.lit(float(interval))
         ).alias("key")
-        vals = self.docs.select("doc_id", key).filter(F.col("key").isNotNull())
-        return (
-            matched.join(vals, "doc_id")
-            .groupBy("key")
-            .agg(F.count(F.lit(1)).alias("doc_count"))
-            .orderBy("key")
+        return self._bucket_agg(
+            query, key, "key double", mode, predicate, metrics
         )
 
     def facet_date_histogram(
@@ -1244,6 +1241,7 @@ class BM25Index:
         calendar_interval: str = "day",
         mode: str = "or",
         predicate=None,
+        metrics: Optional[Dict[str, Tuple[str, str]]] = None,
     ) -> DataFrame:
         """Date-histogram aggregation — the ES `date_histogram` agg
         with a calendar_interval: buckets keyed by the interval start
@@ -1251,25 +1249,64 @@ class BM25Index:
         quarter/year; week starts Monday, as in ES's default), ordered
         key asc, min_doc_count=1 semantics like facet_histogram (empty
         calendar buckets are a serving-layer fill).  Null timestamps
-        are ignored, as in ES."""
+        are ignored, as in ES.  `metrics` adds avg/sum/min/max sub-agg
+        columns folded into the same bucket groupBy (the canonical ES
+        time-series shape: date_histogram + avg metric)."""
         allowed = {"minute", "hour", "day", "week", "month", "quarter",
                    "year"}
         if calendar_interval not in allowed:
             raise ValueError(
                 f"calendar_interval must be one of {sorted(allowed)}"
             )
-        empty = self.spark.createDataFrame(
-            [], "key timestamp, doc_count long"
+        key = F.date_trunc(calendar_interval, F.expr(field)).alias("key")
+        return self._bucket_agg(
+            query, key, "key timestamp", mode, predicate, metrics
+        )
+
+    def _bucket_agg(
+        self,
+        query,
+        key,
+        key_ddl: str,
+        mode: str,
+        predicate,
+        metrics: Optional[Dict[str, Tuple[str, str]]],
+    ) -> DataFrame:
+        """Shared (date_)histogram body: matched-ids ⋈ (doc_id, key
+        [, metric cols]) → ONE groupBy(key) with doc_count and every
+        requested avg/sum/min/max metric, key-asc.  Null keys ignored
+        (ES drops docs missing the bucketing field)."""
+        _OPS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+        metrics = metrics or {}
+        bad = [op for op, _ in metrics.values() if op not in _OPS]
+        if bad:
+            raise ValueError(f"metric ops must be one of {sorted(_OPS)}: {bad}")
+        if {"key", "doc_count"} & set(metrics):
+            raise ValueError("metric names collide with bucket columns")
+        schema = f"{key_ddl}, doc_count long" + "".join(
+            f", `{n}` double" for n in metrics
         )
         matched = self._matched_ids(query, mode, predicate)
         if matched is None:
-            return empty
-        key = F.date_trunc(calendar_interval, F.expr(field)).alias("key")
-        vals = self.docs.select("doc_id", key).filter(F.col("key").isNotNull())
+            return self.spark.createDataFrame([], schema)
+        vals = self.docs.select(
+            "doc_id",
+            key,
+            *[
+                F.expr(f).cast("double").alias(f"_m_{n}")
+                for n, (_, f) in metrics.items()
+            ],
+        ).filter(F.col("key").isNotNull())
         return (
             matched.join(vals, "doc_id")
             .groupBy("key")
-            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                *[
+                    _OPS[op](f"_m_{n}").alias(n)
+                    for n, (op, _) in metrics.items()
+                ],
+            )
             .orderBy("key")
         )
 

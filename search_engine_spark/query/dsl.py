@@ -776,6 +776,22 @@ def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
     _unsupported(f"aggs under query node {kind!r}")
 
 
+_METRIC_AGGS = {"avg", "sum", "min", "max", "value_count"}
+
+
+def _metric_subaggs(nested) -> Optional[Dict]:
+    """Nested avg/sum/min/max sub-aggs of a bucketing agg -> the
+    engine's metrics dict; None when absent, refuse anything else."""
+    if not nested:
+        return None
+    kinds = {n: _one_key(v, "nested agg node") for n, v in nested.items()}
+    bad = [k for k, _ in kinds.values() if k not in {"avg", "sum", "min", "max"}]
+    if bad:
+        _unsupported(f"nested agg {bad[0]!r} under a bucketing agg "
+                     "(only avg/sum/min/max metrics)")
+    return {n: (k, s["field"]) for n, (k, s) in kinds.items()}
+
+
 def execute_es_count(idx, body: Dict) -> int:
     """The ES `GET /{index}/_count` API: exact hits.total of a request
     body's query — the count the reference's /search response reports
@@ -855,10 +871,18 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             out[name] = idx.facet_stats(
                 q, spec["field"], mode=mode, predicate=predicate
             )
+        elif kind in _METRIC_AGGS:
+            # bare single-value metric agg (ES avg/sum/min/max/
+            # value_count) — one facet_stats pass, project the value
+            col = "count" if kind == "value_count" else kind
+            out[name] = idx.facet_stats(
+                q, spec["field"], mode=mode, predicate=predicate
+            ).select(F.col(col).alias("value"))
         elif kind == "histogram":
             out[name] = idx.facet_histogram(
                 q, spec["field"], float(spec["interval"]),
                 mode=mode, predicate=predicate,
+                metrics=_metric_subaggs(nested),
             )
         elif kind == "date_histogram":
             if "calendar_interval" not in spec:
@@ -867,6 +891,7 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             out[name] = idx.facet_date_histogram(
                 q, spec["field"], spec["calendar_interval"],
                 mode=mode, predicate=predicate,
+                metrics=_metric_subaggs(nested),
             )
         elif kind == "range":
             ranges = [

@@ -556,3 +556,62 @@ class TestFacetTermsMetrics:
         )
         assert df.columns == ["value", "doc_count", "avg_dl"]
         assert df.count() == 0
+
+
+class TestBucketMetrics:
+    """Metric sub-aggs folded into (date_)histogram buckets — the ES
+    time-series shape — vs per-bucket Python recomputation."""
+
+    def test_histogram_with_metrics(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        got = idx.facet_histogram(
+            q, "doclen", 32.0,
+            metrics={"avg_dl": ("avg", "doclen"), "max_dl": ("max", "doclen")},
+        ).collect()
+        exp = {}
+        for d in m:
+            key = (oracle.doclen[d] // 32) * 32.0
+            exp.setdefault(key, []).append(oracle.doclen[d])
+        assert {r["key"] for r in got} == set(exp)
+        for r in got:
+            dls = exp[r["key"]]
+            assert r["doc_count"] == len(dls)
+            assert abs(r["avg_dl"] - sum(dls) / len(dls)) < 1e-9
+            assert r["max_dl"] == max(dls)
+        # keys ascending, plain histogram counts unchanged
+        keys = [r["key"] for r in got]
+        assert keys == sorted(keys)
+        plain = idx.facet_histogram(q, "doclen", 32.0).collect()
+        assert [(r["key"], r["doc_count"]) for r in plain] == [
+            (r["key"], r["doc_count"]) for r in got
+        ]
+
+    def test_date_histogram_with_metrics(self, spark, corpus):
+        paths, _, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        got = idx.facet_date_histogram(
+            QUERIES[0], "warc_ts", "month",
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect()
+        assert got and all(r["avg_dl"] is not None for r in got)
+        plain = idx.facet_date_histogram(
+            QUERIES[0], "warc_ts", "month"
+        ).collect()
+        assert [(r["key"], r["doc_count"]) for r in plain] == [
+            (r["key"], r["doc_count"]) for r in got
+        ]
+
+    def test_validation(self, spark, corpus):
+        paths, _, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="metric ops"):
+            idx.facet_histogram(
+                "python", "doclen", 16.0, metrics={"x": ("median", "doclen")}
+            )
+        with pytest.raises(ValueError, match="collide"):
+            idx.facet_histogram(
+                "python", "doclen", 16.0, metrics={"key": ("avg", "doclen")}
+            )

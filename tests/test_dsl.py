@@ -863,3 +863,48 @@ class TestTermsMetricSubAggs:
         }
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, body)
+
+
+class TestBareAndBucketMetricAggs:
+    def test_bare_metric_aggs(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"m_avg": {"avg": {"field": "doclen"}},
+                     "m_n": {"value_count": {"field": "doclen"}}},
+        }
+        out = execute_es_aggs(idx, body)
+        stats = idx.facet_stats("search engine", "doclen").collect()[0]
+        assert out["m_avg"].collect()[0]["value"] == stats["avg"]
+        assert out["m_n"].collect()[0]["value"] == stats["count"]
+
+    def test_histogram_nested_metrics(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"h": {
+                "histogram": {"field": "doclen", "interval": 64},
+                "aggs": {"avg_dl": {"avg": {"field": "doclen"}}},
+            }},
+        }
+        got = execute_es_aggs(idx, body)["h"].collect()
+        direct = idx.facet_histogram(
+            "search engine", "doclen", 64.0,
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+
+    def test_non_metric_nested_refused(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"h": {
+                "histogram": {"field": "doclen", "interval": 64},
+                "aggs": {"t": {"top_hits": {"size": 2}}},
+            }},
+        }
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, body)
