@@ -379,6 +379,57 @@ FROM m JOIN documents USING (doc_id) JOIN dl USING (doc_id)
 GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"""
 
 
+def _q_facet_terms_buckets(spark, sf_dir):
+    """ES bucket-in-bucket aggregation (BM25Index.facet_terms_buckets):
+    top sources by doc_count, each drilled into token-count histogram
+    buckets with an avg metric leaf — ONE composite-key groupBy for the
+    doc-sized work, outer doc_counts re-aggregated from the cells."""
+    toks = _docs_tokens(spark, sf_dir)
+    dls = toks.select("doc_id", F.size("toks").cast("double").alias("_dl"))
+    cells = (
+        _matched_docs(toks)
+        .join(
+            _read(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .join(dls, "doc_id")
+        .withColumn("key", F.floor(F.col("_dl") / 16) * 16.0)
+        .groupBy("source", "key")
+        .agg(
+            F.count(F.lit(1)).alias("key_count"),
+            F.round(F.avg("_dl"), 6).alias("avg_len"),
+        )
+    )
+    outer = (
+        cells.groupBy("source")
+        .agg(F.sum("key_count").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("source"))
+        .limit(10)
+    )
+    return (
+        cells.join(F.broadcast(outer), "source")
+        .select("source", "doc_count", "key", "key_count", "avg_len")
+        .orderBy(F.desc("doc_count"), F.asc("source"), F.asc("key"))
+    )
+
+
+_SQL_FACET_TERMS_BUCKETS = f"""{_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+      WHERE t IN ({_TERMS_SQL})),
+dl AS (SELECT doc_id, len(l)::DOUBLE AS _dl FROM tok),
+cells AS (
+  SELECT source, floor(_dl / 16) * 16 AS key,
+         count(*) AS key_count, round(avg(_dl), 6) AS avg_len
+  FROM m JOIN documents USING (doc_id) JOIN dl USING (doc_id)
+  GROUP BY source, key),
+outer_b AS (
+  SELECT source, sum(key_count)::BIGINT AS doc_count FROM cells
+  GROUP BY source ORDER BY doc_count DESC, source LIMIT 10)
+SELECT source, doc_count, key, key_count, avg_len
+FROM cells JOIN outer_b USING (source)
+ORDER BY doc_count DESC, source, key"""
+
+
 # ES aggregations beyond `terms` (BM25Index.facet_stats / facet_histogram /
 # facet_range / significant_terms) — same matched-docs foreground, the
 # aggregated field is the doc's token count (the docs-table doclen analogue)
@@ -3560,6 +3611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
+        "facet_terms_buckets": _q_facet_terms_buckets,
         "facet_stats_toklen": _q_facet_stats,
         "facet_histogram_toklen": _q_facet_histogram,
         "facet_range_toklen": _q_facet_range,
@@ -3658,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,
+        "facet_terms_buckets": _SQL_FACET_TERMS_BUCKETS,
         "facet_stats_toklen": _SQL_FACET_STATS,
         "facet_histogram_toklen": _SQL_FACET_HISTOGRAM,
         "facet_range_toklen": _sql_facet_range(),

@@ -1174,6 +1174,139 @@ class BM25Index:
             .limit(size)
         )
 
+    def facet_terms_buckets(
+        self,
+        query,
+        field,
+        inner: Tuple,
+        size: int = 10,
+        inner_size: int = 10,
+        mode: str = "or",
+        predicate=None,
+        metrics: Optional[Dict[str, Tuple[str, str]]] = None,
+    ) -> DataFrame:
+        """Nested bucket aggregation — the ES bucket-in-bucket shape
+        `{terms: {field}, aggs: {name: {terms|histogram|date_histogram:
+        {...}[, aggs: {metrics...}]}}}` (e.g. per-domain × per-day doc
+        counts, the standard ES drill-down/time-series facet).  Returns
+        the nested response flattened to rows: one row per (outer
+        bucket, inner bucket) with the outer bucket's doc_count
+        repeated.
+
+        `field` is the outer terms field (docs-table column/expression);
+        `inner` selects the inner bucketing: `("terms", field)` /
+        `("histogram", field, interval)` / `("date_histogram", field,
+        calendar_interval)` — each with the same key semantics as the
+        corresponding top-level facet.  `metrics` adds avg/sum/min/max
+        metric leaves at the INNER level (the facet_terms_metrics
+        contract), folded into the same pass.
+
+        ES semantics preserved: outer buckets are the top `size` by
+        doc_count desc then value asc computed over ALL matching docs
+        (not post-sampled); a doc with a null inner key still counts in
+        its outer bucket's doc_count but produces no inner bucket (a
+        sub-agg just sees fewer docs in ES); inner terms buckets are
+        cut to `inner_size` per outer bucket (count desc, key asc),
+        (date_)histogram inner buckets are key-asc and uncut.
+
+        Scale shape: the doc-sized work is ONE groupBy on the composite
+        (value, key) — partial aggregation keeps the shuffle at
+        O(bucket cells × partitions); outer doc_counts re-aggregate the
+        CELLS (null-key cells included, so the sum is exact), never the
+        docs, and the surviving-outer-bucket cut joins back broadcast.
+        The per-outer-bucket inner cut is a window over bucket-sized
+        data.  No grouping-sets Expand (which would double the doc-side
+        input), no per-bucket second pass."""
+        _OPS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+        metrics = metrics or {}
+        bad = [op for op, _ in metrics.values() if op not in _OPS]
+        if bad:
+            raise ValueError(f"metric ops must be one of {sorted(_OPS)}: {bad}")
+        if {"value", "doc_count", "key", "key_count"} & set(metrics):
+            raise ValueError("metric names collide with bucket columns")
+        kind = inner[0]
+        if kind == "terms":
+            key = F.expr(inner[1]).cast("string").alias("key")
+            key_ddl = "key string"
+        elif kind == "histogram":
+            interval = float(inner[2])
+            if interval <= 0:
+                raise ValueError("interval must be > 0")
+            key = (
+                F.floor(F.expr(inner[1]).cast("double") / F.lit(interval))
+                * F.lit(interval)
+            ).alias("key")
+            key_ddl = "key double"
+        elif kind == "date_histogram":
+            allowed = {"minute", "hour", "day", "week", "month", "quarter",
+                       "year"}
+            if inner[2] not in allowed:
+                raise ValueError(
+                    f"calendar_interval must be one of {sorted(allowed)}"
+                )
+            key = F.date_trunc(inner[2], F.expr(inner[1])).alias("key")
+            key_ddl = "key timestamp"
+        else:
+            raise ValueError(
+                f"inner kind must be terms/histogram/date_histogram: {kind!r}"
+            )
+        schema = (
+            f"value string, doc_count long, {key_ddl}, key_count long"
+            + "".join(f", `{n}` double" for n in metrics)
+        )
+        matched = self._matched_ids(query, mode)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        vals = docs.select(
+            "doc_id",
+            F.expr(field).cast("string").alias("value"),
+            key,
+            *[
+                F.expr(f).cast("double").alias(f"_m_{n}")
+                for n, (_, f) in metrics.items()
+            ],
+        )
+        cells = (
+            matched.join(vals, "doc_id")
+            .groupBy("value", "key")
+            .agg(
+                F.count(F.lit(1)).alias("key_count"),
+                *[
+                    _OPS[op](f"_m_{n}").alias(n)
+                    for n, (op, _) in metrics.items()
+                ],
+            )
+        )
+        outer = (
+            cells.groupBy("value")
+            .agg(F.sum("key_count").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size)
+        )
+        out = cells.filter(F.col("key").isNotNull()).join(
+            F.broadcast(outer), "value"
+        )
+        if kind == "terms":
+            w = Window.partitionBy("value").orderBy(
+                F.desc("key_count"), F.asc("key")
+            )
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= inner_size)
+                .drop("_rn")
+            )
+            inner_order = [F.desc("key_count"), F.asc("key")]
+        else:
+            inner_order = [F.asc("key")]
+        return out.select(
+            "value", "doc_count", "key", "key_count", *metrics
+        ).orderBy(F.desc("doc_count"), F.asc("value"), *inner_order)
+
     def facet_stats(
         self, query, field, mode: str = "or", predicate=None
     ) -> DataFrame:

@@ -817,7 +817,9 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
     ES response).  Supported agg types and their engine methods:
 
       terms → facet_counts (with a nested top_hits sub-agg →
-        facet_top_hits), stats → facet_stats, histogram →
+        facet_top_hits; with a nested terms/histogram/date_histogram
+        bucket agg — optionally carrying its own metric leaves —
+        → facet_terms_buckets), stats → facet_stats, histogram →
         facet_histogram, range → facet_range, cardinality →
         facet_cardinality (precision_threshold>0 keeps ES's
         always-approximate HLL semantics), percentiles →
@@ -840,11 +842,24 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             field = spec["field"]
             size = int(spec.get("size", 10))
             if nested:
+                # a nested node may carry its own aggs (bucket-in-bucket
+                # with metric leaves) — split those off before keying
+                leaves = {
+                    n: (v.get("aggs") or v.get("aggregations"))
+                    for n, v in nested.items()
+                }
                 kinds = {
-                    n: _one_key(v, "nested agg node") for n, v in nested.items()
+                    n: _one_key(
+                        {k: s for k, s in v.items()
+                         if k not in ("aggs", "aggregations")},
+                        "nested agg node",
+                    )
+                    for n, v in nested.items()
                 }
                 metric_ops = {"avg", "sum", "min", "max"}
                 if all(k in metric_ops for k, _ in kinds.values()):
+                    if any(leaves.values()):
+                        _unsupported("aggs nested under a metric agg")
                     # metric sub-aggs fold into the bucket pass
                     out[name] = idx.facet_terms_metrics(
                         q, field,
@@ -858,9 +873,45 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                         hits_per_bucket=int(nspec.get("size", 3)),
                         mode=mode, predicate=predicate,
                     )
+                elif len(kinds) == 1 and next(iter(kinds.values()))[0] in {
+                    "terms", "histogram", "date_histogram"
+                }:
+                    # bucket-in-bucket: terms -> terms|histogram|
+                    # date_histogram [-> metric leaves] — ONE composite-
+                    # key groupBy via facet_terms_buckets
+                    nname = next(iter(kinds))
+                    nkind, nspec = kinds[nname]
+                    leaf = leaves[nname]
+                    if nkind == "terms":
+                        inner = ("terms", nspec["field"])
+                        inner_size = int(nspec.get("size", 10))
+                    elif nkind == "histogram":
+                        inner = (
+                            "histogram", nspec["field"],
+                            float(nspec["interval"]),
+                        )
+                        inner_size = 10
+                    else:
+                        if "calendar_interval" not in nspec:
+                            _unsupported(
+                                "nested date_histogram without "
+                                "calendar_interval"
+                            )
+                        inner = (
+                            "date_histogram", nspec["field"],
+                            nspec["calendar_interval"],
+                        )
+                        inner_size = 10
+                    out[name] = idx.facet_terms_buckets(
+                        q, field, inner, size=size, inner_size=inner_size,
+                        mode=mode, predicate=predicate,
+                        metrics=_metric_subaggs(leaf),
+                    )
                 else:
                     _unsupported(
                         "nested aggs under terms (supported: one top_hits,"
+                        " one nested terms/histogram/date_histogram bucket"
+                        " agg with optional metric leaves,"
                         " or any mix of avg/sum/min/max metrics)"
                     )
             else:

@@ -615,3 +615,154 @@ class TestBucketMetrics:
             idx.facet_histogram(
                 "python", "doclen", 16.0, metrics={"key": ("avg", "doclen")}
             )
+
+
+class TestFacetTermsBuckets:
+    """ES bucket-in-bucket (terms -> terms|histogram|date_histogram
+    [-> metric leaves]) flattened to rows, vs full Python recomputation
+    including the outer top-size cut, the per-outer-bucket inner terms
+    cut, and null-inner-key accounting (doc counts in its outer bucket
+    but yields no inner bucket, as for an ES sub-agg)."""
+
+    def _outer(self, m, domain_by_doc, size):
+        counts = {}
+        for d in m:
+            dom = domain_by_doc[d]
+            counts[dom] = counts.get(dom, 0) + 1
+        order = sorted(counts, key=lambda v: (-counts[v], v))[:size]
+        return counts, order
+
+    def test_terms_histogram_with_metrics(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        got = idx.facet_terms_buckets(
+            q, "domain", ("histogram", "doclen", 64.0), size=3,
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect()
+        counts, order = self._outer(m, domain_by_doc, 3)
+        exp = []
+        for v in order:
+            cells = {}
+            for d in m:
+                if domain_by_doc[d] != v:
+                    continue
+                key = (oracle.doclen[d] // 64) * 64.0
+                cells.setdefault(key, []).append(oracle.doclen[d])
+            for key in sorted(cells):
+                exp.append((v, counts[v], key, len(cells[key]),
+                            sum(cells[key]) / len(cells[key])))
+        assert len(got) == len(exp)
+        for r, (v, dc, key, kc, avg) in zip(got, exp):
+            assert (r["value"], r["doc_count"], r["key"], r["key_count"]) \
+                == (v, dc, key, kc)
+            assert abs(r["avg_dl"] - avg) < 1e-9
+
+    def test_terms_terms_inner_cut(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[1]
+        m = _matched(oracle, q)
+        got = idx.facet_terms_buckets(
+            q, "domain", ("terms", "concat('g', pmod(doc_id, 3))"),
+            size=100, inner_size=2,
+        ).collect()
+        counts, order = self._outer(m, domain_by_doc, 100)
+        exp = []
+        for v in order:
+            cells = {}
+            for d in m:
+                if domain_by_doc[d] != v:
+                    continue
+                key = f"g{d % 3}"
+                cells[key] = cells.get(key, 0) + 1
+            inner = sorted(cells, key=lambda k: (-cells[k], k))[:2]
+            for key in inner:
+                exp.append((v, counts[v], key, cells[key]))
+        assert [
+            (r["value"], r["doc_count"], r["key"], r["key_count"])
+            for r in got
+        ] == exp
+
+    def test_null_inner_key_counts_outer(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        got = idx.facet_terms_buckets(
+            q, "domain",
+            ("terms", "nullif(cast(pmod(doc_id, 2) as string), '0')"),
+            size=100,
+        ).collect()
+        counts, _ = self._outer(m, domain_by_doc, 100)
+        # outer doc_count includes null-inner-key docs...
+        assert {r["value"]: r["doc_count"] for r in got} == {
+            v: c for v, c in counts.items()
+            if any(d % 2 == 1 and domain_by_doc[d] == v for d in m)
+        }
+        # ...but no null inner bucket surfaces
+        assert all(r["key"] == "1" for r in got)
+        for r in got:
+            want = sum(
+                1 for d in m if domain_by_doc[d] == r["value"] and d % 2 == 1
+            )
+            assert r["key_count"] == want
+
+    def test_date_histogram_inner(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[2]
+        m = _matched(oracle, q)
+        ts_by_doc = {
+            r["doc_id"]: r["warc_ts"]
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", "warc_ts").collect()
+        }
+        got = idx.facet_terms_buckets(
+            q, "domain", ("date_histogram", "warc_ts", "month"), size=100
+        ).collect()
+        exp = {}
+        for d in m:
+            key = ts_by_doc[d].replace(
+                day=1, hour=0, minute=0, second=0, microsecond=0
+            )
+            exp[(domain_by_doc[d], key)] = exp.get(
+                (domain_by_doc[d], key), 0
+            ) + 1
+        assert {
+            (r["value"], r["key"]): r["key_count"] for r in got
+        } == exp
+        # inner keys ascending within each outer bucket
+        by_outer = {}
+        for r in got:
+            by_outer.setdefault(r["value"], []).append(r["key"])
+        for keys in by_outer.values():
+            assert keys == sorted(keys)
+
+    def test_validation_and_empty(self, spark, corpus):
+        paths, _, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="inner kind"):
+            idx.facet_terms_buckets("python", "domain", ("range", "doclen"))
+        with pytest.raises(ValueError, match="interval"):
+            idx.facet_terms_buckets(
+                "python", "domain", ("histogram", "doclen", 0)
+            )
+        with pytest.raises(ValueError, match="calendar_interval"):
+            idx.facet_terms_buckets(
+                "python", "domain", ("date_histogram", "warc_ts", "decade")
+            )
+        with pytest.raises(ValueError, match="collide"):
+            idx.facet_terms_buckets(
+                "python", "domain", ("terms", "domain"),
+                metrics={"key_count": ("avg", "doclen")},
+            )
+        df = idx.facet_terms_buckets(
+            "zzzznotaterm", "domain", ("histogram", "doclen", 16.0),
+            metrics={"avg_dl": ("avg", "doclen")},
+        )
+        assert df.columns == [
+            "value", "doc_count", "key", "key_count", "avg_dl"
+        ]
+        assert df.count() == 0

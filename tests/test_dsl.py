@@ -908,3 +908,69 @@ class TestBareAndBucketMetricAggs:
         }
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, body)
+
+
+class TestNestedBucketAggs:
+    """terms -> terms|histogram|date_histogram [-> metric leaves]
+    lowers onto facet_terms_buckets; a three-deep bucket chain or a
+    non-metric leaf refuses."""
+
+    def test_terms_date_histogram_with_metric_leaf(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"by_domain": {
+                "terms": {"field": "domain", "size": 4},
+                "aggs": {"per_month": {
+                    "date_histogram": {"field": "warc_ts",
+                                       "calendar_interval": "month"},
+                    "aggs": {"avg_dl": {"avg": {"field": "doclen"}}},
+                }},
+            }},
+        }
+        got = execute_es_aggs(idx, body)["by_domain"].collect()
+        direct = idx.facet_terms_buckets(
+            "search engine", "domain",
+            ("date_histogram", "warc_ts", "month"), size=4,
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+
+    def test_terms_terms_inner_size(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"x": {
+                "terms": {"field": "domain", "size": 3},
+                "aggs": {"g": {"terms": {
+                    "field": "concat('g', pmod(doc_id, 2))", "size": 1
+                }}},
+            }},
+        }
+        got = execute_es_aggs(idx, body)["x"].collect()
+        direct = idx.facet_terms_buckets(
+            "search engine", "domain",
+            ("terms", "concat('g', pmod(doc_id, 2))"),
+            size=3, inner_size=1,
+        ).collect()
+        assert got and [r.asDict() for r in got] == [
+            r.asDict() for r in direct
+        ]
+
+    def test_three_deep_refused(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"x": {
+                "terms": {"field": "domain"},
+                "aggs": {"g": {
+                    "terms": {"field": "domain"},
+                    "aggs": {"h": {"terms": {"field": "domain"}}},
+                }},
+            }},
+        }
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, body)
