@@ -965,7 +965,21 @@ class BM25Index:
         the ids-only pre-pass shared by count_matches and the whole
         aggregations family (facet_counts/stats/histogram/range,
         significant_terms): only doc_ids decode, tfs/doclens stay
-        packed.  Returns None when no query term is indexed."""
+        packed.  Returns None when no query term is indexed.
+
+        `query=None` is match_all — the ES aggs-over-the-whole-corpus
+        foreground: every live doc matches, and the postings are never
+        touched (the docs table IS the id set)."""
+        if query is None:
+            matched = self._drop_tombstones(self.docs.select("doc_id"))
+            if predicate is not None:
+                allowed = self.docs.filter(
+                    F.expr(predicate)
+                    if isinstance(predicate, str)
+                    else predicate
+                ).select("doc_id")
+                matched = matched.join(allowed, "doc_id", "left_semi")
+            return matched
         terms = sorted(
             set(query) if isinstance(query, list) else set(tokenize_py(query))
         )
@@ -1587,6 +1601,17 @@ class BM25Index:
             "value string, doc_count long, rank int, doc_id long, "
             "score double",
         )
+        if query is None:
+            # match_all foreground (ES aggs with no scoring query):
+            # every live doc is a hit with ES's constant score 1.0 —
+            # per-bucket "top" hits degrade to the deterministic
+            # tie-break (doc_id asc) and the postings are never touched
+            scored = self._drop_tombstones(
+                self.docs.select("doc_id")
+            ).withColumn("score", F.lit(1.0))
+            return self._top_hits_cut(
+                scored, field, size, hits_per_bucket, predicate
+            )
         terms = sorted(
             set(query) if isinstance(query, list) else set(tokenize_py(query))
         )
@@ -1613,6 +1638,15 @@ class BM25Index:
                 self._matched_ids(terms, "and"), "doc_id", "left_semi"
             )
         scored = self._drop_tombstones(scored)
+        return self._top_hits_cut(scored, field, size, hits_per_bucket,
+                                  predicate)
+
+    def _top_hits_cut(
+        self, scored, field, size, hits_per_bucket, predicate
+    ) -> DataFrame:
+        """Shared facet_top_hits tail: attach bucket values to the
+        (doc_id, score) hits, cut the top-size buckets by doc_count,
+        and rank hits_per_bucket winners per bucket."""
         docs = self.docs
         if predicate is not None:
             docs = docs.filter(

@@ -743,12 +743,16 @@ def _apply_highlight(idx, df, body, query, pages, order) -> DataFrame:
 
 def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
     """(query_terms, mode, predicate) of the query node an aggs block
-    runs under.  Supported: absent/match_all (whole corpus is not an
-    aggregatable foreground here — raise), match on content, or bool
-    {must: [match content], filter: [...]}. """
+    runs under.  Supported: absent / match_all (the whole-live-corpus
+    foreground — query_terms None, the docs table is the id set and
+    the postings are never touched), match on content, or bool
+    {must: [match content], filter: [...]} including filter-only bools
+    (ES scores them constant; for aggs only membership matters)."""
     if query is None:
-        _unsupported("aggs without a query (no match_all foreground)")
+        return None, "or", None
     kind, body = _one_key(query, "aggs query")
+    if kind == "match_all":
+        return None, "or", None
     if kind == "match":
         field, q, op, msm = _match_parts(query)
         if field != "content" or msm:
@@ -763,6 +767,9 @@ def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
         for c in must:
             k, _ = _one_key(c, "aggs bool.must")
             (extra if k in _FILTERING else scoring).append(c)
+        if not scoring:
+            # filter-only bool: a pure filter-context foreground
+            return None, "or", _filter_predicate(filters + extra)
         if len(scoring) != 1 or _one_key(scoring[0], "q")[0] != "match":
             _unsupported("aggs bool needs exactly one match must clause")
         field, q, op, msm = _match_parts(scoring[0])

@@ -766,3 +766,86 @@ class TestFacetTermsBuckets:
             "value", "doc_count", "key", "key_count", "avg_dl"
         ]
         assert df.count() == 0
+
+
+class TestMatchAllForeground:
+    """query=None is the ES match_all aggs foreground: every live doc
+    matches, the postings are never touched, predicates still apply."""
+
+    def test_facet_counts_all(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        got = {
+            r["value"]: r["doc_count"]
+            for r in idx.facet_counts(None, "domain", size=100).collect()
+        }
+        exp = {}
+        for d in oracle.tf:
+            exp[domain_by_doc[d]] = exp.get(domain_by_doc[d], 0) + 1
+        assert got == exp
+
+    def test_facet_stats_all_with_predicate(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        dom = "example.com"
+        row = idx.facet_stats(
+            None, "doclen", predicate=f"domain = '{dom}'"
+        ).collect()[0]
+        dls = [
+            oracle.doclen[d] for d in oracle.tf if domain_by_doc[d] == dom
+        ]
+        assert row["count"] == len(dls)
+        assert row["sum"] == sum(dls)
+
+    def test_count_matches_all(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.count_matches(None) == len(oracle.tf)
+
+    def test_top_hits_all_constant_score(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.facet_top_hits(
+            None, "domain", size=3, hits_per_bucket=2
+        ).collect()
+        counts = {}
+        for d in oracle.tf:
+            counts[domain_by_doc[d]] = counts.get(domain_by_doc[d], 0) + 1
+        order = sorted(counts, key=lambda v: (-counts[v], v))[:3]
+        exp = []
+        for v in order:
+            ids = sorted(d for d in oracle.tf if domain_by_doc[d] == v)[:2]
+            exp.extend(
+                (v, counts[v], i + 1, doc, 1.0)
+                for i, doc in enumerate(ids)
+            )
+        assert [
+            (r["value"], r["doc_count"], r["rank"], r["doc_id"], r["score"])
+            for r in rows
+        ] == exp
+
+    def test_terms_buckets_all(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.facet_terms_buckets(
+            None, "domain", ("histogram", "doclen", 128.0), size=2
+        ).collect()
+        counts = {}
+        for d in oracle.tf:
+            counts[domain_by_doc[d]] = counts.get(domain_by_doc[d], 0) + 1
+        order = sorted(counts, key=lambda v: (-counts[v], v))[:2]
+        exp = []
+        for v in order:
+            cells = {}
+            for d in oracle.tf:
+                if domain_by_doc[d] != v:
+                    continue
+                key = (oracle.doclen[d] // 128) * 128.0
+                cells[key] = cells.get(key, 0) + 1
+            exp.extend(
+                (v, counts[v], k, cells[k]) for k in sorted(cells)
+            )
+        assert [
+            (r["value"], r["doc_count"], r["key"], r["key_count"])
+            for r in rows
+        ] == exp

@@ -974,3 +974,58 @@ class TestNestedBucketAggs:
         }
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, body)
+
+
+class TestMatchAllAggs:
+    """Aggs with no query / match_all / filter-only bool foregrounds —
+    the whole-live-corpus shapes ES serves without a scoring query."""
+
+    def test_no_query_terms_agg(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        out = execute_es_aggs(
+            idx, {"aggs": {"by_domain": {"terms": {"field": "domain",
+                                                   "size": 100}}}}
+        )["by_domain"].collect()
+        direct = idx.facet_counts(None, "domain", size=100).collect()
+        assert [r.asDict() for r in out] == [r.asDict() for r in direct]
+        total = sum(r["doc_count"] for r in out)
+        assert total == idx.count_matches(None)
+
+    def test_match_all_stats(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        out = execute_es_aggs(
+            idx, {"query": {"match_all": {}},
+                  "aggs": {"s": {"stats": {"field": "doclen"}}}}
+        )["s"].collect()[0]
+        direct = idx.facet_stats(None, "doclen").collect()[0]
+        assert out.asDict() == direct.asDict()
+
+    def test_filter_only_bool(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs, \
+            execute_es_count
+
+        body = {
+            "query": {"bool": {"filter": [
+                {"term": {"domain": "example.com"}}
+            ]}},
+            "aggs": {"s": {"stats": {"field": "doclen"}}},
+        }
+        out = execute_es_aggs(idx, body)["s"].collect()[0]
+        direct = idx.facet_stats(
+            None, "doclen", predicate="domain = 'example.com'"
+        ).collect()[0]
+        assert out.asDict() == direct.asDict()
+        assert execute_es_count(idx, body) == direct["count"]
+
+    def test_match_all_top_hits(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        out = execute_es_aggs(
+            idx, {"aggs": {"t": {
+                "terms": {"field": "domain", "size": 2},
+                "aggs": {"h": {"top_hits": {"size": 1}}},
+            }}}
+        )["t"].collect()
+        assert out and all(r["score"] == 1.0 for r in out)
