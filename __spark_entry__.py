@@ -379,6 +379,60 @@ FROM m JOIN documents USING (doc_id) JOIN dl USING (doc_id)
 GROUP BY source ORDER BY doc_count DESC, source LIMIT 10"""
 
 
+def _q_facet_filters(spark, sf_dir):
+    """ES `filters` aggregation (BM25Index.facet_filters): named
+    predicate buckets over the matched docs, ONE conditional-agg pass
+    (sum(when(pred,1)) per bucket on a single row), unpivoted via an
+    inline array-of-structs explode — no per-bucket scan."""
+    toks = _docs_tokens(spark, sf_dir)
+    j = (
+        _matched_docs(toks)
+        .join(toks.select("doc_id", F.size("toks").alias("_dl")), "doc_id")
+    )
+    conds = [
+        ("a_short", F.col("_dl") < 32),
+        ("b_long", F.col("_dl") >= 32),
+        ("c_even", F.pmod(F.col("doc_id"), 2) == 0),
+    ]
+    row = j.agg(
+        *[
+            F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_b{i}")
+            for i, (_, c) in enumerate(conds)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("key"), F.col(f"_b{i}").alias("doc_count")
+            )
+            for i, (n, _) in enumerate(conds)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("kv"))
+        .select("kv.key", "kv.doc_count")
+        .orderBy("key")
+    )
+
+
+_SQL_FACET_FILTERS = f"""{_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+      WHERE t IN ({_TERMS_SQL})),
+j AS (SELECT doc_id, len(l) AS _dl FROM m JOIN tok USING (doc_id))
+SELECT k AS key, c AS doc_count FROM (
+  SELECT 'a_short' AS k,
+         coalesce(sum(CASE WHEN _dl < 32 THEN 1 END), 0)::BIGINT AS c FROM j
+  UNION ALL
+  SELECT 'b_long',
+         coalesce(sum(CASE WHEN _dl >= 32 THEN 1 END), 0)::BIGINT FROM j
+  UNION ALL
+  SELECT 'c_even',
+         coalesce(sum(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0)::BIGINT FROM j
+) ORDER BY key"""
+
+
 def _q_facet_terms_buckets(spark, sf_dir):
     """ES bucket-in-bucket aggregation (BM25Index.facet_terms_buckets):
     top sources by doc_count, each drilled into token-count histogram
@@ -3612,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
         "facet_terms_buckets": _q_facet_terms_buckets,
+        "facet_filters": _q_facet_filters,
         "facet_stats_toklen": _q_facet_stats,
         "facet_histogram_toklen": _q_facet_histogram,
         "facet_range_toklen": _q_facet_range,
@@ -3711,6 +3766,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,
         "facet_terms_buckets": _SQL_FACET_TERMS_BUCKETS,
+        "facet_filters": _SQL_FACET_FILTERS,
         "facet_stats_toklen": _SQL_FACET_STATS,
         "facet_histogram_toklen": _SQL_FACET_HISTOGRAM,
         "facet_range_toklen": _sql_facet_range(),

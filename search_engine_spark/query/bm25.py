@@ -1321,6 +1321,127 @@ class BM25Index:
             "value", "doc_count", "key", "key_count", *metrics
         ).orderBy(F.desc("doc_count"), F.asc("value"), *inner_order)
 
+    def facet_filters(
+        self,
+        query,
+        buckets: Dict[str, object],
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Filters aggregation — the ES `filters` agg: one named bucket
+        per predicate, each counting the matching docs that also
+        satisfy it (buckets may overlap; a doc can count in several).
+        `buckets` maps bucket name -> docs-table predicate (SQL string
+        or Column).  Rows come back in request order with doc_count 0
+        for empty buckets (ES keyed-filters semantics).
+
+        Physical plan: ONE conditional-aggregation pass — the
+        matched-ids ⋈ docs join feeds a single agg of
+        `sum(when(pred, 1))` per bucket (partial aggregation, one row
+        per partition), then the 1-row result unpivots via an inline
+        array-of-structs explode.  No per-bucket scan, no shuffle
+        beyond the single-row aggregate."""
+        if not buckets:
+            raise ValueError("buckets must be non-empty")
+        names = list(buckets)
+        conds = [
+            F.expr(p) if isinstance(p, str) else p for p in buckets.values()
+        ]
+        matched = self._matched_ids(query, mode)
+        if matched is None:
+            return self.spark.createDataFrame(
+                [(n, 0) for n in names], "key string, doc_count long"
+            )
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        row = matched.join(docs, "doc_id").agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias(f"_b{i}")
+                for i, c in enumerate(conds)
+            ]
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("key"),
+                    F.col(f"_b{i}").alias("doc_count"),
+                )
+                for i, n in enumerate(names)
+            ]
+        )
+        return row.select(F.explode(pairs).alias("kv")).select(
+            "kv.key", "kv.doc_count"
+        )
+
+    def facet_missing(
+        self, query, field, mode: str = "or", predicate=None
+    ) -> DataFrame:
+        """Missing aggregation — the ES `missing` agg: how many
+        matching docs lack a value for `field` (null).  Single-row
+        (doc_count), one conditional-aggregation pass."""
+        return self.facet_filters(
+            query,
+            {"missing": F.expr(field).isNull()},
+            mode=mode,
+            predicate=predicate,
+        ).select("doc_count")
+
+    def facet_filter(
+        self,
+        query,
+        bucket_predicate,
+        metrics: Optional[Dict[str, Tuple[str, str]]] = None,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Single-filter aggregation — the ES `filter` agg (narrow the
+        foreground, then aggregate): a single-row doc_count of the
+        matching docs that satisfy `bucket_predicate`, plus optional
+        avg/sum/min/max metric leaves (the facet_terms_metrics
+        contract) computed over the SAME narrowed docs in the SAME
+        single aggregate pass.  Metric values are null when the bucket
+        is empty, like ES."""
+        _OPS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+        metrics = metrics or {}
+        bad = [op for op, _ in metrics.values() if op not in _OPS]
+        if bad:
+            raise ValueError(f"metric ops must be one of {sorted(_OPS)}: {bad}")
+        if "doc_count" in metrics:
+            raise ValueError("metric names collide with doc_count")
+        schema = "doc_count long" + "".join(
+            f", `{n}` double" for n in metrics
+        )
+        cond = (
+            F.expr(bucket_predicate)
+            if isinstance(bucket_predicate, str)
+            else bucket_predicate
+        )
+        matched = self._matched_ids(query, mode)
+        if matched is None:
+            return self.spark.createDataFrame([(0,) + (None,) * len(metrics)],
+                                              schema)
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        return (
+            matched.join(docs, "doc_id")
+            .filter(cond)
+            .agg(
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("doc_count"),
+                *[
+                    _OPS[op](F.expr(f).cast("double")).alias(n)
+                    for n, (op, f) in metrics.items()
+                ],
+            )
+        )
+
     def facet_stats(
         self, query, field, mode: str = "or", predicate=None
     ) -> DataFrame:

@@ -832,7 +832,12 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
         always-approximate HLL semantics), percentiles →
         facet_percentiles, significant_terms → significant_terms
         (over the indexed text, like ES on the analyzed field),
-        composite → facet_composite (terms sources, after cursor).
+        composite → facet_composite (terms sources, after cursor),
+        filter → facet_filter (one narrowed bucket + metric leaves),
+        filters → facet_filters (keyed predicate buckets, one
+        conditional-agg pass), missing → facet_missing, global →
+        sub-aggs re-executed over the whole live corpus (match_all
+        foreground), ignoring the body's query.
 
     The query node supplies the foreground exactly as in ES: hits of
     the (match / bool must+filter) query."""
@@ -994,6 +999,38 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 q, fields, size=int(spec.get("size", 10)),
                 after=after, mode=mode, predicate=predicate,
             )
+        elif kind == "filter":
+            # {filter: {<term/terms/range/exists node>}, aggs: {...}}
+            bucket_pred = _filter_predicate([spec])
+            if bucket_pred is None:  # filter: {match_all: {}}
+                bucket_pred = F.lit(True)
+            out[name] = idx.facet_filter(
+                q, bucket_pred, metrics=_metric_subaggs(nested),
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "filters":
+            if nested:
+                _unsupported("sub-aggs under a filters agg")
+            keyed = spec["filters"]
+            preds = {}
+            for n, node in keyed.items():
+                p = _filter_predicate([node])
+                preds[n] = p if p is not None else F.lit(True)
+            out[name] = idx.facet_filters(
+                q, preds, mode=mode, predicate=predicate
+            )
+        elif kind == "missing":
+            if nested:
+                _unsupported("sub-aggs under a missing agg")
+            out[name] = idx.facet_missing(
+                q, spec["field"], mode=mode, predicate=predicate
+            )
+        elif kind == "global":
+            # ES global agg: escape the query foreground entirely —
+            # sub-aggs run over the whole live corpus (match_all)
+            if not nested:
+                _unsupported("global agg without sub-aggs")
+            out[name] = execute_es_aggs(idx, {"aggs": nested})
         else:
             _unsupported(f"aggregation type {kind!r}")
     return out

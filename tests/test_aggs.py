@@ -849,3 +849,87 @@ class TestMatchAllForeground:
             (r["value"], r["doc_count"], r["key"], r["key_count"])
             for r in rows
         ] == exp
+
+
+class TestFacetFilters:
+    """ES filter / filters / missing aggs — one conditional-aggregation
+    pass vs Python recomputation, incl. overlap, zero-fill, request
+    order, and null metric values on empty buckets."""
+
+    BUCKETS = {
+        "short": "doclen < 100",
+        "long": "doclen >= 100",
+        "example": "domain = 'example.com'",   # overlaps both
+        "nothing": "doclen < 0",               # always empty
+    }
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_filters_matches_oracle(self, spark, corpus, query):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        rows = idx.facet_filters(query, self.BUCKETS).collect()
+        assert [r["key"] for r in rows] == list(self.BUCKETS)
+        want = {
+            "short": sum(1 for d in m if oracle.doclen[d] < 100),
+            "long": sum(1 for d in m if oracle.doclen[d] >= 100),
+            "example": sum(
+                1 for d in m if domain_by_doc[d] == "example.com"
+            ),
+            "nothing": 0,
+        }
+        assert {r["key"]: r["doc_count"] for r in rows} == want
+
+    def test_filters_no_indexed_term_zero_fill(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.facet_filters("zzqqxx", self.BUCKETS).collect()
+        assert [(r["key"], r["doc_count"]) for r in rows] == [
+            (n, 0) for n in self.BUCKETS
+        ]
+
+    def test_filters_empty_refused(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_filters("python", {})
+
+    def test_filter_with_metrics(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        row = idx.facet_filter(
+            q, "doclen >= 100",
+            metrics={"avg_dl": ("avg", "doclen"), "max_dl": ("max", "doclen")},
+        ).collect()[0]
+        dls = [oracle.doclen[d] for d in m if oracle.doclen[d] >= 100]
+        assert row["doc_count"] == len(dls)
+        assert abs(row["avg_dl"] - sum(dls) / len(dls)) < 1e-9
+        assert row["max_dl"] == max(dls)
+
+    def test_filter_empty_bucket_null_metrics(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        row = idx.facet_filter(
+            QUERIES[0], "doclen < 0",
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect()[0]
+        assert row["doc_count"] == 0 and row["avg_dl"] is None
+
+    def test_missing(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[1]
+        m = _matched(oracle, q)
+        # synthesize missing-ness from a derived expression
+        row = idx.facet_missing(
+            q, "nullif(cast(pmod(doc_id, 3) as string), '0')"
+        ).collect()[0]
+        assert row["doc_count"] == sum(1 for d in m if d % 3 == 0)
+
+    def test_match_all_filters(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.facet_filters(None, {"all": "doclen >= 0"}).collect()
+        assert rows[0]["doc_count"] == len(oracle.tf)

@@ -1029,3 +1029,77 @@ class TestMatchAllAggs:
             }}}
         )["t"].collect()
         assert out and all(r["score"] == 1.0 for r in out)
+
+
+class TestFilterFamilyAggs:
+    """filter / filters / missing / global agg nodes lower onto
+    facet_filter/facet_filters/facet_missing and a match_all re-run."""
+
+    def test_filter_node_with_metric_leaf(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"long_docs": {
+                "filter": {"range": {"doclen": {"gte": 100}}},
+                "aggs": {"avg_dl": {"avg": {"field": "doclen"}}},
+            }},
+        }
+        got = execute_es_aggs(idx, body)["long_docs"].collect()[0]
+        direct = idx.facet_filter(
+            "search engine", "doclen >= 100",
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect()[0]
+        assert got.asDict() == direct.asDict()
+
+    def test_filters_node(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"kinds": {"filters": {"filters": {
+                "example": {"term": {"domain": "example.com"}},
+                "short": {"range": {"doclen": {"lt": 100}}},
+            }}}},
+        }
+        got = execute_es_aggs(idx, body)["kinds"].collect()
+        direct = idx.facet_filters(
+            "search engine",
+            {"example": "domain = 'example.com'", "short": "doclen < 100"},
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+
+    def test_missing_node(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"no_title": {"missing": {"field": "title"}}},
+        }
+        got = execute_es_aggs(idx, body)["no_title"].collect()[0]
+        direct = idx.facet_missing("search engine", "title").collect()[0]
+        assert got["doc_count"] == direct["doc_count"]
+
+    def test_global_node(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"everything": {
+                "global": {},
+                "aggs": {"s": {"stats": {"field": "doclen"}}},
+            }},
+        }
+        got = execute_es_aggs(idx, body)["everything"]["s"].collect()[0]
+        direct = idx.facet_stats(None, "doclen").collect()[0]
+        assert got.asDict() == direct.asDict()
+
+    def test_global_without_subaggs_refused(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(
+                idx,
+                {"query": {"match": {"content": "x"}},
+                 "aggs": {"g": {"global": {}}}},
+            )
