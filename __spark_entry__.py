@@ -2376,6 +2376,161 @@ r AS (SELECT token, term AS suggestion, round(score, 6) AS score, df,
 SELECT token, suggestion, score, df FROM r WHERE rn <= 5"""
 
 
+PHRASE_SUGG = ("sparkk", "merge")  # 2-token input, pos0 misspelled
+_RWEL = 0.95  # real_word_error_likelihood (engine default)
+
+
+def _q_suggest_phrase(spark, sf_dir):
+    """ES phrase suggester (BM25Index.suggest_phrase, whole-query "did
+    you mean"): 1-error candidate phrases for a pinned 2-token input,
+    scored by the engine's pinned model — Stupid-Backoff bigram LM over
+    adjacent-pair counts (backoff discount 0.4, unigram floor 0.5/T) ×
+    noisy channel (unchanged → 0.95, changed → (1−0.95)·similarity),
+    per-token geometric mean, confidence 0 (every candidate), top 5 by
+    score desc then suggestion asc.  Candidate generation = the
+    suggest_terms semantics (≤2 edits, shared first letter, top 5 by
+    similarity/df/term)."""
+    toks = _docs_tokens(spark, sf_dir)
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = float(toks.agg(F.sum(F.size("toks"))).collect()[0][0])
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+    dic = (
+        toks.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    inp = spark.createDataFrame(
+        [(t, i, len(t)) for i, t in enumerate(PHRASE_SUGG)],
+        "token string, pos int, tlen int",
+    )
+    cond = (
+        (F.col("term") != F.col("token"))
+        & (F.abs(F.length("term") - F.col("tlen")) <= 2)
+        & (F.substring("term", 1, 1) == F.substring("token", 1, 1))
+    )
+    cand = (
+        dic.join(F.broadcast(inp), cond)
+        .withColumn("_d", F.levenshtein(F.col("term"), F.col("token")))
+        .filter(F.col("_d") <= 2)
+        .withColumn(
+            "sim",
+            1.0 - F.col("_d") / F.greatest(F.length("term"), F.col("tlen")),
+        )
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.desc(F.round("sim", 9)), F.desc("df"), F.asc("term")
+    )
+    t0, t1 = PHRASE_SUGG
+    phr = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select(
+            F.when(F.col("pos") == 0, F.col("term"))
+            .otherwise(F.lit(t0)).alias("w1"),
+            F.when(F.col("pos") == 1, F.col("term"))
+            .otherwise(F.lit(t1)).alias("w2"),
+            (
+                F.log(F.lit(_RWEL)) + F.log((1.0 - _RWEL) * F.col("sim"))
+            ).alias("err"),
+        )
+    )
+
+    def _lu(c):
+        return F.log(
+            F.greatest(F.coalesce(c, F.lit(0)).cast("double"), F.lit(0.5))
+            / F.lit(total)
+        )
+
+    return (
+        phr.join(
+            uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")),
+            "w1", "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2")),
+            "w2", "left",
+        )
+        .join(bi, ["w1", "w2"], "left")
+        .withColumn(
+            "lm",
+            _lu(F.col("c1"))
+            + F.when(
+                (F.coalesce(F.col("bcnt"), F.lit(0)) > 0)
+                & (F.coalesce(F.col("c1"), F.lit(0)) > 0),
+                F.log(F.col("bcnt").cast("double") / F.col("c1")),
+            ).otherwise(F.log(F.lit(0.4)) + _lu(F.col("c2"))),
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("suggestion"),
+            F.round(F.exp((F.col("lm") + F.col("err")) / 2.0), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("suggestion"))
+        .limit(5)
+    )
+
+
+_PS_VALS = ", ".join(
+    f"('{t}', {i}, {len(t)})" for i, t in enumerate(PHRASE_SUGG)
+)
+_SQL_SUGGEST_PHRASE = f"""{_TOK_CTE},
+uni AS (SELECT t AS w, count(*) AS cnt FROM tok, unnest(l) AS u(t) GROUP BY t),
+tot AS (SELECT sum(len(l))::DOUBLE AS T FROM tok),
+bi AS (SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS bcnt
+       FROM tok, unnest(range(1, len(l))) AS r(i) GROUP BY w1, w2),
+dic AS (SELECT t AS term, count(DISTINCT doc_id) AS df
+        FROM tok, unnest(l) AS u(t) GROUP BY t),
+inp(token, pos, tlen) AS (SELECT * FROM (VALUES {_PS_VALS})),
+cand AS (SELECT pos, token, tlen, term, df, levenshtein(term, token) AS d
+         FROM dic JOIN inp
+           ON term <> token AND abs(length(term) - tlen) <= 2
+              AND substr(term, 1, 1) = substr(token, 1, 1)
+         WHERE levenshtein(term, token) <= 2),
+top AS (SELECT pos, term,
+               1.0 - d / CAST(greatest(length(term), tlen) AS DOUBLE) AS sim,
+               row_number() OVER (PARTITION BY pos ORDER BY
+                 round(1.0 - d / CAST(greatest(length(term), tlen) AS DOUBLE),
+                       9) DESC, df DESC, term) AS rn
+        FROM cand),
+phr AS (SELECT CASE WHEN pos = 0 THEN term ELSE '{PHRASE_SUGG[0]}' END AS w1,
+               CASE WHEN pos = 1 THEN term ELSE '{PHRASE_SUGG[1]}' END AS w2,
+               ln({_RWEL}) + ln((1.0 - {_RWEL}) * sim) AS err
+        FROM top WHERE rn <= 5),
+sc AS (SELECT phr.w1 AS w1, phr.w2 AS w2, err,
+              ln(greatest(coalesce(u1.cnt, 0)::DOUBLE, 0.5) / T)
+              + CASE WHEN coalesce(b.bcnt, 0) > 0 AND coalesce(u1.cnt, 0) > 0
+                     THEN ln(b.bcnt::DOUBLE / u1.cnt)
+                     ELSE ln(0.4)
+                          + ln(greatest(coalesce(u2.cnt, 0)::DOUBLE, 0.5) / T)
+                END AS lm
+       FROM phr
+       LEFT JOIN uni u1 ON u1.w = phr.w1
+       LEFT JOIN uni u2 ON u2.w = phr.w2
+       LEFT JOIN bi b ON b.w1 = phr.w1 AND b.w2 = phr.w2
+       CROSS JOIN tot)
+SELECT w1 || ' ' || w2 AS suggestion,
+       round(exp((lm + err) / 2.0), 6) AS score
+FROM sc ORDER BY score DESC, suggestion LIMIT 5"""
+
+
 def _q_crossfield_bm25(spark, sf_dir):
     """ES multi_match cross_fields (BM25Index.search_cross_fields):
     term-centric over the same synthetic field slices as
@@ -3662,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_bm25_topk": _q_multifield_bm25,
         "crossfield_bm25_topk": _q_crossfield_bm25,
         "suggest_terms": _q_suggest_terms,
+        "suggest_phrase": _q_suggest_phrase,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
@@ -3762,6 +3918,7 @@ def oracle_sql() -> dict[str, str]:
         "multifield_bm25_topk": _SQL_MULTIFIELD,
         "crossfield_bm25_topk": _SQL_CROSSFIELD,
         "suggest_terms": _sql_suggest_terms(),
+        "suggest_phrase": _SQL_SUGGEST_PHRASE,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,

@@ -122,6 +122,14 @@ class IndexPaths:
         return os.path.join(self.root, "field_stats")
 
     @property
+    def shingle_stats(self) -> str:
+        return os.path.join(self.root, "shingle_stats")
+
+    @property
+    def unigram_stats(self) -> str:
+        return os.path.join(self.root, "unigram_stats")
+
+    @property
     def build_config(self) -> str:
         return os.path.join(self.root, "build_config")
 
@@ -273,6 +281,7 @@ def _config_pa_schema():
                 ("block_size", pa.int32()),
                 ("index_fields", pa.bool_()),
                 ("index_positions", pa.bool_()),
+                ("index_shingles", pa.bool_()),
             ]
         )
     return _CONFIG_PA
@@ -284,6 +293,7 @@ def write_build_config(
     block_size: int,
     index_fields: bool,
     index_positions: bool = False,
+    index_shingles: bool = False,
 ) -> None:
     """Persist the layout-defining build parameters next to the index.
     Incremental merges MUST reuse them — a delta built with a different
@@ -296,6 +306,7 @@ def write_build_config(
             "block_size": [block_size],
             "index_fields": [index_fields],
             "index_positions": [index_positions],
+            "index_shingles": [index_shingles],
         },
     )
 
@@ -312,6 +323,8 @@ def read_build_config(path: str) -> Optional[dict]:
             "index_fields": bool(row["index_fields"]),
             # absent in configs written before positional support
             "index_positions": bool(row.get("index_positions", False)),
+            # absent in configs written before shingle-LM support
+            "index_shingles": bool(row.get("index_shingles", False)),
         }
     except Exception:
         return None
@@ -561,6 +574,7 @@ def build_index(
     id_offset: int = 0,
     index_fields: bool = False,
     index_positions: bool = False,
+    index_shingles: bool = False,
     rows_per_salt: int = ROWS_PER_SALT,
 ) -> IndexPaths:
     """Build the full inverted index under out_dir. Returns paths.
@@ -583,7 +597,7 @@ def build_index(
     if read_build_config(paths.build_config) is None:
         write_build_config(
             paths.build_config, num_buckets, block_size, index_fields,
-            index_positions,
+            index_positions, index_shingles,
         )
 
     metrics_coll = None
@@ -980,6 +994,12 @@ def build_index(
             )
             man.mark_done("pos_blocks", g, -1, int((time.time() - t0) * 1000))
 
+    # ---- stage: shingle LM stats (optional; phrase suggester) --------------
+    if index_shingles and not (resume and man.done_keys("shingles")):
+        t0 = time.time()
+        build_shingle_stats(spark, paths, num_partitions=P)
+        man.mark_done("shingles", 0, -1, int((time.time() - t0) * 1000))
+
     if metrics_coll is not None:
         (
             metrics_coll.collect()
@@ -989,3 +1009,63 @@ def build_index(
         )
 
     return paths
+
+
+def build_shingle_stats(
+    spark: SparkSession,
+    out_dir,
+    num_partitions: Optional[int] = None,
+) -> None:
+    """Bigram (shingle) language-model stats for the ES-style phrase
+    suggester ("did you mean", whole-query): from the canonical stemmed
+    token stream of tokens_stage, write
+
+      shingle_stats: (bigram "w1 w2", w1, w2, cnt) — total occurrence
+        counts of adjacent token pairs, range-partitioned + sorted by
+        the concatenated bigram key so query-time candidate lookups
+        (`bigram.isin([...])`) prune to a handful of parquet row groups;
+      unigram_stats: (term, cnt) — total occurrences per term (Σtf over
+        content-field postings), same layout keyed by term.
+
+    This is the Spark analogue of ES's shingle sub-field feeding the
+    phrase suggester's n-gram model.  Skew note: Zipf-hot bigrams
+    ("of the"-scale) need no salting — count is a sum-combinable
+    aggregate, so partial (map-side) aggregation collapses each
+    partition's hot keys to one row before the shuffle, unlike the
+    collect_list-shaped posting build.  Idempotent (mode=overwrite);
+    standalone-callable after compact_index, whose doc rewrite leaves
+    these stats stale (Lucene-stale semantics, like term_stats under
+    merge deletes).  Takes an IndexPaths or the index root dir."""
+    paths = IndexPaths(out_dir) if isinstance(out_dir, str) else out_dir
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
+    toks = spark.read.parquet(paths.tokens_stage).select("tokens")
+    (
+        toks.filter(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tokens, 1, size(tokens) - 1),"
+                    " (x, i) -> struct(x AS w1, tokens[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
+        .select("bigram", "w1", "w2", "cnt")
+        .repartitionByRange(P, "bigram")
+        .sortWithinPartitions("bigram")
+        .write.mode("overwrite")
+        .parquet(paths.shingle_stats)
+    )
+    (
+        spark.read.parquet(paths.tf_stage)
+        .filter(~F.col("term").contains("!"))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+        .repartitionByRange(P, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(paths.unigram_stats)
+    )

@@ -460,6 +460,7 @@ class BM25Index:
         corpus = spark.read.parquet(self.paths.corpus_stats).collect()[0]
         self.n_docs = int(corpus["n_docs"])
         self.avgdl = float(corpus["avgdl"])
+        self.total_tokens = int(corpus["total_tokens"])
         # declared schemas (SURVEY §1.2: never infer) — also keeps a
         # 0-doc index loadable (inference fails on empty parquet dirs)
         self.postings = spark.read.schema(schemas.POSTINGS).parquet(
@@ -493,6 +494,7 @@ class BM25Index:
         self._stats_memo: Dict[str, Optional[Tuple[int, Optional[float], int, int, int]]] = {}
         self._field_avgdl_cache: Optional[Dict[str, float]] = None
         self._pos_cache: Optional[DataFrame] = None
+        self._shingle_cache: Optional[Tuple[DataFrame, DataFrame]] = None
         # Phrase candidate gate: when a multi-term phrase's rarest term
         # has df ≤ phrase_cand_max_df AND the commonest term is at least
         # phrase_cand_ratio× more frequent AND the pre-pass would prune
@@ -3474,6 +3476,182 @@ class BM25Index:
             )
             .orderBy("token", F.desc("score"), F.desc("df"), "suggestion")
         )
+
+    def _shingle_tables(self) -> Tuple[DataFrame, DataFrame]:
+        """(shingle_stats, unigram_stats) DataFrames — the bigram LM
+        behind suggest_phrase; built by build_index(index_shingles=True)
+        or builder.build_shingle_stats."""
+        if self._shingle_cache is None:
+            from search_engine_spark import schemas as _schemas
+
+            try:
+                sh = self.spark.read.schema(_schemas.SHINGLE_STATS).parquet(
+                    self.paths.shingle_stats
+                )
+                ug = self.spark.read.schema(_schemas.UNIGRAM_STATS).parquet(
+                    self.paths.unigram_stats
+                )
+            except Exception as e:
+                raise ValueError(
+                    "index has no shingle LM stats — build with "
+                    "index_shingles=True (or run builder."
+                    "build_shingle_stats over the index dir)"
+                ) from e
+            self._shingle_cache = (sh, ug)
+        return self._shingle_cache
+
+    def suggest_phrase(
+        self,
+        text: str,
+        size: int = 5,
+        max_errors: int = 1,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        min_word_length: int = 4,
+        num_candidates: int = 5,
+        confidence: float = 1.0,
+        real_word_error_likelihood: float = 0.95,
+        discount: float = 0.4,
+    ) -> DataFrame:
+        """Phrase suggester — the ES `suggest`/`phrase` API (whole-query
+        "did you mean"): candidate corrections for the analyzed query,
+        scored by a bigram language model over the index's shingle
+        stats (build_index(index_shingles=True)) combined with a
+        noisy-channel error model, exactly the ES phrase suggester's
+        shape (direct candidate generator + Stupid-Backoff n-gram LM
+        over a shingle field).
+
+        Pinned scoring model (deterministic, mirrored 1:1 by the
+        in-repo PhraseSuggestOracle):
+          LM (Stupid Backoff, log space):  P(w₁) = max(cnt(w₁),0.5)/T;
+            P(wᵢ|wᵢ₋₁) = cnt(wᵢ₋₁wᵢ)/cnt(wᵢ₋₁) when the bigram exists,
+            else discount · max(cnt(wᵢ),0.5)/T       (discount 0.4)
+          channel: unchanged position → real_word_error_likelihood;
+            changed position → (1−rwel) · similarity(orig, cand)
+            where similarity is suggest_terms' normalized Levenshtein
+          phrase score = exp((log LM + log channel) / n_tokens)
+            (per-token geometric mean, so scores are length-invariant)
+          a suggestion is returned iff score > confidence · score(input
+          phrase); the unchanged input is never returned (ES confidence
+          semantics).
+
+        Candidates come from ONE suggest_terms dictionary job
+        (mode="always", top num_candidates per token by similarity/df);
+        phrases change at most `max_errors` positions (ES default 1).
+        LM lookups are two point-lookup scans — `isin` over the range-
+        partitioned, sorted shingle/unigram tables prunes to a handful
+        of row groups even at web scale (same layout trick as
+        term_stats).  The final combination runs driver-side over the
+        ≤ a-few-hundred candidate phrases, exactly where ES's
+        coordinating node does it — all data-sized work stays in the
+        three pruned Spark scans.  Returns (suggestion, score), score
+        desc, suggestion asc."""
+        import itertools
+        import math
+
+        sh, ug = self._shingle_tables()
+        out_schema = "suggestion string, score double"
+        tokens = tokenize_py(text)
+        if not tokens:
+            return self.spark.createDataFrame([], out_schema)
+        if not (0.0 < real_word_error_likelihood < 1.0):
+            raise ValueError("real_word_error_likelihood must be in (0,1)")
+        max_errors = max(1, int(max_errors))
+        n = len(tokens)
+
+        # 1. per-token candidates — one dictionary job
+        cand_rows = self.suggest_terms(
+            text,
+            size=num_candidates,
+            max_edits=max_edits,
+            prefix_length=prefix_length,
+            min_word_length=min_word_length,
+            suggest_mode="always",
+        ).collect()
+        cands: Dict[str, List[Tuple[str, float]]] = {}
+        for r in cand_rows:
+            cands.setdefault(r["token"], []).append(
+                (r["suggestion"], float(r["score"]))
+            )
+        positions = [i for i, t in enumerate(tokens) if cands.get(t)]
+        base = tuple(tokens)
+        log_rwel = math.log(real_word_error_likelihood)
+        log_err1 = math.log1p(-real_word_error_likelihood)
+
+        # 2. enumerate phrases with ≤ max_errors changed positions,
+        # keeping each distinct phrase's best channel score (itertools
+        # order is deterministic; capped at 2000 phrases)
+        phrases: Dict[Tuple[str, ...], float] = {}
+        full = False
+        for k_err in range(1, max_errors + 1):
+            if full:
+                break
+            for combo in itertools.combinations(positions, k_err):
+                if full:
+                    break
+                pools = [cands[tokens[i]] for i in combo]
+                for repl in itertools.product(*pools):
+                    words = list(tokens)
+                    err = (n - k_err) * log_rwel
+                    for i, (c, sim) in zip(combo, repl):
+                        words[i] = c
+                        err += log_err1 + math.log(sim)
+                    tup = tuple(words)
+                    if tup == base:
+                        continue
+                    if tup not in phrases or err > phrases[tup]:
+                        phrases[tup] = err
+                    if len(phrases) >= 2000:
+                        full = True
+                        break
+        if not phrases:
+            return self.spark.createDataFrame([], out_schema)
+
+        # 3. LM point lookups (row-group-pruned isin scans)
+        all_phr = list(phrases) + [base]
+        words_needed = sorted({w for p in all_phr for w in p})
+        pair_keys = sorted(
+            {f"{p[i]} {p[i + 1]}" for p in all_phr for i in range(len(p) - 1)}
+        )
+        ucnt = {
+            r["term"]: int(r["cnt"])
+            for r in ug.filter(F.col("term").isin(words_needed)).collect()
+        }
+        bcnt = (
+            {
+                r["bigram"]: int(r["cnt"])
+                for r in sh.filter(F.col("bigram").isin(pair_keys)).collect()
+            }
+            if pair_keys
+            else {}
+        )
+
+        # 4. driver-side scoring over the tiny candidate set
+        T = max(1, self.total_tokens)
+        log_disc = math.log(discount)
+
+        def log_uni(w: str) -> float:
+            return math.log(max(ucnt.get(w, 0), 0.5) / T)
+
+        def log_lm(p: Tuple[str, ...]) -> float:
+            lp = log_uni(p[0])
+            for i in range(len(p) - 1):
+                c2 = bcnt.get(f"{p[i]} {p[i + 1]}", 0)
+                c1 = ucnt.get(p[i], 0)
+                if c2 > 0 and c1 > 0:
+                    lp += math.log(c2 / c1)
+                else:
+                    lp += log_disc + log_uni(p[i + 1])
+            return lp
+
+        base_score = math.exp((log_lm(base) + n * log_rwel) / n)
+        rows = []
+        for tup, err in phrases.items():
+            score = math.exp((log_lm(tup) + err) / n)
+            if score > confidence * base_score:
+                rows.append((" ".join(tup), float(score)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return self.spark.createDataFrame(rows[:size] or [], out_schema)
 
     def search_fuzzy(
         self,

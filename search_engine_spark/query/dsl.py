@@ -799,6 +799,60 @@ def _metric_subaggs(nested) -> Optional[Dict]:
     return {n: (k, s["field"]) for n, (k, s) in kinds.items()}
 
 
+def execute_es_suggest(idx, body: Dict) -> Dict[str, object]:
+    """Execute the `suggest` section of an ES request body.
+
+    {"suggest": {name: {"text": ..., "term": {...}}         → suggest_terms
+                 name: {"text": ..., "phrase": {...}}, ...}} → suggest_phrase
+
+    Option subset mirrored from ES: term → size/max_edits/prefix_length/
+    min_word_length/suggest_mode (field must be "content" when given);
+    phrase → size/max_errors/confidence/real_word_error_likelihood plus
+    the FIRST direct_generator's max_edits/prefix_length/min_word_length/
+    size (ES nests candidate-generator options there).  Unknown node
+    types raise NotImplementedError."""
+    sug = body.get("suggest")
+    if not sug:
+        _unsupported("body without a suggest section")
+    out: Dict[str, object] = {}
+    for name, node in sug.items():
+        text = node.get("text")
+        if text is None:
+            _unsupported(f"suggester {name!r} without text")
+        kinds = [k for k in node if k != "text"]
+        if len(kinds) != 1 or kinds[0] not in ("term", "phrase"):
+            _unsupported(f"suggester node {kinds!r} (term/phrase only)")
+        kind, spec = kinds[0], node[kinds[0]]
+        field = spec.get("field")
+        if field is not None and field != "content":
+            _unsupported(f"suggester over field {field!r} (content only)")
+        if kind == "term":
+            out[name] = idx.suggest_terms(
+                text,
+                size=int(spec.get("size", 5)),
+                max_edits=int(spec.get("max_edits", 2)),
+                prefix_length=int(spec.get("prefix_length", 1)),
+                min_word_length=int(spec.get("min_word_length", 4)),
+                suggest_mode=spec.get("suggest_mode", "missing"),
+            )
+        else:
+            gen = (spec.get("direct_generator") or [{}])[0]
+            out[name] = idx.suggest_phrase(
+                text,
+                size=int(spec.get("size", 5)),
+                max_errors=int(spec.get("max_errors", 1)),
+                confidence=float(spec.get("confidence", 1.0)),
+                real_word_error_likelihood=float(
+                    spec.get("real_word_error_likelihood", 0.95)
+                ),
+                max_edits=int(gen.get("max_edits", 2)),
+                prefix_length=int(gen.get("prefix_length", 1)),
+                min_word_length=int(gen.get("min_word_length", 4)),
+                num_candidates=int(gen.get("size", 5)),
+            )
+    return out
+
+
 def execute_es_count(idx, body: Dict) -> int:
     """The ES `GET /{index}/_count` API: exact hits.total of a request
     body's query — the count the reference's /search response reports

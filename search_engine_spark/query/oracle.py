@@ -729,3 +729,146 @@ class CrossFieldsOracle:
                 scored.append((d, s))
         scored.sort(key=lambda t: (-t[1], t[0]))
         return scored[:k]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein (matches Spark's F.levenshtein — a
+    transposition costs 2, not Damerau's 1)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+class PhraseSuggestOracle:
+    """Pure-Python ES phrase suggester over (doc_id -> token list) —
+    the rank-identity ground truth for BM25Index.suggest_phrase.
+    Implements the SAME pinned model: Stupid-Backoff bigram LM over
+    adjacent-pair counts of the canonical token streams, noisy-channel
+    error model (unchanged → rwel, changed → (1−rwel)·similarity),
+    per-token geometric-mean score, confidence gate vs the input
+    phrase, candidates = suggest_terms semantics (mode always,
+    similarity desc → df desc → term asc, top num_candidates)."""
+
+    def __init__(self, docs: Dict[int, List[str]]):
+        self.df: Counter = Counter()
+        self.uni: Counter = Counter()
+        self.bi: Counter = Counter()
+        for toks in docs.values():
+            for t in set(toks):
+                self.df[t] += 1
+            self.uni.update(toks)
+            for a, b in zip(toks, toks[1:]):
+                self.bi[(a, b)] += 1
+        self.total = sum(self.uni.values())
+
+    def _candidates(
+        self, token, num_candidates, max_edits, prefix_length,
+        min_word_length,
+    ) -> List[Tuple[str, float]]:
+        if len(token) < min_word_length:
+            return []
+        max_edits = max(0, min(int(max_edits), 2))
+        out = []
+        for term, df in self.df.items():
+            if "!" in term or term == token:
+                continue
+            if abs(len(term) - len(token)) > max_edits:
+                continue
+            if prefix_length > 0 and (
+                term[:prefix_length] != token[:prefix_length]
+            ):
+                continue
+            d = _levenshtein(term, token)
+            if d > max_edits:
+                continue
+            sim = 1.0 - d / max(len(term), len(token))
+            out.append((term, sim, df))
+        out.sort(key=lambda r: (-r[1], -r[2], r[0]))
+        return [(t, s) for t, s, _ in out[:num_candidates]]
+
+    def suggest(
+        self,
+        text: str,
+        size: int = 5,
+        max_errors: int = 1,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+        min_word_length: int = 4,
+        num_candidates: int = 5,
+        confidence: float = 1.0,
+        real_word_error_likelihood: float = 0.95,
+        discount: float = 0.4,
+    ) -> List[Tuple[str, float]]:
+        import itertools
+
+        tokens = tokenize_py(text)
+        if not tokens:
+            return []
+        n = len(tokens)
+        max_errors = max(1, int(max_errors))
+        cands = {
+            t: self._candidates(
+                t, num_candidates, max_edits, prefix_length, min_word_length
+            )
+            for t in set(tokens)
+        }
+        positions = [i for i, t in enumerate(tokens) if cands.get(t)]
+        base = tuple(tokens)
+        log_rwel = math.log(real_word_error_likelihood)
+        log_err1 = math.log1p(-real_word_error_likelihood)
+        phrases: Dict[Tuple[str, ...], float] = {}
+        full = False
+        for k_err in range(1, max_errors + 1):
+            if full:
+                break
+            for combo in itertools.combinations(positions, k_err):
+                if full:
+                    break
+                pools = [cands[tokens[i]] for i in combo]
+                for repl in itertools.product(*pools):
+                    words = list(tokens)
+                    err = (n - k_err) * log_rwel
+                    for i, (c, sim) in zip(combo, repl):
+                        words[i] = c
+                        err += log_err1 + math.log(sim)
+                    tup = tuple(words)
+                    if tup == base:
+                        continue
+                    if tup not in phrases or err > phrases[tup]:
+                        phrases[tup] = err
+                    if len(phrases) >= 2000:
+                        full = True
+                        break
+
+        T = max(1, self.total)
+        log_disc = math.log(discount)
+
+        def log_uni(w):
+            return math.log(max(self.uni.get(w, 0), 0.5) / T)
+
+        def log_lm(p):
+            lp = log_uni(p[0])
+            for a, b in zip(p, p[1:]):
+                c2 = self.bi.get((a, b), 0)
+                c1 = self.uni.get(a, 0)
+                lp += (
+                    math.log(c2 / c1)
+                    if c2 > 0 and c1 > 0
+                    else log_disc + log_uni(b)
+                )
+            return lp
+
+        base_score = math.exp((log_lm(base) + n * log_rwel) / n)
+        rows = [
+            (" ".join(tup), math.exp((log_lm(tup) + err) / n))
+            for tup, err in phrases.items()
+        ]
+        rows = [r for r in rows if r[1] > confidence * base_score]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:size]

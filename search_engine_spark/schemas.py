@@ -112,6 +112,29 @@ TOMBSTONES = StructType(
     ]
 )
 
+# Bigram (shingle) language-model stats for the phrase suggester
+# (builder.build_shingle_stats; ES shingle-field analogue).  `bigram`
+# is the concatenated "w1 w2" sort/lookup key the table is range-
+# partitioned by; cnt is the total occurrence count of the adjacent
+# pair in the canonical stemmed token stream.
+SHINGLE_STATS = StructType(
+    [
+        StructField("bigram", StringType(), False),
+        StructField("w1", StringType(), False),
+        StructField("w2", StringType(), False),
+        StructField("cnt", LongType(), False),
+    ]
+)
+
+# Total term occurrences (Σtf, content field) — the unigram model
+# backing Stupid-Backoff smoothing in the phrase suggester.
+UNIGRAM_STATS = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("cnt", LongType(), False),
+    ]
+)
+
 # Corpus scalars.
 CORPUS_STATS = StructType(
     [

@@ -26,6 +26,7 @@ def idx(spark, tmp_path_factory):
     build_index(
         spark, pages, root, num_buckets=16, block_size=32,
         num_partitions=8, index_fields=True, index_positions=True,
+        index_shingles=True,
     )
     return BM25Index(spark, root, seed_min_df=0)
 
@@ -1103,3 +1104,53 @@ class TestFilterFamilyAggs:
                 {"query": {"match": {"content": "x"}},
                  "aggs": {"g": {"global": {}}}},
             )
+
+
+class TestSuggestSection:
+    """execute_es_suggest lowers the body's suggest section onto
+    suggest_terms / suggest_phrase with ES option names."""
+
+    def test_term_suggester(self, idx):
+        from search_engine_spark.query.dsl import execute_es_suggest
+
+        body = {"suggest": {"fix": {
+            "text": "pythn tutorail",
+            "term": {"field": "content", "suggest_mode": "always",
+                     "size": 3},
+        }}}
+        got = execute_es_suggest(idx, body)["fix"].collect()
+        direct = idx.suggest_terms(
+            "pythn tutorail", size=3, suggest_mode="always"
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+
+    def test_phrase_suggester(self, idx):
+        from search_engine_spark.query.dsl import execute_es_suggest
+
+        body = {"suggest": {"dym": {
+            "text": "pythn programming",
+            "phrase": {"size": 4, "max_errors": 1, "confidence": 0.0,
+                       "direct_generator": [
+                           {"field": "content", "size": 3,
+                            "prefix_length": 1}]},
+        }}}
+        got = execute_es_suggest(idx, body)["dym"].collect()
+        direct = idx.suggest_phrase(
+            "pythn programming", size=4, max_errors=1, confidence=0.0,
+            num_candidates=3, prefix_length=1,
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+        assert got  # misspelling over corpus vocabulary must suggest
+
+    def test_refusals(self, idx):
+        from search_engine_spark.query.dsl import execute_es_suggest
+
+        with pytest.raises(NotImplementedError):
+            execute_es_suggest(idx, {"suggest": {"x": {
+                "text": "a", "completion": {}}}})
+        with pytest.raises(NotImplementedError):
+            execute_es_suggest(idx, {"suggest": {"x": {
+                "term": {"field": "content"}}}})
+        with pytest.raises(NotImplementedError):
+            execute_es_suggest(idx, {"suggest": {"x": {
+                "text": "a", "term": {"field": "title"}}}})

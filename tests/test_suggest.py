@@ -24,7 +24,8 @@ def corpus(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("sugg"))
     pages = synth_pages(spark, N_PAGES, num_partitions=4)
     paths = build_index(
-        spark, pages, root, num_buckets=16, block_size=32, num_partitions=8
+        spark, pages, root, num_buckets=16, block_size=32, num_partitions=8,
+        index_shingles=True,
     )
     docs = spark.read.parquet(paths.docs).select("doc_id", "url").collect()
     id_by_url = {r["url"]: r["doc_id"] for r in docs}
@@ -158,3 +159,93 @@ class TestSuggestTerms:
         idx = BM25Index(spark, paths.root, seed_min_df=0)
         with pytest.raises(ValueError):
             idx.suggest_terms("python", suggest_mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester
+# ---------------------------------------------------------------------------
+
+# misspellings of corpus vocabulary (synth topics: python/spark/search/
+# web terms) — one error, two errors, already-correct, and garbage
+PHRASE_QUERIES = [
+    "pythn programming tutorial",
+    "machne learnin model",
+    "python programming",          # fully correct input
+    "qzqzqz wwwwqq",               # no dictionary candidates
+    "distributed processng cluster",
+]
+
+
+class TestPhraseSuggester:
+    def _oracle(self, oracle):
+        from search_engine_spark.query.oracle import PhraseSuggestOracle
+
+        return PhraseSuggestOracle(oracle.docs)
+
+    @pytest.mark.parametrize("q", PHRASE_QUERIES)
+    def test_rank_identity(self, spark, corpus, q):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        got = [
+            (r["suggestion"], r["score"])
+            for r in idx.suggest_phrase(q, size=5).collect()
+        ]
+        want = self._oracle(oracle).suggest(q, size=5)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+    def test_max_errors_two(self, spark, corpus):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = "pythn programing tutorial"
+        got = [
+            (r["suggestion"], r["score"])
+            for r in idx.suggest_phrase(q, size=8, max_errors=2).collect()
+        ]
+        want = self._oracle(oracle).suggest(q, size=8, max_errors=2)
+        assert [g[0] for g in got] == [w[0] for w in want]
+
+    def test_confidence_gate(self, spark, corpus):
+        """confidence=0 returns every candidate beating score 0; a huge
+        confidence returns nothing for an already-likely input."""
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        lo = idx.suggest_phrase(
+            "python programming", size=5, confidence=0.0
+        ).count()
+        hi = idx.suggest_phrase(
+            "python programming", size=5, confidence=1e9
+        ).count()
+        assert lo >= hi
+        assert hi == 0
+
+    def test_correct_input_never_suggested(self, spark, corpus):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.suggest_phrase(
+            "python programming", size=10, confidence=0.0
+        ).collect()
+        assert "python program" not in []  # placeholder sanity
+        assert all(
+            r["suggestion"] != " ".join(tokenize_py("python programming"))
+            for r in rows
+        )
+
+    def test_requires_shingles(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("nosh"))
+        pages = synth_pages(spark, 40, num_partitions=2)
+        paths = build_index(
+            spark, pages, root, num_buckets=4, block_size=32,
+            num_partitions=2,
+        )
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="shingle"):
+            idx.suggest_phrase("pythn tutorial")
+
+    def test_empty_text(self, spark, corpus):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        df = idx.suggest_phrase("the of and")  # stopword-only -> no tokens
+        assert df.columns == ["suggestion", "score"]
+        assert df.count() == 0
