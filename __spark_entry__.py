@@ -2376,6 +2376,34 @@ r AS (SELECT token, term AS suggestion, round(score, 6) AS score, df,
 SELECT token, suggestion, score, df FROM r WHERE rn <= 5"""
 
 
+COMPLETION_PREFIX = "c"
+
+
+def _q_suggest_completion(spark, sf_dir):
+    """ES completion suggester, dictionary subset
+    (BM25Index.suggest_completion): terms starting with the prefix,
+    weighted by df (popularity), df desc then term asc, top 10 — one
+    StartsWith-pruned scan of the dictionary."""
+    toks = _docs_tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("term").startswith(COMPLETION_PREFIX))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(10)
+        .select(F.col("term").alias("suggestion"), "weight")
+    )
+
+
+_SQL_SUGGEST_COMPLETION = f"""{_TOK_CTE},
+dic AS (SELECT t AS term, count(DISTINCT doc_id) AS weight
+        FROM tok, unnest(l) AS u(t) GROUP BY t)
+SELECT term AS suggestion, weight FROM dic
+WHERE term LIKE '{COMPLETION_PREFIX}%'
+ORDER BY weight DESC, term LIMIT 10"""
+
+
 PHRASE_SUGG = ("sparkk", "merge")  # 2-token input, pos0 misspelled
 _RWEL = 0.95  # real_word_error_likelihood (engine default)
 
@@ -3818,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossfield_bm25_topk": _q_crossfield_bm25,
         "suggest_terms": _q_suggest_terms,
         "suggest_phrase": _q_suggest_phrase,
+        "suggest_completion": _q_suggest_completion,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
@@ -3919,6 +3948,7 @@ def oracle_sql() -> dict[str, str]:
         "crossfield_bm25_topk": _SQL_CROSSFIELD,
         "suggest_terms": _sql_suggest_terms(),
         "suggest_phrase": _SQL_SUGGEST_PHRASE,
+        "suggest_completion": _SQL_SUGGEST_COMPLETION,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,

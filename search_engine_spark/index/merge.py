@@ -613,3 +613,117 @@ def compact_index(
         index_fields=index_fields,
         index_positions=index_positions,
     )
+
+
+def reindex(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    predicate=None,
+    num_buckets: Optional[int] = None,
+    block_size: Optional[int] = None,
+    bucket_groups: int = 1,
+    num_partitions: Optional[int] = None,
+    index_fields: Optional[bool] = None,
+    index_positions: Optional[bool] = None,
+    index_shingles: bool = False,
+) -> IndexPaths:
+    """The ES `_reindex` API as a batch job: write a brand-new index at
+    `out_dir` from the LIVE documents of `index_dir` (tombstones folded
+    out, deltas merged), optionally restricted by a docs-table
+    `predicate` (the reindex body's source.query) and with a DIFFERENT
+    physical layout (dest-index settings): num_buckets / block_size may
+    change freely — unlike merge/compact, the destination is a new
+    index, so no layout contract binds it.
+
+    Settings changes supported:
+      index_fields False over a fielded source drops the namespaced
+        title/description postings (reindex into a single-field dest);
+        True over an unfielded source raises — field token streams were
+        never materialized and reindex never re-extracts (ES likewise
+        copies _source, it does not re-crawl).
+      index_positions / index_shingles may be ENABLED even if the
+        source lacked them — both derive from the source's tokens_stage,
+        which every build materializes.
+
+    Like compact_index, extraction/tokenization are skipped entirely:
+    the surviving tf rows (semi-joined to the kept docs when a
+    predicate is given) feed the stats + posting-block stages via the
+    pre-marked manifest, so doc_ids are preserved and ranking over the
+    new index is exact under its recomputed corpus stats."""
+    src = IndexPaths(index_dir)
+    dst = IndexPaths(out_dir)
+    build_id = uuid.uuid4().hex[:12]
+    man = _Manifest(spark, dst, build_id)
+    cfg = read_build_config(src.build_config)
+    if cfg is None:
+        raise ValueError(f"no build_config under {index_dir}")
+    num_buckets = int(num_buckets) if num_buckets else cfg["num_buckets"]
+    block_size = int(block_size) if block_size else cfg["block_size"]
+    dst_fields = cfg["index_fields"] if index_fields is None else bool(index_fields)
+    if dst_fields and not cfg["index_fields"]:
+        raise ValueError(
+            "index_fields=True needs a fielded source index — reindex "
+            "never re-extracts title/description token streams"
+        )
+    dst_positions = bool(index_positions) if index_positions is not None else False
+
+    tf_parts = [src.tf_stage] + [
+        IndexPaths(d).tf_stage for d in delta_roots(spark, src)
+    ]
+    tf = spark.read.parquet(*tf_parts)
+    docs = live_docs(spark, src)
+    tomb = read_tombstones(spark, src)
+    if tomb is not None:
+        tf = tf.join(F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti")
+    if predicate is not None:
+        docs = docs.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+        kept = docs.select("doc_id")
+        tf = tf.join(kept, "doc_id", "left_semi")
+    if not dst_fields and cfg["index_fields"]:
+        tf = tf.filter(~F.col("term").contains("!"))
+
+    P = num_partitions or spark.sparkContext.defaultParallelism * 2
+    tf.write.mode("overwrite").parquet(dst.tf_stage)
+    (
+        docs.repartitionByRange(P, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(dst.docs)
+    )
+    n_live = spark.read.parquet(dst.docs).count()
+    if dst_positions or index_shingles:
+        tok_parts = [src.tokens_stage] + [
+            IndexPaths(d).tokens_stage for d in delta_roots(spark, src)
+        ]
+        toks = spark.read.parquet(*tok_parts)
+        if tomb is not None:
+            toks = toks.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            )
+        if predicate is not None:
+            toks = toks.join(
+                spark.read.parquet(dst.docs).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        toks.write.mode("overwrite").parquet(dst.tokens_stage)
+    man.mark_done("docs", 0, n_live, 0, fingerprint="reindex:" + index_dir)
+    man.mark_done("tf", 0, -1, 0)
+
+    return build_index(
+        spark,
+        None,
+        out_dir,
+        num_buckets=num_buckets,
+        block_size=block_size,
+        bucket_groups=bucket_groups,
+        num_partitions=num_partitions,
+        resume=True,
+        build_id=build_id,
+        index_fields=dst_fields,
+        index_positions=dst_positions,
+        index_shingles=index_shingles,
+    )

@@ -3653,6 +3653,38 @@ class BM25Index:
         rows.sort(key=lambda r: (-r[1], r[0]))
         return self.spark.createDataFrame(rows[:size] or [], out_schema)
 
+    def suggest_completion(self, prefix: str, size: int = 10) -> DataFrame:
+        """Completion suggester — the ES `suggest`/`completion` API's
+        dictionary subset (search-as-you-type over the analyzed
+        vocabulary rather than a dedicated FST field, which would need
+        index-time completion inputs the reference never defines):
+        terms starting with the analyzed prefix, weighted by document
+        frequency (popularity), ordered df desc then term asc.
+
+        One column-pruned StartsWith scan of the range-partitioned,
+        term-sorted stats table — the same pushdown as the prefix-query
+        rewrite — then TakeOrderedAndProject for the size cut.  Returns
+        (suggestion, weight)."""
+        empty = self.spark.createDataFrame(
+            [], "suggestion string, weight long"
+        )
+        toks = tokenize_py(prefix)
+        if not toks:
+            return empty
+        p = toks[-1]  # complete the last analyzed token, ES-style
+        return (
+            self.term_stats.select("term", "df")
+            .filter(
+                F.col("term").startswith(p) & ~F.col("term").contains("!")
+            )
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(size)
+            .select(
+                F.col("term").alias("suggestion"),
+                F.col("df").alias("weight"),
+            )
+        )
+
     def search_fuzzy(
         self,
         word: str,

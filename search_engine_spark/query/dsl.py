@@ -802,8 +802,10 @@ def _metric_subaggs(nested) -> Optional[Dict]:
 def execute_es_suggest(idx, body: Dict) -> Dict[str, object]:
     """Execute the `suggest` section of an ES request body.
 
-    {"suggest": {name: {"text": ..., "term": {...}}         → suggest_terms
-                 name: {"text": ..., "phrase": {...}}, ...}} → suggest_phrase
+    {"suggest": {name: {"text": ..., "term": {...}}          → suggest_terms
+                 name: {"text": ..., "phrase": {...}}        → suggest_phrase
+                 name: {"prefix": ..., "completion": {...}}, ...}}
+                                                      → suggest_completion
 
     Option subset mirrored from ES: term → size/max_edits/prefix_length/
     min_word_length/suggest_mode (field must be "content" when given);
@@ -816,17 +818,26 @@ def execute_es_suggest(idx, body: Dict) -> Dict[str, object]:
         _unsupported("body without a suggest section")
     out: Dict[str, object] = {}
     for name, node in sug.items():
-        text = node.get("text")
+        text = node.get("text", node.get("prefix"))
         if text is None:
-            _unsupported(f"suggester {name!r} without text")
-        kinds = [k for k in node if k != "text"]
-        if len(kinds) != 1 or kinds[0] not in ("term", "phrase"):
-            _unsupported(f"suggester node {kinds!r} (term/phrase only)")
+            _unsupported(f"suggester {name!r} without text/prefix")
+        kinds = [k for k in node if k not in ("text", "prefix")]
+        if len(kinds) != 1 or kinds[0] not in (
+            "term", "phrase", "completion"
+        ):
+            _unsupported(
+                f"suggester node {kinds!r} (term/phrase/completion only)"
+            )
         kind, spec = kinds[0], node[kinds[0]]
         field = spec.get("field")
         if field is not None and field != "content":
             _unsupported(f"suggester over field {field!r} (content only)")
-        if kind == "term":
+        if kind == "completion":
+            # ES completion suggesters take the input under "prefix"
+            out[name] = idx.suggest_completion(
+                node.get("prefix", text), size=int(spec.get("size", 10))
+            )
+        elif kind == "term":
             out[name] = idx.suggest_terms(
                 text,
                 size=int(spec.get("size", 5)),

@@ -1147,10 +1147,24 @@ class TestSuggestSection:
 
         with pytest.raises(NotImplementedError):
             execute_es_suggest(idx, {"suggest": {"x": {
-                "text": "a", "completion": {}}}})
+                "text": "a", "fancy_suggester": {}}}})
         with pytest.raises(NotImplementedError):
             execute_es_suggest(idx, {"suggest": {"x": {
                 "term": {"field": "content"}}}})
         with pytest.raises(NotImplementedError):
             execute_es_suggest(idx, {"suggest": {"x": {
                 "text": "a", "term": {"field": "title"}}}})
+
+
+class TestCompletionSection:
+    def test_completion_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_suggest
+
+        body = {"suggest": {"ac": {
+            "prefix": "pro",
+            "completion": {"field": "content", "size": 4},
+        }}}
+        got = execute_es_suggest(idx, body)["ac"].collect()
+        direct = idx.suggest_completion("pro", size=4).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+        assert got

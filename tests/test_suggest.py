@@ -249,3 +249,35 @@ class TestPhraseSuggester:
         df = idx.suggest_phrase("the of and")  # stopword-only -> no tokens
         assert df.columns == ["suggestion", "score"]
         assert df.count() == 0
+
+
+class TestCompletionSuggester:
+    def test_matches_df_order(self, spark, corpus):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = [
+            (r["suggestion"], r["weight"])
+            for r in idx.suggest_completion("pro", size=5).collect()
+        ]
+        want = sorted(
+            (
+                (t, df)
+                for t, df in oracle.df.items()
+                if t.startswith("pro") and "!" not in t
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        assert rows == want
+
+    def test_last_token_completed(self, spark, corpus):
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        a = idx.suggest_completion("machine le", size=5).collect()
+        b = idx.suggest_completion("le", size=5).collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+    def test_empty_prefix(self, spark, corpus):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        df = idx.suggest_completion("the")  # stopword-only
+        assert df.columns == ["suggestion", "weight"] and df.count() == 0
