@@ -3512,6 +3512,7 @@ class BM25Index:
         confidence: float = 1.0,
         real_word_error_likelihood: float = 0.95,
         discount: float = 0.4,
+        collate: bool = False,
     ) -> DataFrame:
         """Phrase suggester — the ES `suggest`/`phrase` API (whole-query
         "did you mean"): candidate corrections for the analyzed query,
@@ -3545,7 +3546,14 @@ class BM25Index:
         ≤ a-few-hundred candidate phrases, exactly where ES's
         coordinating node does it — all data-sized work stays in the
         three pruned Spark scans.  Returns (suggestion, score), score
-        desc, suggestion asc."""
+        desc, suggestion asc.
+
+        `collate=True` is ES's collate+prune: each returned suggestion
+        is checked against the index (here: at least one live doc
+        containing ALL its terms — the ES collate template's canonical
+        match-AND shape) and non-matching ones are dropped.  Like ES,
+        this issues one existence query per surviving-cut suggestion
+        (≤ size), so it multiplies query cost — off by default."""
         import itertools
         import math
 
@@ -3651,7 +3659,20 @@ class BM25Index:
             if score > confidence * base_score:
                 rows.append((" ".join(tup), float(score)))
         rows.sort(key=lambda r: (-r[1], r[0]))
-        return self.spark.createDataFrame(rows[:size] or [], out_schema)
+        rows = rows[:size]
+        if collate:
+            # strict AND, like the ES collate match template: a phrase
+            # carrying ANY unindexed term can't match (count_matches'
+            # AND deliberately drops unindexed terms — too lenient here)
+            def _ok(s: str) -> bool:
+                words = s.split(" ")
+                stats = self._query_stats(sorted(set(words)))
+                if any(w not in stats for w in words):
+                    return False
+                return self.count_matches(words, mode="and") > 0
+
+            rows = [r for r in rows if _ok(r[0])]
+        return self.spark.createDataFrame(rows or [], out_schema)
 
     def suggest_completion(self, prefix: str, size: int = 10) -> DataFrame:
         """Completion suggester — the ES `suggest`/`completion` API's

@@ -860,6 +860,7 @@ def execute_es_suggest(idx, body: Dict) -> Dict[str, object]:
                 prefix_length=int(gen.get("prefix_length", 1)),
                 min_word_length=int(gen.get("min_word_length", 4)),
                 num_candidates=int(gen.get("size", 5)),
+                collate="collate" in spec,
             )
     return out
 

@@ -317,3 +317,35 @@ def test_explain_doc_scan_prunes_query_term_buckets(idx):
     plan = explain_str(df)
     assert "PartitionFilters" in plan
     assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_terms_buckets_no_expand_and_broadcast_outer_cut(idx):
+    """Nested bucket agg: ONE composite-key groupBy on the doc-sized
+    data (no grouping-sets Expand doubling the input), the outer-bucket
+    cut joined back broadcast, partial aggregation before the shuffle."""
+    plan = explain_str(
+        idx.facet_terms_buckets(
+            "python programming", "domain", ("histogram", "doclen", 32.0),
+            size=3, metrics={"avg_dl": ("avg", "doclen")},
+        )
+    )
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_facet_filters_single_conditional_agg(idx):
+    """Filters agg: one conditional-aggregation pass — a single
+    aggregate (partial+final pair), no join per bucket, the unpivot is
+    a generate over the 1-row result."""
+    plan = explain_str(
+        idx.facet_filters(
+            "python programming",
+            {"short": "doclen < 100", "long": "doclen >= 100"},
+        )
+    )
+    assert "Generate" in plan  # inline explode unpivot
+    # exactly one aggregate pair over the joined matched docs: the
+    # matched-ids distinct adds its own pair, so bound loosely but
+    # assert no per-bucket multiplication (2 buckets != 2 aggregates)
+    assert plan.count("BroadcastNestedLoopJoin") == 0

@@ -281,3 +281,54 @@ class TestCompletionSuggester:
         idx = BM25Index(spark, paths.root, seed_min_df=0)
         df = idx.suggest_completion("the")  # stopword-only
         assert df.columns == ["suggestion", "weight"] and df.count() == 0
+
+
+class TestPhraseCollate:
+    def test_collate_prunes_non_matching(self, spark, corpus):
+        """Every collated suggestion has at least one live doc
+        containing ALL its terms; collated output is a subset of the
+        uncollated cut in the same order (the ES prune semantics)."""
+        paths, oracle = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = "machne learnin model"
+        plain = [
+            (r["suggestion"], r["score"])
+            for r in idx.suggest_phrase(q, size=5, max_errors=2).collect()
+        ]
+        coll = [
+            (r["suggestion"], r["score"])
+            for r in idx.suggest_phrase(
+                q, size=5, max_errors=2, collate=True
+            ).collect()
+        ]
+        assert [c for c in plain if c in coll] == coll  # ordered subset
+        for s, _ in coll:
+            terms = s.split(" ")
+            docs_with_all = [
+                d for d, tf in oracle.tf.items()
+                if all(t in tf for t in terms)
+            ]
+            assert docs_with_all, s
+        # and anything pruned really had no AND-match
+        for s, _ in plain:
+            if (s, dict(plain)[s]) not in coll:
+                terms = s.split(" ")
+                assert not any(
+                    all(t in tf for t in terms) for tf in oracle.tf.values()
+                ), s
+
+    def test_collate_via_dsl(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_suggest
+
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"suggest": {"dym": {
+            "text": "machne learnin model",
+            "phrase": {"size": 3, "max_errors": 2,
+                       "collate": {"prune": True}},
+        }}}
+        got = execute_es_suggest(idx, body)["dym"].collect()
+        direct = idx.suggest_phrase(
+            "machne learnin model", size=3, max_errors=2, collate=True
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
