@@ -81,7 +81,7 @@ def main() -> None:
         cut = int(args.pages * 0.8)
         build_index(
             spark, pages.filter(ordinal < cut), f"{work}/index",
-            index_fields=True, index_positions=True,
+            index_fields=True, index_positions=True, index_shingles=True,
         )
         stages["build_s"] = round(time.time() - t, 2); t = time.time()
 
@@ -146,6 +146,21 @@ def main() -> None:
             "top_hits": idx.facet_top_hits(
                 "python data", "domain", size=3, hits_per_bucket=2
             ).count(),
+            "nested_buckets": idx.facet_terms_buckets(
+                "python data", "domain",
+                ("date_histogram", "warc_ts", "month"), size=3,
+                metrics={"avg_dl": ("avg", "doclen")},
+            ).count(),
+            "filters_agg": idx.facet_filters(
+                "python data",
+                {"short": "doclen < 100", "long": "doclen >= 100"},
+            ).count(),
+            "match_all_facet": idx.facet_counts(None, "domain",
+                                                size=100).count(),
+            "did_you_mean": idx.suggest_phrase(
+                "pythn data tutorail", size=3, max_errors=2
+            ).count(),
+            "completion": idx.suggest_completion("pro", size=5).count(),
         }
         # doc-inspection APIs compose with the same live index: one
         # winner's _termvectors / _explain / _mget must agree with its
@@ -199,6 +214,18 @@ def main() -> None:
             F.col("value") == gone
         ).count() == 0
         stages["delete_s"] = round(time.time() - t, 2); t = time.time()
+
+        # 5c) reindex (ES _reindex): fold the deletions into a fresh
+        # index with a different layout; live counts and the live-corpus
+        # facet must carry over exactly
+        from search_engine_spark.index.merge import reindex
+
+        live_before = idx.count_matches(None)
+        reindex(spark, f"{work}/index", f"{work}/index2", num_buckets=8)
+        idx2 = BM25Index(spark, f"{work}/index2")
+        assert idx2.count_matches(None) == live_before
+        assert idx2.tombstones is None
+        stages["reindex_s"] = round(time.time() - t, 2); t = time.time()
 
         # 6) composite /stats
         stats = serving.engine_stats(

@@ -383,9 +383,8 @@ class TestAggsLowering:
         assert [tuple(r) for r in out["by_day"].collect()] == [
             tuple(r) for r in want.collect()
         ]
-        with pytest.raises(NotImplementedError):
-            execute_es_aggs(idx, {"query": {"match_all": {}}, "aggs": {
-                "x": {"stats": {"field": "doclen"}}}})
+        # match_all aggs foregrounds are supported (TestMatchAllAggs);
+        # formerly refused here
 
 
 class TestConstantScoreAndIds:
