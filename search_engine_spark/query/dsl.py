@@ -1135,6 +1135,19 @@ def _execute_rescore(idx, query, rescore, k, join_docs) -> DataFrame:
     )
 
 
+def _constant_hits(idx, pred, boost: float, k: int, join_docs: bool):
+    """Constant-score hits off a pure docs-table scan (constant_score /
+    ids / bare filter-type queries): every live doc matching `pred`
+    scores `boost`, ties broken doc_id asc, postings never touched."""
+    df = idx.docs.filter(pred if pred is not None else F.lit(True)).select(
+        "doc_id", F.lit(boost).alias("score")
+    )
+    # tombstones must drop BEFORE the k-cut or a merged index could
+    # under-fill the page while live matches remain
+    df = idx._drop_tombstones(df).orderBy(F.asc("doc_id")).limit(k)
+    return idx._join_docs(df) if join_docs else df
+
+
 def execute_es_query(
     idx,
     body: Dict,
@@ -1232,34 +1245,28 @@ def execute_es_query(
         # `boost` — a pure metadata scan (parquet predicate pushdown),
         # never touches postings; ties broken doc_id asc like ES's
         # stable equal-score order
-        pred = _filter_predicate(_as_list(node_body["filter"]))
-        boost = float(node_body.get("boost", 1.0))
-        df = (
-            idx.docs.filter(pred if pred is not None else F.lit(True))
-            .select("doc_id", F.lit(boost).alias("score"))
-            .orderBy(F.asc("doc_id"))
-            .limit(k)
+        df = _constant_hits(
+            idx,
+            _filter_predicate(_as_list(node_body["filter"])),
+            float(node_body.get("boost", 1.0)),
+            k,
+            join_docs,
         )
-        df = idx._drop_tombstones(df)
-        if join_docs:
-            df = idx._join_docs(df)
     elif kind == "ids":
         # ES ids query: point lookup by doc id, constant score 1.0
         vals = [int(v) for v in node_body["values"]]
-        df = (
-            idx.docs.filter(F.col("doc_id").isin(vals))
-            .select("doc_id", F.lit(1.0).alias("score"))
-            .orderBy(F.asc("doc_id"))
-            .limit(k)
+        df = _constant_hits(
+            idx, F.col("doc_id").isin(vals), 1.0, k, join_docs
         )
-        df = idx._drop_tombstones(df)
-        if join_docs:
-            df = idx._join_docs(df)
     elif kind in _SCORING:
         df = _score_clause(idx, query, k, None, join_docs)
     elif kind in _FILTERING:
-        _unsupported(f"top-level filter-type query {kind!r} (wrap it in "
-                     "bool.filter with a scoring clause)")
+        # bare filter-type query (term/terms/range/exists/match_all):
+        # ES executes it with a constant score of 1.0 per match —
+        # identical to constant_score boost 1
+        df = _constant_hits(
+            idx, _filter_predicate([query]), 1.0, k, join_docs
+        )
     else:
         _unsupported(f"query node {kind!r}")
     if frm:

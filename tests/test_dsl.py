@@ -1167,3 +1167,49 @@ class TestCompletionSection:
         direct = idx.suggest_completion("pro", size=4).collect()
         assert [r.asDict() for r in got] == [r.asDict() for r in direct]
         assert got
+
+
+class TestBareFilterQueries:
+    """Bare filter-type top-level queries execute at constant score
+    1.0 per match (ES semantics), identical to constant_score boost 1;
+    match_all returns the first k live docs by id."""
+
+    def test_bare_range(self, idx):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        got = execute_es_query(
+            idx, {"query": {"range": {"doclen": {"gte": 100}}}, "size": 7},
+            join_docs=False,
+        ).collect()
+        want = execute_es_query(
+            idx,
+            {"query": {"constant_score": {
+                "filter": [{"range": {"doclen": {"gte": 100}}}]}},
+             "size": 7},
+            join_docs=False,
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in want]
+        assert got and all(r["score"] == 1.0 for r in got)
+
+    def test_bare_match_all(self, idx):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        got = execute_es_query(
+            idx, {"query": {"match_all": {}}, "size": 5}, join_docs=False
+        ).collect()
+        live = sorted(
+            r["doc_id"]
+            for r in idx._drop_tombstones(idx.docs.select("doc_id")).collect()
+        )[:5]
+        assert [r["doc_id"] for r in got] == live
+        assert all(r["score"] == 1.0 for r in got)
+
+    def test_bare_term(self, idx):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        got = execute_es_query(
+            idx, {"query": {"term": {"domain": "example.com"}}, "size": 4}
+        ).collect()
+        assert got and all(
+            r["url"].startswith("https://example.com/") for r in got
+        )
