@@ -68,6 +68,7 @@ def main() -> None:
         num_buckets=32, block_size=128, num_partitions=cpus * 2,
         index_fields=True,      # cross_fields needs per-field postings
         index_positions=True,   # phrase_prefix needs positional postings
+        index_shingles=True,    # suggest_phrase needs the bigram LM
     )
     build_s = time.time() - t0
 
@@ -149,6 +150,22 @@ def main() -> None:
         "rescore": lambda q: idx.search_rescore(
             q, ("phrase", " ".join(q.split()[:2]), 0), window_size=50,
             k=10, join_docs=False,
+        ).collect(),
+        "facet_terms_buckets": lambda q: idx.facet_terms_buckets(
+            q, "domain", ("date_histogram", "warc_ts", "month"), size=5,
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect(),
+        "facet_filters": lambda q: idx.facet_filters(
+            q, {"short": "doclen < 150", "long": "doclen >= 150"},
+        ).collect(),
+        "facet_counts_match_all": lambda q: idx.facet_counts(
+            None, "domain", size=10
+        ).collect(),
+        "suggest_phrase": lambda q: idx.suggest_phrase(
+            q.split()[0][:-1] + "x " + " ".join(q.split()[1:]), size=5,
+        ).collect(),
+        "suggest_completion": lambda q: idx.suggest_completion(
+            q.split()[0][:3], size=10
         ).collect(),
     }
 
