@@ -2376,6 +2376,78 @@ r AS (SELECT token, term AS suggestion, round(score, 6) AS score, df,
 SELECT token, suggestion, score, df FROM r WHERE rn <= 5"""
 
 
+PERC_QUERIES = [
+    (1, "spark merge window", "or", 0),
+    (2, "spark merge window", "and", 0),
+    (3, "spark merge window table", "or", 2),
+    (4, "the of and", "or", 0),  # stopword-only -> matches nothing
+]
+
+
+def _q_percolate(spark, sf_dir):
+    """ES percolator (query/percolate.py): which stored queries match
+    each document — one explode + broadcast term join + threshold
+    aggregation for the whole batch (OR / AND / minimum_should_match
+    per stored query), instead of ES's per-document percolation."""
+    toks = _docs_tokens(spark, sf_dir)
+    d = toks.select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    qdf = spark.createDataFrame(
+        PERC_QUERIES, "query_id int, query string, op string, msm int"
+    )
+    q = (
+        qdf.select(
+            "query_id", "op", "msm",
+            F.array_distinct(raw_tokens_col(F.col("query"))).alias("_t"),
+        )
+        .withColumn("n_terms", F.size("_t"))
+        .filter(F.col("n_terms") > 0)
+        .select(
+            "query_id", "op", "msm", "n_terms",
+            F.explode("_t").alias("term"),
+        )
+    )
+    pairs = d.join(F.broadcast(q), "term").groupBy("doc_id", "query_id").agg(
+        F.count(F.lit(1)).alias("matched_terms"),
+        F.first("n_terms").alias("n_terms"),
+        F.first("op").alias("op"),
+        F.first("msm").alias("msm"),
+    )
+    req = (
+        F.when(F.col("msm") > 0, F.col("msm"))
+        .when(F.col("op") == "and", F.col("n_terms"))
+        .otherwise(F.lit(1))
+    )
+    return (
+        pairs.filter(F.col("matched_terms") >= req)
+        .select("doc_id", "query_id", "matched_terms")
+        .orderBy("doc_id", "query_id")
+    )
+
+
+_PERC_VALS = ", ".join(
+    f"({i}, '{q}', '{o}', {m})" for i, q, o, m in PERC_QUERIES
+)
+_SQL_PERCOLATE = f"""{_TOK_CTE},
+qs(query_id, query, op, msm) AS (SELECT * FROM (VALUES {_PERC_VALS})),
+q1 AS (SELECT query_id, op, msm, list_distinct({tokens_sql('query')}) AS ql
+       FROM qs),
+q2 AS (SELECT query_id, op, msm, len(ql) AS n_terms, t AS term
+       FROM q1, unnest(ql) AS u(t) WHERE len(ql) > 0),
+dt AS (SELECT doc_id, t AS term
+       FROM (SELECT doc_id, list_distinct(l) AS dl FROM tok),
+            unnest(dl) AS u(t)),
+p AS (SELECT doc_id, query_id, count(*) AS matched_terms,
+             any_value(n_terms) AS n_terms, any_value(op) AS op,
+             any_value(msm) AS msm
+      FROM dt JOIN q2 USING (term) GROUP BY doc_id, query_id)
+SELECT doc_id, query_id, matched_terms FROM p
+WHERE matched_terms >= CASE WHEN msm > 0 THEN msm
+                            WHEN op = 'and' THEN n_terms ELSE 1 END
+ORDER BY doc_id, query_id"""
+
+
 COMPLETION_PREFIX = "c"
 
 
@@ -3847,6 +3919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": _q_suggest_terms,
         "suggest_phrase": _q_suggest_phrase,
         "suggest_completion": _q_suggest_completion,
+        "percolate_matches": _q_percolate,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
@@ -3949,6 +4022,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": _sql_suggest_terms(),
         "suggest_phrase": _SQL_SUGGEST_PHRASE,
         "suggest_completion": _SQL_SUGGEST_COMPLETION,
+        "percolate_matches": _SQL_PERCOLATE,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,

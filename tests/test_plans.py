@@ -349,3 +349,22 @@ def test_facet_filters_single_conditional_agg(idx):
     # matched-ids distinct adds its own pair, so bound loosely but
     # assert no per-bucket multiplication (2 buckets != 2 aggregates)
     assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_percolate_broadcasts_queries_no_doc_shuffle(spark):
+    """Percolator: the stored-queries side broadcasts (the doc-term
+    stream never shuffles before the threshold aggregation) and the
+    (doc, query) aggregate is partial before its single exchange."""
+    from search_engine_spark.query.percolate import percolate
+
+    docs = synth_pages(spark, 50, num_partitions=2).select("url", "text")
+    qdf = spark.createDataFrame(
+        [(1, "python tutorial", "or", 0)],
+        "query_id int, query string, op string, msm int",
+    )
+    plan = explain_str(
+        percolate(docs, qdf, id_col="url", operator_col="op",
+                  min_should_match_col="msm")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("+- Exchange") == 1  # tree shows ONE shuffle
