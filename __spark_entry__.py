@@ -2376,6 +2376,64 @@ r AS (SELECT token, term AS suggestion, round(score, 6) AS score, df,
 SELECT token, suggestion, score, df FROM r WHERE rn <= 5"""
 
 
+def _q_facet_multi_terms(spark, sf_dir):
+    """ES multi_terms aggregation (BM25Index.facet_multi_terms):
+    compound-key buckets (source × doc parity) over the matched docs,
+    doc_count desc then key components asc, one groupBy."""
+    toks = _docs_tokens(spark, sf_dir)
+    return (
+        _matched_docs(toks)
+        .join(
+            _read(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .select(
+            F.col("source").alias("value_0"),
+            F.concat(F.lit("g"), F.pmod("doc_id", F.lit(2))).alias("value_1"),
+        )
+        .groupBy("value_0", "value_1")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("value_0"), F.asc("value_1"))
+        .limit(10)
+    )
+
+
+_SQL_MULTI_TERMS = f"""{_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+      WHERE t IN ({_TERMS_SQL}))
+SELECT source AS value_0, 'g' || (doc_id % 2) AS value_1,
+       count(*) AS doc_count
+FROM m JOIN documents USING (doc_id)
+GROUP BY value_0, value_1
+ORDER BY doc_count DESC, value_0, value_1 LIMIT 10"""
+
+
+def _q_facet_rare_terms(spark, sf_dir):
+    """ES rare_terms aggregation (BM25Index.facet_rare_terms): the
+    long tail — token-count values held by ≤2 matching docs, doc_count
+    asc then value asc; exact distributed groupBy where ES
+    approximates with a CuckooFilter."""
+    toks = _docs_tokens(spark, sf_dir)
+    return (
+        _matched_docs(toks)
+        .join(toks.select("doc_id", F.size("toks").alias("_dl")), "doc_id")
+        .select(F.col("_dl").cast("string").alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= 2)
+        .orderBy(F.asc("doc_count"), F.asc("value"))
+    )
+
+
+_SQL_RARE_TERMS = f"""{_TOK_CTE},
+m AS (SELECT DISTINCT doc_id FROM tok, unnest(l) AS u(t)
+      WHERE t IN ({_TERMS_SQL}))
+SELECT CAST(len(l) AS VARCHAR) AS value, count(*) AS doc_count
+FROM m JOIN tok USING (doc_id)
+GROUP BY value HAVING count(*) <= 2
+ORDER BY doc_count, value"""
+
+
 PERC_QUERIES = [
     (1, "spark merge window", "or", 0),
     (2, "spark merge window", "and", 0),
@@ -3920,6 +3978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_phrase": _q_suggest_phrase,
         "suggest_completion": _q_suggest_completion,
         "percolate_matches": _q_percolate,
+        "facet_multi_terms": _q_facet_multi_terms,
+        "facet_rare_terms": _q_facet_rare_terms,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
@@ -4023,6 +4083,8 @@ def oracle_sql() -> dict[str, str]:
         "suggest_phrase": _SQL_SUGGEST_PHRASE,
         "suggest_completion": _SQL_SUGGEST_COMPLETION,
         "percolate_matches": _SQL_PERCOLATE,
+        "facet_multi_terms": _SQL_MULTI_TERMS,
+        "facet_rare_terms": _SQL_RARE_TERMS,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,

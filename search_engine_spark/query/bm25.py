@@ -1323,6 +1323,87 @@ class BM25Index:
             "value", "doc_count", "key", "key_count", *metrics
         ).orderBy(F.desc("doc_count"), F.asc("value"), *inner_order)
 
+    def facet_multi_terms(
+        self,
+        query,
+        fields: List[str],
+        size: int = 10,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Multi-terms aggregation — the ES `multi_terms` agg: buckets
+        keyed by a COMPOUND key (one component per field), top `size`
+        by doc_count desc then key components asc.  Returned flattened:
+        one column per component (`value_0..value_{n-1}`) plus
+        doc_count.  Same ids-only pre-pass and single-groupBy shape as
+        facet_counts — the compound key adds columns to the shuffle
+        row, not passes."""
+        if not fields:
+            raise ValueError("fields must be non-empty")
+        cols = [f"value_{i}" for i in range(len(fields))]
+        schema = ", ".join(f"{c} string" for c in cols) + ", doc_count long"
+        matched = self._matched_ids(query, mode)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        vals = docs.select(
+            "doc_id",
+            *[
+                F.expr(f).cast("string").alias(c)
+                for f, c in zip(fields, cols)
+            ],
+        )
+        return (
+            matched.join(vals, "doc_id")
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy(F.desc("doc_count"), *[F.asc(c) for c in cols])
+            .limit(size)
+        )
+
+    def facet_rare_terms(
+        self,
+        query,
+        field,
+        max_doc_count: int = 1,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Rare-terms aggregation — the ES `rare_terms` agg: the long
+        tail the `terms` agg's top-N cut structurally misses — buckets
+        of `field` with doc_count ≤ max_doc_count, ordered doc_count
+        ASC then value asc.  ES approximates membership with a
+        CuckooFilter to bound memory; here the groupBy is exact (the
+        distributed aggregation has no per-shard memory wall — partial
+        aggregation bounds the shuffle the same way it does for
+        facet_counts), which ES documents as the ideal the filter
+        approximates."""
+        if max_doc_count < 1:
+            raise ValueError("max_doc_count must be >= 1")
+        empty = self.spark.createDataFrame([], "value string, doc_count long")
+        matched = self._matched_ids(query, mode)
+        if matched is None:
+            return empty
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        vals = docs.select(
+            "doc_id", F.expr(field).cast("string").alias("value")
+        )
+        return (
+            matched.join(vals, "doc_id")
+            .groupBy("value")
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .filter(F.col("doc_count") <= int(max_doc_count))
+            .orderBy(F.asc("doc_count"), F.asc("value"))
+        )
+
     def facet_filters(
         self,
         query,

@@ -1065,6 +1065,23 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 q, fields, size=int(spec.get("size", 10)),
                 after=after, mode=mode, predicate=predicate,
             )
+        elif kind == "multi_terms":
+            if nested:
+                _unsupported("sub-aggs under a multi_terms agg")
+            out[name] = idx.facet_multi_terms(
+                q,
+                [t["field"] for t in spec["terms"]],
+                size=int(spec.get("size", 10)),
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "rare_terms":
+            if nested:
+                _unsupported("sub-aggs under a rare_terms agg")
+            out[name] = idx.facet_rare_terms(
+                q, spec["field"],
+                max_doc_count=int(spec.get("max_doc_count", 1)),
+                mode=mode, predicate=predicate,
+            )
         elif kind == "filter":
             # {filter: {<term/terms/range/exists node>}, aggs: {...}}
             bucket_pred = _filter_predicate([spec])

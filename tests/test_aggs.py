@@ -933,3 +933,49 @@ class TestFacetFilters:
         idx = BM25Index(spark, paths.root, seed_min_df=0)
         rows = idx.facet_filters(None, {"all": "doclen >= 0"}).collect()
         assert rows[0]["doc_count"] == len(oracle.tf)
+
+
+class TestMultiAndRareTerms:
+    def test_multi_terms_matches_oracle(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        got = idx.facet_multi_terms(
+            q, ["domain", "concat('g', pmod(doc_id, 2))"], size=100
+        ).collect()
+        exp = {}
+        for d in m:
+            key = (domain_by_doc[d], f"g{d % 2}")
+            exp[key] = exp.get(key, 0) + 1
+        order = sorted(exp, key=lambda k: (-exp[k], k[0], k[1]))
+        assert [
+            (r["value_0"], r["value_1"], r["doc_count"]) for r in got
+        ] == [(a, b, exp[(a, b)]) for a, b in order]
+
+    def test_rare_terms_matches_oracle(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[1]
+        m = _matched(oracle, q)
+        # bucket by doclen (many near-unique values -> a real tail)
+        got = idx.facet_rare_terms(
+            q, "doclen", max_doc_count=2
+        ).collect()
+        counts = {}
+        for d in m:
+            v = str(oracle.doclen[d])
+            counts[v] = counts.get(v, 0) + 1
+        exp = sorted(
+            ((v, c) for v, c in counts.items() if c <= 2),
+            key=lambda x: (x[1], x[0]),
+        )
+        assert [(r["value"], r["doc_count"]) for r in got] == exp
+
+    def test_validation(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_multi_terms("python", [])
+        with pytest.raises(ValueError):
+            idx.facet_rare_terms("python", "domain", max_doc_count=0)

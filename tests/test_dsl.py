@@ -1213,3 +1213,39 @@ class TestBareFilterQueries:
         assert got and all(
             r["url"].startswith("https://example.com/") for r in got
         )
+
+
+class TestMultiRareTermsAggs:
+    def test_multi_terms_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"mt": {"multi_terms": {
+                "terms": [{"field": "domain"},
+                          {"field": "concat('g', pmod(doc_id, 2))"}],
+                "size": 6,
+            }}},
+        }
+        got = execute_es_aggs(idx, body)["mt"].collect()
+        direct = idx.facet_multi_terms(
+            "search engine", ["domain", "concat('g', pmod(doc_id, 2))"],
+            size=6,
+        ).collect()
+        assert got and [r.asDict() for r in got] == [
+            r.asDict() for r in direct
+        ]
+
+    def test_rare_terms_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"rare": {"rare_terms": {"field": "doclen",
+                                             "max_doc_count": 2}}},
+        }
+        got = execute_es_aggs(idx, body)["rare"].collect()
+        direct = idx.facet_rare_terms(
+            "search engine", "doclen", max_doc_count=2
+        ).collect()
+        assert [r.asDict() for r in got] == [r.asDict() for r in direct]
