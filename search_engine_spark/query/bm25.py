@@ -1461,6 +1461,73 @@ class BM25Index:
             "kv.key", "kv.doc_count"
         )
 
+    def facet_adjacency_matrix(
+        self,
+        query,
+        buckets: Dict[str, object],
+        separator: str = "&",
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Adjacency-matrix aggregation — the ES `adjacency_matrix`
+        agg: doc counts for every named predicate AND every pairwise
+        intersection (key "a&b", lexicographic component order, ES's
+        separator convention).  Like ES, only non-empty intersection
+        buckets return; the N singleton buckets always return (zero-
+        filled), keys ordered singletons-then-pairs, each
+        alphabetically.
+
+        Same single conditional-aggregation pass as facet_filters —
+        N + N·(N−1)/2 sum(when(...)) columns over ONE matched-ids ⋈
+        docs join, unpivoted from the 1-row result.  ES warns the
+        bucket count grows quadratically; here that is column count in
+        one aggregate row, not extra passes."""
+        if not buckets:
+            raise ValueError("buckets must be non-empty")
+        names = sorted(buckets)
+        conds = {
+            n: (F.expr(p) if isinstance(p, str) else p)
+            for n, p in buckets.items()
+        }
+        keyed = [(n, conds[n]) for n in names]
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                keyed.append((f"{a}{separator}{b}", conds[a] & conds[b]))
+        matched = self._matched_ids(query, mode)
+        if matched is None:
+            return self.spark.createDataFrame(
+                [(n, 0) for n in names], "key string, doc_count long"
+            )
+        docs = self.docs
+        if predicate is not None:
+            docs = docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        row = matched.join(docs, "doc_id").agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias(f"_b{i}")
+                for i, (_, c) in enumerate(keyed)
+            ]
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("key"),
+                    F.col(f"_b{i}").alias("doc_count"),
+                    F.lit(i >= len(names)).alias("_pair"),
+                )
+                for i, (n, _) in enumerate(keyed)
+            ]
+        )
+        return (
+            row.select(F.explode(pairs).alias("kv"))
+            .select("kv.key", "kv.doc_count", "kv._pair")
+            .filter(~F.col("_pair") | (F.col("doc_count") > 0))
+            .drop("_pair")
+        )
+
     def facet_missing(
         self, query, field, mode: str = "or", predicate=None
     ) -> DataFrame:

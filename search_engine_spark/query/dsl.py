@@ -1102,6 +1102,18 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             out[name] = idx.facet_filters(
                 q, preds, mode=mode, predicate=predicate
             )
+        elif kind == "adjacency_matrix":
+            if nested:
+                _unsupported("sub-aggs under an adjacency_matrix agg")
+            keyed = spec["filters"]
+            preds = {}
+            for n, node in keyed.items():
+                p = _filter_predicate([node])
+                preds[n] = p if p is not None else F.lit(True)
+            out[name] = idx.facet_adjacency_matrix(
+                q, preds, separator=spec.get("separator", "&"),
+                mode=mode, predicate=predicate,
+            )
         elif kind == "missing":
             if nested:
                 _unsupported("sub-aggs under a missing agg")

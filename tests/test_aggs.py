@@ -979,3 +979,46 @@ class TestMultiAndRareTerms:
             idx.facet_multi_terms("python", [])
         with pytest.raises(ValueError):
             idx.facet_rare_terms("python", "domain", max_doc_count=0)
+
+
+class TestAdjacencyMatrix:
+    BUCKETS = {
+        "short": "doclen < 100",
+        "long": "doclen >= 100",
+        "example": "domain = 'example.com'",
+    }
+
+    def test_matches_oracle(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        rows = idx.facet_adjacency_matrix(q, self.BUCKETS).collect()
+
+        def sat(d, name):
+            return {
+                "short": oracle.doclen[d] < 100,
+                "long": oracle.doclen[d] >= 100,
+                "example": domain_by_doc[d] == "example.com",
+            }[name]
+
+        names = sorted(self.BUCKETS)
+        exp = []
+        for n in names:
+            exp.append((n, sum(1 for d in m if sat(d, n))))
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                c = sum(1 for d in m if sat(d, a) and sat(d, b))
+                if c > 0:
+                    exp.append((f"{a}&{b}", c))
+        assert [(r["key"], r["doc_count"]) for r in rows] == exp
+        # short&long is an impossible intersection — must be absent
+        assert all(r["key"] != "long&short" for r in rows)
+
+    def test_singletons_zero_filled_on_no_match(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        rows = idx.facet_adjacency_matrix("zzqqxx", self.BUCKETS).collect()
+        assert [(r["key"], r["doc_count"]) for r in rows] == [
+            (n, 0) for n in sorted(self.BUCKETS)
+        ]

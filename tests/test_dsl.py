@@ -1249,3 +1249,24 @@ class TestMultiRareTermsAggs:
             "search engine", "doclen", max_doc_count=2
         ).collect()
         assert [r.asDict() for r in got] == [r.asDict() for r in direct]
+
+
+class TestAdjacencyMatrixAgg:
+    def test_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"adj": {"adjacency_matrix": {"filters": {
+                "ex": {"term": {"domain": "example.com"}},
+                "short": {"range": {"doclen": {"lt": 100}}},
+            }}}},
+        }
+        got = execute_es_aggs(idx, body)["adj"].collect()
+        direct = idx.facet_adjacency_matrix(
+            "search engine",
+            {"ex": "domain = 'example.com'", "short": "doclen < 100"},
+        ).collect()
+        assert got and [r.asDict() for r in got] == [
+            r.asDict() for r in direct
+        ]
