@@ -971,9 +971,22 @@ class BM25Index:
 
         `query=None` is match_all — the ES aggs-over-the-whole-corpus
         foreground: every live doc matches, and the postings are never
-        touched (the docs table IS the id set)."""
-        if query is None:
-            matched = self._drop_tombstones(self.docs.select("doc_id"))
+        touched (the docs table IS the id set).
+
+        `query={"phrase": text[, "slop": n]}` is a match_phrase
+        foreground (ES aggs under a phrase query): matched ids come
+        from the positional conjunctive cut (_phrase_scored minus the
+        scores)."""
+        if query is None or (isinstance(query, dict) and "phrase" in query):
+            if query is None:
+                matched = self._drop_tombstones(self.docs.select("doc_id"))
+            else:
+                scored = self._phrase_scored(
+                    query["phrase"], slop=int(query.get("slop", 0))
+                )
+                if scored is None:
+                    return None
+                matched = scored.select("doc_id")  # tombstones dropped
             if predicate is not None:
                 allowed = self.docs.filter(
                     F.expr(predicate)
@@ -1880,6 +1893,16 @@ class BM25Index:
             scored = self._drop_tombstones(
                 self.docs.select("doc_id")
             ).withColumn("score", F.lit(1.0))
+            return self._top_hits_cut(
+                scored, field, size, hits_per_bucket, predicate
+            )
+        if isinstance(query, dict) and "phrase" in query:
+            # match_phrase foreground: hits scored by the phrase score
+            scored = self._phrase_scored(
+                query["phrase"], slop=int(query.get("slop", 0))
+            )
+            if scored is None:
+                return empty
             return self._top_hits_cut(
                 scored, field, size, hits_per_bucket, predicate
             )

@@ -753,6 +753,11 @@ def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
     kind, body = _one_key(query, "aggs query")
     if kind == "match_all":
         return None, "or", None
+    if kind == "match_phrase":
+        field, phrase, slop = _phrase_parts(query)
+        if field != "content":
+            _unsupported("aggs under non-content match_phrase")
+        return {"phrase": phrase, "slop": slop}, "or", None
     if kind == "match":
         field, q, op, msm = _match_parts(query)
         if field != "content" or msm:
@@ -770,6 +775,15 @@ def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
         if not scoring:
             # filter-only bool: a pure filter-context foreground
             return None, "or", _filter_predicate(filters + extra)
+        if len(scoring) == 1 and _one_key(scoring[0], "q")[0] == "match_phrase":
+            field, phrase, slop = _phrase_parts(scoring[0])
+            if field != "content":
+                _unsupported("aggs under non-content match_phrase")
+            return (
+                {"phrase": phrase, "slop": slop},
+                "or",
+                _filter_predicate(filters + extra),
+            )
         if len(scoring) != 1 or _one_key(scoring[0], "q")[0] != "match":
             _unsupported("aggs bool needs exactly one match must clause")
         field, q, op, msm = _match_parts(scoring[0])
@@ -1208,6 +1222,8 @@ def execute_es_query(
         if body.get("collapse") or body.get("rescore"):
             _unsupported("sort combined with collapse/rescore")
         q, mode, pred = _agg_context(query)
+        if isinstance(q, dict):
+            _unsupported("sort under a match_phrase query")
         df = idx.search_sorted(
             q, pairs, k=k, mode=mode, predicate=pred,
             track_scores=bool(body.get("track_scores")),
@@ -1242,8 +1258,8 @@ def execute_es_query(
         # ES top-level collapse: best doc per field value.  Foreground
         # restricted to a content match (with optional bool filter).
         cq, cmode, cpred = _agg_context(query)
-        if cmode != "or":
-            _unsupported("collapse under operator=and match")
+        if cmode != "or" or isinstance(cq, dict):
+            _unsupported("collapse under operator=and or phrase match")
         df = idx.search_collapse(
             cq, collapse["field"], k=k, join_docs=join_docs,
             predicate=cpred,

@@ -1270,3 +1270,70 @@ class TestAdjacencyMatrixAgg:
         assert got and [r.asDict() for r in got] == [
             r.asDict() for r in direct
         ]
+
+
+class TestPhraseForegroundAggs:
+    """Aggs (and _count) under a match_phrase query — the foreground is
+    the positional conjunctive cut, consistent with _phrase_scored."""
+
+    PHRASE = "machine learning"
+
+    def test_stats_count_equals_phrase_matches(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs, \
+            execute_es_count
+
+        body = {
+            "query": {"match_phrase": {"content": self.PHRASE}},
+            "aggs": {"s": {"stats": {"field": "doclen"}}},
+        }
+        out = execute_es_aggs(idx, body)["s"].collect()[0]
+        n = idx._phrase_scored(self.PHRASE).count()
+        assert n > 0 and out["count"] == n
+        assert execute_es_count(idx, body) == n
+
+    def test_terms_under_phrase_with_filter(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"bool": {
+                "must": [{"match_phrase": {"content": self.PHRASE}}],
+                "filter": [{"range": {"doclen": {"gte": 50}}}],
+            }},
+            "aggs": {"d": {"terms": {"field": "domain", "size": 100}}},
+        }
+        out = execute_es_aggs(idx, body)["d"].collect()
+        matched = idx._phrase_scored(self.PHRASE).select("doc_id")
+        want = (
+            matched.join(
+                idx.docs.filter("doclen >= 50").select("doc_id", "domain"),
+                "doc_id",
+            ).count()
+        )
+        assert sum(r["doc_count"] for r in out) == want
+
+    def test_top_hits_under_phrase_scores(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match_phrase": {"content": self.PHRASE}},
+            "aggs": {"t": {
+                "terms": {"field": "domain", "size": 3},
+                "aggs": {"h": {"top_hits": {"size": 2}}},
+            }},
+        }
+        rows = execute_es_aggs(idx, body)["t"].collect()
+        scores = {
+            r["doc_id"]: r["score"]
+            for r in idx._phrase_scored(self.PHRASE).collect()
+        }
+        assert rows and all(
+            abs(r["score"] - scores[r["doc_id"]]) < 1e-9 for r in rows
+        )
+
+    def test_sort_under_phrase_refused(self, idx):
+        body = {
+            "query": {"match_phrase": {"content": self.PHRASE}},
+            "sort": [{"doclen": "desc"}],
+        }
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, body)
