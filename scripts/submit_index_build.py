@@ -49,6 +49,12 @@ def main() -> None:
     ap.add_argument("--verify-extraction", action="store_true")
     ap.add_argument("--metrics", action="store_true",
                     help="collect per-stage shuffle metrics (needs spark.ui)")
+    ap.add_argument("--fields", action="store_true",
+                    help="index title/description field postings")
+    ap.add_argument("--positions", action="store_true",
+                    help="build positional postings (phrase queries)")
+    ap.add_argument("--shingles", action="store_true",
+                    help="build bigram LM stats (phrase suggester)")
     ap.add_argument("--master", default=None,
                     help="local fallback master; omit under spark-submit")
     args = ap.parse_args()
@@ -93,6 +99,9 @@ def main() -> None:
         run_extraction=not args.no_extraction,
         verify_extraction=args.verify_extraction,
         collect_metrics=args.metrics,
+        index_fields=args.fields,
+        index_positions=args.positions,
+        index_shingles=args.shingles,
     )
     wall = time.time() - t0
 

@@ -879,6 +879,30 @@ def execute_es_suggest(idx, body: Dict) -> Dict[str, object]:
     return out
 
 
+def execute_es_msearch(idx, bodies, join_docs: bool = True):
+    """The ES `_msearch` API: a list of request bodies executed against
+    the same index, returning one result per body in order.  Plan
+    construction is lazy per body; Spark schedules the actions as the
+    caller consumes them (for plain same-shaped match queries prefer
+    BM25Index.search_many, which batches ALL queries into one job)."""
+    return [execute_es_query(idx, b, join_docs=join_docs) for b in bodies]
+
+
+def execute_es_validate(idx, body: Dict) -> Dict[str, object]:
+    """The ES `_validate/query` API: is this request body executable
+    under the supported grammar?  Lowering is lazy (DataFrame plans
+    build without running), so validation = constructing the plan and
+    catching the explicit refusals; {"valid": bool[, "error": str]},
+    mirroring ES's explain=false response shape."""
+    try:
+        execute_es_query(idx, body, join_docs=False)
+        return {"valid": True}
+    except NotImplementedError as e:  # grammar refusal
+        return {"valid": False, "error": str(e)}
+    except (KeyError, TypeError, ValueError) as e:  # malformed body
+        return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+
 def execute_es_count(idx, body: Dict) -> int:
     """The ES `GET /{index}/_count` API: exact hits.total of a request
     body's query — the count the reference's /search response reports
@@ -1101,10 +1125,75 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             bucket_pred = _filter_predicate([spec])
             if bucket_pred is None:  # filter: {match_all: {}}
                 bucket_pred = F.lit(True)
-            out[name] = idx.facet_filter(
-                q, bucket_pred, metrics=_metric_subaggs(nested),
-                mode=mode, predicate=predicate,
+            combined = (
+                bucket_pred if predicate is None else predicate & bucket_pred
             )
+            nested_bucket = None
+            if nested:
+                kinds2 = {
+                    n: _one_key(
+                        {k2: v2 for k2, v2 in v.items()
+                         if k2 not in ("aggs", "aggregations")},
+                        "nested agg node",
+                    )
+                    for n, v in nested.items()
+                }
+                if len(kinds2) == 1 and next(iter(kinds2.values()))[0] in {
+                    "terms", "histogram", "date_histogram"
+                }:
+                    nested_bucket = next(iter(kinds2))
+            if nested_bucket is not None:
+                # {filter: X, aggs: {b: {terms|histogram|date_histogram
+                # [, aggs: metrics]}}} — the nested bucketing runs over
+                # the narrowed docs (combined predicate); the filter
+                # bucket's own doc_count rides alongside as a 1-row DF
+                nkind, nspec = kinds2[nested_bucket]
+                leaf = nested[nested_bucket].get("aggs") or nested[
+                    nested_bucket
+                ].get("aggregations")
+                if nkind == "terms":
+                    mets = _metric_subaggs(leaf)
+                    sub = (
+                        idx.facet_terms_metrics(
+                            q, nspec["field"], mets,
+                            size=int(nspec.get("size", 10)),
+                            mode=mode, predicate=combined,
+                        )
+                        if mets
+                        else idx.facet_counts(
+                            q, nspec["field"],
+                            size=int(nspec.get("size", 10)),
+                            mode=mode, predicate=combined,
+                        )
+                    )
+                elif nkind == "histogram":
+                    sub = idx.facet_histogram(
+                        q, nspec["field"], float(nspec["interval"]),
+                        mode=mode, predicate=combined,
+                        metrics=_metric_subaggs(leaf),
+                    )
+                else:
+                    if "calendar_interval" not in nspec:
+                        _unsupported(
+                            "nested date_histogram without "
+                            "calendar_interval"
+                        )
+                    sub = idx.facet_date_histogram(
+                        q, nspec["field"], nspec["calendar_interval"],
+                        mode=mode, predicate=combined,
+                        metrics=_metric_subaggs(leaf),
+                    )
+                out[name] = {
+                    "doc_count": idx.facet_filter(
+                        q, bucket_pred, mode=mode, predicate=predicate
+                    ),
+                    nested_bucket: sub,
+                }
+            else:
+                out[name] = idx.facet_filter(
+                    q, bucket_pred, metrics=_metric_subaggs(nested),
+                    mode=mode, predicate=predicate,
+                )
         elif kind == "filters":
             if nested:
                 _unsupported("sub-aggs under a filters agg")

@@ -1337,3 +1337,84 @@ class TestPhraseForegroundAggs:
         }
         with pytest.raises(NotImplementedError):
             execute_es_query(idx, body)
+
+
+class TestValidateAndMsearch:
+    def test_validate(self, idx):
+        from search_engine_spark.query.dsl import execute_es_validate
+
+        ok = execute_es_validate(
+            idx, {"query": {"match": {"content": "python"}}}
+        )
+        assert ok == {"valid": True}
+        bad = execute_es_validate(
+            idx, {"query": {"span_near": {"clauses": []}}}
+        )
+        assert bad["valid"] is False and "span_near" in bad["error"]
+        malformed = execute_es_validate(idx, {"query": {"match": {}}})
+        assert malformed["valid"] is False
+
+    def test_msearch(self, idx):
+        from search_engine_spark.query.dsl import execute_es_msearch
+
+        bodies = [
+            {"query": {"match": {"content": "python tutorial"}}, "size": 5},
+            {"query": {"match_phrase": {"content": "machine learning"}},
+             "size": 5},
+        ]
+        outs = execute_es_msearch(idx, bodies, join_docs=False)
+        assert len(outs) == 2
+        a = rows(outs[0])
+        assert a == rows(idx.search("python tutorial", k=5,
+                                    join_docs=False))
+        b = rows(outs[1])
+        assert b == rows(idx.search_phrase("machine learning", k=5,
+                                           join_docs=False))
+
+
+class TestFilterNestedBucket:
+    def test_filter_with_nested_terms(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"long_docs": {
+                "filter": {"range": {"doclen": {"gte": 100}}},
+                "aggs": {"by_domain": {"terms": {"field": "domain",
+                                                 "size": 100}}},
+            }},
+        }
+        out = execute_es_aggs(idx, body)["long_docs"]
+        dc = out["doc_count"].collect()[0]["doc_count"]
+        buckets = out["by_domain"].collect()
+        direct = idx.facet_counts(
+            "search engine", "domain", size=100, predicate="doclen >= 100"
+        ).collect()
+        assert [r.asDict() for r in buckets] == [
+            r.asDict() for r in direct
+        ]
+        assert dc == sum(r["doc_count"] for r in buckets)
+
+    def test_filter_with_nested_date_histogram_metrics(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"recent": {
+                "filter": {"range": {"doclen": {"gte": 50}}},
+                "aggs": {"per_month": {
+                    "date_histogram": {"field": "warc_ts",
+                                       "calendar_interval": "month"},
+                    "aggs": {"avg_dl": {"avg": {"field": "doclen"}}},
+                }},
+            }},
+        }
+        out = execute_es_aggs(idx, body)["recent"]
+        direct = idx.facet_date_histogram(
+            "search engine", "warc_ts", "month",
+            predicate="doclen >= 50",
+            metrics={"avg_dl": ("avg", "doclen")},
+        ).collect()
+        assert [r.asDict() for r in out["per_month"].collect()] == [
+            r.asDict() for r in direct
+        ]
