@@ -2434,6 +2434,115 @@ GROUP BY value HAVING count(*) <= 2
 ORDER BY doc_count, value"""
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM quality scoring (ops/textstats.py:lm_quality — the
+    CCNet/KenLM-style training-data filter): per-doc average log-prob
+    under the corpus's own Stupid-Backoff bigram model (discount 0.4,
+    unigram floor 0.5/T)."""
+    toks = _docs_tokens(spark, sf_dir).filter(F.size("toks") > 0)
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = float(toks.agg(F.sum(F.size("toks"))).collect()[0][0])
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+    )
+
+    def _lu(c):
+        return F.log(
+            F.greatest(F.coalesce(c, F.lit(0)).cast("double"), F.lit(0.5))
+            / F.lit(total)
+        )
+
+    first = (
+        toks.select("doc_id", F.element_at("toks", 1).alias("w"))
+        .join(uni, "w", "left")
+        .select("doc_id", _lu(F.col("cnt")).alias("lp"))
+    )
+    pairs = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .join(bi, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cnt").alias("c1")),
+            "w1", "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cnt").alias("c2")),
+            "w2", "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                (F.coalesce(F.col("bcnt"), F.lit(0)) > 0)
+                & (F.coalesce(F.col("c1"), F.lit(0)) > 0),
+                F.log(F.col("bcnt").cast("double") / F.col("c1")),
+            )
+            .otherwise(F.log(F.lit(0.4)) + _lu(F.col("c2")))
+            .alias("lp"),
+        )
+    )
+    return (
+        first.unionByName(pairs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_LM_PERPLEXITY = f"""{_TOK_CTE},
+tk AS (SELECT doc_id, l FROM tok WHERE len(l) > 0),
+uni AS (SELECT t AS w, count(*) AS cnt FROM tk, unnest(l) AS u(t) GROUP BY t),
+tot AS (SELECT sum(len(l))::DOUBLE AS T FROM tk),
+bi AS (SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS bcnt
+       FROM tk, unnest(range(1, len(l))) AS r(i) GROUP BY w1, w2),
+fst AS (SELECT doc_id,
+               ln(greatest(coalesce(u.cnt, 0)::DOUBLE, 0.5) / T) AS lp
+        FROM tk LEFT JOIN uni u ON u.w = l[1] CROSS JOIN tot),
+prs AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM tk, unnest(range(1, len(l))) AS r(i)),
+plp AS (SELECT doc_id,
+               CASE WHEN coalesce(b.bcnt, 0) > 0 AND coalesce(u1.cnt, 0) > 0
+                    THEN ln(b.bcnt::DOUBLE / u1.cnt)
+                    ELSE ln(0.4)
+                         + ln(greatest(coalesce(u2.cnt, 0)::DOUBLE, 0.5) / T)
+               END AS lp
+        FROM prs
+        LEFT JOIN bi b ON b.w1 = prs.w1 AND b.w2 = prs.w2
+        LEFT JOIN uni u1 ON u1.w = prs.w1
+        LEFT JOIN uni u2 ON u2.w = prs.w2
+        CROSS JOIN tot),
+ev AS (SELECT doc_id, lp FROM fst UNION ALL SELECT doc_id, lp FROM plp)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(lp) / count(*), 6) AS avg_logp
+FROM ev GROUP BY doc_id ORDER BY doc_id"""
+
+
 PERC_QUERIES = [
     (1, "spark merge window", "or", 0),
     (2, "spark merge window", "and", 0),
@@ -3980,6 +4089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": _q_percolate,
         "facet_multi_terms": _q_facet_multi_terms,
         "facet_rare_terms": _q_facet_rare_terms,
+        "lm_perplexity": _q_lm_perplexity,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
@@ -4085,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_matches": _SQL_PERCOLATE,
         "facet_multi_terms": _SQL_MULTI_TERMS,
         "facet_rare_terms": _SQL_RARE_TERMS,
+        "lm_perplexity": _SQL_LM_PERPLEXITY,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,

@@ -272,3 +272,134 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def lm_quality(
+    docs: DataFrame,
+    shingle_stats: DataFrame,
+    unigram_stats: DataFrame,
+    total_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model perplexity per document — the CCNet/
+    KenLM-style quality filter for web-scale training data: documents
+    whose token stream is improbable under a reference corpus LM
+    (boilerplate, gibberish, wrong language, keyword stuffing) get high
+    perplexity and can be thresholded out.
+
+    The LM is the SAME Stupid-Backoff bigram model the phrase suggester
+    uses (builder.build_shingle_stats tables + corpus total_tokens):
+      log P(w₁) = ln(max(cnt(w₁), 0.5) / T)
+      log P(wᵢ|wᵢ₋₁) = ln(cnt(wᵢ₋₁wᵢ)/cnt(wᵢ₋₁)) when the bigram
+        exists, else ln(discount) + ln(max(cnt(wᵢ), 0.5) / T)
+    Per doc: sum_logp over n = doclen scoring events (1 unigram +
+    n−1 bigrams), avg_logp = sum/n, perplexity = exp(−avg_logp).
+
+    Scale shape: docs tokenize once (the stemming Arrow UDF is the only
+    Python), the first-token and bigram streams LEFT-join the LM tables
+    on their sort keys (sort-merge; the stats tables are vocabulary- /
+    bigram-vocabulary-sized, usually much smaller than the doc-pair
+    stream), and ONE groupBy(doc) with partial aggregation folds the
+    per-event log-probs.  Empty-token docs are dropped (nothing to
+    score), like the suggester's empty-analysis behavior.
+
+    Returns (id, n_tokens, sum_logp, avg_logp, perplexity)."""
+    from search_engine_spark.text.tokenizer import tokens_col
+
+    T = float(max(1, total_tokens))
+
+    def _lu(cnt):
+        c = F.coalesce(cnt, F.lit(0)).cast("double")
+        return F.log(F.greatest(c, F.lit(0.5)) / F.lit(T))
+
+    base = docs.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    uni = unigram_stats.select("term", "cnt")
+    first = (
+        base.select("id", F.element_at("t", 1).alias("term"))
+        .join(uni, "term", "left")
+        .select("id", _lu(F.col("cnt")).alias("lp"))
+    )
+    pairs = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("id", "bg.w1", "bg.w2")
+        .join(
+            shingle_stats.select(
+                "w1", "w2",
+                (F.col("bcnt") if "bcnt" in shingle_stats.columns
+                 else F.col("cnt")).alias("bcnt"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("term").alias("w1"), F.col("cnt").alias("c1")),
+            "w1", "left",
+        )
+        .join(
+            uni.select(F.col("term").alias("w2"), F.col("cnt").alias("c2")),
+            "w2", "left",
+        )
+        .select(
+            "id",
+            F.when(
+                (F.coalesce(F.col("bcnt"), F.lit(0)) > 0)
+                & (F.coalesce(F.col("c1"), F.lit(0)) > 0),
+                F.log(F.col("bcnt").cast("double") / F.col("c1")),
+            )
+            .otherwise(F.log(F.lit(float(discount))) + _lu(F.col("c2")))
+            .alias("lp"),
+        )
+    )
+    return (
+        first.unionByName(pairs)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp").alias("sum_logp"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round("sum_logp", 6).alias("sum_logp"),
+            F.round(F.col("sum_logp") / F.col("n_tokens"), 6).alias(
+                "avg_logp"
+            ),
+            F.round(
+                F.exp(-F.col("sum_logp") / F.col("n_tokens")), 6
+            ).alias("perplexity"),
+        )
+    )
+
+
+def lm_quality_from_index(
+    spark, docs: DataFrame, index_dir: str, **kwargs
+) -> DataFrame:
+    """lm_quality against the LM tables of a built index
+    (build_index(index_shingles=True) / build_shingle_stats)."""
+    from search_engine_spark import schemas
+    from search_engine_spark.index.builder import IndexPaths
+
+    paths = IndexPaths(index_dir)
+    sh = spark.read.schema(schemas.SHINGLE_STATS).parquet(
+        paths.shingle_stats
+    ).withColumnRenamed("cnt", "bcnt")
+    ug = spark.read.schema(schemas.UNIGRAM_STATS).parquet(
+        paths.unigram_stats
+    )
+    corpus = spark.read.parquet(paths.corpus_stats).collect()[0]
+    return lm_quality(
+        docs, sh, ug, int(corpus["total_tokens"]), **kwargs
+    )

@@ -254,3 +254,90 @@ class TestAnalyze:
         assert d["length_filter"] == ["quick", "brown", "fox"]
         assert d["porter_stem"] == tokenize_py("The Quick-Brown a Fox")
         assert [t["token"] for t in d["tokens"]] == d["porter_stem"]
+
+
+class TestLMQuality:
+    """Bigram-LM perplexity quality scoring (ops/textstats.py:
+    lm_quality) vs exact Python recomputation over the same LM tables,
+    plus the qualitative invariant the filter exists for: corpus-like
+    text scores lower perplexity than shuffled-vocabulary gibberish."""
+
+    def test_matches_python_oracle(self, spark, tmp_path):
+        import math
+
+        from search_engine_spark.index.builder import (
+            build_index,
+        )
+        from search_engine_spark.ops.textstats import lm_quality_from_index
+        from search_engine_spark.synth import synth_pages
+        from search_engine_spark.text.tokenizer import tokenize_py
+
+        root = str(tmp_path / "idx")
+        pages = synth_pages(spark, 120, num_partitions=4)
+        build_index(
+            spark, pages, root, num_buckets=8, block_size=32,
+            num_partitions=4, index_shingles=True,
+        )
+        # LM oracle from the same corpus
+        texts = {r["url"]: tokenize_py(r["text"])
+                 for r in pages.select("url", "text").collect()}
+        uni, bi = {}, {}
+        for toks in texts.values():
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        T = sum(uni.values())
+
+        def lu(w):
+            return math.log(max(uni.get(w, 0), 0.5) / T)
+
+        def doc_lp(toks):
+            lp = lu(toks[0])
+            for a, b in zip(toks, toks[1:]):
+                c2, c1 = bi.get((a, b), 0), uni.get(a, 0)
+                lp += (math.log(c2 / c1) if c2 > 0 and c1 > 0
+                       else math.log(0.4) + lu(b))
+            return lp
+
+        got = {
+            r["id"]: r
+            for r in lm_quality_from_index(
+                spark, pages.select("url", "text"), root, id_col="url"
+            ).collect()
+        }
+        scored = {u: t for u, t in texts.items() if t}
+        assert set(got) == set(scored)
+        for u, toks in scored.items():
+            lp = doc_lp(toks)
+            assert got[u]["n_tokens"] == len(toks)
+            assert abs(got[u]["sum_logp"] - lp) < 1e-4
+            assert abs(
+                got[u]["perplexity"] - math.exp(-lp / len(toks))
+            ) < max(1e-4 * got[u]["perplexity"], 1e-4)
+
+    def test_gibberish_scores_worse(self, spark, tmp_path):
+        from search_engine_spark.index.builder import build_index
+        from search_engine_spark.ops.textstats import lm_quality_from_index
+        from search_engine_spark.synth import synth_pages
+
+        root = str(tmp_path / "idx")
+        pages = synth_pages(spark, 150, num_partitions=4)
+        build_index(
+            spark, pages, root, num_buckets=8, block_size=32,
+            num_partitions=4, index_shingles=True,
+        )
+        probe = spark.createDataFrame(
+            [
+                ("fluent", "the search engine builds an index of the "
+                           "data and the query engine ranks results"),
+                ("gibberish", "zq1 zq99 zq1234 zq777 zq31 zq9999 zq123 "
+                              "zq456 zq789 zq111"),
+            ],
+            "doc_id string, text string",
+        )
+        rows = {
+            r["id"]: r["perplexity"]
+            for r in lm_quality_from_index(spark, probe, root).collect()
+        }
+        assert rows["fluent"] < rows["gibberish"]
