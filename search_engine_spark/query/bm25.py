@@ -1635,6 +1635,65 @@ class BM25Index:
             F.sum("_v").alias("sum"),
         )
 
+    def facet_extended_stats(
+        self, query, field, sigma: float = 2.0, mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Extended-stats aggregation — the ES `extended_stats` agg:
+        facet_stats plus sum_of_squares, variance (population, as ES
+        computes it), std_deviation, and the ±sigma std-deviation
+        bounds.  Same single-row partial aggregate; the derived columns
+        are arithmetic on it."""
+        empty = self.spark.createDataFrame(
+            [],
+            "count long, min double, max double, avg double, sum double,"
+            " sum_of_squares double, variance double,"
+            " std_deviation double, upper double, lower double",
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        vals = self.docs.select(
+            "doc_id", F.expr(field).cast("double").alias("_v")
+        )
+        base = matched.join(vals, "doc_id").agg(
+            F.count("_v").alias("count"),
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+            F.avg("_v").alias("avg"),
+            F.sum("_v").alias("sum"),
+            F.sum(F.col("_v") * F.col("_v")).alias("sum_of_squares"),
+            F.var_pop("_v").alias("variance"),
+            F.stddev_pop("_v").alias("std_deviation"),
+        )
+        s = float(sigma)
+        return base.withColumn(
+            "upper", F.col("avg") + F.lit(s) * F.col("std_deviation")
+        ).withColumn(
+            "lower", F.col("avg") - F.lit(s) * F.col("std_deviation")
+        )
+
+    def facet_weighted_avg(
+        self, query, value_field, weight_field, mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Weighted-average aggregation — the ES `weighted_avg` agg:
+        Σ(value·weight)/Σ(weight) over the matching docs, in the same
+        single-row pass.  Rows where either side is null are skipped,
+        like ES without a `missing` default."""
+        empty = self.spark.createDataFrame([], "value double")
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        vals = self.docs.select(
+            "doc_id",
+            F.expr(value_field).cast("double").alias("_v"),
+            F.expr(weight_field).cast("double").alias("_w"),
+        ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+        return matched.join(vals, "doc_id").agg(
+            (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("value")
+        )
+
     def facet_histogram(
         self,
         query,

@@ -1038,6 +1038,16 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             out[name] = idx.facet_stats(
                 q, spec["field"], mode=mode, predicate=predicate
             )
+        elif kind == "extended_stats":
+            out[name] = idx.facet_extended_stats(
+                q, spec["field"], sigma=float(spec.get("sigma", 2.0)),
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "weighted_avg":
+            out[name] = idx.facet_weighted_avg(
+                q, spec["value"]["field"], spec["weight"]["field"],
+                mode=mode, predicate=predicate,
+            )
         elif kind in _METRIC_AGGS:
             # bare single-value metric agg (ES avg/sum/min/max/
             # value_count) — one facet_stats pass, project the value

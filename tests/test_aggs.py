@@ -1022,3 +1022,36 @@ class TestAdjacencyMatrix:
         assert [(r["key"], r["doc_count"]) for r in rows] == [
             (n, 0) for n in sorted(self.BUCKETS)
         ]
+
+
+class TestExtendedStatsAndWeightedAvg:
+    @pytest.mark.parametrize("query", QUERIES[:2])
+    def test_extended_stats_matches_oracle(self, spark, corpus, query):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        row = idx.facet_extended_stats(query, "doclen", sigma=3.0) \
+            .collect()[0]
+        dls = [oracle.doclen[d] for d in m]
+        n = len(dls)
+        mean = sum(dls) / n
+        var = sum((x - mean) ** 2 for x in dls) / n  # population, like ES
+        assert row["count"] == n
+        assert row["sum_of_squares"] == sum(x * x for x in dls)
+        assert abs(row["variance"] - var) < 1e-6
+        assert abs(row["std_deviation"] - var ** 0.5) < 1e-9
+        assert abs(row["upper"] - (mean + 3 * var ** 0.5)) < 1e-9
+        assert abs(row["lower"] - (mean - 3 * var ** 0.5)) < 1e-9
+
+    def test_weighted_avg_matches_oracle(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        # weight = pmod(doc_id, 3) + 1 — deterministic, recomputable
+        row = idx.facet_weighted_avg(
+            q, "doclen", "pmod(doc_id, 3) + 1"
+        ).collect()[0]
+        num = sum(oracle.doclen[d] * (d % 3 + 1) for d in m)
+        den = sum(d % 3 + 1 for d in m)
+        assert abs(row["value"] - num / den) < 1e-9

@@ -1418,3 +1418,31 @@ class TestFilterNestedBucket:
         assert [r.asDict() for r in out["per_month"].collect()] == [
             r.asDict() for r in direct
         ]
+
+
+class TestExtendedStatsLowering:
+    def test_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {
+                "es": {"extended_stats": {"field": "doclen", "sigma": 2}},
+                "wa": {"weighted_avg": {
+                    "value": {"field": "doclen"},
+                    "weight": {"field": "pmod(doc_id, 2) + 1"},
+                }},
+            },
+        }
+        out = execute_es_aggs(idx, body)
+        d1 = idx.facet_extended_stats("search engine", "doclen",
+                                      sigma=2.0).collect()
+        d2 = idx.facet_weighted_avg(
+            "search engine", "doclen", "pmod(doc_id, 2) + 1"
+        ).collect()
+        assert [r.asDict() for r in out["es"].collect()] == [
+            r.asDict() for r in d1
+        ]
+        assert [r.asDict() for r in out["wa"].collect()] == [
+            r.asDict() for r in d2
+        ]
