@@ -2465,7 +2465,18 @@ class BM25Index:
             raise ValueError(f"unknown sort fields {sorted(bad)!r} "
                              "(docs-table columns or _score)")
         need_scores = track_scores or "_score" in fields
-        if need_scores:
+        if need_scores and query is None:
+            # match_all: ES scores every live doc a constant 1.0
+            base = self._drop_tombstones(
+                self.docs.select("doc_id")
+            ).withColumn("score", F.lit(1.0))
+            if predicate is not None:
+                allowed = self.docs.filter(
+                    F.expr(predicate) if isinstance(predicate, str)
+                    else predicate
+                ).select("doc_id")
+                base = base.join(allowed, "doc_id", "left_semi")
+        elif need_scores:
             base = self._or_scored(query, mode=mode)
             if base is not None and predicate is not None:
                 allowed = self.docs.filter(

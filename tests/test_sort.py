@@ -263,3 +263,36 @@ class TestSortDSL:
                 "sort": [{"warc_ts": "asc"}],
                 "collapse": {"field": "domain"},
             })
+
+
+class TestSortMatchAll:
+    """Field sorts over match_all / filter-only foregrounds — the ES
+    newest-first-over-everything feed shape; track_scores under
+    match_all yields the constant 1.0."""
+
+    def test_sort_all_newest_first(self, spark, corpus):
+        idx, *_ = corpus
+        rows = idx.search_sorted(
+            None, [("warc_ts", "desc")], k=5, join_docs=False
+        ).collect()
+        ts = [r["warc_ts"] for r in rows]
+        assert len(ts) == 5 and ts == sorted(ts, reverse=True)
+        assert all(r["score"] is None for r in rows)
+
+    def test_sort_all_track_scores_constant(self, spark, corpus):
+        idx, *_ = corpus
+        rows = idx.search_sorted(
+            None, [("doclen", "desc")], k=5, track_scores=True,
+            join_docs=False,
+        ).collect()
+        assert rows and all(r["score"] == 1.0 for r in rows)
+
+    def test_sort_filter_only(self, spark, corpus):
+        idx, *_ = corpus
+        rows = idx.search_sorted(
+            None, [("doclen", "asc")], k=100,
+            predicate="domain = 'example.com'", join_docs=True,
+        ).collect()
+        assert rows and all(
+            r["url"].startswith("https://example.com/") for r in rows
+        )
