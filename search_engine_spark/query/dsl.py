@@ -879,6 +879,46 @@ def execute_es_suggest(idx, body: Dict) -> Dict[str, object]:
     return out
 
 
+def render_search_template(source: str, params: Dict) -> Dict:
+    """Mustache-subset rendering for ES search templates:
+    `{{#toJson}}name{{/toJson}}` splices the parameter as JSON;
+    `"{{name}}"` (a placeholder filling a whole JSON value) becomes the
+    parameter's JSON form — numbers stay numbers, strings stay quoted;
+    bare `{{name}}` inside larger strings interpolates as text
+    ("{{field}}^2").  Sections/defaults/partials are out of scope and
+    left verbatim (json.loads then fails loudly).  Missing parameters
+    raise KeyError, like ES's template render error."""
+    import json as _json
+    import re as _re
+
+    s = _re.sub(
+        r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}",
+        lambda m: _json.dumps(params[m.group(1)]),
+        source,
+    )
+    s = _re.sub(
+        r'"\{\{(\w+)\}\}"', lambda m: _json.dumps(params[m.group(1)]), s
+    )
+    s = _re.sub(r"\{\{(\w+)\}\}", lambda m: str(params[m.group(1)]), s)
+    return _json.loads(s)
+
+
+def execute_es_search_template(idx, body: Dict, join_docs: bool = True):
+    """The ES `_search/template` API: {"source": <template>, "params":
+    {...}} — render the mustache-subset template, then execute the
+    resulting request body.  `source` may be the ES-style JSON string
+    or an already-parsed dict (re-serialized before rendering)."""
+    import json as _json
+
+    src = body.get("source")
+    if src is None:
+        _unsupported("search template without a source")
+    if isinstance(src, dict):
+        src = _json.dumps(src)
+    rendered = render_search_template(src, body.get("params", {}))
+    return execute_es_query(idx, rendered, join_docs=join_docs)
+
+
 def execute_es_msearch(idx, bodies, join_docs: bool = True):
     """The ES `_msearch` API: a list of request bodies executed against
     the same index, returning one result per body in order.  Plan

@@ -1446,3 +1446,43 @@ class TestExtendedStatsLowering:
         assert [r.asDict() for r in out["wa"].collect()] == [
             r.asDict() for r in d2
         ]
+
+
+class TestSearchTemplate:
+    def test_render_and_execute(self, idx):
+        from search_engine_spark.query.dsl import (
+            execute_es_search_template,
+        )
+
+        body = {
+            "source": '{"query": {"match": {"content": "{{q}}"}},'
+                      ' "size": "{{k}}"}',
+            "params": {"q": "python tutorial", "k": 5},
+        }
+        got = rows(execute_es_search_template(idx, body, join_docs=False))
+        assert got == rows(idx.search("python tutorial", k=5,
+                                      join_docs=False))
+
+    def test_tojson_and_inline(self, idx):
+        from search_engine_spark.query.dsl import render_search_template
+
+        out = render_search_template(
+            '{"query": {"multi_match": {"query": "{{q}}",'
+            ' "fields": {{#toJson}}flds{{/toJson}},'
+            ' "type": "best_fields"}}, "size": "{{k}}"}',
+            {"q": "x y", "flds": ["title^3", "content"], "k": 7},
+        )
+        assert out == {
+            "query": {"multi_match": {
+                "query": "x y", "fields": ["title^3", "content"],
+                "type": "best_fields"}},
+            "size": 7,
+        }
+
+    def test_missing_param_raises(self, idx):
+        from search_engine_spark.query.dsl import render_search_template
+
+        with pytest.raises(KeyError):
+            render_search_template(
+                '{"query": {"match": {"content": "{{q}}"}}}', {}
+            )
