@@ -604,10 +604,26 @@ def _execute_bool(idx, body, k, join_docs) -> DataFrame:
             terms, k=k, min_should_match=msm_top, join_docs=join_docs
         )
 
-    if predicate is not None:
-        _unsupported("pure filter bool (no scoring clause — the engine "
-                     "has no match_all ranking; query the docs table)")
-    return idx._empty_scored(join_docs)
+    # --- no scoring clause: pure filter/exclusion context ---
+    # ES executes these (score 0.0 per hit): filter-only bools, and
+    # must_not-only bools ("everything except ...") — live docs minus
+    # the negated terms'/phrases' doc ids, tombstones before the k-cut
+    base = idx.docs if predicate is None else idx.docs.filter(predicate)
+    hits = idx._drop_tombstones(base.select("doc_id"))
+    if not_terms:
+        excl, _ = idx._excluded_docs(sorted(set(not_terms)))
+        if excl is not None:
+            hits = hits.join(excl, "doc_id", "left_anti")
+    for ph in not_phrases:
+        m = idx._phrase_scored(ph)
+        if m is not None:
+            hits = hits.join(m.select("doc_id"), "doc_id", "left_anti")
+    df = (
+        hits.withColumn("score", F.lit(0.0))
+        .orderBy(F.asc("doc_id"))
+        .limit(k)
+    )
+    return idx._join_docs(df) if join_docs else df
 
 
 def _sort_pairs(entries: List) -> List[Tuple[str, str]]:

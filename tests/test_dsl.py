@@ -229,8 +229,8 @@ class TestRefusals:
     @pytest.mark.parametrize(
         "body",
         [
-            {"query": {"bool": {"filter": [{"term": {"domain": "x"}}]}}},
-            {"query": {"term": {"domain": "x"}}},
+            {"query": {"span_near": {"clauses": []}}},
+            {"query": {"knn": {"field": "v"}}},
             {"query": {"bool": {
                 "must": [{"match": {"content": "a b"}},
                          {"match": {"content": "c d"}}]}}},
@@ -1486,3 +1486,36 @@ class TestSearchTemplate:
             render_search_template(
                 '{"query": {"match": {"content": "{{q}}"}}}', {}
             )
+
+
+class TestNoScoringBool:
+    """Filter-only and must_not-only bools execute at ES's 0.0 score."""
+
+    def test_filter_only_bool(self, idx):
+        body = {"query": {"bool": {"filter": [
+            {"term": {"domain": "example.com"}}
+        ]}}, "size": 5}
+        got = execute_es_query(idx, body).collect()
+        assert got and all(r["score"] == 0.0 for r in got)
+        assert all(
+            r["url"].startswith("https://example.com/") for r in got
+        )
+
+    def test_must_not_only_bool(self, idx):
+        body = {"query": {"bool": {"must_not": [
+            {"match": {"content": "python"}}
+        ]}}, "size": 2000}
+        got = execute_es_query(idx, body, join_docs=False).collect()
+        n_all = idx.count_matches(None)
+        n_py = idx.count_matches("python")
+        assert len(got) == n_all - n_py
+        assert all(r["score"] == 0.0 for r in got)
+
+    def test_must_not_phrase_only(self, idx):
+        body = {"query": {"bool": {"must_not": [
+            {"match_phrase": {"content": "machine learning"}}
+        ]}}, "size": 2000}
+        got = execute_es_query(idx, body, join_docs=False).collect()
+        n_all = idx.count_matches(None)
+        n_ph = idx._phrase_scored("machine learning").count()
+        assert len(got) == n_all - n_ph
