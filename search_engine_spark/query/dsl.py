@@ -829,6 +829,58 @@ def _metric_subaggs(nested) -> Optional[Dict]:
     return {n: (k, s["field"]) for n, (k, s) in kinds.items()}
 
 
+def execute_es_knn(
+    idx,
+    body: Dict,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    approximate: bool = False,
+    join_docs: bool = True,
+) -> DataFrame:
+    """The ES kNN search section: {"knn": {"query_vector": [...],
+    "k": n, "filter": [...]}} → cosine top-k over a dense-vector
+    column, restricted to live docs passing the filter.
+
+    The index itself stores no vectors (the reference's data model has
+    none — ES likewise keeps dense_vector fields alongside the text);
+    `embeddings` supplies (id_col, vec_col) aligned with the index's
+    doc ids.  Default is the exact brute-force cosine scan (the
+    baseline ES's HNSW approximates); `approximate=True` switches to
+    the multi-probe LSH-bucketed scan (ops/similarity), the
+    partition-pruned scale path.  `num_candidates` is accepted and
+    ignored — it tunes HNSW beam width, which has no analogue here.
+    Hybrid knn + query scoring is refused.  Returns (doc_id, score)
+    [+ docs columns], score = cosine, ties doc_id asc."""
+    if body.get("query") is not None:
+        _unsupported("hybrid knn + query scoring")
+    spec = body["knn"]
+    qv = [float(x) for x in spec["query_vector"]]
+    k = int(spec.get("k", 10))
+    pred = (
+        _filter_predicate(_as_list(spec["filter"]))
+        if spec.get("filter") is not None
+        else None
+    )
+    allowed = idx._matched_ids(None, predicate=pred)  # live ∩ filter
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+    ).join(allowed, "doc_id", "left_semi")
+
+    from search_engine_spark.ops.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    fn = lsh_bucketed_topk if approximate else brute_force_topk
+    hits = (
+        fn(emb, "doc_id", "_v", qv, k=k)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("cosine", "score")
+    )
+    return idx._join_docs(hits) if join_docs else hits
+
+
 def execute_es_suggest(idx, body: Dict) -> Dict[str, object]:
     """Execute the `suggest` section of an ES request body.
 

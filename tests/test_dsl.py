@@ -1519,3 +1519,66 @@ class TestNoScoringBool:
         n_all = idx.count_matches(None)
         n_ph = idx._phrase_scored("machine learning").count()
         assert len(got) == n_all - n_ph
+
+
+class TestKnnSection:
+    """ES kNN search section over a supplied dense-vector table:
+    exact cosine top-k vs Python, filter context, live-docs semi-join."""
+
+    def _emb(self, spark, idx):
+        import numpy as np
+
+        ids = [r["doc_id"] for r in idx.docs.select("doc_id").collect()]
+        rows = []
+        for d in ids:
+            rng = np.random.RandomState(d % (2**31 - 1))
+            rows.append((d, [float(x) for x in rng.randn(8)]))
+        return rows, spark.createDataFrame(
+            rows, "doc_id long, embedding array<double>"
+        )
+
+    def test_exact_matches_python(self, spark, idx):
+        import numpy as np
+
+        from search_engine_spark.query.dsl import execute_es_knn
+
+        rows, emb = self._emb(spark, idx)
+        q = [1.0, 0.5, -0.25, 0.0, 2.0, -1.0, 0.75, 0.1]
+        got = execute_es_knn(
+            idx, {"knn": {"query_vector": q, "k": 5}}, emb,
+            join_docs=False,
+        ).collect()
+        qv = np.asarray(q)
+
+        def cos(v):
+            v = np.asarray(v)
+            return round(
+                float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6
+            )
+
+        want = sorted(
+            ((d, cos(v)) for d, v in rows), key=lambda x: (-x[1], x[0])
+        )[:5]
+        assert [(r["doc_id"], r["score"]) for r in got] == want
+
+    def test_filtered_and_hybrid_refused(self, spark, idx):
+        from search_engine_spark.query.dsl import execute_es_knn
+
+        _, emb = self._emb(spark, idx)
+        q = [0.1] * 8
+        got = execute_es_knn(
+            idx,
+            {"knn": {"query_vector": q, "k": 100,
+                     "filter": [{"term": {"domain": "example.com"}}]}},
+            emb,
+        ).collect()
+        assert got and all(
+            r["url"].startswith("https://example.com/") for r in got
+        )
+        with pytest.raises(NotImplementedError):
+            execute_es_knn(
+                idx,
+                {"query": {"match": {"content": "x"}},
+                 "knn": {"query_vector": q, "k": 5}},
+                emb,
+            )
