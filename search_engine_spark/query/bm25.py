@@ -1800,6 +1800,62 @@ class BM25Index:
             .orderBy("key")
         )
 
+    @staticmethod
+    def bucket_pipeline(
+        buckets: DataFrame,
+        metric: str = "doc_count",
+        derivative: Optional[str] = None,
+        cumulative_sum: Optional[str] = None,
+        moving_avg: Optional[Tuple[str, int]] = None,
+    ) -> DataFrame:
+        """Pipeline aggregations — the ES sibling family
+        (`derivative`, `cumulative_sum`, `moving_fn`/`moving_avg`)
+        computed OVER the buckets of a (date_)histogram facet rather
+        than over documents.  `buckets` is the key-ascending output of
+        facet_histogram / facet_date_histogram (or facet_terms_buckets
+        filtered to one outer bucket); `metric` names the column the
+        pipeline reads (doc_count or any metric leaf).  Each requested
+        output adds a column:
+
+          derivative      — bucket-over-bucket difference (null for the
+                            first bucket, like ES)
+          cumulative_sum  — running total
+          moving_avg      — (name, window): mean of the last `window`
+                            buckets including the current (ES moving_fn
+                            with MovingFunctions.unweightedAvg shape)
+
+        Physical note: buckets are already aggregate-sized (thousands,
+        not documents), so the single unpartitioned window — which
+        Spark routes to one task — is the right plan, not a smell; the
+        doc-sized work happened in the facet that produced them."""
+        if not any([derivative, cumulative_sum, moving_avg]):
+            raise ValueError("request at least one pipeline output")
+        w = Window.orderBy(F.asc("key"))
+        out = buckets
+        if derivative:
+            out = out.withColumn(
+                derivative,
+                F.col(metric) - F.lag(metric, 1).over(w),
+            )
+        if cumulative_sum:
+            out = out.withColumn(
+                cumulative_sum,
+                F.sum(metric).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        if moving_avg:
+            name, window = moving_avg
+            if int(window) < 1:
+                raise ValueError("moving_avg window must be >= 1")
+            out = out.withColumn(
+                name,
+                F.avg(metric).over(
+                    w.rowsBetween(-(int(window) - 1), 0)
+                ),
+            )
+        return out.orderBy(F.asc("key"))
+
     def facet_range(
         self,
         query,

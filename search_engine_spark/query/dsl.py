@@ -814,6 +814,40 @@ def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
 
 
 _METRIC_AGGS = {"avg", "sum", "min", "max", "value_count"}
+_PIPELINE_AGGS = {"derivative", "cumulative_sum", "moving_fn", "moving_avg"}
+
+
+def _split_pipeline(nested) -> Tuple[Dict, List]:
+    """Split a bucketing agg's nested dict into (metric leaves,
+    pipeline nodes).  Pipeline nodes -> (name, kind, buckets_path,
+    window); buckets_path '_count' means doc_count."""
+    metrics, pipes = {}, []
+    for n, v in (nested or {}).items():
+        kind, spec = _one_key(v, "nested agg node")
+        if kind in _PIPELINE_AGGS:
+            path = spec.get("buckets_path", "_count")
+            pipes.append((n, kind, path, int(spec.get("window", 5))))
+        else:
+            metrics[n] = v
+    return metrics, pipes
+
+
+def _apply_pipeline(idx, df, pipes):
+    """Chain bucket_pipeline outputs onto a bucket DataFrame."""
+    for name, kind, path, window in pipes:
+        metric = "doc_count" if path in ("_count", "doc_count") else path
+        if metric not in df.columns:
+            _unsupported(
+                f"buckets_path {path!r} (no such metric in the bucket "
+                "aggregation)"
+            )
+        if kind == "derivative":
+            df = idx.bucket_pipeline(df, metric, derivative=name)
+        elif kind == "cumulative_sum":
+            df = idx.bucket_pipeline(df, metric, cumulative_sum=name)
+        else:  # moving_fn / moving_avg — unweighted average window
+            df = idx.bucket_pipeline(df, metric, moving_avg=(name, window))
+    return df
 
 
 def _metric_subaggs(nested) -> Optional[Dict]:
@@ -1164,19 +1198,29 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 q, spec["field"], mode=mode, predicate=predicate
             ).select(F.col(col).alias("value"))
         elif kind == "histogram":
-            out[name] = idx.facet_histogram(
-                q, spec["field"], float(spec["interval"]),
-                mode=mode, predicate=predicate,
-                metrics=_metric_subaggs(nested),
+            mets, pipes = _split_pipeline(nested)
+            out[name] = _apply_pipeline(
+                idx,
+                idx.facet_histogram(
+                    q, spec["field"], float(spec["interval"]),
+                    mode=mode, predicate=predicate,
+                    metrics=_metric_subaggs(mets),
+                ),
+                pipes,
             )
         elif kind == "date_histogram":
             if "calendar_interval" not in spec:
                 _unsupported("date_histogram without calendar_interval "
                              "(fixed_interval is not supported)")
-            out[name] = idx.facet_date_histogram(
-                q, spec["field"], spec["calendar_interval"],
-                mode=mode, predicate=predicate,
-                metrics=_metric_subaggs(nested),
+            mets, pipes = _split_pipeline(nested)
+            out[name] = _apply_pipeline(
+                idx,
+                idx.facet_date_histogram(
+                    q, spec["field"], spec["calendar_interval"],
+                    mode=mode, predicate=predicate,
+                    metrics=_metric_subaggs(mets),
+                ),
+                pipes,
             )
         elif kind == "range":
             ranges = [

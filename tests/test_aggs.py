@@ -1055,3 +1055,37 @@ class TestExtendedStatsAndWeightedAvg:
         num = sum(oracle.doclen[d] * (d % 3 + 1) for d in m)
         den = sum(d % 3 + 1 for d in m)
         assert abs(row["value"] - num / den) < 1e-9
+
+
+class TestBucketPipeline:
+    """Pipeline aggs (derivative / cumulative_sum / moving_avg) over
+    (date_)histogram buckets vs Python recomputation."""
+
+    def test_pipeline_matches_oracle(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        base = idx.facet_histogram(q, "doclen", 32.0)
+        out = idx.bucket_pipeline(
+            base, "doc_count", derivative="deriv",
+            cumulative_sum="cum", moving_avg=("mov", 3),
+        ).collect()
+        counts = [r["doc_count"] for r in base.collect()]
+        run = 0
+        for i, r in enumerate(out):
+            assert r["deriv"] == (
+                None if i == 0 else counts[i] - counts[i - 1]
+            )
+            run += counts[i]
+            assert r["cum"] == run
+            w = counts[max(0, i - 2): i + 1]
+            assert abs(r["mov"] - sum(w) / len(w)) < 1e-9
+
+    def test_validation(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        base = idx.facet_histogram(QUERIES[0], "doclen", 32.0)
+        with pytest.raises(ValueError):
+            idx.bucket_pipeline(base)
+        with pytest.raises(ValueError):
+            idx.bucket_pipeline(base, moving_avg=("m", 0))

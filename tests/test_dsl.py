@@ -1582,3 +1582,50 @@ class TestKnnSection:
                  "knn": {"query_vector": q, "k": 5}},
                 emb,
             )
+
+
+class TestPipelineAggLowering:
+    def test_cumulative_and_derivative_over_metric(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"per_month": {
+                "date_histogram": {"field": "warc_ts",
+                                   "calendar_interval": "month"},
+                "aggs": {
+                    "s": {"sum": {"field": "doclen"}},
+                    "cum": {"cumulative_sum": {"buckets_path": "s"}},
+                    "dv": {"derivative": {"buckets_path": "_count"}},
+                    "mv": {"moving_fn": {"buckets_path": "s",
+                                         "window": 2}},
+                },
+            }},
+        }
+        rows_ = execute_es_aggs(idx, body)["per_month"].collect()
+        assert rows_
+        run, prev_count = 0.0, None
+        svals = [r["s"] for r in rows_]
+        for i, r in enumerate(rows_):
+            run += r["s"]
+            assert abs(r["cum"] - run) < 1e-9
+            assert r["dv"] == (
+                None if i == 0
+                else r["doc_count"] - rows_[i - 1]["doc_count"]
+            )
+            w = svals[max(0, i - 1): i + 1]
+            assert abs(r["mv"] - sum(w) / len(w)) < 1e-9
+
+    def test_bad_buckets_path_refused(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"h": {
+                "histogram": {"field": "doclen", "interval": 64},
+                "aggs": {"cum": {"cumulative_sum": {
+                    "buckets_path": "nope"}}},
+            }},
+        }
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, body)
