@@ -53,6 +53,26 @@ from search_engine_spark.index.scoring import idf_py, score_col, score_np
 from search_engine_spark.query.parse import parse_query
 from search_engine_spark.text.tokenizer import tokenize_py
 
+
+def _bucket_order(order_by, metric_cols=()):
+    """ES terms-agg `order` → Spark sort columns.  None = the default
+    (doc_count desc, value asc).  ("value"|"doc_count"|<metric>, dir)
+    sorts by that column with the others as deterministic tie-breaks."""
+    if order_by is None:
+        return [F.desc("doc_count"), F.asc("value")]
+    col, direction = order_by
+    allowed = {"value", "doc_count", *metric_cols}
+    if col not in allowed or direction not in ("asc", "desc"):
+        raise ValueError(
+            f"order_by must be (one of {sorted(allowed)}, asc|desc): "
+            f"{order_by!r}"
+        )
+    lead = F.asc(col) if direction == "asc" else F.desc(col)
+    ties = [c for c in ("doc_count", "value") if c != col]
+    return [lead] + [
+        F.desc(c) if c == "doc_count" else F.asc(c) for c in ties
+    ]
+
 _CONTRIB_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
@@ -1108,15 +1128,19 @@ class BM25Index:
         size: int = 10,
         mode: str = "or",
         predicate=None,
+        order_by: Optional[Tuple[str, str]] = None,
     ) -> DataFrame:
         """Terms aggregation over ALL matching docs — the ES `terms`
         agg shape (top `size` buckets of `field`, ordered doc_count
         desc then value asc).  `field` is a column name or SQL
         expression over the docs table; `predicate` optionally adds
-        filter context.  Like count_matches, only doc ids decode
-        (tfs/doclens stay packed); the matched-ids ⋈ docs join carries
-        just (doc_id, value) into a tiny groupBy — partial aggregation
-        keeps the shuffle at O(distinct values × partitions)."""
+        filter context.  `order_by` is the ES terms `order` option:
+        ("doc_count"|"value", "asc"|"desc") — ES's `_count`/`_key`;
+        the other column is the tie-break in its default direction.
+        Like count_matches, only doc ids decode (tfs/doclens stay
+        packed); the matched-ids ⋈ docs join carries just (doc_id,
+        value) into a tiny groupBy — partial aggregation keeps the
+        shuffle at O(distinct values × partitions)."""
         empty = self.spark.createDataFrame([], "value string, doc_count long")
         matched = self._matched_ids(query, mode)
         if matched is None:
@@ -1133,7 +1157,7 @@ class BM25Index:
             matched.join(vals, "doc_id")
             .groupBy("value")
             .agg(F.count(F.lit(1)).alias("doc_count"))
-            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .orderBy(*_bucket_order(order_by))
             .limit(size)
         )
 
@@ -1145,6 +1169,7 @@ class BM25Index:
         size: int = 10,
         mode: str = "or",
         predicate=None,
+        order_by: Optional[Tuple[str, str]] = None,
     ) -> DataFrame:
         """Terms bucket + metric sub-aggregations — the ES shape
         `{terms: {field}, aggs: {name: {avg: {field: f}}, ...}}` (e.g.
@@ -1159,7 +1184,12 @@ class BM25Index:
         and ONE groupBy computes doc_count AND every metric with
         partial aggregation (no per-bucket second pass; ES likewise
         folds metric sub-aggs into the same bucket collection pass),
-        then the TakeOrderedAndProject bucket cut."""
+        then the TakeOrderedAndProject bucket cut.
+
+        `order_by` is ES's terms `order` incl. ordering buckets BY a
+        metric sub-agg (("avg_dl", "desc") — the ES {"order":
+        {"avg_dl": "desc"}} shape); same pass, only the sort keys of
+        the bucket cut change."""
         _OPS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
         bad = [op for op, _ in metrics.values() if op not in _OPS]
         if bad or not metrics:
@@ -1199,7 +1229,7 @@ class BM25Index:
                     for n, (op, _) in metrics.items()
                 ],
             )
-            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .orderBy(*_bucket_order(order_by, metric_cols=set(metrics)))
             .limit(size)
         )
 

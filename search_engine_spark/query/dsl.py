@@ -850,6 +850,17 @@ def _apply_pipeline(idx, df, pipes):
     return df
 
 
+def _terms_order(spec) -> Optional[Tuple[str, str]]:
+    """ES terms `order` option → the engine's order_by tuple.
+    `_count` → doc_count, `_key` → value; anything else names a metric
+    sub-agg column."""
+    order = spec.get("order")
+    if not order:
+        return None
+    k, d = _one_key(order, "terms order")
+    return {"_count": "doc_count", "_key": "value"}.get(k, k), d
+
+
 def _metric_subaggs(nested) -> Optional[Dict]:
     """Nested avg/sum/min/max sub-aggs of a bucketing agg -> the
     engine's metrics dict; None when absent, refuse anything else."""
@@ -1123,6 +1134,7 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                         q, field,
                         {n: (k, s["field"]) for n, (k, s) in kinds.items()},
                         size=size, mode=mode, predicate=predicate,
+                        order_by=_terms_order(spec),
                     )
                 elif len(kinds) == 1 and next(iter(kinds.values()))[0] == "top_hits":
                     nkind, nspec = next(iter(kinds.values()))
@@ -1174,7 +1186,8 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                     )
             else:
                 out[name] = idx.facet_counts(
-                    q, field, size=size, mode=mode, predicate=predicate
+                    q, field, size=size, mode=mode, predicate=predicate,
+                    order_by=_terms_order(spec),
                 )
         elif kind == "stats":
             out[name] = idx.facet_stats(
@@ -1241,7 +1254,10 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 if spec.get("percents") else None,
                 mode=mode, predicate=predicate,
             )
-        elif kind == "significant_terms":
+        elif kind in ("significant_terms", "significant_text"):
+            # significant_text over the analyzed content field IS this
+            # engine's significant_terms (it always reads the indexed
+            # token stream, the re-analysis ES does per hit)
             out[name] = idx.significant_terms(
                 q, size=int(spec.get("size", 10)),
                 min_doc_count=int(spec.get("min_doc_count", 3)),

@@ -1089,3 +1089,25 @@ class TestBucketPipeline:
             idx.bucket_pipeline(base)
         with pytest.raises(ValueError):
             idx.bucket_pipeline(base, moving_avg=("m", 0))
+
+
+class TestTermsOrder:
+    def test_order_by_key_and_metric(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        by_key = idx.facet_counts(
+            q, "domain", size=100, order_by=("value", "asc")
+        ).collect()
+        assert [r["value"] for r in by_key] == sorted(
+            {domain_by_doc[d] for d in m}
+        )
+        by_metric = idx.facet_terms_metrics(
+            q, "domain", {"avg_dl": ("avg", "doclen")}, size=100,
+            order_by=("avg_dl", "desc"),
+        ).collect()
+        avgs = [r["avg_dl"] for r in by_metric]
+        assert avgs == sorted(avgs, reverse=True)
+        with pytest.raises(ValueError):
+            idx.facet_counts(q, "domain", order_by=("nope", "asc"))

@@ -1629,3 +1629,35 @@ class TestPipelineAggLowering:
         }
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, body)
+
+
+class TestTermsOrderAndSignificantText:
+    def test_order_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"d": {"terms": {
+                "field": "domain", "size": 100,
+                "order": {"_key": "asc"},
+            }}},
+        }
+        got = execute_es_aggs(idx, body)["d"].collect()
+        keys = [r["value"] for r in got]
+        assert keys == sorted(keys)
+        body["aggs"]["d"]["terms"]["order"] = {"avg_dl": "desc"}
+        body["aggs"]["d"]["aggs"] = {"avg_dl": {"avg": {"field": "doclen"}}}
+        got = execute_es_aggs(idx, body)["d"].collect()
+        avgs = [r["avg_dl"] for r in got]
+        assert avgs == sorted(avgs, reverse=True)
+
+    def test_significant_text_alias(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        a = execute_es_aggs(idx, {
+            "query": {"match": {"content": "python tutorial"}},
+            "aggs": {"s": {"significant_text": {"field": "content",
+                                                "size": 5}}},
+        })["s"].collect()
+        b = idx.significant_terms("python tutorial", size=5).collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
