@@ -1129,6 +1129,8 @@ class BM25Index:
         mode: str = "or",
         predicate=None,
         order_by: Optional[Tuple[str, str]] = None,
+        min_doc_count: int = 1,
+        missing: Optional[str] = None,
     ) -> DataFrame:
         """Terms aggregation over ALL matching docs — the ES `terms`
         agg shape (top `size` buckets of `field`, ordered doc_count
@@ -1137,10 +1139,14 @@ class BM25Index:
         filter context.  `order_by` is the ES terms `order` option:
         ("doc_count"|"value", "asc"|"desc") — ES's `_count`/`_key`;
         the other column is the tie-break in its default direction.
-        Like count_matches, only doc ids decode (tfs/doclens stay
-        packed); the matched-ids ⋈ docs join carries just (doc_id,
-        value) into a tiny groupBy — partial aggregation keeps the
-        shuffle at O(distinct values × partitions)."""
+        `min_doc_count` drops buckets below the threshold (ES default
+        1); `missing` buckets docs whose field is null under the given
+        placeholder instead of the null bucket (the ES terms `missing`
+        option; without it, like ES, null-field docs produce no
+        bucket).  Like count_matches, only doc ids decode (tfs/doclens
+        stay packed); the matched-ids ⋈ docs join carries just
+        (doc_id, value) into a tiny groupBy — partial aggregation keeps
+        the shuffle at O(distinct values × partitions)."""
         empty = self.spark.createDataFrame([], "value string, doc_count long")
         matched = self._matched_ids(query, mode)
         if matched is None:
@@ -1150,16 +1156,20 @@ class BM25Index:
             docs = docs.filter(
                 F.expr(predicate) if isinstance(predicate, str) else predicate
             )
-        vals = docs.select(
-            "doc_id", F.expr(field).cast("string").alias("value")
+        val = F.expr(field).cast("string")
+        if missing is not None:
+            val = F.coalesce(val, F.lit(str(missing)))
+        vals = docs.select("doc_id", val.alias("value")).filter(
+            F.col("value").isNotNull()
         )
-        return (
+        out = (
             matched.join(vals, "doc_id")
             .groupBy("value")
             .agg(F.count(F.lit(1)).alias("doc_count"))
-            .orderBy(*_bucket_order(order_by))
-            .limit(size)
         )
+        if int(min_doc_count) > 1:
+            out = out.filter(F.col("doc_count") >= int(min_doc_count))
+        return out.orderBy(*_bucket_order(order_by)).limit(size)
 
     def facet_terms_metrics(
         self,

@@ -1188,6 +1188,8 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 out[name] = idx.facet_counts(
                     q, field, size=size, mode=mode, predicate=predicate,
                     order_by=_terms_order(spec),
+                    min_doc_count=int(spec.get("min_doc_count", 1)),
+                    missing=spec.get("missing"),
                 )
         elif kind == "stats":
             out[name] = idx.facet_stats(

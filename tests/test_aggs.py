@@ -1111,3 +1111,30 @@ class TestTermsOrder:
         assert avgs == sorted(avgs, reverse=True)
         with pytest.raises(ValueError):
             idx.facet_counts(q, "domain", order_by=("nope", "asc"))
+
+
+class TestTermsMissingMinDocCount:
+    def test_missing_placeholder_and_threshold(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        # a derived field that is null for doc_id % 3 == 0
+        fld = "nullif(cast(pmod(doc_id, 3) as string), '0')"
+        # without missing: null-field docs produce no bucket
+        plain = idx.facet_counts(q, fld, size=100).collect()
+        assert {r["value"] for r in plain} == {"1", "2"}
+        # with missing: they bucket under the placeholder
+        got = {
+            r["value"]: r["doc_count"]
+            for r in idx.facet_counts(
+                q, fld, size=100, missing="N/A"
+            ).collect()
+        }
+        assert got["N/A"] == sum(1 for d in m if d % 3 == 0)
+        assert sum(got.values()) == len(m)
+        # min_doc_count drops small buckets
+        thresh = idx.facet_counts(
+            q, "domain", size=100, min_doc_count=5
+        ).collect()
+        assert all(r["doc_count"] >= 5 for r in thresh)
