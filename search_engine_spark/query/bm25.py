@@ -1675,6 +1675,51 @@ class BM25Index:
             F.sum("_v").alias("sum"),
         )
 
+    def facet_top_metrics(
+        self,
+        query,
+        metrics: List[str],
+        sort: Tuple[str, str],
+        size: int = 1,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Top-metrics aggregation — the ES `top_metrics` agg: the
+        values of `metrics` fields from the `size` docs ranking first
+        by `sort` = (field, "asc"|"desc") among the matches ("what was
+        the temperature when pressure peaked").  doc_id asc is the
+        pinned tie-break.  One column-pruned docs join over the
+        matched ids, then TakeOrderedAndProject — the lighter sibling
+        of top_hits when only field values (not scored hits) are
+        wanted."""
+        field, direction = sort
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc|desc: {direction!r}")
+        if not metrics:
+            raise ValueError("metrics must be non-empty")
+        schema = (
+            f"`{field}` double, "
+            + ", ".join(f"`{m}` double" for m in metrics if m != field)
+            + ", doc_id long"
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        cols = [field] + [m for m in metrics if m != field]
+        vals = self.docs.select(
+            "doc_id",
+            *[F.expr(c).cast("double").alias(c) for c in cols],
+        ).filter(F.col(field).isNotNull())
+        order = (
+            F.asc(field) if direction == "asc" else F.desc(field)
+        )
+        return (
+            matched.join(vals, "doc_id")
+            .orderBy(order, F.asc("doc_id"))
+            .limit(size)
+            .select(*cols, "doc_id")
+        )
+
     def facet_extended_stats(
         self, query, field, sigma: float = 2.0, mode: str = "or",
         predicate=None,

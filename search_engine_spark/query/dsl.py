@@ -1283,6 +1283,18 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 q, fields, size=int(spec.get("size", 10)),
                 after=after, mode=mode, predicate=predicate,
             )
+        elif kind == "top_metrics":
+            if nested:
+                _unsupported("sub-aggs under a top_metrics agg")
+            mspecs = _as_list(spec["metrics"])
+            sfield, sdir = _one_key(spec["sort"], "top_metrics sort")
+            if isinstance(sdir, dict):
+                sdir = sdir.get("order", "asc")
+            out[name] = idx.facet_top_metrics(
+                q, [m["field"] for m in mspecs], (sfield, sdir),
+                size=int(spec.get("size", 1)),
+                mode=mode, predicate=predicate,
+            )
         elif kind == "multi_terms":
             if nested:
                 _unsupported("sub-aggs under a multi_terms agg")

@@ -1138,3 +1138,26 @@ class TestTermsMissingMinDocCount:
             q, "domain", size=100, min_doc_count=5
         ).collect()
         assert all(r["doc_count"] >= 5 for r in thresh)
+
+
+class TestTopMetrics:
+    def test_matches_oracle(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        rows = idx.facet_top_metrics(
+            q, ["doclen"], ("doclen", "desc"), size=3
+        ).collect()
+        want = sorted(m, key=lambda d: (-oracle.doclen[d], d))[:3]
+        assert [(r["doc_id"], r["doclen"]) for r in rows] == [
+            (d, float(oracle.doclen[d])) for d in want
+        ]
+
+    def test_validation(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_top_metrics("python", [], ("doclen", "desc"))
+        with pytest.raises(ValueError):
+            idx.facet_top_metrics("python", ["doclen"], ("doclen", "down"))

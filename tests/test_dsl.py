@@ -1661,3 +1661,24 @@ class TestTermsOrderAndSignificantText:
         })["s"].collect()
         b = idx.significant_terms("python tutorial", size=5).collect()
         assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+class TestTopMetricsLowering:
+    def test_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"tm": {"top_metrics": {
+                "metrics": [{"field": "doclen"}],
+                "sort": {"warc_ts": {"order": "desc"}},
+                "size": 2,
+            }}},
+        }
+        got = execute_es_aggs(idx, body)["tm"].collect()
+        direct = idx.facet_top_metrics(
+            "search engine", ["doclen"], ("warc_ts", "desc"), size=2
+        ).collect()
+        assert got and [r.asDict() for r in got] == [
+            r.asDict() for r in direct
+        ]
