@@ -1080,21 +1080,30 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
     DataFrame} (cardinality returns an int, matching its single-value
     ES response).  Supported agg types and their engine methods:
 
-      terms → facet_counts (with a nested top_hits sub-agg →
-        facet_top_hits; with a nested terms/histogram/date_histogram
-        bucket agg — optionally carrying its own metric leaves —
-        → facet_terms_buckets), stats → facet_stats, histogram →
-        facet_histogram, range → facet_range, cardinality →
-        facet_cardinality (precision_threshold>0 keeps ES's
-        always-approximate HLL semantics), percentiles →
-        facet_percentiles, significant_terms → significant_terms
+      terms → facet_counts (order/missing/min_doc_count options; with
+        a nested top_hits sub-agg → facet_top_hits; with metric leaves
+        → facet_terms_metrics incl. order-by-metric; with a nested
+        terms/histogram/date_histogram bucket agg → facet_terms_buckets),
+        stats → facet_stats, extended_stats → facet_extended_stats,
+        weighted_avg → facet_weighted_avg, histogram/date_histogram →
+        facet_(date_)histogram with metric leaves AND pipeline nodes
+        (derivative / cumulative_sum / moving_fn → bucket_pipeline),
+        range → facet_range, cardinality → facet_cardinality
+        (precision_threshold>0 keeps ES's always-approximate HLL
+        semantics), percentiles → facet_percentiles,
+        significant_terms / significant_text → significant_terms
         (over the indexed text, like ES on the analyzed field),
         composite → facet_composite (terms sources, after cursor),
-        filter → facet_filter (one narrowed bucket + metric leaves),
+        filter → facet_filter (one narrowed bucket + metric leaves, or
+        one nested bucket agg with the predicate combined in),
         filters → facet_filters (keyed predicate buckets, one
-        conditional-agg pass), missing → facet_missing, global →
-        sub-aggs re-executed over the whole live corpus (match_all
-        foreground), ignoring the body's query.
+        conditional-agg pass), adjacency_matrix →
+        facet_adjacency_matrix, missing → facet_missing, multi_terms →
+        facet_multi_terms, rare_terms → facet_rare_terms, top_metrics
+        → facet_top_metrics, global → sub-aggs re-executed over the
+        whole live corpus (match_all foreground), ignoring the body's
+        query.  Foregrounds: match / match_phrase / bool(must+filter) /
+        filter-only bool / match_all / absent query.
 
     The query node supplies the foreground exactly as in ES: hits of
     the (match / bool must+filter) query."""
