@@ -126,8 +126,25 @@ def main() -> None:
             "docs": [r.asDict() for r in rows],
         }, default=str))
 
+    def _ser(v):
+        """DataFrame(s) / ints / nested dicts -> JSON-able."""
+        if isinstance(v, dict):
+            return {k: _ser(x) for k, x in v.items()}
+        if hasattr(v, "collect"):
+            return [
+                {k: (round(x, 6) if isinstance(x, float) else x)
+                 for k, x in r.asDict().items()}
+                for r in v.collect()
+            ]
+        return v
+
     for spec in args.es_body or []:
-        from search_engine_spark.query.dsl import execute_es_query
+        from search_engine_spark.query.dsl import (
+            execute_es_aggs,
+            execute_es_query,
+            execute_es_search_template,
+            execute_es_suggest,
+        )
 
         raw = spec[1:] if spec.startswith("@") else spec
         if spec.startswith("@"):
@@ -135,17 +152,29 @@ def main() -> None:
                 raw = fh.read()
         body = json.loads(raw)
         t0 = time.time()
-        rows = execute_es_query(idx, body).collect()
-        ms = int((time.time() - t0) * 1000)
-        print(json.dumps({
-            "es_body": body,
-            "took_ms": ms,
-            "results": [
-                {k: (round(v, 6) if isinstance(v, float) else v)
-                 for k, v in r.asDict().items()}
-                for r in rows
-            ],
-        }, default=str))
+        # dispatch like ES _search: template bodies render-and-run;
+        # suggest and aggs sections execute alongside (or instead of)
+        # the hits when present; size 0 = aggs-only, no hits
+        out = {"es_body": body}
+        if "source" in body:
+            out["results"] = _ser(execute_es_search_template(idx, body))
+        else:
+            has_aggs = "aggs" in body or "aggregations" in body
+            if "suggest" in body:
+                out["suggest"] = _ser(execute_es_suggest(idx, body))
+            if has_aggs:
+                out["aggregations"] = _ser(execute_es_aggs(idx, body))
+            if "query" in body and int(body.get("size", 10)) != 0:
+                out["results"] = _ser(
+                    execute_es_query(idx, body)
+                    if not has_aggs
+                    else execute_es_query(
+                        idx, {k: v for k, v in body.items()
+                              if k not in ("aggs", "aggregations")}
+                    )
+                )
+        out["took_ms"] = int((time.time() - t0) * 1000)
+        print(json.dumps(out, default=str))
 
     for q in args.query or []:
         t0 = time.time()
