@@ -2056,6 +2056,81 @@ class BM25Index:
             "percent double, value double",
         )
 
+    def facet_boxplot(
+        self, query, field, mode: str = "or", predicate=None,
+        approx: bool = False, accuracy: int = 10000,
+    ) -> DataFrame:
+        """Boxplot aggregation — the ES `boxplot` agg: min, q1, q2
+        (median), q3, max of a numeric field over the matching docs,
+        one row.  Quartiles share facet_percentiles' estimator
+        (exact interpolated by default for oracle pinning; approx=True
+        = the GK-sketch scale path, matching ES's always-approximate
+        T-Digest); min/max ride in the same single-row aggregate."""
+        empty = self.spark.createDataFrame(
+            [], "min double, q1 double, q2 double, q3 double, max double"
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        vals = matched.join(
+            self.docs.select(
+                "doc_id", F.expr(field).cast("double").alias("_v")
+            ),
+            "doc_id",
+        ).filter(F.col("_v").isNotNull())
+        fracs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        qcol = (
+            F.percentile_approx("_v", fracs, accuracy)
+            if approx
+            else F.percentile("_v", fracs)
+        )
+        return vals.agg(
+            F.min("_v").alias("min"), qcol.alias("_q"), F.max("_v").alias("max")
+        ).select(
+            "min",
+            F.col("_q")[0].alias("q1"),
+            F.col("_q")[1].alias("q2"),
+            F.col("_q")[2].alias("q3"),
+            "max",
+        )
+
+    def facet_mad(
+        self, query, field, mode: str = "or", predicate=None,
+        approx: bool = False, accuracy: int = 10000,
+    ) -> DataFrame:
+        """Median-absolute-deviation aggregation — the ES
+        `median_absolute_deviation` agg: median(|x − median(x)|) over
+        the matching docs.  Inherently two passes (the second needs
+        the first's median) — two single-row aggregates over the same
+        cached-lineage join, exactly the cost ES's sketch approximates
+        away; exact by default, approx=True uses the GK sketch in both
+        passes.  Returns one row (value)."""
+        empty = self.spark.createDataFrame([], "value double")
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        vals = matched.join(
+            self.docs.select(
+                "doc_id", F.expr(field).cast("double").alias("_v")
+            ),
+            "doc_id",
+        ).filter(F.col("_v").isNotNull())
+
+        def med(col):
+            return (
+                F.percentile_approx(col, F.lit(0.5), accuracy)
+                if approx
+                else F.percentile(col, F.lit(0.5))
+            )
+
+        row = vals.agg(med(F.col("_v")).alias("m")).collect()[0]
+        if row["m"] is None:
+            return empty
+        m = float(row["m"])
+        return vals.select(
+            F.abs(F.col("_v") - F.lit(m)).alias("_d")
+        ).agg(med(F.col("_d")).alias("value"))
+
     def facet_top_hits(
         self,
         query,

@@ -1258,6 +1258,14 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 q, spec["field"], mode=mode, predicate=predicate,
                 approx=bool(spec.get("precision_threshold")),
             )
+        elif kind == "boxplot":
+            out[name] = idx.facet_boxplot(
+                q, spec["field"], mode=mode, predicate=predicate,
+            )
+        elif kind == "median_absolute_deviation":
+            out[name] = idx.facet_mad(
+                q, spec["field"], mode=mode, predicate=predicate,
+            )
         elif kind == "percentiles":
             out[name] = idx.facet_percentiles(
                 q, spec["field"],

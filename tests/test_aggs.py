@@ -1161,3 +1161,44 @@ class TestTopMetrics:
             idx.facet_top_metrics("python", [], ("doclen", "desc"))
         with pytest.raises(ValueError):
             idx.facet_top_metrics("python", ["doclen"], ("doclen", "down"))
+
+
+class TestBoxplotAndMad:
+    def _vals(self, oracle, q):
+        return sorted(oracle.doclen[d] for d in _matched(oracle, q))
+
+    @staticmethod
+    def _pctl(xs, f):
+        """Linear-interpolated percentile (Spark `percentile`)."""
+        n = len(xs)
+        pos = f * (n - 1)
+        lo = int(pos)
+        hi = min(lo + 1, n - 1)
+        return xs[lo] + (pos - lo) * (xs[hi] - xs[lo])
+
+    def test_boxplot_matches_oracle(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        xs = self._vals(oracle, q)
+        row = idx.facet_boxplot(q, "doclen").collect()[0]
+        assert row["min"] == xs[0] and row["max"] == xs[-1]
+        for col, f in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+            assert abs(row[col] - self._pctl(xs, f)) < 1e-9, col
+
+    def test_mad_matches_oracle(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[1]
+        xs = self._vals(oracle, q)
+        med = self._pctl(xs, 0.5)
+        devs = sorted(abs(x - med) for x in xs)
+        want = self._pctl(devs, 0.5)
+        row = idx.facet_mad(q, "doclen").collect()[0]
+        assert abs(row["value"] - want) < 1e-9
+
+    def test_no_match_empty(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.facet_boxplot("zzqqxx", "doclen").count() == 0
+        assert idx.facet_mad("zzqqxx", "doclen").count() == 0

@@ -1682,3 +1682,24 @@ class TestTopMetricsLowering:
         assert got and [r.asDict() for r in got] == [
             r.asDict() for r in direct
         ]
+
+
+class TestBoxplotMadLowering:
+    def test_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"b": {"boxplot": {"field": "doclen"}},
+                     "m": {"median_absolute_deviation": {
+                         "field": "doclen"}}},
+        }
+        out = execute_es_aggs(idx, body)
+        b = idx.facet_boxplot("search engine", "doclen").collect()
+        m = idx.facet_mad("search engine", "doclen").collect()
+        assert [r.asDict() for r in out["b"].collect()] == [
+            r.asDict() for r in b
+        ]
+        assert [r.asDict() for r in out["m"].collect()] == [
+            r.asDict() for r in m
+        ]
