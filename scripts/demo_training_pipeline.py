@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""One-command training-data pipeline demo — the ops/ layer composed
+end-to-end the way a 100 TB pretraining-data build would run:
+
+  pages (url, warc_ts, html, text, lang)
+    → language ID (function-word argmax, codegen-only)
+    → quality filters: heuristic prose score AND bigram-LM perplexity
+      (the CCNet/KenLM shape, LM from a shingle-stats build over the
+      corpus itself)
+    → exact dedup (hash-groupBy) → near dedup (MinHash-LSH →
+      connected components → one survivor per cluster)
+    → deterministic hash-based train/val/test split (RNG-free,
+      re-runnable, subset-nested)
+    → per-stage survivor counts + split sizes as ONE JSON line.
+
+Every stage is a DataFrame transform from search_engine_spark/ops/ —
+no driver-side loops; the only Python in the row path is the stemming
+Arrow UDF inside the LM tokenization.  Usage:
+
+  python scripts/demo_training_pipeline.py --pages 2000 --master local[8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=2000)
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--quality-min", type=float, default=0.35)
+    ap.add_argument("--perplexity-max", type=float, default=1000.0)
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.index.builder import build_shingle_stats, build_index
+    from search_engine_spark.ops.dedup import exact_dedup, minhash_dedup
+    from search_engine_spark.ops.sampling import split
+    from search_engine_spark.ops.textstats import (
+        detect_language,
+        lm_quality_from_index,
+        quality_scores,
+    )
+    from search_engine_spark.session import get_spark
+    from search_engine_spark.synth import synth_pages
+
+    spark = get_spark(app_name="sgs-training-demo", master=args.master,
+                      shuffle_partitions=16)
+    work = tempfile.mkdtemp(prefix="sgs_train_")
+    t0 = time.time()
+    counts = {}
+    try:
+        pages = synth_pages(spark, args.pages, num_partitions=8)
+        clean = pages.select("url", "text").filter(
+            F.col("text").isNotNull() & (F.length("text") > 0)
+        )
+        # pollute the corpus the way real crawls are polluted — every
+        # class below must fall out at a specific funnel stage:
+        #   exact duplicates        → exact_dedup
+        #   near duplicates (one    → near_dedup (MinHash-LSH)
+        #     appended sentence)
+        #   gibberish               → LM perplexity
+        #   non-English             → language ID
+        base100 = clean.limit(100).cache()
+        dup_exact = base100.limit(40).select(
+            F.concat(F.lit("dup://"), F.col("url")).alias("url"), "text"
+        )
+        dup_near = base100.select(
+            F.concat(F.lit("near://"), F.col("url")).alias("url"),
+            F.concat(F.col("text"),
+                     F.lit(" trailing boilerplate footer line")).alias("text"),
+        )
+        # stopword-rich gibberish: passes the heuristic prose gate
+        # (healthy stopword/punct ratios) but its content words are
+        # unseen by the corpus LM — exactly the class the perplexity
+        # filter exists for (keyword stuffing, generated spam)
+        _stops = ["the", "of", "and", "to", "in", "is"]
+        rng_texts = [
+            (f"junk://{i}",
+             " ".join(
+                 f"{_stops[(i + j) % len(_stops)]} "
+                 f"qzv{(i * 37 + j * 13) % 9973}"
+                 for j in range(40)
+             ) + ".")
+            for i in range(60)
+        ]
+        gibberish = spark.createDataFrame(rng_texts, "url string, text string")
+        french = spark.createDataFrame(
+            [(f"fr://{i}",
+              "le chat est sur la table et il y a des pommes dans le "
+              "jardin avec les enfants qui jouent pres de la maison")
+             for i in range(30)],
+            "url string, text string",
+        )
+        docs = clean.unionByName(dup_exact).unionByName(dup_near) \
+            .unionByName(gibberish).unionByName(french)
+        docs.cache()
+        counts["input"] = docs.count()
+
+        # 1) language ID — keep English-looking prose
+        lang = detect_language(docs, "url", "text")
+        keep_lang = lang.filter(F.col("lang") == "en").select(
+            F.col("id").alias("url")
+        )
+        docs_l = docs.join(keep_lang, "url", "left_semi")
+        counts["lang_en"] = docs_l.count()
+
+        # 2a) heuristic quality
+        q = quality_scores(docs_l, "url", "text")
+        keep_q = q.filter(
+            F.col("quality_score") >= args.quality_min
+        ).select(F.col("id").alias("url"))
+        docs_q = docs_l.join(keep_q, "url", "left_semi")
+        counts["quality"] = docs_q.count()
+
+        # 2b) LM perplexity (CCNet shape): LM from the corpus itself
+        build_index(
+            spark, pages, f"{work}/lm_idx", num_buckets=8, block_size=64,
+            num_partitions=8, run_extraction=False, index_shingles=True,
+        )
+        ppl = lm_quality_from_index(
+            spark, docs_q, f"{work}/lm_idx", id_col="url"
+        )
+        keep_p = ppl.filter(
+            F.col("perplexity") <= args.perplexity_max
+        ).select(F.col("id").alias("url"))
+        docs_p = docs_q.join(keep_p, "url", "left_semi")
+        counts["perplexity"] = docs_p.count()
+
+        # 3) exact dedup then MinHash-LSH near dedup
+        docs_e = exact_dedup(docs_p, "url", "text")
+        counts["exact_dedup"] = docs_e.count()
+        docs_n = minhash_dedup(
+            docs_e, "url", "text", jaccard_threshold=args.jaccard
+        )
+        counts["near_dedup"] = docs_n.count()
+
+        # each pollution class must fall at its designed stage
+        def _n(df, prefix):
+            return df.filter(F.col("url").startswith(prefix)).count()
+
+        assert _n(docs_l, "fr://") == 0, "language ID missed French"
+        assert _n(docs_q, "junk://") > 0, (
+            "stopword-rich gibberish should PASS the heuristic gate"
+        )
+        assert _n(docs_p, "junk://") == 0, "LM perplexity missed gibberish"
+        # dedup keeps ONE survivor per duplicate family — which member
+        # survives is the deterministic min-id, possibly the dup:// url
+        assert (
+            docs_n.groupBy("text")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter("n > 1")
+            .count()
+            == 0
+        ), "exact duplicates survived"
+        fams = (
+            docs_n.select(
+                F.regexp_replace("url", "^(near://|dup://)", "")
+                .alias("base")
+            )
+            .groupBy("base")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert fams.filter("n > 1").count() < 10, (
+            "near-duplicate families kept multiple members"
+        )
+
+        # 4) deterministic split — RNG-free, stable across reruns
+        assigned = split(
+            docs_n, "url",
+            [("train", 0.9), ("val", 0.05), ("test", 0.05)],
+        )
+        splits = {
+            r["_split"]: r["n"]
+            for r in assigned.groupBy("_split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert sum(splits.values()) == counts["near_dedup"]
+        # monotone funnel
+        order = ["input", "lang_en", "quality", "perplexity",
+                 "exact_dedup", "near_dedup"]
+        for a, b in zip(order, order[1:]):
+            assert counts[b] <= counts[a], (a, b, counts)
+
+        print(json.dumps({
+            "funnel": counts,
+            "splits": splits,
+            "kept_pct": round(100.0 * counts["near_dedup"] / counts["input"], 2),
+            "total_s": round(time.time() - t0, 2),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
