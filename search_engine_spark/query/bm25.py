@@ -1892,15 +1892,22 @@ class BM25Index:
         derivative: Optional[str] = None,
         cumulative_sum: Optional[str] = None,
         moving_avg: Optional[Tuple[str, int]] = None,
+        serial_diff: Optional[Tuple[str, int]] = None,
+        bucket_script: Optional[Tuple[str, str]] = None,
+        bucket_selector: Optional[str] = None,
+        bucket_sort: Optional[Tuple[
+            List[Tuple[str, str]], int, Optional[int]
+        ]] = None,
     ) -> DataFrame:
-        """Pipeline aggregations — the ES sibling family
-        (`derivative`, `cumulative_sum`, `moving_fn`/`moving_avg`)
-        computed OVER the buckets of a (date_)histogram facet rather
-        than over documents.  `buckets` is the key-ascending output of
-        facet_histogram / facet_date_histogram (or facet_terms_buckets
-        filtered to one outer bucket); `metric` names the column the
-        pipeline reads (doc_count or any metric leaf).  Each requested
-        output adds a column:
+        """Pipeline aggregations — the ES parent-pipeline family
+        (`derivative`, `cumulative_sum`, `moving_fn`/`moving_avg`,
+        `serial_diff`, `bucket_script`, `bucket_selector`,
+        `bucket_sort`) computed OVER the buckets of a (date_)histogram
+        facet rather than over documents.  `buckets` is the
+        key-ascending output of facet_histogram / facet_date_histogram
+        (or facet_terms_buckets filtered to one outer bucket); `metric`
+        names the column the lag-based pipelines read (doc_count or any
+        metric leaf).  Each requested output adds a column:
 
           derivative      — bucket-over-bucket difference (null for the
                             first bucket, like ES)
@@ -1908,12 +1915,30 @@ class BM25Index:
           moving_avg      — (name, window): mean of the last `window`
                             buckets including the current (ES moving_fn
                             with MovingFunctions.unweightedAvg shape)
+          serial_diff     — (name, lag): value minus the value `lag`
+                            buckets back (null for the first `lag`
+                            buckets, ES serial_diff)
+          bucket_script   — (name, sql_expr): per-bucket arithmetic
+                            over ALREADY-PRESENT bucket columns (ES
+                            bucket_script; the DSL layer substitutes
+                            `params.x` script variables to column names
+                            before it gets here).  Runs after the
+                            lag-based pipelines so it may reference
+                            their outputs.
+          bucket_selector — sql_expr: keep only buckets where the
+                            boolean expression holds (ES drops the
+                            rest); applied after bucket_script.
+          bucket_sort     — ([(col, "asc"|"desc"), ...], from, size):
+                            re-order the bucket list and truncate (ES
+                            bucket_sort; empty sort list = pure
+                            from/size truncation in key order).
 
         Physical note: buckets are already aggregate-sized (thousands,
         not documents), so the single unpartitioned window — which
         Spark routes to one task — is the right plan, not a smell; the
         doc-sized work happened in the facet that produced them."""
-        if not any([derivative, cumulative_sum, moving_avg]):
+        if not any([derivative, cumulative_sum, moving_avg, serial_diff,
+                    bucket_script, bucket_selector, bucket_sort]):
             raise ValueError("request at least one pipeline output")
         w = Window.orderBy(F.asc("key"))
         out = buckets
@@ -1939,7 +1964,76 @@ class BM25Index:
                     w.rowsBetween(-(int(window) - 1), 0)
                 ),
             )
+        if serial_diff:
+            name, lag = serial_diff
+            if int(lag) < 1:
+                raise ValueError("serial_diff lag must be >= 1")
+            out = out.withColumn(
+                name, F.col(metric) - F.lag(metric, int(lag)).over(w)
+            )
+        if bucket_script:
+            # double output like ES painless arithmetic (Spark would
+            # otherwise type `x * 100.0` as decimal via the literal)
+            name, expr = bucket_script
+            out = out.withColumn(name, F.expr(expr).cast("double"))
+        if bucket_selector:
+            out = out.filter(F.expr(bucket_selector))
+        if bucket_sort is not None:
+            keys, frm, size = bucket_sort
+            order = [
+                F.asc(c) if d == "asc" else F.desc(c) for c, d in keys
+            ] or [F.asc("key")]
+            w2 = Window.orderBy(*order)
+            out = out.withColumn("_bs_rn", F.row_number().over(w2))
+            hi = (
+                F.col("_bs_rn") <= int(frm) + int(size)
+                if size is not None
+                else F.lit(True)
+            )
+            out = (
+                out.filter((F.col("_bs_rn") > int(frm)) & hi)
+                .orderBy(F.asc("_bs_rn"))
+                .drop("_bs_rn")
+            )
+            return out
         return out.orderBy(F.asc("key"))
+
+    @staticmethod
+    def sibling_bucket_stats(
+        buckets: DataFrame,
+        metric: str = "doc_count",
+        kind: str = "stats_bucket",
+    ) -> DataFrame:
+        """Sibling pipeline aggregations — ES `avg_bucket` /
+        `sum_bucket` / `min_bucket` / `max_bucket` / `stats_bucket`:
+        ONE value (or stats row) aggregated over the bucket LIST a
+        sibling (date_)histogram/terms agg produced, e.g. "average
+        daily doc_count".  Null metric values are skipped (ES gap
+        policy `skip` — Spark aggregates ignore nulls natively).
+
+        Returns a single-row DataFrame: `value` for the four
+        single-value kinds, (count, min, max, avg, sum) for
+        stats_bucket.  The input is aggregate-sized, so this is a
+        driver-cheap single-row aggregate — the doc-sized work
+        happened in the facet that produced the buckets."""
+        m = F.col(metric)
+        if kind == "stats_bucket":
+            return buckets.agg(
+                F.count(m).alias("count"),
+                F.min(m).alias("min"),
+                F.max(m).alias("max"),
+                F.avg(m).alias("avg"),
+                F.sum(m).alias("sum"),
+            )
+        fn = {
+            "avg_bucket": F.avg,
+            "sum_bucket": F.sum,
+            "min_bucket": F.min,
+            "max_bucket": F.max,
+        }.get(kind)
+        if fn is None:
+            raise ValueError(f"unknown sibling pipeline agg {kind!r}")
+        return buckets.agg(fn(m).alias("value"))
 
     def facet_range(
         self,

@@ -814,39 +814,111 @@ def _agg_context(query: Optional[Dict]) -> Tuple[object, str, Optional[Column]]:
 
 
 _METRIC_AGGS = {"avg", "sum", "min", "max", "value_count"}
-_PIPELINE_AGGS = {"derivative", "cumulative_sum", "moving_fn", "moving_avg"}
+_PIPELINE_AGGS = {
+    "derivative", "cumulative_sum", "moving_fn", "moving_avg",
+    "serial_diff", "bucket_script", "bucket_selector", "bucket_sort",
+}
+_SIBLING_AGGS = {
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+}
 
 
 def _split_pipeline(nested) -> Tuple[Dict, List]:
     """Split a bucketing agg's nested dict into (metric leaves,
-    pipeline nodes).  Pipeline nodes -> (name, kind, buckets_path,
-    window); buckets_path '_count' means doc_count."""
+    pipeline nodes).  Pipeline nodes -> (name, kind, spec) applied in
+    body order; buckets_path '_count' means doc_count."""
     metrics, pipes = {}, []
     for n, v in (nested or {}).items():
         kind, spec = _one_key(v, "nested agg node")
         if kind in _PIPELINE_AGGS:
-            path = spec.get("buckets_path", "_count")
-            pipes.append((n, kind, path, int(spec.get("window", 5))))
+            pipes.append((n, kind, spec))
         else:
             metrics[n] = v
     return metrics, pipes
 
 
+def _path_col(df, path):
+    """Resolve an ES buckets_path onto a bucket-DataFrame column."""
+    metric = "doc_count" if path in ("_count", "doc_count") else path
+    if metric not in df.columns:
+        _unsupported(
+            f"buckets_path {path!r} (no such metric in the bucket "
+            "aggregation)"
+        )
+    return metric
+
+
+def _script_expr(df, spec) -> str:
+    """Lower an ES bucket_script/bucket_selector node's painless
+    arithmetic onto a SQL expression: each buckets_path variable's
+    `params.<var>` occurrences become its bucket column.  The painless
+    subset accepted is exactly what is also valid SQL (+ - * / ( )
+    comparisons && ||); anything leaving `params.` unresolved is
+    refused."""
+    import re as _re
+
+    script = spec.get("script")
+    if not isinstance(script, str):
+        _unsupported("bucket_script/selector without an inline script")
+    paths = spec.get("buckets_path") or {}
+    if not isinstance(paths, dict):
+        _unsupported("bucket_script/selector buckets_path must be a map")
+    expr = script.replace("&&", " AND ").replace("||", " OR ")
+    for var, path in paths.items():
+        expr = _re.sub(
+            rf"params\.{_re.escape(var)}\b", _path_col(df, path), expr
+        )
+    if "params." in expr:
+        _unsupported(f"unresolved script variable in {script!r}")
+    return expr
+
+
 def _apply_pipeline(idx, df, pipes):
-    """Chain bucket_pipeline outputs onto a bucket DataFrame."""
-    for name, kind, path, window in pipes:
-        metric = "doc_count" if path in ("_count", "doc_count") else path
-        if metric not in df.columns:
-            _unsupported(
-                f"buckets_path {path!r} (no such metric in the bucket "
-                "aggregation)"
+    """Chain bucket_pipeline outputs onto a bucket DataFrame, in body
+    order (so a bucket_selector can reference a bucket_script output
+    declared before it, like ES)."""
+    for name, kind, spec in pipes:
+        if kind == "bucket_script":
+            df = idx.bucket_pipeline(
+                df, bucket_script=(name, _script_expr(df, spec))
             )
+            continue
+        if kind == "bucket_selector":
+            df = idx.bucket_pipeline(
+                df, bucket_selector=_script_expr(df, spec)
+            )
+            continue
+        if kind == "bucket_sort":
+            keys = []
+            for s in _as_list(spec.get("sort", [])):
+                col, d = _one_key(s, "bucket_sort sort")
+                if isinstance(d, dict):
+                    d = d.get("order", "asc")
+                keys.append((
+                    _path_col(df, "key" if col == "_key" else col), d
+                ))
+            size = spec.get("size")
+            df = idx.bucket_pipeline(
+                df,
+                bucket_sort=(
+                    keys, int(spec.get("from", 0)),
+                    int(size) if size is not None else None,
+                ),
+            )
+            continue
+        metric = _path_col(df, spec.get("buckets_path", "_count"))
         if kind == "derivative":
             df = idx.bucket_pipeline(df, metric, derivative=name)
         elif kind == "cumulative_sum":
             df = idx.bucket_pipeline(df, metric, cumulative_sum=name)
+        elif kind == "serial_diff":
+            df = idx.bucket_pipeline(
+                df, metric, serial_diff=(name, int(spec.get("lag", 1)))
+            )
         else:  # moving_fn / moving_avg — unweighted average window
-            df = idx.bucket_pipeline(df, metric, moving_avg=(name, window))
+            df = idx.bucket_pipeline(
+                df, metric, moving_avg=(name, int(spec.get("window", 5)))
+            )
     return df
 
 
@@ -1087,7 +1159,12 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
         stats → facet_stats, extended_stats → facet_extended_stats,
         weighted_avg → facet_weighted_avg, histogram/date_histogram →
         facet_(date_)histogram with metric leaves AND pipeline nodes
-        (derivative / cumulative_sum / moving_fn → bucket_pipeline),
+        (derivative / cumulative_sum / moving_fn / serial_diff /
+        bucket_script / bucket_selector / bucket_sort →
+        bucket_pipeline, applied in body order; sibling avg_bucket /
+        sum_bucket / min_bucket / max_bucket / stats_bucket nodes at
+        the body level reference a bucket agg via buckets_path
+        "agg>metric" → sibling_bucket_stats),
         range → facet_range, cardinality → facet_cardinality
         (precision_threshold>0 keeps ES's always-approximate HLL
         semantics), percentiles → facet_percentiles,
@@ -1112,10 +1189,18 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
         _unsupported("body without an aggs section")
     q, mode, predicate = _agg_context(body.get("query"))
     out: Dict[str, object] = {}
+    siblings: List[Tuple[str, str, Dict]] = []
     for name, node in aggs.items():
         sub = dict(node)
         nested = sub.pop("aggs", None) or sub.pop("aggregations", None)
         kind, spec = _one_key(sub, f"agg {name!r}")
+        if kind in _SIBLING_AGGS:
+            # sibling pipeline agg — aggregate OVER another agg's
+            # buckets; resolved after every bucket agg has run
+            if nested:
+                _unsupported(f"sub-aggs under a {kind} agg")
+            siblings.append((name, kind, spec))
+            continue
         if kind == "terms":
             field = spec["field"]
             size = int(spec.get("size", 10))
@@ -1440,6 +1525,22 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             out[name] = execute_es_aggs(idx, {"aggs": nested})
         else:
             _unsupported(f"aggregation type {kind!r}")
+    for name, kind, spec in siblings:
+        path = spec.get("buckets_path")
+        if not isinstance(path, str) or ">" not in path:
+            _unsupported(
+                f"{kind} buckets_path {path!r} (needs 'agg>metric')"
+            )
+        ref, metric_path = path.split(">", 1)
+        src = out.get(ref)
+        if not isinstance(src, DataFrame):
+            _unsupported(
+                f"{kind} buckets_path references {ref!r}, which is not "
+                "a bucket aggregation in this body"
+            )
+        out[name] = idx.sibling_bucket_stats(
+            src, _path_col(src, metric_path), kind
+        )
     return out
 
 

@@ -1089,6 +1089,88 @@ class TestBucketPipeline:
             idx.bucket_pipeline(base)
         with pytest.raises(ValueError):
             idx.bucket_pipeline(base, moving_avg=("m", 0))
+        with pytest.raises(ValueError):
+            idx.bucket_pipeline(base, serial_diff=("s", 0))
+        with pytest.raises(ValueError):
+            idx.sibling_bucket_stats(base, "doc_count", "median_bucket")
+
+
+class TestPipelineExtended:
+    """The remaining ES parent pipeline aggs (serial_diff,
+    bucket_script, bucket_selector, bucket_sort) and the sibling
+    family (avg/sum/min/max/stats_bucket) vs Python recomputation."""
+
+    @pytest.fixture()
+    def base(self, spark, corpus):
+        paths, _, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        df = idx.facet_histogram(QUERIES[0], "doclen", 32.0)
+        return idx, df, [r["doc_count"] for r in df.collect()]
+
+    def test_serial_diff(self, base):
+        idx, df, counts = base
+        out = idx.bucket_pipeline(df, "doc_count",
+                                  serial_diff=("sd", 2)).collect()
+        for i, r in enumerate(out):
+            want = None if i < 2 else counts[i] - counts[i - 2]
+            assert r["sd"] == want
+
+    def test_bucket_script_sees_prior_outputs(self, base):
+        idx, df, counts = base
+        out = idx.bucket_pipeline(
+            df, "doc_count", cumulative_sum="cum",
+            bucket_script=("pct", "doc_count * 100.0 / cum"),
+        ).collect()
+        run = 0
+        for i, r in enumerate(out):
+            run += counts[i]
+            assert abs(r["pct"] - counts[i] * 100.0 / run) < 1e-9
+
+    def test_bucket_selector_drops_buckets(self, base):
+        idx, df, counts = base
+        cut = sorted(counts)[len(counts) // 2]
+        out = idx.bucket_pipeline(
+            df, bucket_selector=f"doc_count >= {cut}"
+        ).collect()
+        assert [r["doc_count"] for r in out] == [
+            c for c in counts if c >= cut
+        ]
+
+    def test_bucket_sort_orders_and_truncates(self, base):
+        idx, df, counts = base
+        rows = [(r["key"], r["doc_count"]) for r in df.collect()]
+        out = idx.bucket_pipeline(
+            df,
+            bucket_sort=([("doc_count", "desc"), ("key", "asc")], 1, 3),
+        ).collect()
+        want = sorted(rows, key=lambda kv: (-kv[1], kv[0]))[1:4]
+        assert [(r["key"], r["doc_count"]) for r in out] == want
+        # empty sort list = pure from/size truncation in key order
+        out2 = idx.bucket_pipeline(df, bucket_sort=([], 0, 2)).collect()
+        assert [(r["key"], r["doc_count"]) for r in out2] == sorted(
+            rows
+        )[:2]
+
+    def test_sibling_bucket_stats(self, base):
+        idx, df, counts = base
+        row = idx.sibling_bucket_stats(
+            df, "doc_count", "stats_bucket"
+        ).collect()[0]
+        assert row["count"] == len(counts)
+        assert row["min"] == min(counts)
+        assert row["max"] == max(counts)
+        assert row["sum"] == sum(counts)
+        assert abs(row["avg"] - sum(counts) / len(counts)) < 1e-9
+        for kind, want in [
+            ("avg_bucket", sum(counts) / len(counts)),
+            ("sum_bucket", sum(counts)),
+            ("min_bucket", min(counts)),
+            ("max_bucket", max(counts)),
+        ]:
+            got = idx.sibling_bucket_stats(
+                df, "doc_count", kind
+            ).collect()[0]["value"]
+            assert abs(got - want) < 1e-9
 
 
 class TestTermsOrder:

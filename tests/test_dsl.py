@@ -386,6 +386,71 @@ class TestAggsLowering:
         # match_all aggs foregrounds are supported (TestMatchAllAggs);
         # formerly refused here
 
+    def test_pipeline_and_sibling_lowering(self, idx):
+        """serial_diff / bucket_script / bucket_selector / bucket_sort
+        nested under a histogram, plus sibling *_bucket aggs at the
+        body level referencing the histogram's buckets."""
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {**self.Q, "aggs": {
+            "hist": {
+                "histogram": {"field": "doclen", "interval": 25},
+                "aggs": {
+                    "sd": {"serial_diff": {"buckets_path": "_count",
+                                           "lag": 2}},
+                    "dbl": {"bucket_script": {
+                        "buckets_path": {"c": "_count"},
+                        "script": "params.c * 2",
+                    }},
+                    "keep": {"bucket_selector": {
+                        "buckets_path": {"c": "_count"},
+                        "script": "params.c >= 2 && params.c >= 1",
+                    }},
+                    "top": {"bucket_sort": {
+                        "sort": [{"_count": {"order": "desc"}},
+                                 {"_key": "asc"}],
+                        "size": 4,
+                    }},
+                },
+            },
+            "avg_daily": {"avg_bucket": {"buckets_path": "hist>_count"}},
+            "tot": {"stats_bucket": {"buckets_path": "hist>_count"}},
+        }}
+        out = execute_es_aggs(idx, body)
+        base = idx.facet_histogram("python tutorial", "doclen", 25)
+        rows_ = [(r["key"], r["doc_count"]) for r in base.collect()]
+        counts = [c for _, c in rows_]
+        kept = [
+            (k, c) for k, c in rows_ if c >= 2
+        ]
+        want = sorted(kept, key=lambda kv: (-kv[1], kv[0]))[:4]
+        got = out["hist"].collect()
+        assert [(r["key"], r["doc_count"]) for r in got] == want
+        for r in got:
+            assert r["dbl"] == r["doc_count"] * 2
+        # sibling aggs aggregate the FULL (pre-pipeline) bucket list?
+        # No — ES resolves buckets_path against the named agg as
+        # written, i.e. after its own pipelines; ours does the same.
+        sib = out["avg_daily"].collect()[0]["value"]
+        want_avg = sum(c for _, c in want) / len(want)
+        assert abs(sib - want_avg) < 1e-9
+        st = out["tot"].collect()[0]
+        assert st["count"] == len(want)
+        assert st["sum"] == sum(c for _, c in want)
+        # validation: bad buckets_path refuses loudly
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, {**self.Q, "aggs": {
+                "s": {"avg_bucket": {"buckets_path": "nope>_count"}}}})
+        with _pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, {**self.Q, "aggs": {
+                "hist": {"histogram": {"field": "doclen",
+                                       "interval": 25},
+                         "aggs": {"b": {"bucket_script": {
+                             "buckets_path": {"c": "_count"},
+                             "script": "params.c + params.missing",
+                         }}}}}})
+
 
 class TestConstantScoreAndIds:
     def test_constant_score(self, idx):
