@@ -2108,6 +2108,166 @@ class BM25Index:
             )
         )
 
+    def facet_date_range(
+        self,
+        query,
+        field: str,
+        ranges: List[Tuple[Optional[str], Optional[str]]],
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Date-range aggregation — the ES `date_range` agg: the range
+        agg's half-open [from, to) buckets over a timestamp field, with
+        bounds given as timestamp strings (ISO `yyyy-MM-dd[ HH:mm:ss]`,
+        the subset Spark's native cast parses; ES date-math like
+        `now-1M/d` is not supported — `now` would break determinism in
+        the data path).  Buckets may overlap, every requested bucket
+        returns (doc_count 0 when empty) in request order, keys use the
+        input strings verbatim in the ES "from-to" convention, and docs
+        with a null timestamp are ignored.
+
+        Physical plan: identical to facet_range — the tiny range list
+        broadcast-theta-joins the matched timestamps (no shuffle of the
+        values), one per-bucket count, zero-fill join back."""
+        empty = self.spark.createDataFrame(
+            [],
+            "key string, range_from timestamp, range_to timestamp, "
+            "doc_count long",
+        )
+        if not ranges:
+            return empty
+
+        rows = [
+            (i, lo, hi, f"{lo or '*'}-{hi or '*'}")
+            for i, (lo, hi) in enumerate(ranges)
+        ]
+        rng = self.spark.createDataFrame(
+            rows, "idx int, range_from string, range_to string, key string"
+        ).select(
+            "idx",
+            # try_cast: an unparseable bound becomes null so the
+            # validation below raises ValueError (ANSI cast would throw
+            # a JVM DateTimeException mid-collect instead)
+            F.col("range_from").try_cast("timestamp").alias("range_from"),
+            F.col("range_to").try_cast("timestamp").alias("range_to"),
+            "key",
+        )
+        # unparseable bounds must refuse loudly, not silently become an
+        # open side (null casts); the range list is tiny — collect it
+        parsed = {r["idx"]: (r["range_from"], r["range_to"])
+                  for r in rng.collect()}
+        for i, (lo, hi) in enumerate(ranges):
+            plo, phi = parsed[i]
+            if (lo is not None and plo is None) or (
+                hi is not None and phi is None
+            ):
+                raise ValueError(
+                    f"unparseable date bound in range {i}: ({lo!r}, {hi!r})"
+                )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            counts = None
+        else:
+            vals = matched.join(
+                self.docs.select(
+                    "doc_id", F.expr(field).cast("timestamp").alias("_v")
+                ),
+                "doc_id",
+            ).filter(F.col("_v").isNotNull())
+            cond = (
+                F.col("range_from").isNull()
+                | (F.col("_v") >= F.col("range_from"))
+            ) & (
+                F.col("range_to").isNull()
+                | (F.col("_v") < F.col("range_to"))
+            )
+            counts = (
+                vals.join(F.broadcast(rng), cond)
+                .groupBy("idx")
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+        out = (
+            rng if counts is None
+            else rng.join(F.broadcast(counts), "idx", "left")
+        )
+        if counts is None:
+            out = out.withColumn("_n", F.lit(None).cast("long"))
+        return (
+            out.orderBy("idx")
+            .select(
+                "key",
+                "range_from",
+                "range_to",
+                F.coalesce(F.col("_n"), F.lit(0)).alias("doc_count"),
+            )
+        )
+
+    # the calendar ladder auto_date_histogram climbs, with the nominal
+    # seconds-per-bucket used to estimate the bucket count of the span
+    _AUTO_INTERVALS = [
+        ("minute", 60),
+        ("hour", 3600),
+        ("day", 86400),
+        ("week", 7 * 86400),
+        ("month", 30 * 86400),
+        ("quarter", 91 * 86400),
+        ("year", 365 * 86400),
+    ]
+
+    def facet_auto_date_histogram(
+        self,
+        query,
+        field: str = "warc_ts",
+        buckets: int = 10,
+        mode: str = "or",
+        predicate=None,
+    ) -> Tuple[DataFrame, str]:
+        """Auto-interval date histogram — the ES `auto_date_histogram`
+        agg: pick the smallest calendar interval from the ladder
+        (minute → hour → day → week → month → quarter → year) whose
+        nominal bucket count over the matched data's [min, max] span is
+        ≤ `buckets`, then bucket with it.  Returns (buckets DataFrame,
+        chosen interval) — ES likewise reports the interval it settled
+        on in the response.  ES's fractional ladder steps (5m, 30m, 3h,
+        …) are not used: pure calendar intervals keep key semantics
+        identical to facet_date_histogram.
+
+        Physical plan: one scalar min/max aggregate over the matched
+        timestamps (ES's shards do the same adaptively while
+        collecting), then the ordinary date_trunc bucket pass — two
+        jobs total, both over the ids-only matched set."""
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
+        matched = self._matched_ids(query, mode, predicate)
+        interval = "year"
+        if matched is not None:
+            ext = (
+                matched.join(
+                    self.docs.select(
+                        "doc_id",
+                        F.expr(field).cast("timestamp").alias("_v"),
+                    ),
+                    "doc_id",
+                )
+                .agg(
+                    F.min("_v").alias("lo"),
+                    F.max("_v").alias("hi"),
+                )
+                .collect()[0]
+            )
+            if ext["lo"] is not None:
+                span = (ext["hi"] - ext["lo"]).total_seconds()
+                for name, secs in self._AUTO_INTERVALS:
+                    if span / secs + 1 <= buckets:
+                        interval = name
+                        break
+        return (
+            self.facet_date_histogram(
+                query, field, interval, mode=mode, predicate=predicate
+            ),
+            interval,
+        )
+
     def facet_percentiles(
         self,
         query,

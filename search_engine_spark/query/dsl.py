@@ -1165,7 +1165,10 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
         sum_bucket / min_bucket / max_bucket / stats_bucket nodes at
         the body level reference a bucket agg via buckets_path
         "agg>metric" → sibling_bucket_stats),
-        range → facet_range, cardinality → facet_cardinality
+        range → facet_range, date_range → facet_date_range,
+        auto_date_histogram → facet_auto_date_histogram (returns
+        {"interval", "buckets"}, like ES reporting the interval it
+        settled on), cardinality → facet_cardinality
         (precision_threshold>0 keeps ES's always-approximate HLL
         semantics), percentiles → facet_percentiles,
         significant_terms / significant_text → significant_terms
@@ -1338,6 +1341,23 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             out[name] = idx.facet_range(
                 q, spec["field"], ranges, mode=mode, predicate=predicate
             )
+        elif kind == "date_range":
+            ranges = [
+                (r.get("from"), r.get("to")) for r in spec["ranges"]
+            ]
+            out[name] = idx.facet_date_range(
+                q, spec["field"], ranges, mode=mode, predicate=predicate
+            )
+        elif kind == "auto_date_histogram":
+            if nested:
+                _unsupported("sub-aggs under an auto_date_histogram agg")
+            df, interval = idx.facet_auto_date_histogram(
+                q, spec["field"],
+                buckets=int(spec.get("buckets", 10)),
+                mode=mode, predicate=predicate,
+            )
+            # ES reports the interval it settled on alongside buckets
+            out[name] = {"interval": interval, "buckets": df}
         elif kind == "cardinality":
             out[name] = idx.facet_cardinality(
                 q, spec["field"], mode=mode, predicate=predicate,

@@ -317,6 +317,109 @@ class TestFacetDateHistogram:
             idx.facet_date_histogram(QUERIES[0], "warc_ts", "fortnight")
 
 
+class TestFacetDateRange:
+    """ES date_range agg: half-open [from, to) timestamp buckets in
+    request order, overlap + zero-fill like the range agg."""
+
+    def _ts_by_doc(self, spark, paths):
+        return {
+            r["doc_id"]: r["warc_ts"]
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", "warc_ts").collect()
+        }
+
+    def test_matches_oracle(self, spark, corpus):
+        from datetime import datetime
+
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        ts_by_doc = self._ts_by_doc(spark, paths)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        tss = sorted(ts_by_doc[d] for d in m)
+        mid = tss[len(tss) // 2].strftime("%Y-%m-%d %H:%M:%S")
+        ranges = [
+            (None, mid),                      # *-mid
+            (mid, None),                      # mid-*
+            ("2000-01-01 00:00:00", mid),     # overlapping
+            (mid, mid),                       # empty [x, x)
+        ]
+        rows = idx.facet_date_range(q, "warc_ts", ranges).collect()
+        mid_dt = datetime.strptime(mid, "%Y-%m-%d %H:%M:%S")
+        lo_dt = datetime(2000, 1, 1)
+
+        def count(lo, hi):
+            return sum(
+                1 for d in m
+                if (lo is None or ts_by_doc[d] >= lo)
+                and (hi is None or ts_by_doc[d] < hi)
+            )
+
+        want = [
+            count(None, mid_dt), count(mid_dt, None),
+            count(lo_dt, mid_dt), 0,
+        ]
+        assert [r["doc_count"] for r in rows] == want
+        assert rows[0]["key"] == f"*-{mid}"
+        assert rows[1]["key"] == f"{mid}-*"
+        assert sum(want[:2]) == len(m)  # the two halves partition m
+
+    def test_bad_bound_refuses(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_date_range(
+                QUERIES[0], "warc_ts", [("now-1M/d", None)]
+            )
+
+    def test_empty_ranges(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.facet_date_range(QUERIES[0], "warc_ts", []).count() == 0
+
+
+class TestAutoDateHistogram:
+    """ES auto_date_histogram: the chosen calendar interval is the
+    smallest ladder step fitting the span into <= `buckets` buckets,
+    and the buckets equal facet_date_histogram at that interval."""
+
+    def test_interval_choice_and_buckets(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        ts = {
+            r["doc_id"]: r["warc_ts"]
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", "warc_ts").collect()
+        }
+        m = _matched(oracle, q)
+        span = (
+            max(ts[d] for d in m) - min(ts[d] for d in m)
+        ).total_seconds()
+        for buckets in (3, 10, 1000):
+            df, interval = idx.facet_auto_date_histogram(
+                q, "warc_ts", buckets=buckets
+            )
+            want_interval = "year"
+            for name, secs in BM25Index._AUTO_INTERVALS:
+                if span / secs + 1 <= buckets:
+                    want_interval = name
+                    break
+            assert interval == want_interval
+            if interval != "year":  # ladder not exhausted → fits
+                assert df.count() <= buckets
+            base = idx.facet_date_histogram(q, "warc_ts", interval)
+            assert [tuple(r) for r in df.collect()] == [
+                tuple(r) for r in base.collect()
+            ]
+
+    def test_validation(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_auto_date_histogram(QUERIES[0], "warc_ts", buckets=0)
+
+
 class TestFacetPercentiles:
     @pytest.mark.parametrize("query", QUERIES)
     def test_exact_matches_numpy(self, spark, corpus, query):

@@ -386,6 +386,32 @@ class TestAggsLowering:
         # match_all aggs foregrounds are supported (TestMatchAllAggs);
         # formerly refused here
 
+    def test_date_range_and_auto_date_histogram_lowering(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {**self.Q, "aggs": {
+            "dr": {"date_range": {"field": "warc_ts", "ranges": [
+                {"to": "2021-01-01"}, {"from": "2021-01-01"},
+            ]}},
+            "auto": {"auto_date_histogram": {"field": "warc_ts",
+                                             "buckets": 5}},
+        }}
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_date_range(
+            "python tutorial", "warc_ts",
+            [(None, "2021-01-01"), ("2021-01-01", None)],
+        )
+        assert [tuple(r) for r in out["dr"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+        wdf, winterval = idx.facet_auto_date_histogram(
+            "python tutorial", "warc_ts", buckets=5
+        )
+        assert out["auto"]["interval"] == winterval
+        assert [tuple(r) for r in out["auto"]["buckets"].collect()] == [
+            tuple(r) for r in wdf.collect()
+        ]
+
     def test_pipeline_and_sibling_lowering(self, idx):
         """serial_diff / bucket_script / bucket_selector / bucket_sort
         nested under a histogram, plus sibling *_bucket aggs at the
