@@ -1783,6 +1783,142 @@ SELECT node_id, depth, wave FROM (
 ORDER BY wave, node_id"""
 
 
+# ---- pretraining-corpus filters: Gopher rules, PII, C4 lines, line dedup --
+
+
+def _q_gopher_rules(spark, sf_dir):
+    return T.gopher_rules(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", min_words=20
+    ).withColumnRenamed("id", "doc_id")
+
+
+_GOPHER_SW_SQL = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+
+_SQL_GOPHER = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
+    list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS l
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    round(CASE WHEN len(w) > 0
+          THEN list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w)
+          ELSE 0.0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(w) > 0
+          THEN len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE / len(w)
+          ELSE 0.0 END, 6) AS symbol_ratio,
+    round(CASE WHEN len(l) > 0
+          THEN len(list_filter(l, x -> regexp_matches(trim(x), '^[-*•]')))::DOUBLE / len(l)
+          ELSE 0.0 END, 6) AS bullet_ratio,
+    round(CASE WHEN len(l) > 0
+          THEN len(list_filter(l, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))::DOUBLE / len(l)
+          ELSE 0.0 END, 6) AS ellipsis_ratio,
+    round(CASE WHEN len(w) > 0
+          THEN len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / len(w)
+          ELSE 0.0 END, 6) AS alpha_ratio,
+    len(list_intersect(list_distinct(w), [{_GOPHER_SW_SQL}])) AS stop_hits
+  FROM base)
+SELECT doc_id, n_words::BIGINT AS n_words, mean_word_len, symbol_ratio,
+  bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits::BIGINT AS stop_hits,
+  (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+  (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+  (bullet_ratio <= 0.9) AS rule_bullet_ratio,
+  (ellipsis_ratio <= 0.3) AS rule_ellipsis_ratio,
+  (alpha_ratio >= 0.8) AS rule_alpha_ratio,
+  (stop_hits >= 2) AS rule_stopwords,
+  ((n_words >= 20 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (bullet_ratio <= 0.9)
+   AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+   AND (stop_hits >= 2)) AS passes_gopher
+FROM feat"""
+
+
+def _q_pii_stats(spark, sf_dir):
+    return T.pii_stats(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+_SQL_PII = f"""
+WITH r1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '{T.PII_EMAIL}')) AS n_emails,
+    regexp_replace(text, '{T.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+r2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(t1, '{T.PII_IPV4}')) AS n_ips,
+    regexp_replace(t1, '{T.PII_IPV4}', '<IP>', 'g') AS t2
+  FROM r1)
+SELECT doc_id, n_emails::BIGINT AS n_emails, n_ips::BIGINT AS n_ips,
+  len(regexp_extract_all(t2, '{T.PII_PHONE}'))::BIGINT AS n_phones,
+  regexp_replace(t2, '{T.PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM r2"""
+
+
+def _q_c4_line_stats(spark, sf_dir):
+    return T.c4_line_stats(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+_SQL_C4_LINES = """
+WITH base AS (
+  SELECT doc_id, lower(text) AS low,
+    list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS l
+  FROM documents),
+kept AS (
+  SELECT doc_id,
+    list_filter(l, x ->
+      regexp_matches(trim(x), '[.!?"'']$')
+      AND len(string_split_regex(trim(regexp_replace(trim(x), '\\s+', ' ', 'g')), ' ')) >= 3
+      AND NOT contains(lower(trim(x)), 'javascript')) AS k,
+    len(l) AS n_lines, low
+  FROM base)
+SELECT doc_id, n_lines::BIGINT AS n_lines, len(k)::BIGINT AS n_kept,
+  round(CASE WHEN n_lines > 0 THEN len(k)::DOUBLE / n_lines ELSE 0.0 END, 6)
+    AS kept_ratio,
+  coalesce(array_to_string(list_transform(k, x -> trim(x)), chr(10)), '')
+    AS clean_text,
+  contains(low, 'lorem ipsum') AS has_lorem_ipsum,
+  contains(low, '{') AS has_brace
+FROM kept"""
+
+
+def _q_line_dedup(spark, sf_dir):
+    return D.line_dedup(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    ).withColumnRenamed("id", "doc_id")
+
+
+_SQL_LINE_DEDUP = """
+WITH ex AS (
+  SELECT doc_id, unnest(lines) AS line, unnest(range(len(lines))) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents)),
+nb AS (
+  SELECT doc_id, pos, trim(line) AS line FROM ex
+  WHERE length(trim(line)) > 0),
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM nb),
+stats AS (SELECT doc_id, count(*) AS n_lines FROM nb GROUP BY doc_id),
+keep AS (
+  SELECT doc_id, count(*) AS n_kept,
+    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM win WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(s.n_lines, 0)::BIGINT AS n_lines,
+  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+  coalesce(k.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN stats s USING (doc_id)
+LEFT JOIN keep k USING (doc_id)"""
+
+
 # ---- quality scoring (training-data text analysis) ------------------------
 
 
@@ -4149,6 +4285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs_waves": _q_crawl_bfs_waves,
         # quality + near-dup (training-data ops)
         "quality_scores": _q_quality,
+        "gopher_rules": _q_gopher_rules,
+        "pii_stats": _q_pii_stats,
+        "c4_line_stats": _q_c4_line_stats,
+        "line_dedup": _q_line_dedup,
         "near_dup_pairs": _q_near_dup,
         "dedup_components": _q_dedup_components,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -4247,6 +4387,10 @@ def oracle_sql() -> dict[str, str]:
         "frontier_pop": _sql_frontier_pop(),
         "crawl_bfs_waves": _SQL_CRAWL_BFS,
         "quality_scores": _SQL_QUALITY,
+        "gopher_rules": _SQL_GOPHER,
+        "pii_stats": _SQL_PII,
+        "c4_line_stats": _SQL_C4_LINES,
+        "line_dedup": _SQL_LINE_DEDUP,
         "near_dup_pairs": _sql_near_dup(),
         "dedup_components": _sql_dedup_components(),
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,

@@ -364,3 +364,77 @@ def embedding_near_dup_pairs_lsh(
         )
         out = pairs if out is None else out.unionByName(pairs)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-level exact LINE dedup: each distinct nonblank line
+# survives only at its first occurrence (by id, then line position)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-level exact line deduplication — the C4 move (Raffel et
+    al. 2020 §2.2 dedups three-sentence spans; lines are the
+    newline-delimited analogue): every distinct nonblank line is kept
+    ONLY in the document where it first occurs (ordered by id, then
+    line position), so boilerplate repeated across pages — nav bars,
+    cookie banners, footers — survives exactly once in the corpus.
+
+    Returns one row per input doc (id, n_lines, n_kept, clean_text):
+    nonblank line count, surviving count, and the text reassembled
+    from surviving lines in original order; a doc with no nonblank
+    lines, or none surviving, comes back as (0-or-n, 0, "").
+
+    Physical plan, sized for 100 TB: lines posexplode to (id, pos,
+    line); the first-occurrence winner per line is ONE
+    groupBy(line).agg(min(struct(id, pos))) — partial aggregation
+    collapses hot boilerplate lines map-side, so a line appearing in
+    100M docs costs its partition one row, NOT a 100M-row window sort
+    (the row_number-over-line formulation would skew exactly there);
+    winners semi-join back (shuffle keyed on the same line column —
+    one exchange reused), then one groupBy(id) reassembles.  Blank
+    lines are dropped before the explode so they never shuffle."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.length("line") > 0)
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    ).select(
+        "line",
+        F.col("first.id").alias("id"),
+        F.col("first.pos").alias("pos"),
+    )
+    kept = lines.join(winners, ["line", "id", "pos"], "left_semi")
+    ids = df.select(F.col(id_col).alias("id"))
+    stats = lines.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        ids.join(stats, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -403,3 +403,206 @@ def lm_quality_from_index(
     return lm_quality(
         docs, sh, ug, int(corpus["total_tokens"]), **kwargs
     )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-corpus filters: Gopher rule battery, C4 line rules, PII
+# ---------------------------------------------------------------------------
+
+# the pinned "required word" set of Gopher's stop-word rule (Rae et al.
+# 2021 §A1.1: a doc must contain >= 2 of these 8 function words)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 §A1.1) — the
+    document-shape filters pretraining pipelines run before content
+    filters.  Per doc: the measured features, one boolean per rule, and
+    `passes_gopher` = AND of all rules.  Thresholds are the paper's
+    defaults, overridable per corpus.
+
+      n_words            whitespace word count in [min_words, max_words]
+      mean_word_len      in [min_mean_word_len, max_mean_word_len]
+      symbol_ratio       ('#' or ellipsis occurrences) / n_words <= max
+      bullet_ratio       lines starting with a bullet <= max
+      ellipsis_ratio     lines ending in an ellipsis <= max
+      alpha_ratio        words containing >= 1 alphabetic char >= min
+      stop_hits          distinct GOPHER_STOPWORDS present >= min
+
+    All native column expressions (one projection chain, zero Python in
+    the row path, embarrassingly parallel — no shuffle at any scale);
+    the DuckDB-SQL twin lives in the driver contract."""
+    text = F.col("_t")
+    words = F.col("_w")
+    lines = F.col("_l")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double") / n_words,
+    ).otherwise(0.0)
+    n_sym = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = F.when(
+        n_words > 0, n_sym.cast("double") / n_words
+    ).otherwise(0.0)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    bullet_ratio = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines
+    ).otherwise(0.0)
+    n_ell = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    ellipsis_ratio = F.when(
+        n_lines > 0, n_ell.cast("double") / n_lines
+    ).otherwise(0.0)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words
+    ).otherwise(0.0)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(words), stop_arr))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        _words_col(F.col(text_col)).alias("_w"),
+        F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda l: F.length(F.trim(l)) > 0,
+        ).alias("_l"),
+    )
+    feats = base.select(
+        "id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    rules = {
+        "rule_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "rule_bullet_ratio": F.col("bullet_ratio") <= max_bullet_ratio,
+        "rule_ellipsis_ratio": F.col("ellipsis_ratio") <= max_ellipsis_ratio,
+        "rule_alpha_ratio": F.col("alpha_ratio") >= min_alpha_ratio,
+        "rule_stopwords": F.col("stop_hits") >= min_stop_hits,
+    }
+    out = feats
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else passes & F.col(name)
+    return out.withColumn("passes_gopher", passes)
+
+
+# PII patterns — pinned to the RE2 ∩ Java-regex common subset so the
+# Spark expressions and the DuckDB oracle share them verbatim
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9 ()\-]{6,}[0-9]"
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction for training-data scrubbing: count
+    emails / IPv4 addresses / phone-shaped digit runs per doc and emit
+    `redacted` text with each match replaced by its <EMAIL>/<IP>/<PHONE>
+    placeholder.  Redaction order is email → ip → phone, so a digit
+    run inside an already-redacted match is not double-counted.
+
+    Regexes are pinned in the RE2 ∩ Java common subset (no lookaround,
+    no backrefs) so the DuckDB oracle runs them verbatim.  Native
+    regexp_count/regexp_replace, zero Python, no shuffle."""
+    text = F.col(text_col)
+    n_email = F.regexp_count(text, F.lit(PII_EMAIL))
+    red1 = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(red1, F.lit(PII_IPV4))
+    red2 = F.regexp_replace(red1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(red2, F.lit(PII_PHONE))
+    red3 = F.regexp_replace(red2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_phone.cast("long").alias("n_phones"),
+        red3.alias("redacted"),
+    )
+
+
+def c4_line_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_words: int = 3,
+) -> DataFrame:
+    """C4-style line rules (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation (. ! ? " ') AND have at least
+    `min_line_words` words AND don't mention "javascript"; flag docs
+    containing "lorem ipsum" or a curly brace for whole-doc removal.
+    Per doc: n_lines (nonblank), n_kept, kept_ratio, the reassembled
+    `clean_text` (kept lines joined by newlines, original order), and
+    the two doc-level flags.
+
+    One projection over the line array — native split/filter/trim,
+    zero Python, no shuffle."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: F.length(F.trim(l)) > 0,
+    )
+    low = F.lower(F.col(text_col))
+
+    def _keep(l):
+        t = F.trim(l)
+        words = F.split(F.trim(F.regexp_replace(t, r"\s+", " ")), " ")
+        return (
+            t.rlike("[.!?\"']$")
+            & (F.size(words) >= min_line_words)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        lines.alias("_l"),
+        low.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        low.contains("{").alias("has_brace"),
+    )
+    kept = F.filter(F.col("_l"), _keep)
+    n_lines = F.size(F.col("_l"))
+    n_kept = F.size(kept)
+    return base.select(
+        "id",
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        F.round(
+            F.when(n_lines > 0, n_kept.cast("double") / n_lines)
+            .otherwise(0.0),
+            6,
+        ).alias("kept_ratio"),
+        F.array_join(
+            F.transform(kept, lambda l: F.trim(l)), "\n"
+        ).alias("clean_text"),
+        "has_lorem_ipsum",
+        "has_brace",
+    )

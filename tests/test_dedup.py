@@ -76,3 +76,45 @@ def test_minhash_dedup_all_distinct_is_identity(spark):
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     assert D.minhash_dedup(df, "doc_id", "text").count() == 4
+
+
+class TestLineDedup:
+    """C4-style corpus-level exact line dedup: a distinct line survives
+    only at its first (id, pos) occurrence — vs a Python oracle."""
+
+    def test_first_occurrence_wins(self, spark):
+        from search_engine_spark.ops.dedup import line_dedup
+
+        rows = [
+            (1, "unique one.\nCookie banner text\nbody of doc one."),
+            (2, "Cookie banner text\nbody of doc two.\nFooter line"),
+            (3, "Footer line\nCookie banner text\nunique three."),
+            (4, "   \n\n"),                      # only blank lines
+            (5, "repeated inside\nrepeated inside\nunique five."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: r for r in line_dedup(df, "doc_id", "text").collect()
+        }
+        # python oracle
+        seen, want = set(), {}
+        for doc_id, text in rows:
+            lines = [l.strip() for l in text.split("\n") if l.strip()]
+            kept = []
+            for l in lines:
+                if l not in seen:
+                    seen.add(l)
+                    kept.append(l)
+            want[doc_id] = (len(lines), len(kept), "\n".join(kept))
+        assert set(out) == {r[0] for r in rows}  # every doc kept
+        for doc_id, (n_lines, n_kept, clean) in want.items():
+            r = out[doc_id]
+            assert r["n_lines"] == n_lines
+            assert r["n_kept"] == n_kept
+            assert r["clean_text"] == clean
+        # the shared banner survives exactly once, in doc 1
+        all_clean = "\n".join(v[2] for v in want.values())
+        assert all_clean.count("Cookie banner text") == 1
+        assert "Cookie banner text" in want[1][2]
+        # within-doc repeats collapse too
+        assert want[5][2].count("repeated inside") == 1

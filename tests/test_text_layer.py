@@ -341,3 +341,131 @@ class TestLMQuality:
             for r in lm_quality_from_index(spark, probe, root).collect()
         }
         assert rows["fluent"] < rows["gibberish"]
+
+
+class TestGopherRules:
+    """Gopher rule battery (Rae et al. 2021 A1.1) vs per-rule Python
+    recomputation on hand-built docs."""
+
+    def _df(self, spark):
+        good = (
+            "the data pipeline loads records and that process is "
+            "careful to have consistent output with every run . "
+        ) * 5  # ~90 words of plain prose with required stopwords
+        rows = [
+            (1, good),
+            (2, "tiny doc"),                            # word count
+            (3, "the " + "# " * 60 + "of that have with be to and"),
+            (4, "- one bullet line\n- two bullet line\n"
+                "- three bullet line"),                 # all bullets
+            (5, "zzz qqq www eee rrr " * 20),           # no stopwords
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_rules_and_features(self, spark):
+        from search_engine_spark.ops.textstats import (
+            GOPHER_STOPWORDS,
+            gopher_rules,
+        )
+
+        df = self._df(spark)
+        out = {
+            r["id"]: r.asDict()
+            for r in gopher_rules(
+                df, "doc_id", "text", min_words=20, max_bullet_ratio=0.5
+            ).collect()
+        }
+        import re
+
+        for doc_id, text in [(r[0], r[1]) for r in self._df(spark).collect()]:
+            words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            lines = [l for l in text.split("\n") if l.strip()]
+            r = out[doc_id]
+            assert r["n_words"] == len(words)
+            assert abs(
+                r["mean_word_len"]
+                - sum(len(w) for w in words) / len(words)
+            ) < 1e-5
+            n_sym = len(re.findall(r"#|\.\.\.|…", text))
+            assert abs(r["symbol_ratio"] - n_sym / len(words)) < 1e-5
+            n_b = sum(
+                1 for l in lines if re.match(r"^[-*•]", l.strip())
+            )
+            assert abs(r["bullet_ratio"] - n_b / len(lines)) < 1e-5
+            hits = len(set(words) & set(GOPHER_STOPWORDS))
+            assert r["stop_hits"] == hits
+            assert r["rule_stopwords"] == (hits >= 2)
+        assert out[1]["passes_gopher"] is True
+        assert out[2]["rule_word_count"] is False
+        assert out[3]["rule_symbol_ratio"] is False
+        assert out[4]["rule_bullet_ratio"] is False
+        assert out[5]["rule_stopwords"] is False
+        for d in (2, 3, 4, 5):
+            assert out[d]["passes_gopher"] is False
+
+
+class TestPiiStats:
+    def test_counts_and_redaction(self, spark):
+        from search_engine_spark.ops.textstats import pii_stats
+
+        rows = [
+            (1, "mail me at jo.doe+x@example.co.uk or admin@test.org"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 port 8080"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text with no pii at all"),
+            (5, "mixed: a@b.io from 8.8.8.8 ring 555-123-9999 now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: r for r in pii_stats(df, "doc_id", "text").collect()
+        }
+        assert out[1]["n_emails"] == 2 and "<EMAIL>" in out[1]["redacted"]
+        assert "example.co.uk" not in out[1]["redacted"]
+        assert out[2]["n_ips"] == 2 and out[2]["n_emails"] == 0
+        assert out[2]["redacted"].count("<IP>") == 2
+        assert out[3]["n_phones"] == 1
+        assert out[3]["redacted"] == "call <PHONE> today"
+        assert (
+            out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 0
+        )
+        assert out[4]["redacted"] == rows[3][1]
+        r5 = out[5]
+        assert (r5["n_emails"], r5["n_ips"], r5["n_phones"]) == (1, 1, 1)
+        assert r5["redacted"] == "mixed: <EMAIL> from <IP> ring <PHONE> now"
+
+
+class TestC4LineStats:
+    def test_line_rules_and_flags(self, spark):
+        from search_engine_spark.ops.textstats import c4_line_stats
+
+        text = "\n".join([
+            "This is a proper sentence.",          # kept
+            "short.",                              # < 3 words
+            "No terminal punctuation here",        # no punct
+            "Please enable javascript to view.",   # javascript
+            "  Another good line stays here!  ",   # kept (trimmed)
+            "",                                    # blank: not counted
+            'He said "quote."',                    # kept (quote end)
+        ])
+        rows = [
+            (1, text),
+            (2, "Lorem ipsum dolor sit amet."),
+            (3, "code { margin: 0; } is css."),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["id"]: r
+            for r in c4_line_stats(df, "doc_id", "text").collect()
+        }
+        assert out[1]["n_lines"] == 6
+        assert out[1]["n_kept"] == 3
+        assert out[1]["clean_text"] == (
+            "This is a proper sentence.\n"
+            "Another good line stays here!\n"
+            'He said "quote."'
+        )
+        assert not out[1]["has_lorem_ipsum"] and not out[1]["has_brace"]
+        assert out[2]["has_lorem_ipsum"] is True
+        assert out[3]["has_brace"] is True
+        assert out[4]["n_lines"] == 0 and out[4]["clean_text"] == ""
