@@ -286,6 +286,78 @@ SELECT doc_id, round(_s, 6) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+def _q_terms_set_topk(spark, sf_dir):
+    """ES terms_set query (BM25Index.search_terms_set): docs matching
+    at least M of the query terms with M read per doc (here
+    1 + doc_id % 3), scored as the bool-should BM25 sum."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    return (
+        _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS)
+        .filter(F.col("_nt") >= 1 + F.pmod(F.col("doc_id"), F.lit(3)))
+        .select("doc_id", F.round(F.col("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_TERMS_SET = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)}
+SELECT doc_id, round(_s, 6) AS score FROM scored
+WHERE _nt >= 1 + doc_id % 3
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+def _q_matrix_stats(spark, sf_dir):
+    """ES matrix_stats agg shape (BM25Index.facet_matrix_stats): one
+    single-row aggregate computing every pairwise covariance (n-1) and
+    correlation natively, unpivoted to pair rows."""
+    docs = _read(spark, sf_dir, "documents")
+    xs = docs.select(
+        F.col("n_chars").cast("double").alias("a"),
+        F.pmod(F.col("doc_id"), F.lit(13)).cast("double").alias("b"),
+    )
+    one = xs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("a").alias("ma"), F.avg("b").alias("mb"),
+        F.var_samp("a").alias("va"), F.var_samp("b").alias("vb"),
+        F.covar_samp("a", "b").alias("cab"),
+        F.corr("a", "b").alias("rab"),
+    )
+    mk = lambda fa, fb, m1, m2, cov, cor: F.struct(  # noqa: E731
+        F.lit(fa).alias("field_a"), F.lit(fb).alias("field_b"),
+        F.col("n").cast("long").alias("doc_count"),
+        F.round(F.col(m1), 6).alias("mean_a"),
+        F.round(F.col(m2), 6).alias("mean_b"),
+        F.round(F.col(cov), 6).alias("covariance"),
+        F.round(cor, 6).alias("correlation"),
+    )
+    return one.select(F.inline(F.array(
+        mk("n_chars", "n_chars", "ma", "ma", "va", F.lit(1.0)),
+        mk("n_chars", "docmod13", "ma", "mb", "cab", F.col("rab")),
+        mk("docmod13", "docmod13", "mb", "mb", "vb", F.lit(1.0)),
+    )))
+
+
+_SQL_MATRIX_STATS = """
+WITH xs AS (
+  SELECT n_chars::DOUBLE AS a, (doc_id % 13)::DOUBLE AS b FROM documents),
+agg AS (
+  SELECT count(*) AS n, avg(a) AS ma, avg(b) AS mb,
+         var_samp(a) AS va, var_samp(b) AS vb,
+         covar_samp(a, b) AS cab, corr(a, b) AS rab
+  FROM xs)
+SELECT 'n_chars' AS field_a, 'n_chars' AS field_b, n::BIGINT AS doc_count,
+       round(ma, 6) AS mean_a, round(ma, 6) AS mean_b,
+       round(va, 6) AS covariance, round(1.0, 6) AS correlation FROM agg
+UNION ALL
+SELECT 'n_chars', 'docmod13', n::BIGINT, round(ma, 6), round(mb, 6),
+       round(cab, 6), round(rab, 6) FROM agg
+UNION ALL
+SELECT 'docmod13', 'docmod13', n::BIGINT, round(mb, 6), round(mb, 6),
+       round(vb, 6), round(1.0, 6) FROM agg"""
+
+
 def _q_filtered_bm25_topk(spark, sf_dir):
     """Filter-context BM25 (ES bool query + filter clause — the shape
     BM25Index.search_filtered executes): scores use FULL-corpus stats
@@ -4227,6 +4299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_rare_terms": _q_facet_rare_terms,
         "lm_perplexity": _q_lm_perplexity,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
+        "terms_set_topk": _q_terms_set_topk,
+        "matrix_stats": _q_matrix_stats,
         "facet_source_counts": _q_facet_source_counts,
         "facet_terms_metrics": _q_facet_terms_metrics,
         "facet_terms_buckets": _q_facet_terms_buckets,
@@ -4337,6 +4411,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_rare_terms": _SQL_RARE_TERMS,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "filtered_bm25_topk": _SQL_FILTERED_BM25,
+        "terms_set_topk": _SQL_TERMS_SET,
+        "matrix_stats": _SQL_MATRIX_STATS,
         "facet_source_counts": _SQL_FACET_SOURCE,
         "facet_terms_metrics": _SQL_FACET_TERMS_METRICS,
         "facet_terms_buckets": _SQL_FACET_TERMS_BUCKETS,

@@ -337,6 +337,44 @@ def _decode_tf_rows():
     return run
 
 
+_TERM_TF_ROWS_SCHEMA = "term string, doc_id long, tf long"
+
+
+def _decode_term_tf_rows():
+    """mapInPandas body: posting blocks -> raw (term, doc_id, tf) rows.
+
+    combined_fields sums FIELD-WEIGHTED tf across a term's field
+    variants before BM25 saturation (Lucene CombinedFieldQuery), so
+    blocks must surface raw per-term tf; doclens stay encoded — the
+    combined norm comes from the docs table instead."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out: List[np.ndarray] = []
+            ids_out: List[np.ndarray] = []
+            tf_out: List[np.ndarray] = []
+            for t, n, ids_b, tfs_b in zip(
+                pdf["term"], pdf["count"], pdf["doc_ids"], pdf["tfs"]
+            ):
+                n = int(n)
+                gaps = varint_decode(bytes(ids_b), n)
+                ids_out.append(
+                    np.cumsum(gaps, dtype=np.uint64).astype(np.int64)
+                )
+                tf_out.append(varint_decode(bytes(tfs_b), n).astype(np.int64))
+                terms_out.append(np.repeat(t, n))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_out),
+                        "doc_id": np.concatenate(ids_out),
+                        "tf": np.concatenate(tf_out),
+                    }
+                )
+
+    return run
+
+
 def _decode_term_vectors(cand: np.ndarray, with_positions: bool):
     """mapInPandas body: posting blocks -> (doc_id, term, tf
     [, positions]) rows restricted to the requested doc ids — the
@@ -1673,6 +1711,83 @@ class BM25Index:
             F.max("_v").alias("max"),
             F.avg("_v").alias("avg"),
             F.sum("_v").alias("sum"),
+        )
+
+    def facet_matrix_stats(
+        self,
+        query,
+        fields: List[str],
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Matrix-stats aggregation — the ES `matrix_stats` agg:
+        pairwise covariance and correlation (plus per-side means and
+        the diagonal's variance) over numeric docs-table fields for
+        the matched docs.  Like ES, a doc missing ANY of the fields is
+        excluded from the whole matrix, covariance is the unbiased
+        (n-1) estimate, and the diagonal reports variance with
+        correlation 1.  Returns one row per ordered-unique pair
+        (field_a <= field_b in request order): (field_a, field_b,
+        doc_count, mean_a, mean_b, covariance, correlation).
+
+        Physical plan: the matched-ids ⋈ docs join carries only the
+        requested columns; ALL pairs compute in ONE single-row partial
+        aggregate (covar_samp/corr are native), unpivoted to pair rows
+        by an inline explode over an aggregate-sized array — the same
+        one-pass shape as facet_filters."""
+        if not fields:
+            raise ValueError("matrix_stats needs at least one field")
+        empty = self.spark.createDataFrame(
+            [],
+            "field_a string, field_b string, doc_count long, "
+            "mean_a double, mean_b double, covariance double, "
+            "correlation double",
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        cols = {f: f"_f{i}" for i, f in enumerate(fields)}
+        vals = self.docs.select(
+            "doc_id",
+            *[F.expr(f).cast("double").alias(a) for f, a in cols.items()],
+        )
+        rows = matched.join(vals, "doc_id")
+        nn = None
+        for a in cols.values():
+            c = F.col(a).isNotNull()
+            nn = c if nn is None else nn & c
+        rows = rows.filter(nn)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for f, a in cols.items():
+            aggs.append(F.avg(a).alias(f"_m_{a}"))
+        pairs = []
+        for i, fa in enumerate(fields):
+            for fb in fields[i:]:
+                ca, cb = cols[fa], cols[fb]
+                aggs.append(F.covar_samp(ca, cb).alias(f"_cov_{ca}_{cb}"))
+                pairs.append((fa, fb, ca, cb))
+                if fa == fb:
+                    continue
+                aggs.append(F.corr(ca, cb).alias(f"_cor_{ca}_{cb}"))
+        one = rows.agg(*aggs)
+        structs = []
+        for fa, fb, ca, cb in pairs:
+            corr = (
+                F.lit(1.0) if ca == cb else F.col(f"_cor_{ca}_{cb}")
+            )
+            structs.append(
+                F.struct(
+                    F.lit(fa).alias("field_a"),
+                    F.lit(fb).alias("field_b"),
+                    F.col("_n").cast("long").alias("doc_count"),
+                    F.col(f"_m_{ca}").alias("mean_a"),
+                    F.col(f"_m_{cb}").alias("mean_b"),
+                    F.col(f"_cov_{ca}_{cb}").alias("covariance"),
+                    corr.alias("correlation"),
+                )
+            )
+        return one.select(
+            F.inline(F.array(*structs))
         )
 
     def facet_top_metrics(
@@ -3875,6 +3990,205 @@ class BM25Index:
         )
         scored = self._drop_tombstones(scored)
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
+
+    def search_combined_fields(
+        self,
+        query: str,
+        k: int = 10,
+        weights: Optional[Dict[str, float]] = None,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Multi-field combined_fields BM25 — the ES `combined_fields`
+        query (Lucene CombinedFieldQuery / BM25F "simple" variant):
+        the fields score as if merged into ONE synthetic field —
+
+          tf_c(d, t)  = Σ_f  w_f · tf_f(d, t)
+          dl_c(d)     = Σ_f  w_f · dl_f(d)
+          avgdl_c     = Σ_f  w_f · avgdl_f   (mean is linear)
+          df(t)       = max over fields (the BlendedTermQuery stat)
+          score(d)    = Σ_t idf(t) · sat(tf_c, dl_c, avgdl_c)
+
+        versus cross_fields, which keeps per-field saturation and
+        dis_maxes them: combined_fields saturates ONCE on the pooled
+        tf, so two mentions split across title and body count like two
+        mentions in one field.  ES requires weights >= 1; we accept
+        any positive weight.
+
+        Physical plan: the query terms' field-namespaced postings
+        decode to raw (term, doc_id, tf) rows (one mapInPandas over
+        the pruned buckets — doclens stay encoded, the combined norm
+        does NOT come from postings), one groupBy(doc_id, base) pools
+        the weighted tf, and the candidate set joins the docs table
+        where dl_c is computed natively from the stored title /
+        description strings (tokenized only for surviving join rows —
+        column-pruned scan, work ∝ candidates, not corpus).
+        Exhaustive over the query terms' df like cross_fields: a
+        pooled-tf upper bound would need every field's block max
+        simultaneously, which the per-field blocks can't provide."""
+        weights = weights or {
+            "content": 1.0, "title": 1.0, "description": 1.0
+        }
+        from search_engine_spark.index.builder import FIELD_PREFIX
+        from search_engine_spark.index.scoring import B, K1
+        from search_engine_spark.text.tokenizer import tokens_col
+
+        bad = sorted(set(weights) - set(FIELD_PREFIX))
+        if bad:
+            raise ValueError(f"unknown combined_fields fields: {bad}")
+        if any(w <= 0 for w in weights.values()):
+            raise ValueError("combined_fields weights must be positive")
+        avgdl_by_field = self._field_avgdl()
+        base_terms = sorted(set(tokenize_py(query)))
+        want: Dict[str, Tuple[str, str]] = {}
+        for f in weights:
+            for t in base_terms:
+                want[FIELD_PREFIX[f] + t] = (f, t)
+        stats = self._query_stats(sorted(want))
+        live = sorted(t for t in want if t in stats)
+        if not live or k <= 0:
+            return self._empty_scored(join_docs)
+        df_blended: Dict[str, int] = {}
+        for t in live:
+            base = want[t][1]
+            df_blended[base] = max(df_blended.get(base, 0), stats[t][0])
+        idf_by_base = {
+            b: idf_py(self.n_docs, df) for b, df in df_blended.items()
+        }
+        avgdl_c = sum(
+            w * avgdl_by_field[f] for f, w in weights.items()
+        )
+        buckets = sorted({stats[t][2] for t in live})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(live)
+        )
+        rows = blocks.select("term", "count", "doc_ids", "tfs").mapInPandas(
+            _decode_term_tf_rows(), schema=_TERM_TF_ROWS_SCHEMA
+        )
+        weight_map = F.create_map(
+            *[
+                x
+                for t in live
+                for x in (F.lit(t), F.lit(float(weights[want[t][0]])))
+            ]
+        )
+        base_map = F.create_map(
+            *[x for t in live for x in (F.lit(t), F.lit(want[t][1]))]
+        )
+        pooled = (
+            rows.withColumn("wtf", F.col("tf") * weight_map[F.col("term")])
+            .withColumn("base", base_map[F.col("term")])
+            .groupBy("doc_id", "base")
+            .agg(F.sum("wtf").alias("tfc"))
+        )
+        dl_terms = []
+        for f, w in weights.items():
+            if f == "content":
+                dl_terms.append(F.lit(float(w)) * F.col("doclen"))
+            else:
+                dl_terms.append(
+                    F.lit(float(w))
+                    * F.size(tokens_col(F.coalesce(F.col(f), F.lit(""))))
+                )
+        dlc_expr = dl_terms[0]
+        for t in dl_terms[1:]:
+            dlc_expr = dlc_expr + t
+        docs_dl = self.docs.select("doc_id", dlc_expr.alias("dlc"))
+        idf_map = F.create_map(
+            *[
+                x
+                for b, v in idf_by_base.items()
+                for x in (F.lit(b), F.lit(float(v)))
+            ]
+        )
+        sat = (
+            F.col("tfc")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tfc")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dlc") / F.lit(float(avgdl_c))
+                )
+            )
+        )
+        scored = (
+            pooled.join(docs_dl, "doc_id")
+            .withColumn("tscore", idf_map[F.col("base")] * sat)
+            .groupBy("doc_id")
+            .agg(F.sum("tscore").alias("score"))
+        )
+        scored = self._drop_tombstones(scored)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if not join_docs:
+            return topk
+        return self._join_docs(topk)
+
+    def search_terms_set(
+        self,
+        terms: List[str],
+        k: int = 10,
+        minimum_should_match: Optional[int] = None,
+        minimum_should_match_field: Optional[str] = None,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """The ES `terms_set` query: match docs containing at least M
+        of the given terms, where M is either a constant
+        (`minimum_should_match`, the ES minimum_should_match_script
+        constant case) or read PER DOC from a numeric docs-table
+        column (`minimum_should_match_field` — ES's canonical use:
+        each doc states how many of its own tags must match).  Scoring
+        is the bool-should sum of the matched terms' BM25, like ES.
+
+        Terms are index-level and NOT analyzed (ES terms_set is a
+        term-level query); pass tokenize_py output if you have raw
+        text.  Exactly one threshold source must be given.
+
+        Physical plan: one bucket-pruned scan + Arrow decode of the
+        terms' postings, ONE groupBy(doc_id) producing (score,
+        matched-count); the per-doc threshold joins from the docs
+        table (column-pruned) only in the field case.  θ-pruning is
+        off by construction — a doc's rank depends on which terms
+        matched, and the threshold can discard high-scoring seeds."""
+        if (minimum_should_match is None) == (
+            minimum_should_match_field is None
+        ):
+            raise ValueError(
+                "exactly one of minimum_should_match / "
+                "minimum_should_match_field"
+            )
+        uniq = sorted(set(terms))
+        stats = self._query_stats(uniq)
+        live = [t for t in uniq if t in stats]
+        if not live or k <= 0:
+            return self._empty_scored(join_docs)
+        idf_by_term = {t: idf_py(self.n_docs, stats[t][0]) for t in live}
+        buckets = sorted({stats[t][2] for t in live})
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(live)
+        )
+        contribs = self._decode_contribs(blocks, idf_by_term, emit_term=True)
+        per_doc = contribs.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.count_distinct("term").alias("_m"),
+        )
+        if minimum_should_match is not None:
+            hits = per_doc.filter(
+                F.col("_m") >= int(minimum_should_match)
+            )
+        else:
+            req = self.docs.select(
+                "doc_id",
+                F.expr(minimum_should_match_field).cast("long").alias("_req"),
+            )
+            hits = per_doc.join(req, "doc_id").filter(
+                F.col("_m") >= F.col("_req")
+            )
+        hits = self._drop_tombstones(hits.select("doc_id", "score"))
+        topk = hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         if not join_docs:
             return topk
         return self._join_docs(topk)

@@ -106,10 +106,11 @@ from pyspark.sql import functions as F
 from search_engine_spark.query.parse import ParsedQuery
 from search_engine_spark.text.tokenizer import tokenize_py
 
-_SCORING = ("match", "multi_match", "match_phrase", "match_phrase_prefix",
-            "match_bool_prefix", "prefix", "wildcard", "fuzzy", "regexp",
-            "more_like_this", "dis_max", "boosting", "function_score",
-            "query_string", "simple_query_string")
+_SCORING = ("match", "multi_match", "combined_fields", "match_phrase",
+            "match_phrase_prefix", "match_bool_prefix", "prefix",
+            "wildcard", "fuzzy", "regexp", "more_like_this", "dis_max",
+            "boosting", "function_score", "query_string",
+            "simple_query_string", "terms_set")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -342,6 +343,40 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
                 q, k=k, boosts=boosts, tie_breaker=tie, join_docs=join_docs
             )
         _unsupported(f"multi_match type {qtype!r}")
+    if kind == "combined_fields":
+        # ES combined_fields query: BM25F-pooled term frequencies over
+        # the weighted fields (weights parse from the ^ suffix)
+        return idx.search_combined_fields(
+            body["query"],
+            k=k,
+            weights=_parse_fields(body.get("fields", ["content"])),
+            join_docs=join_docs,
+        )
+    if kind == "terms_set":
+        field, spec = _one_key(body, "terms_set")
+        if field != "content":
+            _unsupported(f"terms_set on field {field!r} (content only)")
+        msm_field = spec.get("minimum_should_match_field")
+        msm = None
+        script = spec.get("minimum_should_match_script")
+        if script is not None:
+            src = script.get("source", "")
+            try:
+                # constant-threshold scripts only (the common shape,
+                # e.g. "2" or "params.num_terms") — anything dynamic
+                # refuses rather than guessing
+                msm = int(str(src).strip())
+            except ValueError:
+                _unsupported(
+                    f"terms_set script {src!r} (constant integers only)"
+                )
+        return idx.search_terms_set(
+            [str(t) for t in spec["terms"]],
+            k=k,
+            minimum_should_match=msm,
+            minimum_should_match_field=msm_field,
+            join_docs=join_docs,
+        )
     if kind == "match_phrase":
         field, q, slop = _phrase_parts(node)
         if field != "content":
@@ -1536,6 +1571,12 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 _unsupported("sub-aggs under a missing agg")
             out[name] = idx.facet_missing(
                 q, spec["field"], mode=mode, predicate=predicate
+            )
+        elif kind == "matrix_stats":
+            if nested:
+                _unsupported("sub-aggs under a matrix_stats agg")
+            out[name] = idx.facet_matrix_stats(
+                q, list(spec["fields"]), mode=mode, predicate=predicate
             )
         elif kind == "global":
             # ES global agg: escape the query foreground entirely —

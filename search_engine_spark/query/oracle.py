@@ -731,6 +731,63 @@ class CrossFieldsOracle:
         return scored[:k]
 
 
+class CombinedFieldsOracle:
+    """ES combined_fields ground truth (Lucene CombinedFieldQuery /
+    BM25F simple variant): fields merge into one synthetic field —
+    weighted tf pooled BEFORE saturation, combined doc length and
+    avgdl are the weighted sums, df blended as the max across fields.
+    Docs missing a field contribute length 0 for it."""
+
+    def __init__(
+        self,
+        field_docs: Dict[str, Dict[int, List[str]]],
+        weights: Dict[str, float],
+    ):
+        self.oracles = {f: BM25Oracle(d) for f, d in field_docs.items()}
+        self.weights = dict(weights)
+        self.doc_ids = set()
+        for o in self.oracles.values():
+            self.doc_ids |= set(o.docs)
+        n = len(self.doc_ids)
+        self.n = n
+        # linear mean over the FULL universe (missing field -> 0)
+        self.avgdl_c = sum(
+            w
+            * sum(self.oracles[f].doclen.get(d, 0) for d in self.doc_ids)
+            / max(1, n)
+            for f, w in self.weights.items()
+        )
+
+    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+        terms = sorted(set(tokenize_py(query)))
+        idf_b: Dict[str, float] = {}
+        for t in terms:
+            df = max(o.df.get(t, 0) for o in self.oracles.values())
+            if df > 0:
+                idf_b[t] = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+        scored = []
+        for d in sorted(self.doc_ids):
+            dl_c = sum(
+                w * self.oracles[f].doclen.get(d, 0)
+                for f, w in self.weights.items()
+            )
+            s = 0.0
+            for t, idf in idf_b.items():
+                tf_c = sum(
+                    w * (self.oracles[f].tf[d].get(t, 0)
+                         if d in self.oracles[f].docs else 0)
+                    for f, w in self.weights.items()
+                )
+                if tf_c > 0:
+                    s += idf * (tf_c * (K1 + 1.0)) / (
+                        tf_c + K1 * (1.0 - B + B * dl_c / self.avgdl_c)
+                    )
+            if s > 0.0:
+                scored.append((d, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return scored[:k]
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Classic Levenshtein (matches Spark's F.levenshtein — a
     transposition costs 2, not Damerau's 1)."""

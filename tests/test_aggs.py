@@ -1387,3 +1387,140 @@ class TestBoxplotAndMad:
         idx = BM25Index(spark, paths.root, seed_min_df=0)
         assert idx.facet_boxplot("zzqqxx", "doclen").count() == 0
         assert idx.facet_mad("zzqqxx", "doclen").count() == 0
+
+
+class TestTermsSet:
+    """ES terms_set query: docs matching >= M of the given terms,
+    M constant or per-doc from a docs expression; score = bool-should
+    BM25 sum of the matched terms — vs BM25Oracle recomputation."""
+
+    TERMS_Q = "python tutorial fox learning"
+
+    def _want(self, oracle, req_fn, k=10):
+        terms = sorted(set(tokenize_py(self.TERMS_Q)))
+        live = [t for t in terms if oracle.df.get(t, 0) > 0]
+        scored = []
+        for d, tf in oracle.tf.items():
+            m = sum(1 for t in live if t in tf)
+            if m >= req_fn(d):
+                s = oracle.score(d, live)
+                scored.append((d, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return scored[:k]
+
+    def test_constant_threshold(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        terms = sorted(set(tokenize_py(self.TERMS_Q)))
+        for msm in (1, 2, 3):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in idx.search_terms_set(
+                    terms, k=10, minimum_should_match=msm,
+                    join_docs=False,
+                ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+            ]
+            want = self._want(oracle, lambda d: msm)
+            assert [d for d, _ in got] == [d for d, _ in want], msm
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9
+
+    def test_per_doc_field_threshold(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        terms = sorted(set(tokenize_py(self.TERMS_Q)))
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_terms_set(
+                terms, k=10,
+                minimum_should_match_field="1 + pmod(doc_id, 3)",
+                join_docs=False,
+            ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        want = self._want(oracle, lambda d: 1 + d % 3)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+    def test_validation_and_dsl(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        terms = sorted(set(tokenize_py(self.TERMS_Q)))
+        with pytest.raises(ValueError):
+            idx.search_terms_set(terms)          # no threshold source
+        with pytest.raises(ValueError):
+            idx.search_terms_set(
+                terms, minimum_should_match=1,
+                minimum_should_match_field="doclen",
+            )
+        body = {"query": {"terms_set": {"content": {
+            "terms": terms,
+            "minimum_should_match_script": {"source": "2"},
+        }}}, "size": 10}
+        got = execute_es_query(idx, body, join_docs=False)
+        want = idx.search_terms_set(
+            terms, k=10, minimum_should_match=2, join_docs=False
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+
+class TestMatrixStats:
+    """ES matrix_stats agg: pairwise covariance/correlation over
+    numeric docs fields, docs missing any field excluded — vs Python
+    statistics over the matched set."""
+
+    def test_matches_python(self, spark, corpus):
+        import statistics
+
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        dl_by_doc = {
+            r["doc_id"]: r["doclen"]
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", "doclen").collect()
+        }
+        m = sorted(_matched(oracle, q))
+        xs = [float(dl_by_doc[d]) for d in m]
+        ys = [float(d % 13) for d in m]
+        rows = idx.facet_matrix_stats(
+            q, ["doclen", "pmod(doc_id, 13)"]
+        ).collect()
+        by_pair = {(r["field_a"], r["field_b"]): r for r in rows}
+        assert set(by_pair) == {
+            ("doclen", "doclen"),
+            ("doclen", "pmod(doc_id, 13)"),
+            ("pmod(doc_id, 13)", "pmod(doc_id, 13)"),
+        }
+        diag = by_pair[("doclen", "doclen")]
+        assert diag["doc_count"] == len(m)
+        assert abs(diag["mean_a"] - statistics.fmean(xs)) < 1e-9
+        assert abs(diag["covariance"] - statistics.variance(xs)) < 1e-6
+        assert diag["correlation"] == 1.0
+        off = by_pair[("doclen", "pmod(doc_id, 13)")]
+        assert abs(off["covariance"] - statistics.covariance(xs, ys)) < 1e-6
+        assert abs(
+            off["correlation"] - statistics.correlation(xs, ys)
+        ) < 1e-9
+
+    def test_dsl_and_validation(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_matrix_stats(QUERIES[0], [])
+        body = {"query": {"match": {"content": QUERIES[0]}},
+                "aggs": {"mx": {"matrix_stats": {
+                    "fields": ["doclen", "pmod(doc_id, 13)"]}}}}
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_matrix_stats(
+            QUERIES[0], ["doclen", "pmod(doc_id, 13)"]
+        )
+        assert [tuple(r) for r in out["mx"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]

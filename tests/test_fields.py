@@ -295,3 +295,75 @@ class TestCrossFields:
         }
         assert cf and bf
         assert cf != bf
+
+
+class TestCombinedFields:
+    """ES combined_fields (search_combined_fields) — BM25F-pooled tf
+    over the weighted fields, rank-identical to CombinedFieldsOracle."""
+
+    WEIGHTS = {"content": 1.0, "title": 3.0, "description": 2.0}
+
+    def _oracle(self, bf_oracle, weights=None):
+        from search_engine_spark.query.oracle import CombinedFieldsOracle
+
+        return CombinedFieldsOracle(
+            {f: o.docs for f, o in bf_oracle.oracles.items()},
+            weights or self.WEIGHTS,
+        )
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_rank_identity_vs_oracle(self, spark, fielded, query):
+        paths, bf_oracle = fielded
+        oracle = self._oracle(bf_oracle)
+        idx = BM25Index(spark, paths.root)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_combined_fields(
+                query, k=10, weights=self.WEIGHTS, join_docs=False
+            ).orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        ]
+        want = oracle.topk(query, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
+    def test_differs_from_cross_fields_pooling(self, spark, fielded):
+        """Pooling saturates once: a doc with the term split across
+        fields scores differently than under per-field dis_max —
+        guard that combined_fields isn't accidentally cross_fields."""
+        from search_engine_spark.query.oracle import CrossFieldsOracle
+
+        paths, bf_oracle = fielded
+        field_docs = {f: o.docs for f, o in bf_oracle.oracles.items()}
+        comb = self._oracle(bf_oracle).topk("python tutorial", k=10)
+        cross = CrossFieldsOracle(field_docs, self.WEIGHTS).topk(
+            "python tutorial", k=10
+        )
+        assert [s for _, s in comb] != [s for _, s in cross]
+
+    def test_validation(self, spark, fielded):
+        paths, _ = fielded
+        idx = BM25Index(spark, paths.root)
+        with pytest.raises(ValueError):
+            idx.search_combined_fields("x", weights={"body": 1.0})
+        with pytest.raises(ValueError):
+            idx.search_combined_fields("x", weights={"title": 0.0})
+
+    def test_dsl_lowering(self, spark, fielded):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        paths, _ = fielded
+        idx = BM25Index(spark, paths.root)
+        body = {"query": {"combined_fields": {
+            "query": "python programming tutorial",
+            "fields": ["title^3", "description^2", "content"],
+        }}, "size": 10}
+        got = execute_es_query(idx, body, join_docs=False)
+        want = idx.search_combined_fields(
+            "python programming tutorial", k=10,
+            weights=self.WEIGHTS, join_docs=False,
+        )
+        assert [tuple(r) for r in got.orderBy(
+            F.desc("score"), F.asc("doc_id")).collect()
+        ] == [tuple(r) for r in want.orderBy(
+            F.desc("score"), F.asc("doc_id")).collect()]
