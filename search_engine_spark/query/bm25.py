@@ -30,6 +30,9 @@ from __future__ import annotations
 
 from typing import Dict, Iterator, List, Optional, Tuple
 
+import math
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1501,6 +1504,8 @@ class BM25Index:
         buckets: Dict[str, object],
         mode: str = "or",
         predicate=None,
+        other_bucket: bool = False,
+        other_bucket_key: str = "_other_",
     ) -> DataFrame:
         """Filters aggregation — the ES `filters` agg: one named bucket
         per predicate, each counting the matching docs that also
@@ -1508,6 +1513,10 @@ class BM25Index:
         `buckets` maps bucket name -> docs-table predicate (SQL string
         or Column).  Rows come back in request order with doc_count 0
         for empty buckets (ES keyed-filters semantics).
+        `other_bucket=True` appends ES's `other_bucket`: docs matching
+        NONE of the named predicates (named `other_bucket_key`, ES
+        default `_other_`) — one more sum(when(NOT any)) column in the
+        same pass, no extra scan.
 
         Physical plan: ONE conditional-aggregation pass — the
         matched-ids ⋈ docs join feeds a single agg of
@@ -1517,10 +1526,22 @@ class BM25Index:
         beyond the single-row aggregate."""
         if not buckets:
             raise ValueError("buckets must be non-empty")
+        if other_bucket and other_bucket_key in buckets:
+            raise ValueError("other_bucket_key collides with a named bucket")
         names = list(buckets)
         conds = [
             F.expr(p) if isinstance(p, str) else p for p in buckets.values()
         ]
+        if other_bucket:
+            names.append(other_bucket_key)
+            # null predicates (e.g. range over a null field) don't
+            # match their bucket, so the doc belongs to other_bucket —
+            # coalesce to false before negating (SQL three-valued NOT
+            # would otherwise drop it from both)
+            none_matched = F.lit(True)
+            for c in conds:
+                none_matched = none_matched & ~F.coalesce(c, F.lit(False))
+            conds = conds + [none_matched]
         matched = self._matched_ids(query, mode)
         if matched is None:
             return self.spark.createDataFrame(
@@ -1894,6 +1915,9 @@ class BM25Index:
             (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("value")
         )
 
+    # ES search.max_buckets default — the zero-fill spine guard
+    MAX_BUCKETS = 65536
+
     def facet_histogram(
         self,
         query,
@@ -1902,56 +1926,233 @@ class BM25Index:
         mode: str = "or",
         predicate=None,
         metrics: Optional[Dict[str, Tuple[str, str]]] = None,
+        offset: float = 0.0,
+        min_doc_count: int = 1,
+        extended_bounds: Optional[Tuple[float, float]] = None,
+        hard_bounds: Optional[Tuple[float, float]] = None,
     ) -> DataFrame:
         """Histogram aggregation — the ES `histogram` agg: fixed-width
-        buckets keyed `floor(value / interval) * interval` (ES's bucket
-        key formula — correct for negative values too), ordered key
-        asc.  Emitted with min_doc_count=1 semantics: zero-count
-        buckets between min and max are a serving-layer fill (at engine
-        level materializing them would generate an unbounded key range
-        for sparse fields).  Null field values are ignored, as in ES.
+        buckets keyed `floor((value - offset) / interval) * interval +
+        offset` (ES's bucket key formula — correct for negative values
+        too), ordered key asc.  Null field values are ignored, as in
+        ES.  Options, all ES-parity:
+
+        offset          — shifts bucket boundaries (normalized into
+                          [0, interval) like ES).
+        min_doc_count   — 0 materializes empty buckets between the min
+                          and max observed keys (ES gap fill); >1 drops
+                          sparse buckets.  The fill spine is built from
+                          the AGGREGATED bucket extent (bucket-sized
+                          driver work, never doc-sized) and is guarded
+                          by ES's search.max_buckets=65536 — an
+                          unbounded spine over a sparse field raises,
+                          as ES's too_many_buckets_exception does.
+        extended_bounds — (min, max) widens the zero-fill extent even
+                          where no docs fall (only meaningful with
+                          min_doc_count=0, like ES).
+        hard_bounds     — (min, max) clips buckets outside the range
+                          (docs outside are ignored).
 
         `metrics` optionally adds avg/sum/min/max metric sub-agg
         columns (the facet_terms_metrics contract — name -> (op, field
-        expr)), folded into the SAME bucket groupBy."""
+        expr)), folded into the SAME bucket groupBy; zero-filled
+        buckets carry null metrics (ES returns value: null there)."""
         if interval <= 0:
             raise ValueError("interval must be > 0")
+        interval = float(interval)
+        offset = float(offset) % interval
         key = (
-            F.floor(F.expr(field).cast("double") / F.lit(float(interval)))
-            * F.lit(float(interval))
+            F.floor(
+                (F.expr(field).cast("double") - F.lit(offset))
+                / F.lit(interval)
+            )
+            * F.lit(interval)
+            + F.lit(offset)
         ).alias("key")
-        return self._bucket_agg(
+        out = self._bucket_agg(
             query, key, "key double", mode, predicate, metrics
         )
+        if hard_bounds is not None:
+            lo, hi = hard_bounds
+            out = out.filter(
+                (F.col("key") >= F.lit(float(lo)))
+                & (F.col("key") <= F.lit(float(hi)))
+            )
+        if min_doc_count > 1:
+            out = out.filter(F.col("doc_count") >= int(min_doc_count))
+        elif min_doc_count == 0:
+            out = self._zero_fill(
+                out, interval, offset, extended_bounds, hard_bounds,
+                list(metrics or {}),
+            )
+        return out
+
+    def _zero_fill(
+        self,
+        buckets: DataFrame,
+        interval: float,
+        offset: float,
+        extended_bounds,
+        hard_bounds,
+        metric_names: List[str],
+        is_time: bool = False,
+    ) -> DataFrame:
+        """min_doc_count=0 gap fill: a `spark.range` spine over the
+        observed (plus extended_bounds) key extent, left-joined to the
+        aggregated buckets.  The extent collect reads the aggregate-
+        sized result, not documents."""
+
+        def _bkey(v: float) -> float:
+            return math.floor((v - offset) / interval) * interval + offset
+
+        # numeric key view (epoch seconds for time buckets — computed
+        # JVM-side so the session timezone can't skew a driver parse)
+        knum = (
+            F.unix_timestamp("key").cast("double") if is_time
+            else F.col("key").cast("double")
+        )
+        buckets = buckets.withColumn("_k", knum)
+        ext = buckets.agg(
+            F.min("_k").alias("lo"), F.max("_k").alias("hi")
+        ).collect()[0]
+        lo_k, hi_k = ext["lo"], ext["hi"]
+        if extended_bounds is not None:
+            blo, bhi = (float(b) for b in extended_bounds)
+            lo_k = _bkey(blo) if lo_k is None else min(lo_k, _bkey(blo))
+            hi_k = _bkey(bhi) if hi_k is None else max(hi_k, _bkey(bhi))
+        if lo_k is None:
+            return buckets
+        if hard_bounds is not None:
+            hlo, hhi = (float(b) for b in hard_bounds)
+            lo_k, hi_k = max(lo_k, _bkey(hlo)), min(hi_k, _bkey(hhi))
+        n = int(round((hi_k - lo_k) / interval)) + 1
+        if n > self.MAX_BUCKETS:
+            raise ValueError(
+                f"zero-fill would create {n} buckets "
+                f"(> max_buckets {self.MAX_BUCKETS})"
+            )
+        # join on the integer bucket ordinal, not the float key —
+        # lo + i·interval need not bit-match floor()-derived keys
+        spine_key = F.lit(float(lo_k)) + F.col("id") * F.lit(interval)
+        if is_time:
+            spine_key = F.timestamp_seconds(spine_key)
+        spine = self.spark.range(n).select(
+            F.col("id").alias("_ord"), spine_key.alias("key")
+        )
+        with_ord = buckets.withColumn(
+            "_ord",
+            F.round((F.col("_k") - F.lit(float(lo_k))) / F.lit(interval))
+            .cast("long"),
+        ).drop("key", "_k")
+        return (
+            spine.join(with_ord, "_ord", "left")
+            .select(
+                "key",
+                F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count"),
+                *metric_names,
+            )
+            .orderBy("key")
+        )
+
+    # fixed_interval unit suffixes, in seconds (ES: ms/s/m/h/d; ms is
+    # below timestamp_seconds granularity here, so s is the floor)
+    _FIXED_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
     def facet_date_histogram(
         self,
         query,
         field: str = "warc_ts",
-        calendar_interval: str = "day",
+        calendar_interval: Optional[str] = "day",
         mode: str = "or",
         predicate=None,
         metrics: Optional[Dict[str, Tuple[str, str]]] = None,
+        fixed_interval: Optional[str] = None,
+        offset: Optional[str] = None,
+        min_doc_count: int = 1,
+        extended_bounds: Optional[Tuple[object, object]] = None,
     ) -> DataFrame:
-        """Date-histogram aggregation — the ES `date_histogram` agg
-        with a calendar_interval: buckets keyed by the interval start
-        (native `date_trunc`, JVM-side — minute/hour/day/week/month/
-        quarter/year; week starts Monday, as in ES's default), ordered
-        key asc, min_doc_count=1 semantics like facet_histogram (empty
-        calendar buckets are a serving-layer fill).  Null timestamps
-        are ignored, as in ES.  `metrics` adds avg/sum/min/max sub-agg
+        """Date-histogram aggregation — the ES `date_histogram` agg.
+
+        calendar_interval buckets key by the interval start (native
+        `date_trunc`, JVM-side — minute/hour/day/week/month/quarter/
+        year; week starts Monday, as in ES's default), ordered key asc.
+        fixed_interval (mutually exclusive, like ES) buckets by
+        elapsed-time width — "30s" / "90m" / "12h" / "7d" — keyed
+        `floor(epoch / width) · width` from the 1970 epoch, ES's fixed
+        anchor; `offset` ("+1h" / "-30m" / "3h") shifts the anchor.
+
+        min_doc_count=0 zero-fills empty buckets across the observed
+        extent (fixed_interval only — calendar buckets have no uniform
+        width; ES coordinators fill calendar gaps at reduce time, a
+        serving-layer step here), `extended_bounds` (epoch seconds or
+        ISO strings) widens that extent, both under the same
+        max_buckets guard as facet_histogram.  Null timestamps are
+        ignored, as in ES.  `metrics` adds avg/sum/min/max sub-agg
         columns folded into the same bucket groupBy (the canonical ES
         time-series shape: date_histogram + avg metric)."""
+        if fixed_interval is not None:
+            secs = self._parse_duration(fixed_interval)
+            off = self._parse_duration(offset) if offset else 0
+            off %= secs
+            epoch = F.unix_timestamp(F.expr(field)).cast("double")
+            key = F.timestamp_seconds(
+                F.floor((epoch - F.lit(off)) / F.lit(secs))
+                * F.lit(secs) + F.lit(off)
+            ).alias("key")
+            out = self._bucket_agg(
+                query, key, "key timestamp", mode, predicate, metrics
+            )
+            if min_doc_count > 1:
+                out = out.filter(F.col("doc_count") >= int(min_doc_count))
+            elif min_doc_count == 0:
+                bounds = None
+                if extended_bounds is not None:
+                    bounds = tuple(
+                        self._epoch_seconds(b) for b in extended_bounds
+                    )
+                out = self._zero_fill(
+                    out, float(secs), float(off), bounds, None,
+                    list(metrics or {}), is_time=True,
+                )
+            return out
         allowed = {"minute", "hour", "day", "week", "month", "quarter",
                    "year"}
         if calendar_interval not in allowed:
             raise ValueError(
                 f"calendar_interval must be one of {sorted(allowed)}"
             )
+        if min_doc_count == 0:
+            raise ValueError(
+                "min_doc_count=0 gap fill needs fixed_interval "
+                "(calendar buckets are not uniform-width)"
+            )
         key = F.date_trunc(calendar_interval, F.expr(field)).alias("key")
-        return self._bucket_agg(
+        out = self._bucket_agg(
             query, key, "key timestamp", mode, predicate, metrics
         )
+        if min_doc_count > 1:
+            out = out.filter(F.col("doc_count") >= int(min_doc_count))
+        return out
+
+    @classmethod
+    def _parse_duration(cls, s: str) -> int:
+        """'90m' / '+1h' / '-30s' / '7d' -> signed seconds."""
+        m = re.fullmatch(r"([+-]?)(\d+)([smhd])", s.strip())
+        if not m:
+            raise ValueError(f"bad duration {s!r} (want e.g. '30s', '+1h')")
+        sign = -1 if m.group(1) == "-" else 1
+        return sign * int(m.group(2)) * cls._FIXED_UNITS[m.group(3)]
+
+    @staticmethod
+    def _epoch_seconds(b) -> float:
+        if isinstance(b, (int, float)):
+            return float(b)
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(str(b))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
 
     def _bucket_agg(
         self,
@@ -2423,6 +2624,63 @@ class BM25Index:
         return self.spark.createDataFrame(
             [(float(p), float(v)) for p, v in zip(percents, row)],
             "percent double, value double",
+        )
+
+    def facet_percentile_ranks(
+        self,
+        query,
+        field,
+        values: List[float],
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Percentile-ranks aggregation — the ES `percentile_ranks`
+        agg, the inverse of `percentiles`: for each requested value,
+        the percentage of matching docs whose `field` is <= it.  ES
+        estimates this from the same T-Digest as `percentiles`; the
+        exact CDF — 100 · count(x <= v) / count(x) — is one
+        conditional-aggregation pass over the matched-ids ⋈ docs join
+        (the facet_filters plan: partial aggregation to a single row,
+        unpivoted by an inline explode), which an oracle can pin and
+        which stays one shuffle-to-one-row at any corpus size.  Null
+        field values are ignored like every metric agg.  Returns one
+        row per requested value in request order: (value, percent)."""
+        if not values:
+            raise ValueError("values must be non-empty")
+        empty = self.spark.createDataFrame([], "value double, percent double")
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return empty
+        vals = matched.join(
+            self.docs.select(
+                "doc_id", F.expr(field).cast("double").alias("_v")
+            ),
+            "doc_id",
+        ).filter(F.col("_v").isNotNull())
+        row = vals.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.when(F.col("_v") <= F.lit(float(v)), 1).otherwise(0))
+                .alias(f"_le{i}")
+                for i, v in enumerate(values)
+            ],
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(float(v)).alias("value"),
+                    (
+                        F.col(f"_le{i}") * F.lit(100.0)
+                        / F.col("_n").cast("double")
+                    ).alias("percent"),
+                )
+                for i, v in enumerate(values)
+            ]
+        )
+        return (
+            row.filter(F.col("_n") > 0)
+            .select(F.explode(pairs).alias("kv"))
+            .select("kv.value", "kv.percent")
         )
 
     def facet_boxplot(

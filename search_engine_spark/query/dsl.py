@@ -1346,24 +1346,42 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
             ).select(F.col(col).alias("value"))
         elif kind == "histogram":
             mets, pipes = _split_pipeline(nested)
+            eb, hb = spec.get("extended_bounds"), spec.get("hard_bounds")
             out[name] = _apply_pipeline(
                 idx,
                 idx.facet_histogram(
                     q, spec["field"], float(spec["interval"]),
                     mode=mode, predicate=predicate,
                     metrics=_metric_subaggs(mets),
+                    offset=float(spec.get("offset", 0.0)),
+                    min_doc_count=int(spec.get("min_doc_count", 1)),
+                    extended_bounds=(
+                        (float(eb["min"]), float(eb["max"])) if eb else None
+                    ),
+                    hard_bounds=(
+                        (float(hb["min"]), float(hb["max"])) if hb else None
+                    ),
                 ),
                 pipes,
             )
         elif kind == "date_histogram":
-            if "calendar_interval" not in spec:
-                _unsupported("date_histogram without calendar_interval "
-                             "(fixed_interval is not supported)")
+            if "calendar_interval" not in spec and \
+                    "fixed_interval" not in spec:
+                _unsupported("date_histogram needs calendar_interval "
+                             "or fixed_interval")
             mets, pipes = _split_pipeline(nested)
+            eb = spec.get("extended_bounds")
             out[name] = _apply_pipeline(
                 idx,
                 idx.facet_date_histogram(
-                    q, spec["field"], spec["calendar_interval"],
+                    q, spec["field"],
+                    calendar_interval=spec.get("calendar_interval"),
+                    fixed_interval=spec.get("fixed_interval"),
+                    offset=spec.get("offset"),
+                    min_doc_count=int(spec.get("min_doc_count", 1)),
+                    extended_bounds=(
+                        (eb["min"], eb["max"]) if eb else None
+                    ),
                     mode=mode, predicate=predicate,
                     metrics=_metric_subaggs(mets),
                 ),
@@ -1411,6 +1429,12 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 q, spec["field"],
                 [float(p) for p in spec["percents"]]
                 if spec.get("percents") else None,
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "percentile_ranks":
+            out[name] = idx.facet_percentile_ranks(
+                q, spec["field"],
+                [float(v) for v in spec["values"]],
                 mode=mode, predicate=predicate,
             )
         elif kind in ("significant_terms", "significant_text"):
@@ -1552,7 +1576,12 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                 p = _filter_predicate([node])
                 preds[n] = p if p is not None else F.lit(True)
             out[name] = idx.facet_filters(
-                q, preds, mode=mode, predicate=predicate
+                q, preds, mode=mode, predicate=predicate,
+                other_bucket=bool(
+                    spec.get("other_bucket")
+                    or spec.get("other_bucket_key")
+                ),
+                other_bucket_key=spec.get("other_bucket_key", "_other_"),
             )
         elif kind == "adjacency_matrix":
             if nested:

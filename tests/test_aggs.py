@@ -1524,3 +1524,306 @@ class TestMatrixStats:
         assert [tuple(r) for r in out["mx"].collect()] == [
             tuple(r) for r in want.collect()
         ]
+
+
+class TestPercentileRanks:
+    """ES percentile_ranks agg — the inverse CDF of percentiles:
+    100 · count(x <= v) / count per requested value, one conditional
+    single-row aggregate — vs Python recomputation."""
+
+    VALUES = [50.0, 100.0, 250.0]
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_oracle(self, spark, corpus, query):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        m = _matched(oracle, query)
+        dls = [oracle.doclen[d] for d in m]
+        rows = idx.facet_percentile_ranks(query, "doclen", self.VALUES).collect()
+        assert [r["value"] for r in rows] == self.VALUES
+        for r, v in zip(rows, self.VALUES):
+            want = 100.0 * sum(1 for x in dls if x <= v) / len(dls)
+            assert abs(r["percent"] - want) < 1e-9
+
+    def test_no_indexed_terms(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        assert idx.facet_percentile_ranks(
+            "zzqqxx", "doclen", self.VALUES
+        ).collect() == []
+
+    def test_empty_values_refused(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_percentile_ranks(QUERIES[0], "doclen", [])
+
+    def test_dsl(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"query": {"match": {"content": QUERIES[0]}},
+                "aggs": {"pr": {"percentile_ranks": {
+                    "field": "doclen", "values": self.VALUES}}}}
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_percentile_ranks(QUERIES[0], "doclen", self.VALUES)
+        assert [tuple(r) for r in out["pr"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+
+class TestFiltersOtherBucket:
+    """ES filters agg other_bucket: docs matching NONE of the named
+    predicates, incl. null-predicate docs (three-valued NOT folded to
+    false before negation)."""
+
+    BUCKETS = {
+        "short": "doclen < 100",
+        "example": "domain = 'example.com'",
+    }
+
+    def test_other_bucket_counts(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        rows = idx.facet_filters(
+            q, self.BUCKETS, other_bucket=True
+        ).collect()
+        assert [r["key"] for r in rows] == ["short", "example", "_other_"]
+        want_other = sum(
+            1 for d in m
+            if not (oracle.doclen[d] < 100
+                    or domain_by_doc[d] == "example.com")
+        )
+        got = {r["key"]: r["doc_count"] for r in rows}
+        assert got["_other_"] == want_other
+        # every matched doc lands somewhere (buckets may overlap, so
+        # the named buckets can over-count; other is exact complement)
+        assert got["_other_"] == len(m) - sum(
+            1 for d in m
+            if oracle.doclen[d] < 100 or domain_by_doc[d] == "example.com"
+        )
+
+    def test_null_predicate_doc_falls_in_other(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[1]
+        m = _matched(oracle, q)
+        # nullif makes the predicate NULL for doc_id % 2 == 0
+        rows = idx.facet_filters(
+            q,
+            {"oddish": "nullif(pmod(doc_id, 2), 0) = 1"},
+            other_bucket=True,
+            other_bucket_key="rest",
+        ).collect()
+        got = {r["key"]: r["doc_count"] for r in rows}
+        assert got["oddish"] == sum(1 for d in m if d % 2 == 1)
+        assert got["rest"] == sum(1 for d in m if d % 2 == 0)
+
+    def test_key_collision_refused(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError):
+            idx.facet_filters(
+                QUERIES[0], {"a": "doclen < 0"},
+                other_bucket=True, other_bucket_key="a",
+            )
+
+    def test_dsl_other_bucket(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"query": {"match": {"content": QUERIES[0]}},
+                "aggs": {"kinds": {"filters": {
+                    "other_bucket_key": "misc",
+                    "filters": {
+                        "short": {"range": {"doclen": {"lt": 100}}},
+                    }}}}}
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_filters(
+            QUERIES[0], {"short": "doclen < 100"},
+            other_bucket=True, other_bucket_key="misc",
+        )
+        assert [tuple(r) for r in out["kinds"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+
+class TestHistogramOptions:
+    """ES histogram/date_histogram options: offset, min_doc_count
+    (sparse-drop and zero-fill), extended_bounds, hard_bounds,
+    fixed_interval — vs Python recomputation."""
+
+    def test_offset_keys(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        interval, offset = 25.0, 10.0
+        want = {}
+        for d in m:
+            key = math.floor(
+                (oracle.doclen[d] - offset) / interval
+            ) * interval + offset
+            want[key] = want.get(key, 0) + 1
+        rows = idx.facet_histogram(
+            q, "doclen", interval, offset=offset
+        ).collect()
+        assert {r["key"]: r["doc_count"] for r in rows} == want
+
+    def test_min_doc_count_drops_sparse(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[1]
+        base = idx.facet_histogram(q, "doclen", 25.0).collect()
+        thresh = sorted(r["doc_count"] for r in base)[len(base) // 2]
+        got = idx.facet_histogram(
+            q, "doclen", 25.0, min_doc_count=thresh
+        ).collect()
+        assert [(r["key"], r["doc_count"]) for r in got] == [
+            (r["key"], r["doc_count"]) for r in base
+            if r["doc_count"] >= thresh
+        ]
+
+    def test_zero_fill_contiguous(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        rows = idx.facet_histogram(
+            q, "doclen", 5.0, min_doc_count=0
+        ).collect()
+        keys = [r["key"] for r in rows]
+        # spine is contiguous at interval spacing
+        assert keys == [keys[0] + 5.0 * i for i in range(len(keys))]
+        base = {
+            r["key"]: r["doc_count"]
+            for r in idx.facet_histogram(q, "doclen", 5.0).collect()
+        }
+        got = {r["key"]: r["doc_count"] for r in rows}
+        assert {k: v for k, v in got.items() if v > 0} == base
+        assert min(keys) == min(base) and max(keys) == max(base)
+
+    def test_extended_bounds_widen(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        base = idx.facet_histogram(
+            q, "doclen", 25.0, min_doc_count=0
+        ).collect()
+        rows = idx.facet_histogram(
+            q, "doclen", 25.0, min_doc_count=0,
+            extended_bounds=(0.0, 1000.0),
+        ).collect()
+        keys = [r["key"] for r in rows]
+        # widened on the low side to 0, never clipped on the high side
+        hi = max(base[-1]["key"], 1000.0)
+        assert keys[0] == 0.0 and keys[-1] == hi
+        assert len(keys) == int(hi / 25.0) + 1
+
+    def test_hard_bounds_clip(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        base = idx.facet_histogram(q, "doclen", 25.0).collect()
+        got = idx.facet_histogram(
+            q, "doclen", 25.0, hard_bounds=(50.0, 150.0)
+        ).collect()
+        assert [(r["key"], r["doc_count"]) for r in got] == [
+            (r["key"], r["doc_count"]) for r in base
+            if 50.0 <= r["key"] <= 150.0
+        ]
+
+    def test_max_buckets_guard(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="max_buckets"):
+            idx.facet_histogram(
+                QUERIES[0], "doclen", 0.001, min_doc_count=0
+            ).collect()
+
+    def test_fixed_interval_matches_python(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        ts = {
+            r["doc_id"]: r["warc_ts"].timestamp()
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", F.col("warc_ts")).collect()
+        }
+        secs = 6 * 3600
+        want = {}
+        for d in m:
+            k = math.floor(ts[d] / secs) * secs
+            want[k] = want.get(k, 0) + 1
+        rows = idx.facet_date_histogram(
+            q, "warc_ts", fixed_interval="6h"
+        ).collect()
+        got = {r["key"].timestamp(): r["doc_count"] for r in rows}
+        assert got == want
+
+    def test_fixed_interval_zero_fill(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        rows = idx.facet_date_histogram(
+            q, "warc_ts", fixed_interval="1h", min_doc_count=0
+        ).collect()
+        keys = [r["key"].timestamp() for r in rows]
+        assert keys == [keys[0] + 3600 * i for i in range(len(keys))]
+        base = idx.facet_date_histogram(
+            q, "warc_ts", fixed_interval="1h"
+        ).collect()
+        got = {r["key"]: r["doc_count"] for r in rows}
+        assert {k: v for k, v in got.items() if v > 0} == {
+            r["key"]: r["doc_count"] for r in base
+        }
+
+    def test_calendar_zero_fill_refused(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="fixed_interval"):
+            idx.facet_date_histogram(
+                QUERIES[0], "warc_ts", "day", min_doc_count=0
+            )
+
+    def test_bad_duration(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="duration"):
+            idx.facet_date_histogram(
+                QUERIES[0], "warc_ts", fixed_interval="1 fortnight"
+            )
+
+    def test_dsl_lowering(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"query": {"match": {"content": QUERIES[0]}},
+                "aggs": {
+                    "h": {"histogram": {
+                        "field": "doclen", "interval": 25, "offset": 10,
+                        "min_doc_count": 0,
+                        "extended_bounds": {"min": 10, "max": 510}}},
+                    "dh": {"date_histogram": {
+                        "field": "warc_ts", "fixed_interval": "12h",
+                        "offset": "+1h"}},
+                }}
+        out = execute_es_aggs(idx, body)
+        want_h = idx.facet_histogram(
+            QUERIES[0], "doclen", 25.0, offset=10.0, min_doc_count=0,
+            extended_bounds=(10.0, 510.0),
+        )
+        want_dh = idx.facet_date_histogram(
+            QUERIES[0], "warc_ts", fixed_interval="12h", offset="+1h"
+        )
+        assert [tuple(r) for r in out["h"].collect()] == [
+            tuple(r) for r in want_h.collect()
+        ]
+        assert [tuple(r) for r in out["dh"].collect()] == [
+            tuple(r) for r in want_dh.collect()
+        ]
