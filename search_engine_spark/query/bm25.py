@@ -53,6 +53,7 @@ from search_engine_spark.index.codec import (
     varint_decode,
 )
 from search_engine_spark.index.scoring import idf_py, score_col, score_np
+from search_engine_spark.query.painless import painless_to_sql
 from search_engine_spark.query.parse import parse_query
 from search_engine_spark.text.tokenizer import tokenize_py
 
@@ -3028,6 +3029,108 @@ class BM25Index:
         "reciprocal": lambda c: F.lit(1.0) / c,
     }
 
+    # random_score hash resolution (matches ops/sampling's md5 bucket
+    # grid, so the value is replicable in Python and DuckDB oracles)
+    _RANDOM_BUCKETS = 1_000_000
+
+    def _fvf_col(self, spec: Dict) -> Column:
+        """ES field_value_factor -> native column expression."""
+        modifier = spec.get("modifier", "none")
+        if modifier not in self._FVF_MODIFIERS:
+            raise ValueError(f"unknown fvf modifier {modifier!r}")
+        val = F.expr(spec["field"]).cast("double")
+        missing = spec.get("missing")
+        if missing is not None:
+            val = F.coalesce(val, F.lit(float(missing)))
+        return self._FVF_MODIFIERS[modifier](
+            val * F.lit(float(spec.get("factor", 1.0)))
+        )
+
+    def _random_score_col(self, spec: Dict) -> Column:
+        """ES random_score, pinned deterministic: uniform [0, 1) from
+        md5("seed|field") — same 60-bit md5 grid as ops/sampling, so
+        Spark / DuckDB / Python agree bit-for-bit."""
+        from search_engine_spark.ops.common import md5int_col
+
+        seed = str(spec.get("seed", 0))
+        field = spec.get("field", "doc_id")
+        h = md5int_col(
+            F.concat(
+                F.lit(f"{seed}|"), F.expr(field).cast("string")
+            )
+        )
+        return (
+            (h % self._RANDOM_BUCKETS).cast("double")
+            / F.lit(float(self._RANDOM_BUCKETS))
+        )
+
+    def _decay_col(self, kind: str, spec: Dict) -> Column:
+        """ES decay functions (gauss/exp/linear) -> native column
+        expression.  spec is {field: {origin, scale, offset?, decay?}}.
+        Timestamp fields take an ISO origin and "10d"-style duration
+        scale/offset (seconds resolution); numeric fields take plain
+        numbers.  dist = max(0, |v - origin| - offset); docs missing
+        the field get 1.0, per ES."""
+        (field, p), = spec.items()
+        decay = float(p.get("decay", 0.5))
+        if not 0.0 < decay < 1.0:
+            raise ValueError("decay must be in (0, 1)")
+        origin, scale = p["origin"], p["scale"]
+        offset = p.get("offset", 0)
+        if isinstance(scale, str):  # duration form -> seconds domain
+            scale_n = float(self._parse_duration(scale))
+            offset_n = (
+                float(self._parse_duration(offset))
+                if isinstance(offset, str) else float(offset)
+            )
+            origin_n = self._epoch_seconds(origin)
+            v = F.unix_timestamp(F.expr(field)).cast("double")
+        else:
+            scale_n, offset_n = float(scale), float(offset)
+            origin_n = float(origin)
+            v = F.expr(field).cast("double")
+        if scale_n <= 0:
+            raise ValueError("scale must be > 0")
+        dist = F.greatest(
+            F.lit(0.0), F.abs(v - F.lit(origin_n)) - F.lit(offset_n)
+        )
+        if kind == "gauss":
+            sigma2 = -(scale_n ** 2) / (2.0 * math.log(decay))
+            val = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+        elif kind == "exp":
+            val = F.exp(F.lit(math.log(decay) / scale_n) * dist)
+        else:  # linear
+            s = scale_n / (1.0 - decay)
+            val = F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+        return F.coalesce(val, F.lit(1.0))
+
+    _DECAY_KINDS = ("gauss", "exp", "linear")
+
+    def _function_value(self, fn: Dict) -> Column:
+        """One ES function-array entry -> its value column (weight
+        applied, filter-gated to null when unmatched)."""
+        kinds = [
+            k for k in fn
+            if k in ("field_value_factor", "random_score")
+            or k in self._DECAY_KINDS
+        ]
+        if len(kinds) > 1:
+            raise ValueError(f"one function kind per entry, got {kinds}")
+        if not kinds:
+            val = F.lit(1.0)
+        elif kinds[0] == "field_value_factor":
+            val = self._fvf_col(fn["field_value_factor"])
+        elif kinds[0] == "random_score":
+            val = self._random_score_col(fn["random_score"])
+        else:
+            val = self._decay_col(kinds[0], fn[kinds[0]])
+        val = val * F.lit(float(fn.get("weight", 1.0)))
+        pred = fn.get("filter")
+        if pred is not None:
+            pred = F.expr(pred) if isinstance(pred, str) else pred
+            return F.when(pred, val)  # null when unmatched
+        return val
+
     def search_function_score(
         self,
         query,
@@ -3049,18 +3152,34 @@ class BM25Index:
           "missing": v} — value = modifier(factor · field), per ES
           (modifiers: none/log1p/log2p/ln1p/ln2p/sqrt/square/
           reciprocal); missing fills null fields BEFORE factor.
-        functions: [{"filter": sql-or-Column, "weight": w}, ...] —
-          weight functions gated by docs-table filters (no filter =
-          matches all); combined across matched functions per
-          score_mode (multiply/sum/max/min/avg).  Docs matching NO
-          function keep their query score untouched, as in ES.
+        functions: list of ES function entries, each optionally gated
+          by a docs-table `filter` (SQL string or Column; no filter =
+          matches all) and scaled by `weight`:
+            {"weight": w}                          — constant
+            {"field_value_factor": {...}}          — as above
+            {"random_score": {"seed": s,
+                              "field": expr}}      — deterministic
+              uniform [0, 1): md5 of "seed|field" (doc_id default),
+              the reproducible variant of ES's seed+field form (ES
+              without seed+field hashes _seq_no — non-reproducible
+              across shards; a batch engine pins the hash)
+            {"gauss"|"exp"|"linear":
+              {field: {"origin": o, "scale": s,
+                       "offset": off, "decay": d}}} — ES decay
+              functions over numeric or timestamp fields (timestamp:
+              ISO origin, "10d"-style durations); docs missing the
+              field get 1.0, per ES
+          combined across matched functions per score_mode
+          (multiply/sum/max/min/avg).  Docs matching NO function keep
+          their query score untouched, as in ES.
         boost_mode: how the function value meets the query score —
           multiply/sum/replace/max/min/avg.  max_boost caps the
           function value first.
 
         Exhaustive inner scoring (reweighting reorders — see
         search_boosting); the signal join is one hash join against
-        the column-pruned docs table."""
+        the column-pruned docs table — every function is a native
+        column expression (hash/exp/log arithmetic, no UDF)."""
         if k <= 0:
             return self._empty_scored(join_docs)
         inner = self._clause_scored(query)
@@ -3069,24 +3188,9 @@ class BM25Index:
 
         fcols: List[Column] = []
         if field_value_factor:
-            f_name = field_value_factor["field"]
-            factor = float(field_value_factor.get("factor", 1.0))
-            modifier = field_value_factor.get("modifier", "none")
-            if modifier not in self._FVF_MODIFIERS:
-                raise ValueError(f"unknown fvf modifier {modifier!r}")
-            missing = field_value_factor.get("missing")
-            val = F.col(f_name).cast("double")
-            if missing is not None:
-                val = F.coalesce(val, F.lit(float(missing)))
-            fcols.append(self._FVF_MODIFIERS[modifier](val * F.lit(factor)))
+            fcols.append(self._fvf_col(field_value_factor))
         for fn in functions or []:
-            w = F.lit(float(fn.get("weight", 1.0))).cast("double")
-            pred = fn.get("filter")
-            if pred is not None:
-                pred = F.expr(pred) if isinstance(pred, str) else pred
-                fcols.append(F.when(pred, w))  # null when unmatched
-            else:
-                fcols.append(w)
+            fcols.append(self._function_value(fn))
         if not fcols:
             topk = inner.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
             return self._join_docs(topk) if join_docs else topk
@@ -3135,6 +3239,117 @@ class BM25Index:
                 F.when(F.col("_fv").isNotNull(), combined)
                 .otherwise(F.col("score"))
                 .alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return self._join_docs(topk) if join_docs else topk
+
+    def search_script_score(
+        self,
+        query,
+        source: str,
+        params: Optional[Dict[str, float]] = None,
+        min_score: Optional[float] = None,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Script-score query — ES `script_score`: replace the inner
+        query's BM25 with a script over `_score`, doc fields, and
+        params.  The Painless ARITHMETIC subset is translated to ONE
+        native SQL expression (query/painless.py — JVM-side, codegen;
+        a script never becomes a Python UDF), so the plan is the inner
+        scoring pass + an optional column-pruned docs join for the
+        referenced fields + TakeOrderedAndProject.
+
+        Exhaustive inner scoring (an arbitrary script breaks the
+        score-monotonicity WAND bounds need).  `min_score` drops docs
+        scoring below it, per ES.  ES rejects negative script scores;
+        same here (fail-fast at collect would be driver-side, so the
+        guard is a documented contract, not a scan)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        inner = self._clause_scored(query)
+        if inner is None:
+            return self._empty_scored(join_docs)
+        sql, fields = painless_to_sql(source, params)
+        scored = inner.withColumnRenamed("score", "_score")
+        if fields:
+            missing = set(fields) - set(self.docs.columns)
+            if missing:
+                raise ValueError(
+                    f"script references unknown doc fields {sorted(missing)}"
+                )
+            scored = scored.join(
+                self.docs.select("doc_id", *fields), "doc_id", "left"
+            )
+        scored = scored.select(
+            "doc_id", F.expr(sql).cast("double").alias("score")
+        )
+        if min_score is not None:
+            scored = scored.filter(F.col("score") >= F.lit(float(min_score)))
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._join_docs(topk) if join_docs else topk
+
+    def search_rank_feature(
+        self,
+        field: str,
+        saturation: Optional[Dict] = None,
+        log: Optional[Dict] = None,
+        sigmoid: Optional[Dict] = None,
+        boost: float = 1.0,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Rank-feature query — ES `rank_feature`: score every live
+        doc purely from a positive numeric per-doc signal (pagerank,
+        url_length, ...), usually composed inside a bool `should`.
+        Docs missing the field, or with value <= 0, do not match —
+        ES's rank_feature field type stores positives only.
+
+        Exactly one scoring shape (default: saturation):
+          saturation {pivot}            — S / (S + pivot); no pivot
+            given -> the EXACT geometric mean of the field over the
+            matching docs (ES approximates the same statistic from
+            index metadata; a batch engine computes it in one scalar
+            agg — exp(avg(ln S)) — and stays deterministic)
+          log {scaling_factor}          — ln(scaling_factor + S)
+          sigmoid {pivot, exponent}     — S^e / (S^e + pivot^e)
+
+        Pure docs-table scan (postings never touched), tombstones
+        dropped before the k-cut, one TakeOrderedAndProject."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        chosen = [n for n, s in
+                  (("saturation", saturation), ("log", log),
+                   ("sigmoid", sigmoid)) if s is not None]
+        if len(chosen) > 1:
+            raise ValueError(f"one scoring shape only, got {chosen}")
+        feat = F.expr(field).cast("double")
+        base = self._drop_tombstones(
+            self.docs.select("doc_id", feat.alias("_s"))
+        ).filter(F.col("_s") > 0)
+        if log is not None:
+            sf = float(log["scaling_factor"])
+            val = F.log(F.lit(sf) + F.col("_s"))
+        elif sigmoid is not None:
+            pivot = float(sigmoid["pivot"])
+            expo = float(sigmoid["exponent"])
+            se = F.pow(F.col("_s"), F.lit(expo))
+            val = se / (se + F.lit(pivot ** expo))
+        else:
+            pivot = (saturation or {}).get("pivot")
+            if pivot is None:
+                row = base.agg(
+                    F.exp(F.avg(F.log(F.col("_s")))).alias("g")
+                ).collect()[0]
+                if row["g"] is None:
+                    return self._empty_scored(join_docs)
+                pivot = float(row["g"])
+            val = F.col("_s") / (F.col("_s") + F.lit(float(pivot)))
+        topk = (
+            base.select(
+                "doc_id", (F.lit(float(boost)) * val).alias("score")
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)

@@ -55,8 +55,19 @@ NotImplementedError naming the gap, never a silent wrong answer):
                       "field_value_factor": {"field", "factor",
                         "modifier", "missing"},
                       "functions": [{"filter": term/terms/range/exists,
-                        "weight": w}, ...],
+                        "weight": w, and/or ONE of "field_value_factor"
+                        / "random_score" {seed, field} / "gauss"|"exp"|
+                        "linear" {field: {origin, scale, offset,
+                        decay}}}, ...],
                       "boost_mode", "score_mode", "max_boost"}
+    script_score     {"query": node, "script": {"source": painless
+                     arithmetic over _score / doc['f'].value /
+                     params.x, "params": {...}}, "min_score": m} —
+                     translated to ONE native SQL expression
+                     (query/painless.py)
+    rank_feature     {"field": f, "saturation"|"log"|"sigmoid": {...},
+                     "boost": b} — positive-signal scoring off the
+                     docs table, postings never touched
     constant_score   {"filter": [...], "boost": b} — pure metadata
                      scan, postings never touched
     ids              {"values": [doc_id, ...]} — point lookup
@@ -109,8 +120,8 @@ from search_engine_spark.text.tokenizer import tokenize_py
 _SCORING = ("match", "multi_match", "combined_fields", "match_phrase",
             "match_phrase_prefix", "match_bool_prefix", "prefix",
             "wildcard", "fuzzy", "regexp", "more_like_this", "dis_max",
-            "boosting", "function_score", "query_string",
-            "simple_query_string", "terms_set")
+            "boosting", "function_score", "script_score", "rank_feature",
+            "query_string", "simple_query_string", "terms_set")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -452,21 +463,47 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
             negative_boost=float(body.get("negative_boost", 0.5)),
             k=k, join_docs=join_docs,
         )
+    if kind == "script_score":
+        inner = body.get("query")
+        if inner is None:
+            _unsupported("script_score without a query (no match_all)")
+        script = body.get("script") or {}
+        src = script.get("source") if isinstance(script, dict) else script
+        if not src:
+            _unsupported("script_score without script.source")
+        return idx.search_script_score(
+            _engine_spec(inner), src,
+            params=(script.get("params")
+                    if isinstance(script, dict) else None),
+            min_score=body.get("min_score"),
+            k=k, join_docs=join_docs,
+        )
+    if kind == "rank_feature":
+        shapes = {n: body[n] for n in ("saturation", "log", "sigmoid")
+                  if n in body}
+        return idx.search_rank_feature(
+            body["field"],
+            boost=float(body.get("boost", 1.0)),
+            k=k, join_docs=join_docs,
+            **shapes,
+        )
     if kind == "function_score":
         inner = body.get("query")
         if inner is None:
             _unsupported("function_score without a query (no match_all)")
+        _FN_KINDS = {"filter", "weight", "field_value_factor",
+                     "random_score", "gauss", "exp", "linear"}
         functions = []
         for fn in _as_list(body.get("functions", [])):
-            if set(fn) - {"filter", "weight"}:
+            if set(fn) - _FN_KINDS:
                 _unsupported(f"function_score function keys {sorted(fn)!r} "
-                             "(filter/weight only)")
-            pred = None
+                             f"(supported: {sorted(_FN_KINDS)})")
+            entry = {n: v for n, v in fn.items() if n != "filter"}
+            if "weight" in entry:
+                entry["weight"] = float(entry["weight"])
             if "filter" in fn:
-                pred = _filter_predicate([fn["filter"]])
-            functions.append(
-                {"filter": pred, "weight": float(fn.get("weight", 1.0))}
-            )
+                entry["filter"] = _filter_predicate([fn["filter"]])
+            functions.append(entry)
         return idx.search_function_score(
             _engine_spec(inner),
             field_value_factor=body.get("field_value_factor"),

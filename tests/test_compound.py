@@ -323,3 +323,342 @@ class TestBoolPrefix:
     def test_empty_query(self, corpus):
         idx, *_ = corpus
         assert idx.search_bool_prefix("  ", k=10, join_docs=False).count() == 0
+
+
+def _md5_random(seed, doc_id, buckets=1_000_000):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()
+    return (int(h[:15], 16) % buckets) / buckets
+
+
+class TestFunctionScoreExtended:
+    """random_score / decay function entries and the script_score +
+    rank_feature query kinds — engine vs Python twins."""
+
+    def test_random_score_deterministic(self, corpus):
+        idx, oracle, _, _, doclen = corpus
+        q = "python programming tutorial"
+        got = _got(idx.search_function_score(
+            q, functions=[{"random_score": {"seed": 42}}],
+            boost_mode="sum", k=10, join_docs=False,
+        ))
+        fvalue = {d: _md5_random(42, d) for d in doclen}
+        want = oracle.topk_function_score(q, fvalue, "sum", k=10)
+        _assert_rank_identical(got, want)
+        # replayable: second run bit-identical
+        again = _got(idx.search_function_score(
+            q, functions=[{"random_score": {"seed": 42}}],
+            boost_mode="sum", k=10, join_docs=False,
+        ))
+        assert got == again
+
+    @pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+    def test_decay_numeric(self, corpus, kind):
+        idx, oracle, _, _, doclen = corpus
+        q = "database transaction"
+        origin, scale, offset, decay = 100.0, 80.0, 10.0, 0.5
+        got = _got(idx.search_function_score(
+            q,
+            functions=[{kind: {"doclen": {
+                "origin": origin, "scale": scale,
+                "offset": offset, "decay": decay}}}],
+            boost_mode="multiply", k=10, join_docs=False,
+        ))
+
+        def _decay(v):
+            dist = max(0.0, abs(v - origin) - offset)
+            if kind == "gauss":
+                sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+                return math.exp(-(dist ** 2) / (2.0 * sigma2))
+            if kind == "exp":
+                return math.exp(math.log(decay) / scale * dist)
+            s = scale / (1.0 - decay)
+            return max(0.0, (s - dist) / s)
+
+        fvalue = {d: _decay(float(doclen[d])) for d in doclen}
+        want = oracle.topk_function_score(q, fvalue, "multiply", k=10)
+        _assert_rank_identical(got, want, kind)
+
+    def test_decay_date_duration(self, spark, corpus):
+        idx, oracle, _, _, doclen = corpus
+        q = "search engine ranking"
+        ts = {
+            r["doc_id"]: r["warc_ts"].timestamp()
+            for r in idx.docs.select("doc_id", "warc_ts").collect()
+        }
+        origin = "2024-01-15T00:00:00"
+        from datetime import datetime, timezone
+
+        o = datetime.fromisoformat(origin).replace(
+            tzinfo=timezone.utc
+        ).timestamp()
+        scale, offset = 10 * 86400.0, 86400.0
+        got = _got(idx.search_function_score(
+            q,
+            functions=[{"gauss": {"warc_ts": {
+                "origin": origin, "scale": "10d",
+                "offset": "1d", "decay": 0.5}}}],
+            boost_mode="multiply", k=10, join_docs=False,
+        ))
+        sigma2 = -(scale ** 2) / (2.0 * math.log(0.5))
+        fvalue = {
+            d: math.exp(
+                -(max(0.0, abs(ts[d] - o) - offset) ** 2) / (2.0 * sigma2)
+            )
+            for d in ts
+        }
+        want = oracle.topk_function_score(q, fvalue, "multiply", k=10)
+        _assert_rank_identical(got, want)
+
+    def test_decay_missing_field_scores_one(self, corpus):
+        idx, oracle, _, _, doclen = corpus
+        q = "fox database"
+        # field expression null for even doc_ids -> decay 1.0 there
+        got = _got(idx.search_function_score(
+            q,
+            functions=[{"linear": {
+                "if(pmod(doc_id, 2) = 1, doclen, null)": {
+                    "origin": 0.0, "scale": 50.0, "decay": 0.5}}}],
+            boost_mode="multiply", k=10, join_docs=False,
+        ))
+
+        def _lin(v):
+            s = 50.0 / 0.5
+            return max(0.0, (s - abs(v)) / s)
+
+        fvalue = {
+            d: (_lin(float(doclen[d])) if d % 2 == 1 else 1.0)
+            for d in doclen
+        }
+        want = oracle.topk_function_score(q, fvalue, "multiply", k=10)
+        _assert_rank_identical(got, want)
+
+    def test_decay_validation(self, corpus):
+        idx, *_ = corpus
+        with pytest.raises(ValueError, match="decay"):
+            idx.search_function_score(
+                "python",
+                functions=[{"gauss": {"doclen": {
+                    "origin": 0, "scale": 10, "decay": 1.0}}}],
+                k=5, join_docs=False,
+            )
+        with pytest.raises(ValueError, match="one function kind"):
+            idx.search_function_score(
+                "python",
+                functions=[{"random_score": {"seed": 1},
+                            "gauss": {"doclen": {
+                                "origin": 0, "scale": 10}}}],
+                k=5, join_docs=False,
+            )
+
+
+class TestScriptScore:
+    def test_matches_python(self, corpus):
+        idx, oracle, _, _, doclen = corpus
+        q = "python programming tutorial"
+        got = _got(idx.search_script_score(
+            q,
+            "_score * Math.log(2 + doc['doclen'].value) + params.b",
+            params={"b": 1.5},
+            k=10, join_docs=False,
+        ))
+        scores = oracle.or_scores(q)
+        want = sorted(
+            (
+                (d, s * math.log(2 + doclen[d]) + 1.5)
+                for d, s in scores.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        _assert_rank_identical(got, want)
+
+    def test_min_score(self, corpus):
+        idx, oracle, _, _, _ = corpus
+        q = "database transaction"
+        all_rows = idx.search_script_score(
+            q, "_score * 2", k=100, join_docs=False
+        ).collect()
+        cut = sorted(r["score"] for r in all_rows)[len(all_rows) // 2]
+        kept = idx.search_script_score(
+            q, "_score * 2", min_score=cut, k=100, join_docs=False
+        ).collect()
+        assert all(r["score"] >= cut for r in kept)
+        assert len(kept) == sum(1 for r in all_rows if r["score"] >= cut)
+
+    def test_subset_refusals(self, corpus):
+        idx, *_ = corpus
+        from search_engine_spark.query.painless import painless_to_sql
+
+        for bad in [
+            "for (int i = 0; i < 10; i++) {}",
+            "_score > 1 ? 2 : 3",
+            "doc['doclen'].size()",
+            "params.missing + 1",
+            "System.exit(1)",
+            "'a' + 'b'",
+        ]:
+            with pytest.raises(NotImplementedError):
+                painless_to_sql(bad, {})
+        with pytest.raises(ValueError, match="unknown doc fields"):
+            idx.search_script_score(
+                "python", "doc['nope_col'].value", k=5, join_docs=False
+            )
+
+    def test_translation_table(self):
+        from search_engine_spark.query.painless import painless_to_sql
+
+        sql, fields = painless_to_sql(
+            "Math.pow(doc['doclen'].value, 2) + Math.max(_score, params.f)",
+            {"f": 3.0},
+        )
+        assert sql == "power(doclen, 2) + greatest(_score, 3.0)"
+        assert fields == ["doclen"]
+
+
+class TestRankFeature:
+    def _feats(self, idx):
+        return {
+            r["doc_id"]: float(r["doclen"])
+            for r in idx.docs.select("doc_id", "doclen").collect()
+        }
+
+    def test_saturation_explicit_pivot(self, corpus):
+        idx, *_ = corpus
+        feats = self._feats(idx)
+        got = _got(idx.search_rank_feature(
+            "doclen", saturation={"pivot": 100.0}, boost=2.0,
+            k=10, join_docs=False,
+        ))
+        want = sorted(
+            ((d, 2.0 * s / (s + 100.0)) for d, s in feats.items() if s > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        _assert_rank_identical(got, want)
+
+    def test_saturation_default_pivot_geometric_mean(self, corpus):
+        idx, *_ = corpus
+        feats = {d: s for d, s in self._feats(idx).items() if s > 0}
+        g = math.exp(sum(math.log(s) for s in feats.values()) / len(feats))
+        got = _got(idx.search_rank_feature(
+            "doclen", k=10, join_docs=False
+        ))
+        want = sorted(
+            ((d, s / (s + g)) for d, s in feats.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        # pivot travels through a float collect — compare at 1e-6
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-6)
+
+    def test_log_and_sigmoid(self, corpus):
+        idx, *_ = corpus
+        feats = self._feats(idx)
+        got = _got(idx.search_rank_feature(
+            "doclen", log={"scaling_factor": 3.0}, k=10, join_docs=False,
+        ))
+        want = sorted(
+            ((d, math.log(3.0 + s)) for d, s in feats.items() if s > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        _assert_rank_identical(got, want)
+        got = _got(idx.search_rank_feature(
+            "doclen", sigmoid={"pivot": 120.0, "exponent": 2.0},
+            k=10, join_docs=False,
+        ))
+        want = sorted(
+            (
+                (d, s ** 2 / (s ** 2 + 120.0 ** 2))
+                for d, s in feats.items() if s > 0
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        _assert_rank_identical(got, want)
+
+    def test_nonpositive_docs_dont_match(self, corpus):
+        idx, *_ = corpus
+        feats = self._feats(idx)
+        rows = idx.search_rank_feature(
+            "doclen - 1000000", saturation={"pivot": 1.0},
+            k=10, join_docs=False,
+        ).collect()
+        assert rows == []  # every doclen - 1e6 is negative
+        assert all(s > 0 for s in feats.values())
+
+    def test_one_shape_only(self, corpus):
+        idx, *_ = corpus
+        with pytest.raises(ValueError, match="one scoring shape"):
+            idx.search_rank_feature(
+                "doclen", saturation={"pivot": 1.0},
+                log={"scaling_factor": 1.0},
+            )
+
+
+class TestNewDslLowering:
+    def test_function_score_functions(self, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        idx, *_ = corpus
+        body = {"query": {"function_score": {
+            "query": {"match": {"content": "python programming"}},
+            "functions": [
+                {"random_score": {"seed": 7}, "weight": 2.0},
+                {"gauss": {"doclen": {"origin": 100, "scale": 50}},
+                 "filter": {"range": {"doclen": {"gte": 50}}}},
+            ],
+            "score_mode": "sum", "boost_mode": "multiply",
+        }}, "size": 10}
+        got = execute_es_query(idx, body, join_docs=False).collect()
+        want = idx.search_function_score(
+            "python programming",
+            functions=[
+                {"random_score": {"seed": 7}, "weight": 2.0},
+                {"gauss": {"doclen": {"origin": 100, "scale": 50}},
+                 "filter": "doclen >= 50"},
+            ],
+            score_mode="sum", boost_mode="multiply",
+            k=10, join_docs=False,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+
+    def test_script_score_node(self, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        idx, *_ = corpus
+        body = {"query": {"script_score": {
+            "query": {"match": {"content": "database transaction"}},
+            "script": {
+                "source": "_score + params.w * Math.sqrt("
+                          "doc['doclen'].value)",
+                "params": {"w": 0.1},
+            },
+        }}, "size": 8}
+        got = execute_es_query(idx, body, join_docs=False).collect()
+        want = idx.search_script_score(
+            "database transaction",
+            "_score + params.w * Math.sqrt(doc['doclen'].value)",
+            params={"w": 0.1}, k=8, join_docs=False,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+
+    def test_rank_feature_node(self, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        idx, *_ = corpus
+        body = {"query": {"rank_feature": {
+            "field": "doclen", "saturation": {"pivot": 80},
+            "boost": 1.5,
+        }}, "size": 6}
+        got = execute_es_query(idx, body, join_docs=False).collect()
+        want = idx.search_rank_feature(
+            "doclen", saturation={"pivot": 80}, boost=1.5,
+            k=6, join_docs=False,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]

@@ -367,10 +367,9 @@ class TestAggsLowering:
             execute_es_aggs(idx, {**self.Q, "aggs": {
                 "x": {"geo_distance": {"field": "location"}}}})
         with pytest.raises(NotImplementedError):
-            # fixed_interval is not supported — calendar_interval only
+            # an interval is required — calendar or fixed
             execute_es_aggs(idx, {**self.Q, "aggs": {
-                "x": {"date_histogram": {"field": "warc_ts",
-                                         "fixed_interval": "1d"}}}})
+                "x": {"date_histogram": {"field": "warc_ts"}}}})
 
     def test_date_histogram_lowering(self, idx):
         from search_engine_spark.query.dsl import execute_es_aggs
