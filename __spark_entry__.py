@@ -1991,6 +1991,42 @@ LEFT JOIN stats s USING (doc_id)
 LEFT JOIN keep k USING (doc_id)"""
 
 
+# ---- benchmark decontamination (training-data op) -------------------------
+
+DECONTAM_N = 8  # leaked-window length (GPT-3 §C uses 13; same family)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram contamination flags: the 'benchmark' is the
+    deterministic doc_id % 37 == 0 slice of the corpus itself, so full
+    leaks (the slice docs) and partial template overlaps both occur."""
+    from search_engine_spark.ops.decontaminate import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    return ngram_contamination(
+        docs, bench, n=DECONTAM_N
+    ).withColumnRenamed("id", "doc_id")
+
+
+_SQL_DECONTAM = f"""{_TOK_CTE},
+dg AS (SELECT doc_id, unnest(list_distinct({shingles_sql('l', DECONTAM_N)}))
+         AS gram FROM tok),
+bg AS (SELECT DISTINCT gram FROM (
+  SELECT unnest(list_distinct({shingles_sql('l', DECONTAM_N)})) AS gram
+  FROM tok WHERE doc_id % 37 = 0)),
+cnt AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+hit AS (SELECT dg.doc_id, count(*) AS n_matched
+        FROM dg JOIN bg USING (gram) GROUP BY dg.doc_id)
+SELECT d.doc_id,
+  coalesce(c.n_grams, 0)::BIGINT AS n_grams,
+  coalesce(h.n_matched, 0)::BIGINT AS n_matched,
+  coalesce(h.n_matched, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN hit h USING (doc_id)"""
+
+
 # ---- quality scoring (training-data text analysis) ------------------------
 
 
@@ -4363,6 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": _q_pii_stats,
         "c4_line_stats": _q_c4_line_stats,
         "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
         "near_dup_pairs": _q_near_dup,
         "dedup_components": _q_dedup_components,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -4467,6 +4504,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_stats": _SQL_PII,
         "c4_line_stats": _SQL_C4_LINES,
         "line_dedup": _SQL_LINE_DEDUP,
+        "decontaminate": _SQL_DECONTAM,
         "near_dup_pairs": _sql_near_dup(),
         "dedup_components": _sql_dedup_components(),
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
