@@ -780,6 +780,92 @@ v AS (SELECT CAST(len(l) AS DOUBLE) AS v FROM m JOIN tok USING (doc_id))
 {rows}"""
 
 
+PCT_RANK_VALUES = [20.0, 40.0, 80.0]
+
+
+def _q_facet_percentile_ranks(spark, sf_dir):
+    """ES `percentile_ranks` aggregation (BM25Index.
+    facet_percentile_ranks): for each requested value, the exact
+    percentage of matching docs whose token count is <= it — ONE
+    conditional single-row aggregate, unpivoted inline."""
+    toks = _docs_tokens(spark, sf_dir)
+    j = _matched_docs(toks).join(
+        toks.select("doc_id", F.size("toks").cast("double").alias("v")),
+        "doc_id",
+    )
+    row = j.agg(
+        F.count("v").alias("_n"),
+        *[
+            F.sum(F.when(F.col("v") <= F.lit(v), 1).otherwise(0))
+            .alias(f"_le{i}")
+            for i, v in enumerate(PCT_RANK_VALUES)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("value"),
+                F.round(
+                    F.col(f"_le{i}") * 100.0 / F.col("_n").cast("double"), 6
+                ).alias("percent"),
+            )
+            for i, v in enumerate(PCT_RANK_VALUES)
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("kv"))
+        .select("kv.value", "kv.percent")
+        .orderBy("value")
+    )
+
+
+def _sql_facet_percentile_ranks() -> str:
+    rows = "\nUNION ALL ".join(
+        f"SELECT CAST({v} AS DOUBLE) AS value, "
+        f"round(100.0 * sum(CASE WHEN v <= {v} THEN 1 ELSE 0 END) "
+        f"/ count(*), 6) AS percent FROM v"
+        for v in PCT_RANK_VALUES
+    )
+    return f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE},
+v AS (SELECT CAST(len(l) AS DOUBLE) AS v FROM m JOIN tok USING (doc_id))
+SELECT * FROM ({rows}) ORDER BY value"""
+
+
+RF_PIVOT = 50.0
+RF_BOOST = 1.5
+
+
+def _q_rank_feature(spark, sf_dir):
+    """ES `rank_feature` query, saturation shape (BM25Index.
+    search_rank_feature): score = boost · S / (S + pivot) over a
+    positive per-doc signal (token count), postings never touched,
+    top-k through the (score desc, doc_id asc) total order."""
+    toks = _docs_tokens(spark, sf_dir)
+    s = toks.select(
+        "doc_id", F.size("toks").cast("double").alias("s")
+    ).filter(F.col("s") > 0)
+    return (
+        s.select(
+            "doc_id",
+            F.round(
+                F.lit(RF_BOOST) * F.col("s") / (F.col("s") + F.lit(RF_PIVOT)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_RANK_FEATURE = f"""{_TOK_CTE}
+SELECT doc_id,
+  round({RF_BOOST} * s / (s + {RF_PIVOT}), 6) AS score
+FROM (SELECT doc_id, CAST(len(l) AS DOUBLE) AS s FROM tok)
+WHERE s > 0
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 TOPHITS_BUCKETS = 4
 TOPHITS_PER = 3
 
@@ -4347,6 +4433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_cardinality_source": _q_facet_cardinality,
         "facet_composite_page": _q_facet_composite,
         "facet_percentiles_toklen": _q_facet_percentiles,
+        "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
+        "rank_feature_topk": _q_rank_feature,
         "facet_top_hits": _q_facet_top_hits,
         "facet_date_histogram": _q_date_histogram,
         "collapse_topk": _q_collapse_topk,
@@ -4460,6 +4548,8 @@ def oracle_sql() -> dict[str, str]:
         "facet_cardinality_source": _SQL_FACET_CARDINALITY,
         "facet_composite_page": _SQL_FACET_COMPOSITE,
         "facet_percentiles_toklen": _sql_facet_percentiles(),
+        "facet_percentile_ranks_toklen": _sql_facet_percentile_ranks(),
+        "rank_feature_topk": _SQL_RANK_FEATURE,
         "facet_top_hits": _SQL_TOP_HITS,
         "facet_date_histogram": _SQL_DATE_HISTOGRAM,
         "collapse_topk": _SQL_COLLAPSE,
