@@ -1038,7 +1038,22 @@ class BM25Index:
         `query={"phrase": text[, "slop": n]}` is a match_phrase
         foreground (ES aggs under a phrase query): matched ids come
         from the positional conjunctive cut (_phrase_scored minus the
-        scores)."""
+        scores).
+
+        `query=<DataFrame of doc_id>` is a PRE-COMPUTED foreground
+        (sampler/diversified_sampler hand their sampled id set to the
+        whole facet family this way); the producer is responsible for
+        tombstones."""
+        if isinstance(query, DataFrame):
+            matched = query.select("doc_id")
+            if predicate is not None:
+                allowed = self.docs.filter(
+                    F.expr(predicate)
+                    if isinstance(predicate, str)
+                    else predicate
+                ).select("doc_id")
+                matched = matched.join(allowed, "doc_id", "left_semi")
+            return matched
         if query is None or (isinstance(query, dict) and "phrase" in query):
             if query is None:
                 matched = self._drop_tombstones(self.docs.select("doc_id"))
@@ -1087,6 +1102,76 @@ class BM25Index:
             ).select("doc_id")
             matched = matched.join(allowed, "doc_id", "left_semi")
         return matched
+
+    def sampler_ids(
+        self,
+        query,
+        shard_size: int = 100,
+        mode: str = "or",
+        predicate=None,
+        field: Optional[str] = None,
+        max_docs_per_value: Optional[int] = None,
+    ) -> Optional[DataFrame]:
+        """Sampler foreground — ES `sampler` / `diversified_sampler`
+        aggs: restrict sub-aggregations to the best-scoring
+        `shard_size` matches so expensive analysis (significant_terms
+        especially) reads a high-relevance slice instead of the long
+        tail.  ES cuts per shard; a batch engine has no shards, so the
+        cut is the GLOBAL (score desc, doc_id asc) total order —
+        deterministic and reproducible where ES's union-of-shard-tops
+        depends on routing.  The plan is the exhaustive scoring pass
+        (a sample by score cannot be WAND-pruned blind: the k-th score
+        isn't known until the cut) + TakeOrderedAndProject at
+        shard_size, ids only.
+
+        diversified_sampler: `max_docs_per_value` keeps at most that
+        many docs per `field` value (best first — ES's de-bias rule
+        against one dominant source), applied BEFORE the shard_size
+        cut via one window over the score order.  match_all
+        foregrounds sample at constant score, doc_id asc — ES under
+        match_all is similarly arbitrary-but-stable.
+
+        Returns None when no query term is indexed; the id set feeds
+        _matched_ids(query=<DataFrame>) so every facet runs unchanged
+        over the sample."""
+        if shard_size < 1:
+            raise ValueError("shard_size must be >= 1")
+        if query is None:
+            scored = self._drop_tombstones(
+                self.docs.select("doc_id")
+            ).withColumn("score", F.lit(1.0))
+        elif isinstance(query, dict) and "phrase" in query:
+            scored = self._phrase_scored(
+                query["phrase"], slop=int(query.get("slop", 0))
+            )
+        else:
+            scored = self._or_scored(query, mode)
+        if scored is None:
+            return None
+        if predicate is not None:
+            allowed = self.docs.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            ).select("doc_id")
+            scored = scored.join(allowed, "doc_id", "left_semi")
+        if max_docs_per_value is not None:
+            if not field:
+                raise ValueError("diversified sampling needs a field")
+            if max_docs_per_value < 1:
+                raise ValueError("max_docs_per_value must be >= 1")
+            vals = self.docs.select("doc_id", F.expr(field).alias("_v"))
+            w = Window.partitionBy("_v").orderBy(
+                F.desc(F.round("score", 9)), F.asc("doc_id")
+            )
+            scored = (
+                scored.join(vals, "doc_id", "left")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= int(max_docs_per_value))
+            )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(shard_size))
+            .select("doc_id")
+        )
 
     def search_filtered(
         self,
@@ -2134,6 +2219,87 @@ class BM25Index:
         if min_doc_count > 1:
             out = out.filter(F.col("doc_count") >= int(min_doc_count))
         return out
+
+    def facet_cumulative_cardinality(
+        self,
+        query,
+        value_field: str,
+        date_field: str = "warc_ts",
+        calendar_interval: Optional[str] = "day",
+        fixed_interval: Optional[str] = None,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Cumulative-cardinality pipeline — the ES
+        `cumulative_cardinality` agg (a date_histogram with a
+        cardinality sub-agg and the pipeline on top): per bucket, how
+        many DISTINCT `value_field` values have been seen up to and
+        including it — the canonical "total unique users to date"
+        time series.
+
+        ES sums HyperLogLog sketches bucket-by-bucket (approximate);
+        the batch plan is EXACT and cheaper than per-bucket distinct
+        unions: each value contributes only its FIRST bucket
+        (groupBy(value).min(key) — partial aggregation collapses
+        repeat values map-side), first-appearance counts aggregate per
+        bucket, and one window cumulative-sum over the aggregate-sized
+        bucket list finishes.  No bucket ever re-counts the values of
+        its predecessors, so the doc-sized work is two partial-agg
+        groupBys regardless of the time span.
+
+        Returns (key, doc_count, new_values, cumulative_cardinality)
+        key-asc; doc_count matches facet_date_histogram's bucket
+        counts."""
+        if fixed_interval is not None:
+            secs = self._parse_duration(fixed_interval)
+            epoch = F.unix_timestamp(F.expr(date_field)).cast("double")
+            key = F.timestamp_seconds(
+                F.floor(epoch / F.lit(secs)) * F.lit(secs)
+            ).alias("key")
+        else:
+            allowed = {"minute", "hour", "day", "week", "month",
+                       "quarter", "year"}
+            if calendar_interval not in allowed:
+                raise ValueError(
+                    f"calendar_interval must be one of {sorted(allowed)}"
+                )
+            key = F.date_trunc(
+                calendar_interval, F.expr(date_field)
+            ).alias("key")
+        schema = ("key timestamp, doc_count long, new_values long, "
+                  "cumulative_cardinality long")
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        j = (
+            matched.join(
+                self.docs.select(
+                    "doc_id", key, F.expr(value_field).alias("_v")
+                ),
+                "doc_id",
+            )
+            .filter(F.col("key").isNotNull() & F.col("_v").isNotNull())
+        )
+        buckets = j.groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
+        firsts = (
+            j.groupBy("_v").agg(F.min("key").alias("key"))
+            .groupBy("key").agg(F.count(F.lit(1)).alias("new_values"))
+        )
+        w = Window.orderBy(F.asc("key")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return (
+            buckets.join(firsts, "key", "left")
+            .select(
+                "key",
+                "doc_count",
+                F.coalesce("new_values", F.lit(0)).alias("new_values"),
+            )
+            .withColumn(
+                "cumulative_cardinality", F.sum("new_values").over(w)
+            )
+            .orderBy("key")
+        )
 
     @classmethod
     def _parse_duration(cls, s: str) -> int:

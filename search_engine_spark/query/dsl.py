@@ -1217,7 +1217,7 @@ def execute_es_count(idx, body: Dict) -> int:
     return int(idx.count_matches(q, mode=mode, predicate=predicate))
 
 
-def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
+def execute_es_aggs(idx, body: Dict, _foreground=None) -> Dict[str, object]:
     """Execute the `aggs` section of an ES request body.
 
     {"query": ..., "aggs": {name: {<type>: {...}}, ...}} → {name:
@@ -1252,7 +1252,12 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
         conditional-agg pass), adjacency_matrix →
         facet_adjacency_matrix, missing → facet_missing, multi_terms →
         facet_multi_terms, rare_terms → facet_rare_terms, top_metrics
-        → facet_top_metrics, global → sub-aggs re-executed over the
+        → facet_top_metrics, percentile_ranks →
+        facet_percentile_ranks, sampler / diversified_sampler →
+        sampler_ids + sub-aggs re-executed over the sampled id set,
+        date_histogram + {cardinality, cumulative_cardinality} →
+        facet_cumulative_cardinality (one exact first-appearance
+        pass), global → sub-aggs re-executed over the
         whole live corpus (match_all foreground), ignoring the body's
         query.  Foregrounds: match / match_phrase / bool(must+filter) /
         filter-only bool / match_all / absent query.
@@ -1262,7 +1267,12 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
     aggs = body.get("aggs") or body.get("aggregations")
     if not aggs:
         _unsupported("body without an aggs section")
-    q, mode, predicate = _agg_context(body.get("query"))
+    if _foreground is not None:
+        # pre-computed id-set foreground (sampler/diversified_sampler
+        # recursion) — predicates were already folded into the sample
+        q, mode, predicate = _foreground, "or", None
+    else:
+        q, mode, predicate = _agg_context(body.get("query"))
     out: Dict[str, object] = {}
     siblings: List[Tuple[str, str, Dict]] = []
     for name, node in aggs.items():
@@ -1400,6 +1410,63 @@ def execute_es_aggs(idx, body: Dict) -> Dict[str, object]:
                     ),
                 ),
                 pipes,
+            )
+        elif kind in ("sampler", "diversified_sampler"):
+            if not nested:
+                _unsupported(f"{kind} agg without sub-aggs")
+            ids = idx.sampler_ids(
+                q, shard_size=int(spec.get("shard_size", 100)),
+                mode=mode, predicate=predicate,
+                field=spec.get("field"),
+                max_docs_per_value=(
+                    int(spec.get("max_docs_per_value", 1))
+                    if kind == "diversified_sampler" else None
+                ),
+            )
+            if ids is None:
+                ids = idx.spark.createDataFrame([], "doc_id long")
+            # the sample is <= shard_size rows but sits on an
+            # exhaustive scoring pass — materialize once so every
+            # sub-agg (and the doc_count) reuses it
+            ids = ids.localCheckpoint()
+            out[name] = {
+                "doc_count": ids.count(),
+                **execute_es_aggs(idx, {"aggs": nested}, _foreground=ids),
+            }
+        elif kind == "date_histogram" and nested and any(
+            "cumulative_cardinality" in n for n in nested.values()
+        ):
+            # {dh, aggs: {u: {cardinality}, t: {cumulative_cardinality:
+            # {buckets_path: "u"}}}} — the whole shape lowers onto ONE
+            # exact first-appearance pass (facet_cumulative_cardinality)
+            kinds2 = {
+                n: _one_key(
+                    {k2: v2 for k2, v2 in v.items()
+                     if k2 not in ("aggs", "aggregations")},
+                    "nested agg node",
+                )
+                for n, v in nested.items()
+            }
+            cards = {n: s for n, (k2, s) in kinds2.items()
+                     if k2 == "cardinality"}
+            ccs = {n: s for n, (k2, s) in kinds2.items()
+                   if k2 == "cumulative_cardinality"}
+            if len(cards) != 1 or len(ccs) != 1 or len(kinds2) != 2:
+                _unsupported(
+                    "cumulative_cardinality needs exactly one "
+                    "cardinality sibling under the date_histogram"
+                )
+            (cc_spec,) = ccs.values()
+            if cc_spec.get("buckets_path") != next(iter(cards)):
+                _unsupported(
+                    "cumulative_cardinality buckets_path must name "
+                    "the sibling cardinality agg"
+                )
+            out[name] = idx.facet_cumulative_cardinality(
+                q, next(iter(cards.values()))["field"], spec["field"],
+                calendar_interval=spec.get("calendar_interval"),
+                fixed_interval=spec.get("fixed_interval"),
+                mode=mode, predicate=predicate,
             )
         elif kind == "date_histogram":
             if "calendar_interval" not in spec and \

@@ -1827,3 +1827,193 @@ class TestHistogramOptions:
         assert [tuple(r) for r in out["dh"].collect()] == [
             tuple(r) for r in want_dh.collect()
         ]
+
+
+class TestSamplerAggs:
+    """ES sampler / diversified_sampler: sub-aggs over the top
+    shard_size best-scoring matches (global deterministic cut) —
+    engine id set and DSL-lowered sub-aggs vs Python recomputation."""
+
+    def _oracle_sample(self, oracle, query, shard_size):
+        scored = sorted(
+            oracle.or_scores(query).items(), key=lambda x: (-x[1], x[0])
+        )
+        return [d for d, _ in scored[:shard_size]]
+
+    def test_sampler_ids_match_oracle(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        got = sorted(
+            r["doc_id"]
+            for r in idx.sampler_ids(q, shard_size=25).collect()
+        )
+        assert got == sorted(self._oracle_sample(oracle, q, 25))
+
+    def test_diversified_caps_per_value(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        cap = 2
+        got = [
+            r["doc_id"]
+            for r in idx.sampler_ids(
+                q, shard_size=15, field="domain", max_docs_per_value=cap
+            ).collect()
+        ]
+        # python twin: per-domain rank by (-round(score,9), doc_id),
+        # keep <= cap, then global cut
+        scored = oracle.or_scores(q)
+        by_dom = {}
+        for d in sorted(scored, key=lambda d: (-round(scored[d], 9), d)):
+            dom = domain_by_doc[d]
+            by_dom.setdefault(dom, []).append(d)
+        kept = {d for ds in by_dom.values() for d in ds[:cap]}
+        want = [
+            d for d, _ in sorted(
+                ((d, s) for d, s in scored.items() if d in kept),
+                key=lambda x: (-x[1], x[0]),
+            )[:15]
+        ]
+        assert sorted(got) == sorted(want)
+        # cap actually binds
+        doms = [domain_by_doc[d] for d in got]
+        assert all(doms.count(x) <= cap for x in set(doms))
+
+    def test_facets_accept_id_frame(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[1]
+        ids = idx.sampler_ids(q, shard_size=20)
+        rows = idx.facet_counts(ids, "domain", size=50).collect()
+        sample = self._oracle_sample(oracle, q, 20)
+        want = {}
+        for d in sample:
+            want[domain_by_doc[d]] = want.get(domain_by_doc[d], 0) + 1
+        assert {r["value"]: r["doc_count"] for r in rows} == want
+
+    def test_dsl_sampler(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        body = {"query": {"match": {"content": q}},
+                "aggs": {"s": {
+                    "sampler": {"shard_size": 30},
+                    "aggs": {"by_dom": {"terms": {
+                        "field": "domain", "size": 50}}},
+                }}}
+        out = execute_es_aggs(idx, body)
+        sample = self._oracle_sample(oracle, q, 30)
+        assert out["s"]["doc_count"] == len(sample)
+        want = {}
+        for d in sample:
+            want[domain_by_doc[d]] = want.get(domain_by_doc[d], 0) + 1
+        got = {
+            r["value"]: r["doc_count"] for r in out["s"]["by_dom"].collect()
+        }
+        assert got == want
+
+    def test_dsl_sampler_unknown_terms(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"query": {"match": {"content": "zzqqxx"}},
+                "aggs": {"s": {
+                    "sampler": {"shard_size": 10},
+                    "aggs": {"st": {"stats": {"field": "doclen"}}},
+                }}}
+        out = execute_es_aggs(idx, body)
+        assert out["s"]["doc_count"] == 0
+
+    def test_validation(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        with pytest.raises(ValueError, match="shard_size"):
+            idx.sampler_ids(QUERIES[0], shard_size=0)
+        with pytest.raises(ValueError, match="field"):
+            idx.sampler_ids(QUERIES[0], max_docs_per_value=2)
+
+
+class TestCumulativeCardinality:
+    """ES cumulative_cardinality pipeline: exact distinct-to-date per
+    date bucket via the first-appearance trick — vs Python."""
+
+    def test_matches_python(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        m = _matched(oracle, q)
+        ts = {
+            r["doc_id"]: r["warc_ts"]
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", "warc_ts").collect()
+        }
+        day = {d: ts[d].date() for d in m}
+        rows = idx.facet_cumulative_cardinality(
+            q, "domain", "warc_ts", calendar_interval="day"
+        ).collect()
+        # python: first day per domain, then cumulative distinct
+        first_day = {}
+        for d in sorted(m):
+            dom = domain_by_doc[d]
+            if dom not in first_day or day[d] < first_day[dom]:
+                first_day[dom] = day[d]
+        keys = [r["key"].date() for r in rows]
+        assert keys == sorted(keys)
+        seen = set()
+        for r in rows:
+            kd = r["key"].date()
+            assert r["doc_count"] == sum(1 for d in m if day[d] == kd)
+            new = {v for v, fd in first_day.items() if fd == kd}
+            assert r["new_values"] == len(new)
+            seen |= {v for v, fd in first_day.items() if fd <= kd}
+            assert r["cumulative_cardinality"] == len(seen)
+        # final cumulative = total distinct domains over matches
+        assert rows[-1]["cumulative_cardinality"] == len(
+            {domain_by_doc[d] for d in m}
+        )
+
+    def test_dsl_shape(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        body = {"query": {"match": {"content": q}},
+                "aggs": {"daily": {
+                    "date_histogram": {"field": "warc_ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {
+                        "doms": {"cardinality": {"field": "domain"}},
+                        "total": {"cumulative_cardinality": {
+                            "buckets_path": "doms"}},
+                    },
+                }}}
+        out = execute_es_aggs(idx, body)
+        want = idx.facet_cumulative_cardinality(
+            q, "domain", "warc_ts", calendar_interval="day"
+        )
+        assert [tuple(r) for r in out["daily"].collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+
+    def test_bad_buckets_path(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"query": {"match": {"content": QUERIES[0]}},
+                "aggs": {"daily": {
+                    "date_histogram": {"field": "warc_ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {
+                        "doms": {"cardinality": {"field": "domain"}},
+                        "total": {"cumulative_cardinality": {
+                            "buckets_path": "nope"}},
+                    },
+                }}}
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, body)
