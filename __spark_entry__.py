@@ -1825,6 +1825,39 @@ SELECT doc_id, url,
 FROM urls"""
 
 
+BLOCKED_DOMAINS = ["site3.example.com", "site5.example.com"]
+BLOCKED_PATH_KWS = ["report", "/x/"]
+
+
+def _q_url_blocklist(spark, sf_dir):
+    """URL blocklist gate (ops/urlfilter — the C4/RefinedWeb-style
+    pre-content curation filter): per-url host extraction + domain /
+    subdomain / path-keyword verdicts, all codegen-side column
+    expressions."""
+    from search_engine_spark.ops import urlfilter as UF
+
+    return UF.url_filter_stats(
+        _urls_df(spark, sf_dir), "doc_id", "url",
+        blocked_domains=BLOCKED_DOMAINS,
+        path_keywords=BLOCKED_PATH_KWS,
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_url_blocklist():
+    from search_engine_spark.ops import urlfilter as UF
+
+    h = UF.host_sql("url")
+    p = UF.path_sql("url")
+    bd = UF.domain_pred_sql(h, BLOCKED_DOMAINS)
+    bp = UF.path_pred_sql(p, BLOCKED_PATH_KWS)
+    return f"""WITH {_URLS_CTE}
+SELECT doc_id, {h} AS host,
+       {bd} AS blocked_domain,
+       {bp} AS blocked_path,
+       ({bd} OR {bp}) AS blocked
+FROM urls"""
+
+
 def _q_frontier_pop(spark, sf_dir):
     """Priority-ordered frontier pop (A4/G5, crawler.py:137-153 — the
     Redis ZSET ZRANGE+ZREM made declarative): lowest crawl priority
@@ -4479,6 +4512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree_graph": _q_out_degree_graph,
         # web/url layer (SURVEY §2.B, §2.F9/F15)
         "url_ops": _q_url_ops,
+        "url_blocklist": _q_url_blocklist,
         "frontier_pop": _q_frontier_pop,
         "crawl_bfs_waves": _q_crawl_bfs_waves,
         # quality + near-dup (training-data ops)
@@ -4587,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_5iter": _sql_pagerank(),
         "out_degree_graph": _SQL_OUT_DEGREE_GRAPH,
         "url_ops": _sql_url_ops(),
+        "url_blocklist": _sql_url_blocklist(),
         "frontier_pop": _sql_frontier_pop(),
         "crawl_bfs_waves": _SQL_CRAWL_BFS,
         "quality_scores": _SQL_QUALITY,

@@ -1248,6 +1248,53 @@ class BM25Index:
             query, k=k, mode=mode, join_docs=join_docs, after=after
         )
 
+    def scroll(
+        self,
+        query,
+        page_size: int = 100,
+        join_docs: bool = True,
+        max_pages: Optional[int] = None,
+    ) -> Iterator[DataFrame]:
+        """Scroll — the ES `_search?scroll` deep-export API: iterate
+        EVERY hit of a query in (score desc, doc_id asc) order, one
+        page at a time, until exhausted.  Where ES freezes a
+        point-in-time snapshot per scroll_id, a batch engine reads an
+        immutable index, so consistency is free; the cursor is the
+        search_after tuple of each page's last row (the pattern ES
+        itself now recommends over scroll ids).
+
+        Generator of DataFrames of <= page_size rows; stops on the
+        first short page.  Each page is one scan + one
+        TakeOrderedAndProject — page N never re-ranks the N-1 pages
+        before it, so a full export is O(total hits) across pages, not
+        O(hits²) like from/size paging would be.  The per-page cursor
+        collect is 1 row (driver-cheap).  `max_pages` bounds runaway
+        exports."""
+        if page_size < 1:
+            raise ValueError("page_size must be >= 1")
+        after = None
+        pages = 0
+        while max_pages is None or pages < max_pages:
+            page = (
+                self.search(query, k=page_size, join_docs=join_docs)
+                if after is None
+                else self.search_after(
+                    query, after, k=page_size, join_docs=join_docs
+                )
+            )
+            # one tiny action decides continuation and the next cursor
+            tail = page.select("doc_id", "score").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).collect()
+            if not tail:
+                return
+            yield page
+            pages += 1
+            if len(tail) < page_size:
+                return
+            last = tail[-1]
+            after = (last["score"], last["doc_id"])
+
     def facet_counts(
         self,
         query,
@@ -2517,6 +2564,38 @@ class BM25Index:
         if fn is None:
             raise ValueError(f"unknown sibling pipeline agg {kind!r}")
         return buckets.agg(fn(m).alias("value"))
+
+    @classmethod
+    def rate(
+        cls,
+        buckets: DataFrame,
+        fixed_interval: str,
+        unit: str = "day",
+        metric: str = "doc_count",
+    ) -> DataFrame:
+        """Rate aggregation — the ES `rate` agg under a date_histogram:
+        rescale each bucket's metric from the bucket width to a target
+        `unit` ("minute"/"hour"/"day"/"week"), e.g. events-per-day
+        inside 6-hour buckets.  Supported for fixed_interval buckets,
+        whose width is constant (calendar buckets vary in length and ES
+        resolves each bucket's true duration at reduce time — refused
+        here rather than approximated); the rescale is then one literal
+        multiply on the aggregate-sized bucket rows, no doc work.
+        Adds a `rate` column."""
+        unit_secs = {
+            "second": 1, "minute": 60, "hour": 3600,
+            "day": 86400, "week": 604800,
+        }.get(unit)
+        if unit_secs is None:
+            raise ValueError(f"unsupported rate unit {unit!r}")
+        bucket_secs = cls._parse_duration(fixed_interval)
+        if bucket_secs <= 0:
+            raise ValueError("fixed_interval must be positive")
+        return buckets.withColumn(
+            "rate",
+            F.col(metric).cast("double")
+            * F.lit(float(unit_secs) / float(bucket_secs)),
+        )
 
     def facet_range(
         self,

@@ -1473,24 +1473,42 @@ def execute_es_aggs(idx, body: Dict, _foreground=None) -> Dict[str, object]:
                     "fixed_interval" not in spec:
                 _unsupported("date_histogram needs calendar_interval "
                              "or fixed_interval")
+            rate_nodes = {}
+            if nested:
+                nested = dict(nested)
+                for n in list(nested):
+                    k2, s2 = _one_key(nested[n], "nested agg node")
+                    if k2 == "rate":
+                        if "fixed_interval" not in spec:
+                            _unsupported(
+                                "rate under a calendar_interval "
+                                "date_histogram (bucket widths vary)"
+                            )
+                        if "field" in s2:
+                            _unsupported("rate with a field (doc_count "
+                                         "rate only)")
+                        rate_nodes[n] = s2
+                        del nested[n]
             mets, pipes = _split_pipeline(nested)
             eb = spec.get("extended_bounds")
-            out[name] = _apply_pipeline(
-                idx,
-                idx.facet_date_histogram(
-                    q, spec["field"],
-                    calendar_interval=spec.get("calendar_interval"),
-                    fixed_interval=spec.get("fixed_interval"),
-                    offset=spec.get("offset"),
-                    min_doc_count=int(spec.get("min_doc_count", 1)),
-                    extended_bounds=(
-                        (eb["min"], eb["max"]) if eb else None
-                    ),
-                    mode=mode, predicate=predicate,
-                    metrics=_metric_subaggs(mets),
+            df = idx.facet_date_histogram(
+                q, spec["field"],
+                calendar_interval=spec.get("calendar_interval"),
+                fixed_interval=spec.get("fixed_interval"),
+                offset=spec.get("offset"),
+                min_doc_count=int(spec.get("min_doc_count", 1)),
+                extended_bounds=(
+                    (eb["min"], eb["max"]) if eb else None
                 ),
-                pipes,
+                mode=mode, predicate=predicate,
+                metrics=_metric_subaggs(mets),
             )
+            for n, s2 in rate_nodes.items():
+                df = idx.rate(
+                    df, spec["fixed_interval"],
+                    unit=s2.get("unit", "day"),
+                ).withColumnRenamed("rate", n)
+            out[name] = _apply_pipeline(idx, df, pipes)
         elif kind == "range":
             ranges = [
                 (r.get("from"), r.get("to")) for r in spec["ranges"]

@@ -2017,3 +2017,47 @@ class TestCumulativeCardinality:
                 }}}
         with pytest.raises(NotImplementedError):
             execute_es_aggs(idx, body)
+
+
+class TestRateAgg:
+    """ES rate agg under a fixed_interval date_histogram: metric
+    rescaled from bucket width to the requested unit."""
+
+    def test_rescale(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        base = idx.facet_date_histogram(q, "warc_ts", fixed_interval="12h")
+        got = idx.rate(base, "12h", unit="day").collect()
+        for r in got:
+            assert r["rate"] == pytest.approx(r["doc_count"] * 2.0)
+
+    def test_dsl_and_refusals(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"query": {"match": {"content": QUERIES[0]}},
+                "aggs": {"dh": {
+                    "date_histogram": {"field": "warc_ts",
+                                       "fixed_interval": "6h"},
+                    "aggs": {"per_day": {"rate": {"unit": "day"}}},
+                }}}
+        out = execute_es_aggs(idx, body)
+        for r in out["dh"].collect():
+            assert r["per_day"] == pytest.approx(r["doc_count"] * 4.0)
+        with pytest.raises(NotImplementedError):
+            execute_es_aggs(idx, {
+                "query": {"match": {"content": QUERIES[0]}},
+                "aggs": {"dh": {
+                    "date_histogram": {"field": "warc_ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {"r": {"rate": {"unit": "hour"}}},
+                }}})
+        with pytest.raises(ValueError, match="unit"):
+            idx.rate(
+                idx.facet_date_histogram(
+                    QUERIES[0], "warc_ts", fixed_interval="6h"
+                ),
+                "6h", unit="fortnight",
+            )

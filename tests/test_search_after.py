@@ -117,3 +117,34 @@ class TestSearchAfter:
             )
         )
         assert [d for d, _ in head + tail] == [d for d, _ in want]
+
+
+class TestScroll:
+    """ES scroll (deep export): iterating every page reproduces the
+    full exhaustive ordering exactly once."""
+
+    @pytest.mark.parametrize("page_size", [7, 50])
+    def test_full_export(self, idx, page_size):
+        total = idx.count_matches(QUERY)
+        want = _rows(idx.search(QUERY, k=total, join_docs=False))
+        got = []
+        for page in idx.scroll(QUERY, page_size=page_size,
+                               join_docs=False):
+            rows = _rows(page)
+            assert len(rows) <= page_size
+            got.extend(rows)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert len(got) == total  # every hit exactly once
+
+    def test_max_pages_bounds(self, idx):
+        pages = list(idx.scroll(QUERY, page_size=3, join_docs=False,
+                                max_pages=2))
+        assert len(pages) == 2
+
+    def test_no_match_yields_nothing(self, idx):
+        assert list(idx.scroll("zzqqxx", page_size=5,
+                               join_docs=False)) == []
+
+    def test_bad_page_size(self, idx):
+        with pytest.raises(ValueError):
+            next(idx.scroll(QUERY, page_size=0))
