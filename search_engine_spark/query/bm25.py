@@ -184,6 +184,7 @@ _PHRASE_SCHEMA = StructType(
 def _decode_phrase_starts(
     offsets_by_term: Dict[str, List[int]],
     cand: Optional[np.ndarray] = None,
+    shift: bool = True,
 ):
     """mapInPandas body: positional blocks -> candidate phrase-start rows.
 
@@ -194,6 +195,10 @@ def _decode_phrase_starts(
     shifted list empties is dropped too, which the downstream
     count == n_pairs filter turns into a correct non-match).  The
     per-doc split/shift is pure numpy — no Python loop over positions.
+
+    shift=False emits RAW position lists (off kept as the slot label
+    only, nothing subtracted or dropped) — the intervals query needs
+    every position, not just viable phrase starts.
 
     cand: optional SORTED doc_id array (docs containing the phrase's
     rarest term — an exact superset of all matches).  Blocks whose
@@ -230,11 +235,15 @@ def _decode_phrase_starts(
                 dls = varint_decode(bytes(dls_b), n).astype(np.int64)
                 seg_starts = np.cumsum(counts) - counts
                 for off in offs:
-                    shifted = flat - off
-                    keep = shifted >= 0
-                    kept_counts = np.add.reduceat(
-                        keep.astype(np.int64), seg_starts
-                    )
+                    if shift:
+                        shifted = flat - off
+                        keep = shifted >= 0
+                        kept_counts = np.add.reduceat(
+                            keep.astype(np.int64), seg_starts
+                        )
+                    else:
+                        shifted, keep = flat, slice(None)
+                        kept_counts = counts
                     doc_ok = kept_counts > 0
                     if cand_mask is not None:
                         doc_ok &= cand_mask
@@ -298,6 +307,76 @@ def _sloppy_ptf_udf(slop: int, n_pairs: int):
         return pd.Series([ptf_of(p) for p in pairs], dtype=np.int64)
 
     return ptf
+
+
+def _intervals_freq_udf(max_gaps: int, ordered: bool, n_terms: int):
+    """pandas UDF: per-doc count of MINIMAL matching intervals — the
+    ES/Lucene `intervals` match source (ordered / unordered, max_gaps).
+
+    Input rows are collect_list(struct(off, starts)) for docs that
+    passed the all-terms conjunctive cut; `off` is the term's query
+    ordinal and starts[off] is its SORTED RAW position list (the
+    shared phrase decoder in shift=False mode).
+
+    ordered: greedy smallest-next strictly-increasing chains from
+    every p_0 (vectorized searchsorted per level) give each start's
+    tightest end; an interval is minimal iff no later start reaches
+    the same end (ends are non-decreasing in p_0, so dropping
+    equal-end predecessors is exact).  unordered: the classic minimal-
+    window sweep over the merged (position, term) stream.  An interval
+    matches when (width - n_terms) <= max_gaps; max_gaps < 0 means
+    unlimited (the ES default -1)."""
+
+    def freq_of(plist) -> int:
+        pos: List[Optional[np.ndarray]] = [None] * n_terms
+        for p in plist:
+            pos[int(p["off"])] = np.asarray(p["starts"], dtype=np.int64)
+        if ordered:
+            p0 = pos[0]
+            cur = p0
+            for j in range(1, n_terms):
+                a = pos[j]
+                idx = np.searchsorted(a, cur, side="right")
+                valid = idx < len(a)
+                p0 = p0[valid]
+                if not len(p0):
+                    return 0
+                cur = a[idx[valid]]
+            if len(p0) > 1:
+                keep = np.append(cur[:-1] != cur[1:], True)
+                p0, cur = p0[keep], cur[keep]
+            if max_gaps < 0:
+                return int(len(p0))
+            return int(
+                np.count_nonzero((cur - p0 + 1) - n_terms <= max_gaps)
+            )
+        items = sorted(
+            (int(v), i) for i, lst in enumerate(pos) for v in lst
+        )
+        cnt = [0] * n_terms
+        have = left = out = 0
+        for pr, tr in items:
+            cnt[tr] += 1
+            if cnt[tr] == 1:
+                have += 1
+            if have < n_terms:
+                continue
+            while cnt[items[left][1]] > 1:
+                cnt[items[left][1]] -= 1
+                left += 1
+            width = pr - items[left][0] + 1
+            if max_gaps < 0 or width - n_terms <= max_gaps:
+                out += 1
+            cnt[items[left][1]] -= 1
+            have -= 1
+            left += 1
+        return out
+
+    @F.pandas_udf(LongType())
+    def freq(pairs: pd.Series) -> pd.Series:
+        return pd.Series([freq_of(p) for p in pairs], dtype=np.int64)
+
+    return freq
 
 
 _TF_ROWS_SCHEMA = StructType(
@@ -5770,6 +5849,103 @@ class BM25Index:
             ptf_col = F.size(F.element_at("_arrs", 1))
         scored = (
             grouped.withColumn("_ptf", ptf_col)
+            .filter(F.col("_ptf") > 0)
+            .select(
+                "doc_id",
+                score_col(
+                    F.col("_ptf").cast("double"),
+                    F.col("dl").cast("double"),
+                    F.lit(float(idf_sum)),
+                    self.avgdl,
+                ).alias("score"),
+            )
+        )
+        return self._drop_tombstones(scored)
+
+    def search_intervals(
+        self,
+        query: str,
+        max_gaps: int = -1,
+        ordered: bool = False,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Intervals query — the ES `intervals` `match` source
+        (Lucene IntervalQuery): docs where the query's terms occur
+        within a minimal interval, optionally in order, with at most
+        `max_gaps` extra positions inside (`-1` = unlimited, ES's
+        default).  ordered + max_gaps generalizes match_phrase slop
+        (slop s == ordered max_gaps=s over the same tokens); unordered
+        is the proximity-any-order shape match_phrase cannot express.
+
+        Matching is EXACT Lucene minimal-interval semantics (strictly
+        increasing chains / minimal windows, positions from the
+        filtered token stream).  Scoring follows this engine's phrase
+        convention — the interval acts as a pseudo-term with
+        tf = minimal-interval count and idf = Σ idf over the distinct
+        terms (Lucene instead weights each interval by 1/width; a
+        documented divergence, pinned by the in-repo oracle).
+
+        Plan shape = the phrase plan: bucket-pruned positional scan,
+        Arrow decode masked by the rarest-term conjunctive cut, ONE
+        groupBy(doc_id) bounded by the rarest term's df, the interval
+        sweep in an Arrow UDF over docs that already hold every term.
+        Queries with a repeated term are refused (NotImplementedError)
+        rather than silently collapsed."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        scored = self._intervals_scored(query, max_gaps, ordered)
+        if scored is None:
+            return self._empty_scored(join_docs)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._join_docs(topk) if join_docs else topk
+
+    def _intervals_scored(
+        self, query: str, max_gaps: int, ordered: bool
+    ) -> Optional[DataFrame]:
+        """(doc_id, score) for EVERY doc with a matching interval —
+        search_intervals minus the top-k cut (reused by the DSL's
+        any_of union).  None = provably empty."""
+        toks = tokenize_py(query)
+        if not toks:
+            return None
+        if len(set(toks)) != len(toks):
+            raise NotImplementedError(
+                "intervals subset: repeated terms in one match source"
+            )
+        offs = {t: [i] for i, t in enumerate(toks)}
+        terms = sorted(offs)
+        stats = self._query_stats(terms)
+        if any(t not in stats for t in terms):
+            return None
+        idf_sum = sum(idf_py(self.n_docs, stats[t][0]) for t in terms)
+        buckets = sorted({stats[t][2] for t in terms})
+        n_terms = len(toks)
+
+        cand_ids = self._conjunctive_candidates(terms, stats)
+        if cand_ids is not None and not len(cand_ids):
+            return None
+        blocks = self._pos_postings().filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        cand = blocks.select(
+            "term", "count", "doc_ids", "pos_counts", "positions", "doclens"
+        ).mapInPandas(
+            _decode_phrase_starts(offs, cand_ids, shift=False),
+            schema=_PHRASE_SCHEMA,
+        )
+        grouped = (
+            cand.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("_np"),
+                F.first("dl").alias("dl"),
+                F.collect_list(F.struct("off", "starts")).alias("_pairs"),
+            )
+            .filter(F.col("_np") == n_terms)
+        )
+        freq = _intervals_freq_udf(int(max_gaps), bool(ordered), n_terms)
+        scored = (
+            grouped.withColumn("_ptf", freq(F.col("_pairs")))
             .filter(F.col("_ptf") > 0)
             .select(
                 "doc_id",

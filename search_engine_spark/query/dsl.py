@@ -121,7 +121,8 @@ _SCORING = ("match", "multi_match", "combined_fields", "match_phrase",
             "match_phrase_prefix", "match_bool_prefix", "prefix",
             "wildcard", "fuzzy", "regexp", "more_like_this", "dis_max",
             "boosting", "function_score", "script_score", "rank_feature",
-            "query_string", "simple_query_string", "terms_set")
+            "query_string", "simple_query_string", "terms_set",
+            "intervals")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -450,6 +451,52 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
         return idx.search_bool_prefix(
             q, k=k, max_expansions=max_exp, join_docs=join_docs
         )
+    if kind == "intervals":
+        field, spec = _one_key(body, "intervals")
+        if field != "content":
+            _unsupported(f"intervals on field {field!r}")
+        skind, sspec = _one_key(spec, "intervals source")
+
+        def _match_args(node):
+            if not isinstance(node, dict) or "query" not in node:
+                _unsupported("intervals source without a query")
+            return (
+                node["query"],
+                int(node.get("max_gaps", -1)),
+                bool(node.get("ordered", False)),
+            )
+
+        if skind == "match":
+            q_, gaps, ordd = _match_args(sspec)
+            return idx.search_intervals(
+                q_, max_gaps=gaps, ordered=ordd, k=k, join_docs=join_docs
+            )
+        if skind == "any_of":
+            # union of the sub-sources' intervals; per this engine's
+            # compound convention a doc's score sums its matching
+            # sub-sources (each already a phrase-shaped BM25)
+            frames = []
+            for node in _as_list(sspec.get("intervals", [])):
+                nkind, nspec = _one_key(node, "any_of interval")
+                if nkind != "match":
+                    _unsupported(f"any_of sub-source {nkind!r}")
+                q_, gaps, ordd = _match_args(nspec)
+                f = idx._intervals_scored(q_, gaps, ordd)
+                if f is not None:
+                    frames.append(f)
+            if not frames:
+                return idx._empty_scored(join_docs)
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f)
+            topk = (
+                u.groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+            return idx._join_docs(topk) if join_docs else topk
+        _unsupported(f"intervals source {skind!r} (match/any_of only)")
     if kind == "dis_max":
         specs = [_engine_spec(n) for n in _as_list(body["queries"])]
         return idx.search_dis_max(

@@ -591,6 +591,80 @@ class PhraseOracle(BM25Oracle):
             )
         return out
 
+    def intervals_scores(
+        self, query: str, max_gaps: int = -1, ordered: bool = False
+    ) -> Dict[int, float]:
+        """Intervals-query ground truth (ES `intervals` match source):
+        ptf = count of MINIMAL intervals holding every query term,
+        in order if `ordered`, with (width - n_terms) <= max_gaps
+        (max_gaps < 0 = unlimited); score = the engine's phrase
+        pseudo-term BM25 over that ptf."""
+        toks = tokenize_py(query)
+        if not toks or any(self.df.get(t, 0) == 0 for t in set(toks)):
+            return {}
+        if len(set(toks)) != len(toks):
+            raise NotImplementedError("repeated terms in a match source")
+        idf_sum = sum(self.idf(t) for t in set(toks))
+        n = len(toks)
+        out: Dict[int, float] = {}
+        for d, dtoks in self.docs.items():
+            pos = {t: [] for t in toks}
+            for i, t in enumerate(dtoks):
+                if t in pos:
+                    pos[t].append(i)
+            if any(not pos[t] for t in toks):
+                continue
+            if ordered:
+                # greedy tightest end per start; minimal = last start
+                # of each equal-end run (ends non-decreasing)
+                chains = []
+                for p0 in pos[toks[0]]:
+                    prev, alive = p0, True
+                    for j in range(1, n):
+                        nxt = next(
+                            (p for p in pos[toks[j]] if p > prev), None
+                        )
+                        if nxt is None:
+                            alive = False
+                            break
+                        prev = nxt
+                    if alive:
+                        chains.append((p0, prev))
+                ptf = 0
+                for i, (p0, e) in enumerate(chains):
+                    if i + 1 < len(chains) and chains[i + 1][1] == e:
+                        continue  # a tighter interval shares this end
+                    if max_gaps < 0 or (e - p0 + 1) - n <= max_gaps:
+                        ptf += 1
+            else:
+                items = sorted(
+                    (p, t) for t in set(toks) for p in pos[t]
+                )
+                cnt = {t: 0 for t in set(toks)}
+                have = left = ptf = 0
+                for pr, tr in items:
+                    cnt[tr] += 1
+                    if cnt[tr] == 1:
+                        have += 1
+                    if have < n:
+                        continue
+                    while cnt[items[left][1]] > 1:
+                        cnt[items[left][1]] -= 1
+                        left += 1
+                    if max_gaps < 0 or (pr - items[left][0] + 1) - n \
+                            <= max_gaps:
+                        ptf += 1
+                    cnt[items[left][1]] -= 1
+                    have -= 1
+                    left += 1
+            if ptf == 0:
+                continue
+            dl = self.doclen[d]
+            out[d] = idf_sum * (ptf * (K1 + 1.0)) / (
+                ptf + K1 * (1.0 - B + B * dl / self.avgdl)
+            )
+        return out
+
 
 class TFIDFOracle:
     """Reference TF-IDF semantics (tfidf.py:167-572): log TF

@@ -530,3 +530,154 @@ class TestPhrasePrefix:
         assert idx.search_phrase_prefix(
             "python zzzzqq", join_docs=False
         ).count() == 0
+
+
+class TestIntervals:
+    """ES intervals query (match source): minimal-interval matching
+    (ordered / unordered, max_gaps) rank-identical to the in-repo
+    oracle; slop equivalence; repeated-term refusal."""
+
+    def _assert_rank_identical(self, got, want, ctx=""):
+        assert [d for d, _ in got] == [d for d, _ in want], ctx
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9, abs=1e-9), ctx
+
+    def _got(self, df):
+        return [
+            (r["doc_id"], r["score"])
+            for r in df.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).collect()
+        ]
+
+    @pytest.mark.parametrize("ordered", [False, True])
+    @pytest.mark.parametrize("max_gaps", [-1, 0, 3])
+    def test_matches_oracle(self, corpus, ordered, max_gaps):
+        paths, oracle, idx, raw_by_id = corpus
+        d = sorted(raw_by_id)[0]
+        words = raw_by_id[d].split()
+        # two nearby words in reversed order + a plain 3-token query
+        for q in [
+            " ".join(tokenize_py(" ".join(words[3:6]))[:2][::-1]),
+            "python database search",
+        ]:
+            toks = tokenize_py(q)
+            if len(set(toks)) != len(toks) or not toks:
+                continue
+            got = self._got(idx.search_intervals(
+                q, max_gaps=max_gaps, ordered=ordered,
+                k=10, join_docs=False,
+            ))
+            want = sorted(
+                oracle.intervals_scores(
+                    q, max_gaps=max_gaps, ordered=ordered
+                ).items(),
+                key=lambda x: (-x[1], x[0]),
+            )[:10]
+            self._assert_rank_identical(
+                got, want, f"{q!r} ordered={ordered} gaps={max_gaps}"
+            )
+
+    def test_ordered_max_gaps_equals_slop(self, corpus):
+        """ordered intervals with max_gaps == s must rank-match
+        match_phrase slop=s (same minimal-chain semantics)."""
+        paths, oracle, idx, raw_by_id = corpus
+        d = sorted(raw_by_id)[1]
+        q = " ".join(tokenize_py(" ".join(raw_by_id[d].split()[2:6]))[:3])
+        if len(set(tokenize_py(q))) != len(tokenize_py(q)):
+            pytest.skip("sampled phrase repeats a term")
+        for s in [0, 2]:
+            a = self._got(idx.search_intervals(
+                q, max_gaps=s, ordered=True, k=10, join_docs=False
+            ))
+            b = self._got(idx.search_phrase(
+                q, slop=s, k=10, join_docs=False
+            ))
+            assert [x[0] for x in a] == [x[0] for x in b]
+            for (_, sa), (_, sb) in zip(a, b):
+                assert sa == pytest.approx(sb, rel=1e-9)
+
+    def test_unordered_matches_reversed_text(self, corpus):
+        """An unordered interval must hit docs where the terms appear
+        in the opposite order; the ordered variant must not (unless a
+        forward chain also exists)."""
+        paths, oracle, idx, raw_by_id = corpus
+        # find a doc + token pair (a, b) adjacent with no 'a ... b'
+        # forward chain anywhere in that doc
+        for d in sorted(raw_by_id):
+            toks = tokenize_py(raw_by_id[d])
+            for i in range(len(toks) - 1):
+                a, b = toks[i + 1], toks[i]  # reversed pair
+                if a == b:
+                    continue
+                fwd = oracle.intervals_scores(
+                    f"{a} {b}", max_gaps=0, ordered=True
+                )
+                rev = oracle.intervals_scores(
+                    f"{a} {b}", max_gaps=0, ordered=False
+                )
+                if d in rev and d not in fwd:
+                    got_un = {
+                        r["doc_id"]
+                        for r in idx.search_intervals(
+                            f"{a} {b}", max_gaps=0, ordered=False,
+                            k=1000, join_docs=False,
+                        ).collect()
+                    }
+                    got_or = {
+                        r["doc_id"]
+                        for r in idx.search_intervals(
+                            f"{a} {b}", max_gaps=0, ordered=True,
+                            k=1000, join_docs=False,
+                        ).collect()
+                    }
+                    assert d in got_un and d not in got_or
+                    return
+        pytest.skip("no reversed-only adjacent pair in corpus")
+
+    def test_repeated_term_refused(self, corpus):
+        *_, idx, _ = corpus
+        with pytest.raises(NotImplementedError):
+            idx.search_intervals("data data", k=5)
+
+    def test_dsl_lowering(self, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        paths, oracle, idx, raw_by_id = corpus
+        body = {"query": {"intervals": {"content": {"match": {
+            "query": "python database", "max_gaps": 4,
+            "ordered": True}}}}, "size": 10}
+        got = execute_es_query(idx, body, join_docs=False).collect()
+        want = idx.search_intervals(
+            "python database", max_gaps=4, ordered=True,
+            k=10, join_docs=False,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+
+    def test_dsl_any_of(self, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        paths, oracle, idx, raw_by_id = corpus
+        q1, q2 = "python database", "search engine"
+        body = {"query": {"intervals": {"content": {"any_of": {
+            "intervals": [
+                {"match": {"query": q1, "max_gaps": 2}},
+                {"match": {"query": q2, "ordered": True}},
+            ]}}}}, "size": 10}
+        got = self._got(execute_es_query(idx, body, join_docs=False))
+        s1 = oracle.intervals_scores(q1, max_gaps=2, ordered=False)
+        s2 = oracle.intervals_scores(q2, max_gaps=-1, ordered=True)
+        comb = {}
+        for m in (s1, s2):
+            for d, s in m.items():
+                comb[d] = comb.get(d, 0.0) + s
+        want = sorted(comb.items(), key=lambda x: (-x[1], x[0]))[:10]
+        self._assert_rank_identical(got, want)
+
+    def test_unknown_term_empty(self, corpus):
+        *_, idx, _ = corpus
+        assert idx.search_intervals(
+            "zzqqxx python", k=5, join_docs=False
+        ).count() == 0
