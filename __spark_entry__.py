@@ -602,6 +602,169 @@ SELECT count(*) AS doc_count,
 FROM m JOIN tok USING (doc_id)"""
 
 
+def _q_string_stats(spark, sf_dir):
+    """ES `string_stats` aggregation (BM25Index.facet_string_stats):
+    count / min / max / avg length plus the Shannon entropy (log2) of
+    the character distribution pooled across the matching docs'
+    `source` values.  Lengths reduce in one single-row partial
+    aggregate; the char distribution is an explode → groupBy whose
+    result is alphabet-sized, so the entropy fold and the final
+    crossJoin of two one-row frames are free."""
+    toks = _docs_tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    rows = (
+        _matched_docs(toks)
+        .join(docs.select("doc_id", F.col("source").alias("s")), "doc_id")
+        .filter(F.col("s").isNotNull())
+        .select("s")
+    )
+    lens = rows.agg(
+        F.count("s").alias("cnt"),
+        F.min(F.length("s")).cast("long").alias("min_length"),
+        F.max(F.length("s")).cast("long").alias("max_length"),
+        F.round(F.avg(F.length("s")), 6).alias("avg_length"),
+    )
+    dist = (
+        rows.select(F.explode(F.split("s", "")).alias("ch"))
+        .filter(F.length("ch") == 1)
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = dist.agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    ent = dist.crossJoin(F.broadcast(tot)).agg(
+        F.round(F.coalesce(F.sum(-p * F.log2(p)), F.lit(0.0)), 6).alias(
+            "entropy"
+        )
+    )
+    return lens.crossJoin(ent)
+
+
+_SQL_STRING_STATS = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE},
+vals AS (SELECT source AS s FROM m JOIN documents USING (doc_id)
+         WHERE source IS NOT NULL),
+chars AS (SELECT unnest(regexp_split_to_array(s, '')) AS ch FROM vals),
+dist AS (SELECT ch, count(*) AS c FROM chars GROUP BY ch),
+ent AS (SELECT round(coalesce(-sum((c / t.total) * log2(c / t.total)), 0.0), 6)
+               AS entropy
+        FROM dist, (SELECT CAST(sum(c) AS DOUBLE) AS total FROM dist) t),
+lens AS (SELECT count(*) AS cnt,
+                CAST(min(length(s)) AS BIGINT) AS min_length,
+                CAST(max(length(s)) AS BIGINT) AS max_length,
+                round(avg(CAST(length(s) AS DOUBLE)), 6) AS avg_length
+         FROM vals)
+SELECT cnt, min_length, max_length, avg_length, entropy FROM lens, ent"""
+
+
+def _q_t_test_welch(spark, sf_dir):
+    """ES `t_test` aggregation, heteroscedastic/Welch (the ES default;
+    BM25Index.facet_t_test): t statistic + Welch–Satterthwaite degrees
+    of freedom for "do English and non-English matching docs have the
+    same mean length" over documents.n_chars.  ONE single-row
+    conditional partial aggregate computes both populations'
+    count/mean/sample-variance; t and dof are column arithmetic on it
+    (the p-value conversion is driver-side O(1) math in the engine
+    method, not SQL-expressible, hence pinned by unit tests instead)."""
+    toks = _docs_tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.col("n_chars").cast("double")).alias(
+            "a"
+        ),
+        F.when(F.col("lang") != "en", F.col("n_chars").cast("double")).alias(
+            "b"
+        ),
+    )
+    base = _matched_docs(toks).join(docs, "doc_id").agg(
+        F.count("a").alias("n_a"),
+        F.avg("a").alias("ma"),
+        F.var_samp("a").alias("va"),
+        F.count("b").alias("n_b"),
+        F.avg("b").alias("mb"),
+        F.var_samp("b").alias("vb"),
+    )
+    ea = F.col("va") / F.col("n_a")
+    eb = F.col("vb") / F.col("n_b")
+    return base.select(
+        "n_a",
+        "n_b",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(ea + eb), 6).alias(
+            "t_statistic"
+        ),
+        F.round(
+            F.pow(ea + eb, 2)
+            / (
+                ea * ea / (F.col("n_a") - 1)
+                + eb * eb / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("dof"),
+    )
+
+
+_SQL_T_TEST = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE},
+base AS (
+  SELECT count(CASE WHEN lang = 'en' THEN 1 END) AS n_a,
+         avg(CASE WHEN lang = 'en' THEN CAST(n_chars AS DOUBLE) END) AS ma,
+         var_samp(CASE WHEN lang = 'en' THEN CAST(n_chars AS DOUBLE) END) AS va,
+         count(CASE WHEN lang <> 'en' THEN 1 END) AS n_b,
+         avg(CASE WHEN lang <> 'en' THEN CAST(n_chars AS DOUBLE) END) AS mb,
+         var_samp(CASE WHEN lang <> 'en' THEN CAST(n_chars AS DOUBLE) END) AS vb
+  FROM m JOIN documents USING (doc_id))
+SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS t_statistic,
+       round(pow(va / n_a + vb / n_b, 2)
+             / (pow(va / n_a, 2) / (n_a - 1)
+                + pow(vb / n_b, 2) / (n_b - 1)), 6) AS dof
+FROM base"""
+
+VWH_BUCKETS = 5
+
+
+def _q_variable_width_hist(spark, sf_dir):
+    """ES `variable_width_histogram` aggregation
+    (BM25Index.facet_variable_width_histogram): equal-population
+    buckets over the matching docs' n_chars — the engine's pinned
+    deterministic spec (ntile over (value, doc_id)) for ES's
+    explicitly-approximate per-shard clustering.  Single-task window
+    sized by the MATCH count (the same per-shard memory bound ES
+    pays); corpus-sized foregrounds lower to percentile_approx edges +
+    broadcast range join instead."""
+    toks = _docs_tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("v")
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("doc_id"))
+    return (
+        _matched_docs(toks)
+        .join(docs, "doc_id")
+        .withColumn("bucket", F.ntile(VWH_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.round(F.avg("v"), 6).alias("key_avg"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.count(F.lit(1)).alias("doc_count"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_VWH = f"""{_TOK_CTE},
+{_SQL_MATCHED_CTE},
+vals AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+         FROM m JOIN documents USING (doc_id)),
+nt AS (SELECT v, ntile({VWH_BUCKETS}) OVER (ORDER BY v, doc_id) AS bucket
+       FROM vals)
+SELECT bucket, round(avg(v), 6) AS key_avg, min(v) AS min_v,
+       max(v) AS max_v, count(*) AS doc_count
+FROM nt GROUP BY bucket ORDER BY bucket"""
+
+
 def _q_facet_histogram(spark, sf_dir):
     """ES `histogram` aggregation (BM25Index.facet_histogram): fixed-
     width buckets of the matching docs' token counts, bucket key =
@@ -4467,6 +4630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_composite_page": _q_facet_composite,
         "facet_percentiles_toklen": _q_facet_percentiles,
         "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
+        "string_stats_source": _q_string_stats,
+        "t_test_welch": _q_t_test_welch,
+        "variable_width_hist": _q_variable_width_hist,
         "rank_feature_topk": _q_rank_feature,
         "facet_top_hits": _q_facet_top_hits,
         "facet_date_histogram": _q_date_histogram,
@@ -4583,6 +4749,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_composite_page": _SQL_FACET_COMPOSITE,
         "facet_percentiles_toklen": _sql_facet_percentiles(),
         "facet_percentile_ranks_toklen": _sql_facet_percentile_ranks(),
+        "string_stats_source": _SQL_STRING_STATS,
+        "t_test_welch": _SQL_T_TEST,
+        "variable_width_hist": _SQL_VWH,
         "rank_feature_topk": _SQL_RANK_FEATURE,
         "facet_top_hits": _SQL_TOP_HITS,
         "facet_date_histogram": _SQL_DATE_HISTOGRAM,

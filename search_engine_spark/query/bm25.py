@@ -2127,6 +2127,226 @@ class BM25Index:
             (F.sum(F.col("_v") * F.col("_w")) / F.sum("_w")).alias("value")
         )
 
+    def facet_string_stats(
+        self,
+        query,
+        field,
+        show_distribution: bool = False,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """String-stats aggregation — the ES `string_stats` agg: count
+        of non-null values, min/max/avg length, and the Shannon entropy
+        (log base 2) of the CHARACTER distribution pooled across all
+        matching values; `show_distribution=True` adds the per-character
+        probability map.  `field` is a docs-table column or SQL
+        expression cast to string.
+
+        Physical plan: the matched-ids ⋈ docs join carries one string
+        column.  Lengths reduce in a single-row partial aggregate; the
+        character distribution is an explode → groupBy(char) whose
+        result is alphabet-sized (aggregate-sized), so the entropy fold
+        (higher-order `aggregate` over the collected counts, after a
+        broadcast of the scalar total) and the final crossJoin of the
+        two one-row frames are free.  Two doc-sized passes over the
+        same joined rows — the same work ES does walking doc values
+        twice for lengths and the char histogram."""
+        schema = (
+            "count long, min_length long, max_length long,"
+            " avg_length double, entropy double"
+        )
+        if show_distribution:
+            schema += ", distribution map<string,double>"
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        rows = (
+            matched.join(
+                self.docs.select(
+                    "doc_id", F.expr(field).cast("string").alias("_s")
+                ),
+                "doc_id",
+            )
+            .filter(F.col("_s").isNotNull())
+            .select("_s")
+        )
+        lens = rows.agg(
+            F.count("_s").alias("count"),
+            F.min(F.length("_s")).alias("min_length"),
+            F.max(F.length("_s")).alias("max_length"),
+            F.avg(F.length("_s")).alias("avg_length"),
+        )
+        dist = (
+            rows.select(F.explode(F.split("_s", "")).alias("_ch"))
+            .filter(F.length("_ch") == 1)
+            .groupBy("_ch")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        tot = dist.agg(F.sum("_c").alias("_T"))
+        p = F.col("_c") / F.col("_T")
+        ent_cols = [
+            F.coalesce(F.sum(-p * F.log2(p)), F.lit(0.0)).alias("entropy")
+        ]
+        if show_distribution:
+            ent_cols.append(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("_ch"), p))
+                ).alias("distribution")
+            )
+        ent = dist.crossJoin(F.broadcast(tot)).agg(*ent_cols)
+        return lens.crossJoin(ent)
+
+    def facet_t_test(
+        self,
+        query,
+        a: Dict,
+        b: Dict,
+        type: str = "heteroscedastic",
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """T-test aggregation — the ES `t_test` agg: the two-tailed
+        p-value that two populations drawn from the matching docs have
+        the same mean.  `a`/`b` are {"field": <col or SQL expr>,
+        "filter": <optional SQL predicate>} exactly like the ES spec;
+        `type` is "paired" (same docs, two fields, no filters),
+        "homoscedastic" (pooled variance), or "heteroscedastic"
+        (Welch, the ES default).  Returns one row (p_value,
+        t_statistic, dof, n_a, n_b, mean_a, mean_b) — ES reports only
+        p_value; the diagnostics make rank/oracle pinning possible.
+
+        Physical plan: ONE single-row conditional partial aggregate
+        computes both populations' count/mean/sample-variance (paired:
+        the per-doc differences') — the doc-sized work.  The (t, dof)
+        → p-value conversion is O(1) scalar math done driver-side over
+        that one row (`query/stattests.py`), the same place ES's
+        coordinating node computes it."""
+        if type not in ("paired", "homoscedastic", "heteroscedastic"):
+            raise ValueError(f"unknown t_test type: {type!r}")
+        schema = (
+            "p_value double, t_statistic double, dof double,"
+            " n_a long, n_b long, mean_a double, mean_b double"
+        )
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        va = F.expr(a["field"]).cast("double")
+        vb = F.expr(b["field"]).cast("double")
+        if type == "paired":
+            if a.get("filter") or b.get("filter"):
+                raise ValueError("paired t_test takes no filters (ES rule)")
+            rows = matched.join(
+                self.docs.select("doc_id", (va - vb).alias("_d")), "doc_id"
+            ).filter(F.col("_d").isNotNull())
+            one = rows.agg(
+                F.count("_d").alias("n"),
+                F.avg("_d").alias("m"),
+                F.var_samp("_d").alias("v"),
+            ).collect()[0]
+            n, m, v = one["n"], one["m"], one["v"]
+            if n < 2 or v is None or v == 0.0:
+                t = float("nan") if (v is None or n < 2) else float("inf")
+                dof = float(max(n - 1, 0))
+            else:
+                t = m / math.sqrt(v / n)
+                dof = float(n - 1)
+            n_a = n_b = n
+            mean_a = mean_b = m
+        else:
+            fa = F.expr(a["filter"]) if a.get("filter") else F.lit(True)
+            fb = F.expr(b["filter"]) if b.get("filter") else F.lit(True)
+            rows = matched.join(
+                self.docs.select(
+                    "doc_id",
+                    F.when(fa, va).alias("_a"),
+                    F.when(fb, vb).alias("_b"),
+                ),
+                "doc_id",
+            )
+            one = rows.agg(
+                F.count("_a").alias("na"),
+                F.avg("_a").alias("ma"),
+                F.var_samp("_a").alias("va"),
+                F.count("_b").alias("nb"),
+                F.avg("_b").alias("mb"),
+                F.var_samp("_b").alias("vb"),
+            ).collect()[0]
+            na, ma, sa = one["na"], one["ma"], one["va"]
+            nb, mb, sb = one["nb"], one["mb"], one["vb"]
+            if na < 2 or nb < 2 or sa is None or sb is None:
+                t, dof = float("nan"), 0.0
+            elif type == "homoscedastic":
+                sp2 = ((na - 1) * sa + (nb - 1) * sb) / (na + nb - 2)
+                denom = math.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+                t = float("inf") if denom == 0.0 else (ma - mb) / denom
+                dof = float(na + nb - 2)
+            else:  # Welch
+                ea, eb = sa / na, sb / nb
+                denom = math.sqrt(ea + eb)
+                t = float("inf") if denom == 0.0 else (ma - mb) / denom
+                dof = (
+                    0.0
+                    if ea + eb == 0.0
+                    else (ea + eb) ** 2
+                    / (ea * ea / (na - 1) + eb * eb / (nb - 1))
+                )
+            n_a, n_b, mean_a, mean_b = na, nb, ma, mb
+        from .stattests import student_t_two_tailed_p
+
+        p = student_t_two_tailed_p(t, dof)
+        return self.spark.createDataFrame(
+            [(p, t, dof, n_a, n_b, mean_a, mean_b)], schema
+        )
+
+    def facet_variable_width_histogram(
+        self,
+        query,
+        field,
+        buckets: int,
+        mode: str = "or",
+        predicate=None,
+    ) -> DataFrame:
+        """Variable-width-histogram aggregation — the ES
+        `variable_width_histogram` agg: `buckets` dynamically-sized
+        buckets over a numeric field, each reporting (key=mean, min,
+        max, doc_count), min-ascending.  ES clusters per shard and is
+        explicitly approximate/non-deterministic across shard layouts;
+        this engine pins the DETERMINISTIC equal-population spec —
+        ntile(buckets) over (value asc, doc_id asc) — which any SQL
+        oracle reproduces exactly and which degrades to the same
+        "adjacent values share a bucket" shape.
+
+        Physical plan: one matched-ids ⋈ docs join, a global-order
+        ntile window, then groupBy(bucket).  The single-task window is
+        sized by the MATCH count, not the corpus — the same per-shard
+        memory bound ES's clustering pays; for corpus-sized matches at
+        the 10^12-doc design point the right lowering is
+        percentile_approx edges (facet_percentiles approx=True) + a
+        broadcast range join (facet_range), which this method is not."""
+        if buckets < 1:
+            raise ValueError("buckets must be >= 1")
+        schema = "key double, min double, max double, doc_count long"
+        matched = self._matched_ids(query, mode, predicate)
+        if matched is None:
+            return self.spark.createDataFrame([], schema)
+        vals = self.docs.select(
+            "doc_id", F.expr(field).cast("double").alias("_v")
+        ).filter(F.col("_v").isNotNull())
+        w = Window.orderBy(F.asc("_v"), F.asc("doc_id"))
+        return (
+            matched.join(vals, "doc_id")
+            .withColumn("_nt", F.ntile(buckets).over(w))
+            .groupBy("_nt")
+            .agg(
+                F.avg("_v").alias("key"),
+                F.min("_v").alias("min"),
+                F.max("_v").alias("max"),
+                F.count(F.lit(1)).alias("doc_count"),
+            )
+            .orderBy("min")
+            .drop("_nt")
+        )
+
     # ES search.max_buckets default — the zero-fill spine guard
     MAX_BUCKETS = 65536
 

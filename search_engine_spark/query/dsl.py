@@ -1593,6 +1593,23 @@ def execute_es_aggs(idx, body: Dict, _foreground=None) -> Dict[str, object]:
             out[name] = idx.facet_mad(
                 q, spec["field"], mode=mode, predicate=predicate,
             )
+        elif kind == "string_stats":
+            out[name] = idx.facet_string_stats(
+                q, spec["field"],
+                show_distribution=bool(spec.get("show_distribution")),
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "t_test":
+            out[name] = idx.facet_t_test(
+                q, spec["a"], spec["b"],
+                type=spec.get("type", "heteroscedastic"),
+                mode=mode, predicate=predicate,
+            )
+        elif kind == "variable_width_histogram":
+            out[name] = idx.facet_variable_width_histogram(
+                q, spec["field"], int(spec["buckets"]),
+                mode=mode, predicate=predicate,
+            )
         elif kind == "percentiles":
             out[name] = idx.facet_percentiles(
                 q, spec["field"],

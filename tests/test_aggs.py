@@ -2061,3 +2061,165 @@ class TestRateAgg:
                 ),
                 "6h", unit="fortnight",
             )
+
+
+class TestStringStats:
+    def test_matches_oracle(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        query = "python programming tutorial"
+        m = _matched(oracle, query)
+        vals = [domain_by_doc[d] for d in m if domain_by_doc[d] is not None]
+        row = idx.facet_string_stats(
+            query, "domain", show_distribution=True
+        ).collect()[0]
+        assert row["count"] == len(vals)
+        assert row["min_length"] == min(len(v) for v in vals)
+        assert row["max_length"] == max(len(v) for v in vals)
+        assert abs(
+            row["avg_length"] - sum(len(v) for v in vals) / len(vals)
+        ) < 1e-9
+        from collections import Counter
+
+        chars = Counter("".join(vals))
+        total = sum(chars.values())
+        ent = -sum(
+            (c / total) * math.log2(c / total) for c in chars.values()
+        )
+        assert abs(row["entropy"] - ent) < 1e-9
+        dist = row["distribution"]
+        assert abs(sum(dist.values()) - 1.0) < 1e-9
+        for ch, c in chars.items():
+            assert abs(dist[ch] - c / total) < 1e-12
+
+    def test_dsl_lowering(self, spark, corpus):
+        paths, oracle, _ = corpus
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        out = execute_es_aggs(
+            idx,
+            {
+                "query": {"match": {"content": "quick brown fox"}},
+                "aggs": {"d": {"string_stats": {"field": "domain"}}},
+            },
+        )
+        got = out["d"].collect()[0]
+        want = idx.facet_string_stats("quick brown fox", "domain").collect()[0]
+        assert got["count"] == want["count"]
+        assert abs(got["entropy"] - want["entropy"]) < 1e-12
+
+
+class TestTTest:
+    @staticmethod
+    def _welch(xs, ys):
+        import statistics
+
+        na, nb = len(xs), len(ys)
+        ma, mb = sum(xs) / na, sum(ys) / nb
+        va, vb = statistics.variance(xs), statistics.variance(ys)
+        ea, eb = va / na, vb / nb
+        t = (ma - mb) / math.sqrt(ea + eb)
+        dof = (ea + eb) ** 2 / (ea**2 / (na - 1) + eb**2 / (nb - 1))
+        return t, dof
+
+    def test_welch_matches_oracle(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        query = "python programming tutorial"
+        m = _matched(oracle, query)
+        dom = sorted({domain_by_doc[d] for d in m})[0]
+        xs = [oracle.doclen[d] for d in m if domain_by_doc[d] == dom]
+        ys = [oracle.doclen[d] for d in m if domain_by_doc[d] != dom]
+        row = idx.facet_t_test(
+            query,
+            {"field": "doclen", "filter": f"domain = '{dom}'"},
+            {"field": "doclen", "filter": f"domain <> '{dom}'"},
+        ).collect()[0]
+        t, dof = self._welch(xs, ys)
+        assert row["n_a"] == len(xs) and row["n_b"] == len(ys)
+        assert abs(row["t_statistic"] - t) < 1e-9
+        assert abs(row["dof"] - dof) < 1e-6
+        from search_engine_spark.query.stattests import (
+            student_t_two_tailed_p,
+        )
+
+        assert abs(row["p_value"] - student_t_two_tailed_p(t, dof)) < 1e-9
+
+    def test_paired(self, spark, corpus):
+        paths, oracle, _ = corpus
+        import statistics
+
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        query = "quick brown fox"
+        m = _matched(oracle, query)
+        titles = {
+            r["doc_id"]: r["_t"]
+            for r in spark.read.parquet(paths.docs)
+            .selectExpr("doc_id", "length(coalesce(title, '')) as _t")
+            .collect()
+        }
+        diffs = [oracle.doclen[d] - titles[d] for d in m]
+        t = (sum(diffs) / len(diffs)) / math.sqrt(
+            statistics.variance(diffs) / len(diffs)
+        )
+        row = idx.facet_t_test(
+            query,
+            {"field": "doclen"},
+            {"field": "length(coalesce(title, ''))"},
+            type="paired",
+        ).collect()[0]
+        assert row["n_a"] == len(diffs)
+        assert abs(row["t_statistic"] - t) < 1e-9
+        assert abs(row["dof"] - (len(diffs) - 1)) < 1e-12
+
+    def test_p_value_table(self):
+        # published two-tailed critical values of Student's t
+        from search_engine_spark.query.stattests import (
+            student_t_two_tailed_p,
+        )
+
+        assert abs(student_t_two_tailed_p(12.706, 1) - 0.05) < 1e-3
+        assert abs(student_t_two_tailed_p(2.228, 10) - 0.05) < 1e-4
+        assert abs(student_t_two_tailed_p(1.0, 1) - 0.5) < 1e-9
+        assert abs(student_t_two_tailed_p(0.0, 30) - 1.0) < 1e-12
+        assert abs(
+            student_t_two_tailed_p(-2.228, 10)
+            - student_t_two_tailed_p(2.228, 10)
+        ) < 1e-12
+
+
+class TestVariableWidthHistogram:
+    @pytest.mark.parametrize("buckets", [1, 3, 7])
+    def test_equal_population_spec(self, spark, corpus, buckets):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        query = "machine learning data science"
+        m = _matched(oracle, query)
+        ordered = sorted((oracle.doclen[d], d) for d in m)
+        n = len(ordered)
+        base, extra = divmod(n, buckets)
+        expected, i = [], 0
+        for bkt in range(buckets):
+            size = base + (1 if bkt < extra else 0)
+            if size == 0:
+                continue
+            chunk = [v for v, _ in ordered[i : i + size]]
+            expected.append(
+                (
+                    sum(chunk) / len(chunk),
+                    min(chunk),
+                    max(chunk),
+                    len(chunk),
+                )
+            )
+            i += size
+        rows = idx.facet_variable_width_histogram(
+            query, "doclen", buckets
+        ).collect()
+        assert len(rows) == len(expected)
+        for row, (key, lo, hi, cnt) in zip(rows, expected):
+            assert abs(row["key"] - key) < 1e-9
+            assert row["min"] == lo
+            assert row["max"] == hi
+            assert row["doc_count"] == cnt
