@@ -286,6 +286,61 @@ SELECT doc_id, round(_s, 6) AS score FROM scored
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+def _q_multi_index_dfs(spark, sf_dir):
+    """ES multi-index dfs_query_then_fetch (query/multi.py:search_multi):
+    docs sharded into two "indices" by doc_id parity, term stats POOLED
+    across them first (the DFS phase — df summed over shards, N/avgdl
+    over the union), each shard scored with the pooled stats, per-shard
+    top-k, then the coordinating merge by (score desc, shard asc,
+    doc_id asc).  Pooled stats make the result rank-identical to
+    scoring the union as one index — which is exactly what the oracle
+    computes (the engine-level twin is pinned in tests/test_multi.py)."""
+    toks = _docs_tokens(spark, sf_dir).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(2)).cast("long")
+    )
+    n, avgdl = _corpus_scalars(toks)
+    tf = (
+        toks.select(
+            "shard",
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(list(BM25_QUERY_TERMS)))
+        .groupBy("shard", "doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    # DFS pooling: df counted over ALL shards (window spans shards)
+    pooled = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    idf = F.log(1.0 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        pooled.withColumn("c", contrib)
+        .groupBy("shard", "doc_id")
+        .agg(F.sum("c").alias("_s"))
+    )
+    per_shard = Window.partitionBy("shard").orderBy(
+        F.desc("_s"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(per_shard))
+        .filter(F.col("_rn") <= 10)
+        .select("shard", "doc_id", F.round("_s", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("shard"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_MULTI_DFS = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)}
+SELECT doc_id % 2 AS shard, doc_id, round(_s, 6) AS score FROM scored
+ORDER BY score DESC, shard, doc_id LIMIT 10"""
+
+
 def _q_terms_set_topk(spark, sf_dir):
     """ES terms_set query (BM25Index.search_terms_set): docs matching
     at least M of the query terms with M read per doc (here
@@ -4593,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": _q_bm25_topk_and,
         "bm25_topk_msm2": _q_bm25_topk_msm2,
         "bm25_topk_not": _q_bm25_topk_not,
+        "multi_index_dfs_topk": _q_multi_index_dfs,
         "boolean_bm25_topk": _q_boolean_bm25_topk,
         "index_stats": _q_index_stats,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
@@ -4712,6 +4768,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _SQL_BM25_AND,
         "bm25_topk_msm2": _SQL_BM25_MSM2,
         "bm25_topk_not": _SQL_BM25_NOT,
+        "multi_index_dfs_topk": _SQL_MULTI_DFS,
         "boolean_bm25_topk": _SQL_BOOLEAN_BM25,
         "index_stats": _SQL_INDEX_STATS,
         "phrase_bm25_topk": _SQL_PHRASE_BM25,
