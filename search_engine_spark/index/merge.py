@@ -73,7 +73,7 @@ from __future__ import annotations
 import os
 import uuid
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -514,6 +514,109 @@ def delete_pages(
     man = _Manifest(spark, paths, build_id)
     man.mark_done("delete", 0, n, 0, fingerprint=build_id)
     return n
+
+
+@dataclass(frozen=True)
+class UpdateResult:
+    build_id: str
+    matched: int      # live docs the query matched
+    updated: int      # docs actually re-indexed (matched ∩ source)
+    missing_source: int  # matched docs absent from source_pages
+    merge: Optional[MergeResult]  # None when nothing matched
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    source_pages: DataFrame,
+    script: Dict[str, object],
+    urls: Optional[List[str]] = None,
+    predicate=None,
+    match_urls: Optional[DataFrame] = None,
+    build_id: Optional[str] = None,
+) -> UpdateResult:
+    """Update documents in place — the ES `_update_by_query` surface
+    (and `POST /_update/{id}` when `urls` pins exact documents).
+
+    ES semantics reproduced exactly: every matching live document is
+    re-indexed from its `_source` with the script applied — there is no
+    cheaper in-segment mutation; ES pays a full per-doc reindex too.
+    Our `_source` store is the caller's pages table (the reference
+    keeps it in Postgres `pages` + re-crawls, schema.sql:4-17; its
+    upsert-on-recrawl `ON CONFLICT (id) DO UPDATE`, indexer.py:277-291,
+    is this operation driven by the crawler instead of a query).
+
+    Match selection (exactly one of, or none for match_all):
+    - `urls`: exact document list (ES `_update/{id}`)
+    - `predicate`: docs-table predicate, same contract as delete_pages
+    - `match_urls`: a DataFrame of urls from a full-text match — the
+      DSL computes this from a `match` query via the ids-only pre-pass
+
+    `script` assigns source columns: {column: sql-expr-or-Column},
+    evaluated over the matched source rows (so `"lang": "'en'"` pins,
+    `"html": "concat(html, ...)"` rewrites).  Only the source-of-truth
+    columns {html, warc_ts, lang} are assignable: `url` IS the document
+    id (ES likewise forbids `ctx._id` writes in _update_by_query) and
+    `text` is derived from `html` by the extraction invariant (F1) —
+    update `html` to change indexed content.
+
+    Execution is ONE merge_pages batch: old doc_ids tombstoned, the
+    rewritten rows indexed as a delta segment — crash-safe and
+    rank-exact under the same contracts as any incremental merge.
+    Matched docs whose url is missing from `source_pages` are counted
+    in `missing_source` and skipped (ES reports per-doc failures the
+    same way).
+    """
+    selectors = [s is not None for s in (urls, predicate, match_urls)]
+    if sum(selectors) > 1:
+        raise ValueError("pass at most one of urls / predicate / match_urls")
+    if not script:
+        raise ValueError("script must assign at least one column")
+    bad = set(script) - {"html", "warc_ts", "lang"}
+    if bad:
+        raise ValueError(
+            f"script may only assign source columns html/warc_ts/lang, "
+            f"got {sorted(bad)} (url is the document id; text derives "
+            f"from html — update html instead)"
+        )
+    paths = IndexPaths(index_dir)
+    build_id = build_id or uuid.uuid4().hex[:12]
+    docs = live_docs(spark, paths)
+    if urls is not None:
+        if not urls:
+            return UpdateResult(build_id, 0, 0, 0, None)
+        target = spark.createDataFrame([(u,) for u in urls], "url string")
+        hit = docs.join(F.broadcast(target), "url", "left_semi")
+    elif predicate is not None:
+        hit = docs.filter(
+            F.expr(predicate) if isinstance(predicate, str) else predicate
+        )
+    elif match_urls is not None:
+        hit = docs.join(match_urls.select("url"), "url", "left_semi")
+    else:
+        hit = docs  # match_all
+    hit_urls = hit.select("url")
+    matched = hit_urls.count()
+    if not matched:
+        return UpdateResult(build_id, 0, 0, 0, None)
+    rows = source_pages.join(hit_urls, "url", "left_semi")
+    updated_src = rows.withColumns(
+        {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(
+                dict(source_pages.dtypes)[c]
+            )
+            for c, e in script.items()
+        }
+    )
+    n_src = updated_src.count()
+    if not n_src:
+        return UpdateResult(build_id, matched, 0, matched, None)
+    res = merge_pages(
+        spark, index_dir, updated_src, build_id=build_id
+    )
+    return UpdateResult(
+        build_id, matched, res.new_docs, matched - res.new_docs, res
+    )
 
 
 def is_merged(spark: SparkSession, paths: IndexPaths) -> bool:

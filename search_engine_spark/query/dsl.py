@@ -1264,6 +1264,57 @@ def execute_es_count(idx, body: Dict) -> int:
     return int(idx.count_matches(q, mode=mode, predicate=predicate))
 
 
+def execute_es_update_by_query(idx, body: Dict, source_pages):
+    """The ES `POST /{index}/_update_by_query` API: re-index every
+    document the body's query matches with the script applied.
+
+    Query lowering mirrors the aggs foreground: absent / match_all
+    (whole live corpus), match on content (full-text matches become a
+    url set via the ids-only pre-pass — only doc_ids decode), bool
+    must+filter, or pure filter-context bools (which lower to a
+    docs-table predicate and never touch the postings).
+
+    ES scripts are painless; this engine's documented subset is
+    `{"script": {"lang": "spark_sql", "source": {column: sql_expr}}}`
+    — assignments over the source columns (html/warc_ts/lang), run as
+    ONE tombstone+delta merge batch (index/merge.py:update_by_query).
+    Painless sources raise NotImplementedError naming the gap, never a
+    silent wrong answer.  `source_pages` is the `_source` store (the
+    pages table the index was built from)."""
+    from search_engine_spark.index.merge import update_by_query
+
+    script = body.get("script")
+    if not isinstance(script, dict) or "source" not in script:
+        _unsupported("_update_by_query without script.source")
+    if script.get("lang", "painless") != "spark_sql" or not isinstance(
+        script["source"], dict
+    ):
+        _unsupported(
+            "_update_by_query painless scripts (supported subset: "
+            'lang "spark_sql" with source {column: sql_expr})'
+        )
+    assignments = script["source"]
+    query = body.get("query")
+    kw: Dict[str, object] = {}
+    if query is not None and _one_key(query, "ubq query")[0] != "match_all":
+        q, mode, predicate = _agg_context(query)
+        if q is None:
+            kw["predicate"] = predicate
+        else:
+            matched = idx._matched_ids(q, mode, predicate)
+            if matched is None:
+                return update_by_query(
+                    idx.spark, str(idx.paths.root), source_pages,
+                    assignments, urls=[],
+                )
+            kw["match_urls"] = matched.join(
+                idx.docs.select("doc_id", "url"), "doc_id"
+            ).select("url")
+    return update_by_query(
+        idx.spark, str(idx.paths.root), source_pages, assignments, **kw
+    )
+
+
 def execute_es_aggs(idx, body: Dict, _foreground=None) -> Dict[str, object]:
     """Execute the `aggs` section of an ES request body.
 
