@@ -55,6 +55,7 @@ from search_engine_spark.index.codec import (
 from search_engine_spark.index.scoring import idf_py, score_col, score_np
 from search_engine_spark.query.painless import painless_to_sql
 from search_engine_spark.query.parse import parse_query
+from search_engine_spark.query.spans import eval_spans, parse_span_query
 from search_engine_spark.text.tokenizer import tokenize_py
 
 
@@ -371,6 +372,32 @@ def _intervals_freq_udf(max_gaps: int, ordered: bool, n_terms: int):
             have -= 1
             left += 1
         return out
+
+    @F.pandas_udf(LongType())
+    def freq(pairs: pd.Series) -> pd.Series:
+        return pd.Series([freq_of(p) for p in pairs], dtype=np.int64)
+
+    return freq
+
+
+def _spans_freq_udf(tree, n_terms: int):
+    """pandas UDF: per-doc span-match count for a parsed span tree
+    (query/spans.py pinned semantics).  Input rows are
+    collect_list(struct(off, starts)) where `off` is the leaf term's
+    ordinal and starts[off] its SORTED RAW position list (the shared
+    phrase decoder in shift=False mode); ordinals a doc lacks stay
+    empty — OR branches and excludes are allowed to be absent.  The
+    span composition (union / ordered-DP near / minimal-window near /
+    not / first / containing / within) runs per doc over the tiny
+    position lists; tf = number of matching spans."""
+
+    def freq_of(plist) -> int:
+        pos: List[np.ndarray] = [
+            np.empty(0, dtype=np.int64) for _ in range(n_terms)
+        ]
+        for p in plist:
+            pos[int(p["off"])] = np.asarray(p["starts"], dtype=np.int64)
+        return len(eval_spans(tree, pos))
 
     @F.pandas_udf(LongType())
     def freq(pairs: pd.Series) -> pd.Series:
@@ -6164,6 +6191,114 @@ class BM25Index:
             .filter(F.col("_np") == n_terms)
         )
         freq = _intervals_freq_udf(int(max_gaps), bool(ordered), n_terms)
+        scored = (
+            grouped.withColumn("_ptf", freq(F.col("_pairs")))
+            .filter(F.col("_ptf") > 0)
+            .select(
+                "doc_id",
+                score_col(
+                    F.col("_ptf").cast("double"),
+                    F.col("dl").cast("double"),
+                    F.lit(float(idf_sum)),
+                    self.avgdl,
+                ).alias("score"),
+            )
+        )
+        return self._drop_tombstones(scored)
+
+    def search_spans(
+        self, span_query: dict, k: int = 10, join_docs: bool = True
+    ) -> DataFrame:
+        """Span query family — ES/Lucene span_term / span_near /
+        span_or / span_not / span_first / span_containing / span_within
+        over the positional postings.  `span_query` is the ES body
+        subtree, e.g.::
+
+            {"span_near": {"clauses": [
+                 {"span_term": {"content": "merge"}},
+                 {"span_or": {"clauses": [
+                     {"span_term": {"content": "sorted"}},
+                     {"span_term": {"content": "hashed"}}]}},
+             ], "slop": 3, "in_order": True}}
+
+        Semantics are pinned in query/spans.py (end-exclusive spans on
+        the filtered token stream; ordered near is EXACT via backward
+        DP where Lucene's NearSpansOrdered is greedy-approximate;
+        unordered near = term-only minimal windows).  Scoring follows
+        the engine's phrase convention: pseudo-term tf = matching-span
+        count, idf = Σ idf over the distinct POSITIVE leaf terms
+        (exclude subtrees contribute nothing).
+
+        Plan shape = the phrase/intervals plan: ONE positional scan
+        pruned to the leaf terms' buckets + term pushdown, Arrow decode
+        masked by the REQUIRED-terms conjunctive gate (ordinals a match
+        must contain — OR branches don't widen the cut), ONE
+        groupBy(doc_id) bounded by the union of the leaf dfs (required
+        cut applied natively before the Python evaluator runs), span
+        composition per doc in an Arrow UDF over position lists.
+        Unsupported shapes raise NotImplementedError naming the gap.
+        """
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        scored = self._spans_scored(span_query)
+        if scored is None:
+            return self._empty_scored(join_docs)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._join_docs(topk) if join_docs else topk
+
+    def _spans_scored(self, span_query: dict) -> Optional[DataFrame]:
+        """(doc_id, score) for EVERY doc the span query matches —
+        search_spans minus the top-k cut.  None = provably empty
+        (a required branch analyzes to nothing / unindexed required
+        term / empty conjunctive pre-pass / no positive indexed term).
+        """
+        parse = parse_span_query(span_query)
+        if parse.required is None:
+            return None
+        terms = parse.terms
+        stats = self._query_stats(sorted(set(terms)))
+        req_terms = sorted({terms[o] for o in parse.required})
+        if any(t not in stats for t in req_terms):
+            return None
+        pos_terms = sorted(t for t in parse.positive_terms if t in stats)
+        if not pos_terms:
+            return None
+        idf_sum = sum(idf_py(self.n_docs, stats[t][0]) for t in pos_terms)
+        offs = {t: [i] for i, t in enumerate(terms) if t in stats}
+        if not offs:
+            return None
+        buckets = sorted({stats[t][2] for t in offs})
+
+        cand_ids = (
+            self._conjunctive_candidates(req_terms, stats)
+            if len(req_terms) >= 2
+            else None
+        )
+        if cand_ids is not None and not len(cand_ids):
+            return None
+        blocks = self._pos_postings().filter(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(sorted(offs))
+        )
+        cand = blocks.select(
+            "term", "count", "doc_ids", "pos_counts", "positions", "doclens"
+        ).mapInPandas(
+            _decode_phrase_starts(offs, cand_ids, shift=False),
+            schema=_PHRASE_SCHEMA,
+        )
+        grouped = cand.groupBy("doc_id").agg(
+            F.first("dl").alias("dl"),
+            F.collect_list(F.struct("off", "starts")).alias("_pairs"),
+            F.collect_set("off").alias("_offs"),
+        )
+        req_offs = sorted(parse.required)
+        if req_offs:
+            need = F.array(*[F.lit(int(o)) for o in req_offs])
+            grouped = grouped.filter(
+                F.size(F.array_intersect(F.col("_offs"), need))
+                == len(req_offs)
+            )
+        freq = _spans_freq_udf(parse.tree, len(terms))
         scored = (
             grouped.withColumn("_ptf", freq(F.col("_pairs")))
             .filter(F.col("_ptf") > 0)

@@ -122,7 +122,8 @@ _SCORING = ("match", "multi_match", "combined_fields", "match_phrase",
             "wildcard", "fuzzy", "regexp", "more_like_this", "dis_max",
             "boosting", "function_score", "script_score", "rank_feature",
             "query_string", "simple_query_string", "terms_set",
-            "intervals")
+            "intervals", "span_term", "span_near", "span_or", "span_not",
+            "span_first", "span_containing", "span_within")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -451,6 +452,11 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
         return idx.search_bool_prefix(
             q, k=k, max_expansions=max_exp, join_docs=join_docs
         )
+    if kind.startswith("span_"):
+        # span family — the whole node is the span tree (query/spans.py
+        # pins semantics; BM25Index.search_spans runs it as ONE
+        # positional scan + per-doc Arrow span composition)
+        return idx.search_spans({kind: body}, k=k, join_docs=join_docs)
     if kind == "intervals":
         field, spec = _one_key(body, "intervals")
         if field != "content":

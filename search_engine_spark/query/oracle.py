@@ -666,6 +666,147 @@ class PhraseOracle(BM25Oracle):
         return out
 
 
+class SpanOracle(BM25Oracle):
+    """Span query family ground truth — BRUTE-FORCE evaluation, a
+    deliberately different algorithm from the engine's (the engine
+    composes spans via backward DP / minimal-window sweeps inside an
+    Arrow UDF; this enumerates every chain/window combination).  The
+    pinned semantics live in query/spans.py's module docstring; the
+    body is parsed with the same parser (parsing is shared, evaluation
+    is not)."""
+
+    def span_scores(self, span_query: dict) -> Dict[int, float]:
+        from itertools import product
+
+        from search_engine_spark.query.spans import parse_span_query
+
+        parse = parse_span_query(span_query)
+        if parse.required is None:
+            return {}
+        terms = parse.terms
+        if any(self.df.get(terms[o], 0) == 0 for o in parse.required):
+            return {}
+        pos_terms = sorted(
+            t for t in parse.positive_terms if self.df.get(t, 0) > 0
+        )
+        if not pos_terms:
+            return {}
+        idf_sum = sum(self.idf(t) for t in pos_terms)
+
+        def brute(tree, pos):
+            kind = tree[0]
+            if kind == "empty":
+                return []
+            if kind == "term":
+                return [(p, p + 1) for p in pos[tree[1]]]
+            if kind == "or":
+                u = set()
+                for kid in tree[1]:
+                    u.update(brute(kid, pos))
+                return sorted(u)
+            if kind == "near_ord":
+                clause_spans = [brute(kid, pos) for kid in tree[1]]
+                slop = tree[2]
+                if any(not s for s in clause_spans):
+                    return []
+                best: Dict[Tuple[int, int], Tuple[int, int]] = {}
+                for chain in product(*clause_spans):
+                    ok = all(
+                        chain[j][0] >= chain[j - 1][1]
+                        for j in range(1, len(chain))
+                    )
+                    if not ok:
+                        continue
+                    covered = sum(e - s for s, e in chain)
+                    gaps = (chain[-1][1] - chain[0][0]) - covered
+                    key = chain[0]
+                    val = (gaps, chain[-1][1])
+                    if key not in best or val < best[key]:
+                        best[key] = val
+                return sorted(
+                    {
+                        (opener[0], end)
+                        for opener, (gaps, end) in best.items()
+                        if gaps <= slop
+                    }
+                )
+            if kind == "near_unord":
+                plists = [pos[o] for o in tree[1]]
+                slop = tree[2]
+                if any(not p for p in plists):
+                    return []
+                cands = {
+                    (min(c), max(c) + 1) for c in product(*plists)
+                }
+                minimal = {
+                    (a, b)
+                    for (a, b) in cands
+                    if not any(
+                        a2 >= a and b2 <= b and (a2, b2) != (a, b)
+                        for (a2, b2) in cands
+                    )
+                }
+                n = len(plists)
+                return sorted(
+                    (a, b) for (a, b) in minimal if (b - a) - n <= slop
+                )
+            if kind == "not":
+                inc = brute(tree[1], pos)
+                exc = brute(tree[2], pos)
+                pre, post = tree[3], tree[4]
+                return [
+                    (s, e)
+                    for (s, e) in inc
+                    if not any(
+                        xs < e + post and xe > s - pre for (xs, xe) in exc
+                    )
+                ]
+            if kind == "first":
+                return [
+                    sp for sp in brute(tree[1], pos) if sp[1] <= tree[2]
+                ]
+            big = brute(tree[1], pos)
+            little = brute(tree[2], pos)
+            if kind == "containing":
+                return [
+                    b
+                    for b in big
+                    if any(
+                        ls >= b[0] and le <= b[1] for (ls, le) in little
+                    )
+                ]
+            return [
+                l
+                for l in little
+                if any(b[0] <= l[0] and b[1] >= l[1] for b in big)
+            ]
+
+        out: Dict[int, float] = {}
+        for d, dtoks in self.docs.items():
+            pos: List[List[int]] = [[] for _ in terms]
+            by_term = {t: i for i, t in enumerate(terms)}
+            for i, t in enumerate(dtoks):
+                o = by_term.get(t)
+                if o is not None:
+                    pos[o].append(i)
+            ptf = len(brute(parse.tree, pos))
+            if ptf == 0:
+                continue
+            dl = self.doclen[d]
+            out[d] = idf_sum * (ptf * (K1 + 1.0)) / (
+                ptf + K1 * (1.0 - B + B * dl / self.avgdl)
+            )
+        return out
+
+    def topk_spans(
+        self, span_query: dict, k: int = 10
+    ) -> List[Tuple[int, float]]:
+        out = sorted(
+            self.span_scores(span_query).items(), key=lambda x: (-x[1], x[0])
+        )
+        return out[:k]
+
+
 class TFIDFOracle:
     """Reference TF-IDF semantics (tfidf.py:167-572): log TF
     (1 + log10(count)), smooth IDF (log10((N+1)/(df+1))), score =
