@@ -2754,6 +2754,8 @@ class BM25Index:
         bucket_sort: Optional[Tuple[
             List[Tuple[str, str]], int, Optional[int]
         ]] = None,
+        normalize: Optional[Tuple[str, str]] = None,
+        moving_percentiles: Optional[Tuple[str, int, float]] = None,
     ) -> DataFrame:
         """Pipeline aggregations — the ES parent-pipeline family
         (`derivative`, `cumulative_sum`, `moving_fn`/`moving_avg`,
@@ -2788,13 +2790,28 @@ class BM25Index:
                             re-order the bucket list and truncate (ES
                             bucket_sort; empty sort list = pure
                             from/size truncation in key order).
+          normalize       — (name, method): rescale the metric over the
+                            WHOLE bucket list (ES normalize agg).
+                            Methods: rescale_0_1, rescale_0_100,
+                            percent_of_sum, mean ((x-avg)/(max-min)),
+                            z-score (population stddev), softmax.
+                            Degenerate denominators (single value /
+                            all-equal buckets) yield null, not NaN.
+          moving_percentiles — (name, window, percent): the given
+                            percentile (exact linear interpolation, the
+                            ES T-Digest analogue) of the metric over
+                            the trailing `window` buckets including the
+                            current (ES moving_percentiles; this engine
+                            reads the raw metric instead of a
+                            percentiles sketch — documented divergence).
 
         Physical note: buckets are already aggregate-sized (thousands,
         not documents), so the single unpartitioned window — which
         Spark routes to one task — is the right plan, not a smell; the
         doc-sized work happened in the facet that produced them."""
         if not any([derivative, cumulative_sum, moving_avg, serial_diff,
-                    bucket_script, bucket_selector, bucket_sort]):
+                    bucket_script, bucket_selector, bucket_sort,
+                    normalize, moving_percentiles]):
             raise ValueError("request at least one pipeline output")
         w = Window.orderBy(F.asc("key"))
         out = buckets
@@ -2827,6 +2844,43 @@ class BM25Index:
             out = out.withColumn(
                 name, F.col(metric) - F.lag(metric, int(lag)).over(w)
             )
+        if moving_percentiles:
+            name, window, percent = moving_percentiles
+            if int(window) < 1:
+                raise ValueError("moving_percentiles window must be >= 1")
+            if not 0.0 <= float(percent) <= 100.0:
+                raise ValueError("percent must be in [0, 100]")
+            out = out.withColumn(
+                name,
+                F.expr(
+                    f"percentile({metric}, {float(percent) / 100.0}d)"
+                ).over(w.rowsBetween(-(int(window) - 1), 0)),
+            )
+        if normalize:
+            name, method = normalize
+            m = F.col(metric).cast("double")
+            full = w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            mn, mx = F.min(m).over(full), F.max(m).over(full)
+            span = F.when(mx != mn, mx - mn)  # null when degenerate
+            if method == "rescale_0_1":
+                col = (m - mn) / span
+            elif method == "rescale_0_100":
+                col = (m - mn) / span * 100.0
+            elif method == "percent_of_sum":
+                total = F.sum(m).over(full)
+                col = m / F.when(total != 0.0, total)
+            elif method == "mean":
+                col = (m - F.avg(m).over(full)) / span
+            elif method == "z-score":
+                sd = F.stddev_pop(m).over(full)
+                col = (m - F.avg(m).over(full)) / F.when(sd != 0.0, sd)
+            elif method == "softmax":
+                col = F.exp(m) / F.sum(F.exp(m)).over(full)
+            else:
+                raise ValueError(f"unknown normalize method {method!r}")
+            out = out.withColumn(name, col)
         if bucket_script:
             # double output like ES painless arithmetic (Spark would
             # otherwise type `x * 100.0` as decimal via the literal)
@@ -3922,6 +3976,128 @@ class BM25Index:
             base.select(
                 "doc_id", (F.lit(float(boost)) * val).alias("score")
             )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return self._join_docs(topk) if join_docs else topk
+
+    # Pinned-hit score anchor: far above any organic BM25 score, and
+    # small enough that PINNED_BASE - i stays EXACT in float64 (2^52 —
+    # unit steps are representable; ES's float32 MAX_VALUE/2 anchor
+    # would absorb the -i and collapse the request order)
+    PINNED_BASE = 2.0 ** 52
+
+    def search_pinned(
+        self,
+        ids: List[int],
+        organic,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Pinned query — ES `pinned`: the given doc ids rank first, in
+        REQUEST order, above every organic match; organic results
+        (minus the pinned ids) follow with their real scores.  ES
+        implements this by scoring pin i at a float anchor minus its
+        position — mirrored here (PINNED_BASE - i), so the ordinary
+        (score desc, doc_id asc) total order serves the whole list and
+        search_after cursors keep working across the pinned boundary.
+
+        `organic` takes the _clause_scored spec forms (string = match
+        OR; ("match", q, op); ("phrase", q, slop)).  Pinned ids that
+        are deleted or unknown are skipped (ES: unmatched pins are
+        ignored).  Physical shape: the pin list is a tiny broadcast
+        isin against the docs table; the organic clause scores as
+        usual and drops the pinned ids with one isin filter (never an
+        extra shuffle)."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        ids = [int(i) for i in ids]
+        if len(set(ids)) != len(ids):
+            raise ValueError("pinned ids must be unique")
+        frames = []
+        if ids:
+            rank = F.array_position(
+                F.array(*[F.lit(i) for i in ids]), F.col("doc_id")
+            )
+            pinned = self._drop_tombstones(
+                self.docs.select("doc_id").filter(F.col("doc_id").isin(ids))
+            ).select(
+                "doc_id",
+                (F.lit(self.PINNED_BASE)
+                 - (rank - 1).cast("double")).alias("score"),
+            )
+            frames.append(pinned)
+        org = self._clause_scored(organic)
+        if org is not None:
+            if ids:
+                org = org.filter(~F.col("doc_id").isin(ids))
+            frames.append(org)
+        if not frames:
+            return self._empty_scored(join_docs)
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        topk = u.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._join_docs(topk) if join_docs else topk
+
+    def search_distance_feature(
+        self,
+        field: str,
+        origin,
+        pivot,
+        boost: float = 1.0,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Distance-feature query — ES `distance_feature`: score every
+        live doc by its closeness to `origin` in date or numeric
+        space: score = boost * pivot / (pivot + |field - origin|)
+        (the ES date/numeric shape; geo is out of scope — the corpus
+        has no geo fields).  Docs missing the field do not match.
+
+        For a timestamp field, `origin` is an ISO-8601 string (or
+        timestamp) and `pivot` a duration string ("7d", "12h", ...);
+        distances are computed in milliseconds like ES.  For a numeric
+        field both are numbers.  Pure docs-table scan (postings never
+        touched), tombstones dropped before the one
+        TakeOrderedAndProject — the usual bool-should composition
+        happens through the DSL's function_score/should machinery."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        dtypes = dict(self.docs.dtypes)
+        if field not in dtypes:
+            raise ValueError(f"unknown docs column {field!r}")
+        if dtypes[field].startswith("timestamp"):
+            pivot_ms = (
+                float(self._parse_duration(pivot)) * 1000.0
+                if isinstance(pivot, str)
+                else float(pivot)
+            )
+            origin_ms = F.unix_millis(
+                F.lit(origin).cast("timestamp")
+                if isinstance(origin, str)
+                else F.lit(origin)
+            )
+            dist = F.abs(
+                F.unix_millis(F.col(field)).cast("double")
+                - origin_ms.cast("double")
+            )
+            pv = F.lit(pivot_ms)
+        else:
+            dist = F.abs(
+                F.col(field).cast("double") - F.lit(float(origin))
+            )
+            pv = F.lit(float(pivot))
+        if isinstance(pivot, str) and not dtypes[field].startswith(
+            "timestamp"
+        ):
+            raise ValueError("duration pivot on a non-timestamp field")
+        score = F.lit(float(boost)) * pv / (pv + dist)
+        topk = (
+            self._drop_tombstones(
+                self.docs.filter(F.col(field).isNotNull())
+            )
+            .select("doc_id", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

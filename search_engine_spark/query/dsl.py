@@ -123,7 +123,8 @@ _SCORING = ("match", "multi_match", "combined_fields", "match_phrase",
             "boosting", "function_score", "script_score", "rank_feature",
             "query_string", "simple_query_string", "terms_set",
             "intervals", "span_term", "span_near", "span_or", "span_not",
-            "span_first", "span_containing", "span_within")
+            "span_first", "span_containing", "span_within", "pinned",
+            "distance_feature")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -451,6 +452,22 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
         )
         return idx.search_bool_prefix(
             q, k=k, max_expansions=max_exp, join_docs=join_docs
+        )
+    if kind == "pinned":
+        organic = body.get("organic")
+        if organic is None:
+            _unsupported("pinned without an organic query")
+        return idx.search_pinned(
+            [int(v) for v in _as_list(body.get("ids", []))],
+            _engine_spec(organic), k=k, join_docs=join_docs,
+        )
+    if kind == "distance_feature":
+        if not {"field", "origin", "pivot"} <= set(body):
+            _unsupported("distance_feature needs field/origin/pivot")
+        return idx.search_distance_feature(
+            body["field"], body["origin"], body["pivot"],
+            boost=float(body.get("boost", 1.0)),
+            k=k, join_docs=join_docs,
         )
     if kind.startswith("span_"):
         # span family — the whole node is the span tree (query/spans.py
@@ -942,6 +959,7 @@ _METRIC_AGGS = {"avg", "sum", "min", "max", "value_count"}
 _PIPELINE_AGGS = {
     "derivative", "cumulative_sum", "moving_fn", "moving_avg",
     "serial_diff", "bucket_script", "bucket_selector", "bucket_sort",
+    "normalize", "moving_percentiles",
 }
 _SIBLING_AGGS = {
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
@@ -1032,7 +1050,22 @@ def _apply_pipeline(idx, df, pipes):
             )
             continue
         metric = _path_col(df, spec.get("buckets_path", "_count"))
-        if kind == "derivative":
+        if kind == "normalize":
+            df = idx.bucket_pipeline(
+                df, metric, normalize=(name, spec.get("method", "")),
+            )
+        elif kind == "moving_percentiles":
+            # this engine reads the raw metric over the trailing window
+            # (exact interpolated percentile) where ES merges percentile
+            # sketches — `percent` picks the single percentile reported
+            df = idx.bucket_pipeline(
+                df, metric,
+                moving_percentiles=(
+                    name, int(spec.get("window", 5)),
+                    float(spec.get("percent", 50.0)),
+                ),
+            )
+        elif kind == "derivative":
             df = idx.bucket_pipeline(df, metric, derivative=name)
         elif kind == "cumulative_sum":
             df = idx.bucket_pipeline(df, metric, cumulative_sum=name)

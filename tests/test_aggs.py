@@ -2223,3 +2223,98 @@ class TestVariableWidthHistogram:
             assert row["min"] == lo
             assert row["max"] == hi
             assert row["doc_count"] == cnt
+
+
+class TestNormalizeAndMovingPercentiles:
+    """ES normalize (whole-bucket-list rescale) and moving_percentiles
+    (trailing-window exact percentile) pipeline aggs vs Python
+    recomputation, plus the DSL lowering."""
+
+    @pytest.fixture()
+    def base(self, spark, corpus):
+        paths, _, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        df = idx.facet_histogram(QUERIES[0], "doclen", 32.0)
+        return idx, df, [r["doc_count"] for r in df.collect()]
+
+    def test_normalize_methods(self, base):
+        import math
+
+        idx, df, counts = base
+        mn, mx, tot = min(counts), max(counts), sum(counts)
+        mean = tot / len(counts)
+        sd = (sum((c - mean) ** 2 for c in counts) / len(counts)) ** 0.5
+        sm = sum(math.exp(c) for c in counts)
+        want = {
+            "rescale_0_1": [(c - mn) / (mx - mn) for c in counts],
+            "rescale_0_100": [(c - mn) / (mx - mn) * 100 for c in counts],
+            "percent_of_sum": [c / tot for c in counts],
+            "mean": [(c - mean) / (mx - mn) for c in counts],
+            "z-score": [(c - mean) / sd for c in counts],
+            "softmax": [math.exp(c) / sm for c in counts],
+        }
+        assert mx > mn  # the fixture must exercise a non-degenerate list
+        for method, exp in want.items():
+            out = idx.bucket_pipeline(
+                df, "doc_count", normalize=("nv", method)
+            ).collect()
+            for r, e in zip(out, exp):
+                assert abs(r["nv"] - e) < 1e-9, method
+        with pytest.raises(ValueError):
+            idx.bucket_pipeline(df, "doc_count", normalize=("nv", "nope"))
+
+    def test_normalize_degenerate_is_null(self, spark, base):
+        idx, df, _ = base
+        one = df.limit(1)
+        out = idx.bucket_pipeline(
+            one, "doc_count", normalize=("nv", "rescale_0_1")
+        ).collect()
+        assert out[0]["nv"] is None
+
+    def test_moving_percentiles(self, base):
+        import numpy as np
+
+        idx, df, counts = base
+        for window, pct in [(3, 50.0), (4, 90.0), (2, 0.0)]:
+            out = idx.bucket_pipeline(
+                df, "doc_count", moving_percentiles=("mp", window, pct)
+            ).collect()
+            for i, r in enumerate(out):
+                w = counts[max(0, i - window + 1): i + 1]
+                assert abs(r["mp"] - float(np.percentile(w, pct))) < 1e-9
+        with pytest.raises(ValueError):
+            idx.bucket_pipeline(
+                df, "doc_count", moving_percentiles=("mp", 0, 50.0)
+            )
+        with pytest.raises(ValueError):
+            idx.bucket_pipeline(
+                df, "doc_count", moving_percentiles=("mp", 3, 101.0)
+            )
+
+    def test_dsl_lowering(self, spark, base):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        idx, _, _ = base
+        body = {
+            "query": {"match": {"content": QUERIES[0]}},
+            "aggs": {"h": {
+                "histogram": {"field": "doclen", "interval": 32},
+                "aggs": {
+                    "pct": {"normalize": {"buckets_path": "_count",
+                                          "method": "percent_of_sum"}},
+                    "mp": {"moving_percentiles": {
+                        "buckets_path": "_count", "window": 3,
+                        "percent": 50.0}},
+                },
+            }},
+        }
+        import numpy as np
+
+        rows_ = execute_es_aggs(idx, body)["h"].collect()
+        assert rows_
+        counts = [r["doc_count"] for r in rows_]
+        tot = sum(counts)
+        for i, r in enumerate(rows_):
+            assert abs(r["pct"] - counts[i] / tot) < 1e-9
+            w = counts[max(0, i - 2): i + 1]
+            assert abs(r["mp"] - float(np.percentile(w, 50.0))) < 1e-9

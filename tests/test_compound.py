@@ -662,3 +662,127 @@ class TestNewDslLowering:
         assert [(r["doc_id"], r["score"]) for r in got] == [
             (r["doc_id"], r["score"]) for r in want
         ]
+
+
+class TestPinned:
+    """ES pinned query: request-ordered pins above organic results."""
+
+    def test_pins_lead_in_request_order(self, spark, corpus):
+        idx, oracle, _, raw, _ = corpus
+        q = "search engine index"
+        organic = sorted(
+            oracle.or_scores(q).items(), key=lambda x: (-x[1], x[0])
+        )
+        assert len(organic) >= 6
+        pins = [organic[4][0], organic[1][0]]  # deliberately not rank order
+        got = _got(idx.search_pinned(pins, q, k=8, join_docs=False))
+        assert [d for d, _ in got[:2]] == pins
+        assert got[0][1] > got[1][1] > 1e15  # anchor scores, descending
+        want_tail = [d for d, _ in organic if d not in set(pins)][:6]
+        assert [d for d, _ in got[2:]] == want_tail
+        for (d, s), (wd, ws) in zip(
+            got[2:], [x for x in organic if x[0] not in set(pins)][:6]
+        ):
+            assert s == pytest.approx(ws, rel=1e-9)
+
+    def test_unknown_and_deleted_pins_skipped(self, spark, corpus):
+        idx, oracle, _, _, _ = corpus
+        q = "search engine index"
+        top = sorted(
+            oracle.or_scores(q).items(), key=lambda x: (-x[1], x[0])
+        )
+        got = _got(
+            idx.search_pinned([999999999, top[0][0]], q, k=5,
+                              join_docs=False)
+        )
+        assert got[0][0] == top[0][0]
+        assert all(d != 999999999 for d, _ in got)
+        with pytest.raises(ValueError):
+            idx.search_pinned([1, 1], q)
+
+    def test_dsl_lowering(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        idx, oracle, _, _, _ = corpus
+        q = "search engine index"
+        top = sorted(
+            oracle.or_scores(q).items(), key=lambda x: (-x[1], x[0])
+        )
+        pins = [top[3][0]]
+        body = {"query": {"pinned": {
+            "ids": pins, "organic": {"match": {"content": q}}}},
+            "size": 4}
+        got = _got(execute_es_query(idx, body, join_docs=False))
+        direct = _got(idx.search_pinned(pins, q, k=4, join_docs=False))
+        assert got == direct
+
+
+class TestDistanceFeature:
+    """ES distance_feature: boost * pivot / (pivot + |field - origin|)
+    over date and numeric doc fields, vs Python recomputation."""
+
+    def test_date_field(self, spark, corpus):
+        idx, _, _, _, _ = corpus
+        rows = idx.docs.select("doc_id", "warc_ts").collect()
+        origin = "2024-01-05T00:00:00"
+        import datetime as dt
+
+        o = dt.datetime(2024, 1, 5)
+        pivot_ms = 2 * 86400 * 1000.0
+        want = sorted(
+            (
+                (
+                    r["doc_id"],
+                    2.0 * pivot_ms / (
+                        pivot_ms
+                        + abs((r["warc_ts"] - o).total_seconds() * 1000.0)
+                    ),
+                )
+                for r in rows
+                if r["warc_ts"] is not None
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:7]
+        got = _got(
+            idx.search_distance_feature(
+                "warc_ts", origin, "2d", boost=2.0, k=7, join_docs=False
+            )
+        )
+        _assert_rank_identical(got, want, "date distance_feature")
+
+    def test_numeric_field_and_refusals(self, spark, corpus):
+        idx, _, _, _, doclen = corpus
+        origin, pivot = 150.0, 40.0
+        want = sorted(
+            (
+                (d, pivot / (pivot + abs(float(l) - origin)))
+                for d, l in doclen.items()
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[:6]
+        got = _got(
+            idx.search_distance_feature(
+                "doclen", origin, pivot, k=6, join_docs=False
+            )
+        )
+        _assert_rank_identical(got, want, "numeric distance_feature")
+        with pytest.raises(ValueError):
+            idx.search_distance_feature("nope", 0, 1)
+        with pytest.raises(ValueError):
+            idx.search_distance_feature("doclen", 0, "7d")
+
+    def test_dsl_lowering(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        idx, _, _, _, _ = corpus
+        body = {"query": {"distance_feature": {
+            "field": "warc_ts", "origin": "2024-01-03T00:00:00",
+            "pivot": "12h"}}, "size": 5}
+        got = _got(execute_es_query(idx, body, join_docs=False))
+        direct = _got(
+            idx.search_distance_feature(
+                "warc_ts", "2024-01-03T00:00:00", "12h", k=5,
+                join_docs=False,
+            )
+        )
+        assert got == direct
