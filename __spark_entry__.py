@@ -4632,6 +4632,189 @@ FROM w LEFT JOIN ps ON w.doc_id = ps.doc_id
 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
+# ---- span queries (query/bm25.py:search_spans, query/spans.py) -------------
+# span_not: include-term occurrences kept only when no exclude term sits
+# within [p-pre, p+post]; span_first: occurrences within the first `end`
+# positions.  Both score as phrase-shaped pseudo-terms with idf over the
+# POSITIVE term alone (exclude terms contribute nothing).
+
+SPAN_NOT_INCLUDE, SPAN_NOT_EXCLUDE = "merge", "window"
+SPAN_NOT_PRE, SPAN_NOT_POST = 1, 2
+SPAN_FIRST_TERM, SPAN_FIRST_END = "spark", 12
+
+
+def _span_pseudo_score(pt, n, avgdl, n_df):
+    import math
+
+    idf = math.log(1.0 + (n - n_df + 0.5) / (n_df + 0.5))
+    score = F.lit(idf) * (F.col("ptf") * (K1 + 1.0)) / (
+        F.col("ptf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        pt.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _q_span_not_topk(spark, sf_dir):
+    """ES span_not over SQL-parity tokens: the anti-join window is the
+    overlap test of query/spans.py's `not` node (exclude span at pb
+    excludes an include occurrence at p iff pb in [p-pre, p+post])."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("p", "term"),
+    )
+    inc = pos.filter(F.col("term") == SPAN_NOT_INCLUDE)
+    exc = pos.filter(F.col("term") == SPAN_NOT_EXCLUDE).select(
+        F.col("doc_id").alias("bd"), F.col("p").alias("pb")
+    )
+    keep = inc.join(
+        exc,
+        (F.col("doc_id") == F.col("bd"))
+        & (F.col("pb") >= F.col("p") - SPAN_NOT_PRE)
+        & (F.col("pb") <= F.col("p") + SPAN_NOT_POST),
+        "left_anti",
+    )
+    pt = keep.groupBy("doc_id", "dl").agg(F.count(F.lit(1)).alias("ptf"))
+    n_df = inc.select("doc_id").distinct().count()
+    return _span_pseudo_score(pt, n, avgdl, n_df)
+
+
+_SQL_SPAN_NOT = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+pos AS (SELECT doc_id, len(l) AS dl, unnest(range(1, len(l) + 1)) AS i, l
+        FROM tok),
+a AS (SELECT doc_id, dl, i FROM pos WHERE l[i] = '{SPAN_NOT_INCLUDE}'),
+b AS (SELECT doc_id, i FROM pos WHERE l[i] = '{SPAN_NOT_EXCLUDE}'),
+keep AS (SELECT a.* FROM a WHERE NOT EXISTS (
+    SELECT 1 FROM b WHERE b.doc_id = a.doc_id
+      AND b.i BETWEEN a.i - {SPAN_NOT_PRE} AND a.i + {SPAN_NOT_POST})),
+pt AS (SELECT doc_id, dl, count(*) AS ptf FROM keep GROUP BY 1, 2),
+dfa AS (SELECT count(DISTINCT doc_id) AS df FROM a),
+i2 AS (SELECT ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM dfa, n)
+SELECT doc_id, round(idf * (ptf * {K1 + 1.0})
+       / (ptf + {K1} * (1.0 - {B} + {B} * dl / avgdl)), 6) AS score
+FROM pt, i2, n ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+def _q_span_first_topk(spark, sf_dir):
+    """ES span_first: term occurrences whose end-exclusive span end
+    p+1 <= end, i.e. 0-based p < end."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    pos = toks.select(
+        "doc_id", F.size("toks").alias("dl"),
+        F.posexplode("toks").alias("p", "term"),
+    )
+    hits = pos.filter(F.col("term") == SPAN_FIRST_TERM)
+    pt = (
+        hits.filter(F.col("p") < SPAN_FIRST_END)
+        .groupBy("doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("ptf"))
+    )
+    n_df = hits.select("doc_id").distinct().count()
+    return _span_pseudo_score(pt, n, avgdl, n_df)
+
+
+_SQL_SPAN_FIRST = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+pos AS (SELECT doc_id, len(l) AS dl, unnest(range(1, len(l) + 1)) AS i, l
+        FROM tok),
+a AS (SELECT doc_id, dl, i FROM pos WHERE l[i] = '{SPAN_FIRST_TERM}'),
+pt AS (SELECT doc_id, dl, count(*) AS ptf FROM a
+       WHERE i <= {SPAN_FIRST_END} GROUP BY 1, 2),
+dfa AS (SELECT count(DISTINCT doc_id) AS df FROM a),
+i2 AS (SELECT ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf FROM dfa, n)
+SELECT doc_id, round(idf * (ptf * {K1 + 1.0})
+       / (ptf + {K1} * (1.0 - {B} + {B} * dl / avgdl)), 6) AS score
+FROM pt, i2, n ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+# ---- pinned + distance_feature (query/bm25.py) ------------------------------
+
+PINNED_IDS = [3, 1]
+PINNED_BASE_SQL = "4503599627370496.0"  # 2^52, BM25Index.PINNED_BASE
+DISTFEAT_ORIGIN = "2024-01-15 00:00:00"
+DISTFEAT_PIVOT_MS = 2 * 86400 * 1000
+
+
+def _q_pinned_topk(spark, sf_dir):
+    """ES pinned query: the pinned ids rank first in request order at
+    the exact-in-float64 anchor 2^52 - position; organic BM25 matches
+    (minus the pins) follow with their real scores."""
+    toks = _docs_tokens(spark, sf_dir)
+    n, avgdl = _corpus_scalars(toks)
+    rank = F.array_position(
+        F.array(*[F.lit(int(i)) for i in PINNED_IDS]), F.col("doc_id")
+    )
+    pinned = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(PINNED_IDS))
+        .select(
+            "doc_id",
+            (F.lit(2.0 ** 52) - (rank - 1).cast("double")).alias("_s"),
+        )
+    )
+    organic = _bm25_scored(toks, n, avgdl, BM25_QUERY_TERMS).filter(
+        ~F.col("doc_id").isin(PINNED_IDS)
+    ).select("doc_id", "_s")
+    return (
+        pinned.unionByName(organic)
+        .select("doc_id", F.round(F.col("_s"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_PINNED_IDS_SQL = ", ".join(str(i) for i in PINNED_IDS)
+_PINNED_CASE_SQL = " ".join(
+    f"WHEN {d} THEN {i}" for i, d in enumerate(PINNED_IDS)
+)
+_SQL_PINNED = f"""{_TOK_CTE},
+{_bm25_cte(_TERMS_SQL)},
+pin AS (SELECT doc_id,
+               {PINNED_BASE_SQL} - (CASE doc_id {_PINNED_CASE_SQL} END) AS _s
+        FROM documents WHERE doc_id IN ({_PINNED_IDS_SQL})),
+org AS (SELECT doc_id, _s FROM scored
+        WHERE doc_id NOT IN ({_PINNED_IDS_SQL}))
+SELECT doc_id, round(_s, 6) AS score
+FROM (SELECT * FROM pin UNION ALL SELECT * FROM org)
+ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+def _q_distance_feature_topk(spark, sf_dir):
+    """ES distance_feature on a date field, over the events table:
+    score = pivot / (pivot + |ts - origin|) in milliseconds."""
+    ev = _read(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP_NTZ — timestampdiff handles it natively
+    # (unix_millis refuses NTZ); floor-to-ms matches DuckDB epoch_ms
+    dist = F.abs(
+        F.expr(
+            "timestampdiff(MILLISECOND, "
+            f"to_timestamp_ntz('{DISTFEAT_ORIGIN}'), ts)"
+        ).cast("double")
+    )
+    pv = F.lit(float(DISTFEAT_PIVOT_MS))
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .select("event_id", F.round(pv / (pv + dist), 9).alias("score"))
+        .orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(10)
+    )
+
+
+_SQL_DISTFEAT = f"""
+SELECT event_id,
+       round({DISTFEAT_PIVOT_MS}.0 / ({DISTFEAT_PIVOT_MS}.0
+             + abs(epoch_ms(ts) - epoch_ms(TIMESTAMP '{DISTFEAT_ORIGIN}'))
+             ), 9) AS score
+FROM events WHERE ts IS NOT NULL
+ORDER BY score DESC, event_id LIMIT 10"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4653,6 +4836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
+        "span_not_topk": _q_span_not_topk,
+        "span_first_topk": _q_span_first_topk,
+        "pinned_topk": _q_pinned_topk,
+        "distance_feature_topk": _q_distance_feature_topk,
         "prefix_bm25_topk": _q_prefix_bm25_topk,
         "wildcard_bm25_topk": _q_wildcard_bm25_topk,
         "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
@@ -4773,6 +4960,10 @@ def oracle_sql() -> dict[str, str]:
         "index_stats": _SQL_INDEX_STATS,
         "phrase_bm25_topk": _SQL_PHRASE_BM25,
         "phrase_slop_topk": _SQL_PHRASE_SLOP,
+        "span_not_topk": _SQL_SPAN_NOT,
+        "span_first_topk": _SQL_SPAN_FIRST,
+        "pinned_topk": _SQL_PINNED,
+        "distance_feature_topk": _SQL_DISTFEAT,
         "prefix_bm25_topk": _SQL_PREFIX_BM25,
         "wildcard_bm25_topk": _SQL_WILDCARD_BM25,
         "fuzzy_bm25_topk": _SQL_FUZZY_BM25,
