@@ -6019,6 +6019,99 @@ class BM25Index:
             return topk
         return self._join_docs(topk)
 
+    def search_match_fuzzy(
+        self,
+        query: str,
+        fuzziness="AUTO",
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+        k: int = 10,
+        join_docs: bool = True,
+    ) -> DataFrame:
+        """Match query with `fuzziness` — ES `match` + fuzziness: each
+        analyzed token becomes a FuzzyQuery (a fuzzy synonym group over
+        the term dictionary, expand_fuzzy's closest-first capped
+        expansion); a doc's score is the SUM over its matching groups
+        (bool should of Lucene SynonymQueries — tf summed
+        pre-saturation, max-df blended idf per group).  Duplicate
+        tokens contribute ONE group (pinned; Lucene would re-add the
+        clause).  fuzziness "AUTO" = 0/1/2 edits at the ES length
+        breakpoints 3 and 6, measured on the analyzed token.
+
+        Physical plan: one bucket-pruned decode + groupBy per group
+        (the same posting mass ES's per-clause traversal pays), a
+        unionByName + ONE groupBy(doc_id) sum across groups — no
+        θ-pruning (synonym groups break per-term monotonicity), like
+        the other combined-order queries."""
+        if k <= 0:
+            return self._empty_scored(join_docs)
+        frames = []
+        for t in dict.fromkeys(tokenize_py(query)):
+            edits = (
+                (0 if len(t) < 3 else 1 if len(t) < 6 else 2)
+                if fuzziness == "AUTO"
+                else int(fuzziness)
+            )
+            exps = self.expand_fuzzy(
+                t, max_edits=edits, prefix_length=prefix_length,
+                max_expansions=max_expansions,
+            )
+            f = self._synonym_group_scored(exps)
+            if f is not None:
+                frames.append(f)
+        if not frames:
+            return self._empty_scored(join_docs)
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        topk = (
+            u.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return self._join_docs(topk) if join_docs else topk
+
+    def terms_enum(
+        self,
+        string: str = "",
+        size: int = 10,
+        search_after: Optional[str] = None,
+    ) -> List[str]:
+        """Dictionary enumeration — the ES `_terms_enum` API (index-
+        backed autocomplete): the first `size` dictionary terms with
+        the given prefix, in term order; `search_after` resumes the
+        walk strictly after a term (cursor pagination, page N costs one
+        pruned scan like page 1).  The prefix is normalized like a
+        token but NOT stemmed (it matches the stemmed dictionary
+        directly, the expand_prefix convention); field-namespaced
+        (t!/d!) terms are excluded.  Like ES, results reflect the
+        INDEX dictionary: terms contributed only by deleted docs keep
+        appearing until compaction folds them out (Lucene-stale).
+
+        Scale: term_stats is range-partitioned + sorted by term, so
+        StartsWith and the search_after lower bound push down as
+        string-range predicates — the scan reads O(matching range),
+        then TakeOrderedAndProject cuts `size`."""
+        import re
+
+        if size <= 0:
+            return []
+        p = re.sub(r"[^a-z0-9]", "", (string or "").lower())
+        cond = ~F.col("term").contains("!")
+        if p:
+            cond &= F.col("term").startswith(p)
+        if search_after is not None:
+            cond &= F.col("term") > str(search_after)
+        rows = (
+            self.term_stats.filter(cond)
+            .select("term")
+            .orderBy(F.asc("term"))
+            .limit(int(size))
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def search_bool_prefix(
         self,
         query: str,
@@ -6382,6 +6475,97 @@ class BM25Index:
         )
         return self._drop_tombstones(scored)
 
+    def rewrite_span_multi(self, node):
+        """Rewrite every `span_multi` subtree into a `span_or` of RAW
+        dictionary terms — Lucene's SpanMultiTermQueryWrapper rewrite.
+        The wrapped multi-term query (prefix / wildcard / fuzzy /
+        regexp) expands against the term dictionary with the same
+        capped, deterministic expanders the top-level queries use
+        (expand_prefix / expand_wildcard / expand_fuzzy /
+        expand_regexp); expansions become `span_raw_term` leaves so the
+        already-stemmed dictionary terms are NOT re-analyzed.  A
+        pattern with no expansions rewrites to a never-matching leaf.
+        Structural nodes recurse; everything else passes through."""
+        if not isinstance(node, dict) or len(node) != 1:
+            return node
+        kind, body = next(iter(node.items()))
+        if kind == "span_multi":
+            match = body.get("match") if isinstance(body, dict) else None
+            if not isinstance(match, dict) or len(match) != 1:
+                raise NotImplementedError(
+                    "span query subset: span_multi needs a single-key "
+                    "match query"
+                )
+            mkind, mbody = next(iter(match.items()))
+            if not isinstance(mbody, dict) or len(mbody) != 1:
+                raise NotImplementedError(
+                    f"span query subset: span_multi {mkind} must name "
+                    "exactly one field"
+                )
+            field, spec = next(iter(mbody.items()))
+            if field not in ("content", "text"):
+                raise NotImplementedError(
+                    f"span query subset: span_multi on field {field!r}"
+                )
+            opts = spec if isinstance(spec, dict) else {}
+            value = opts.get("value", spec if not isinstance(spec, dict)
+                             else None)
+            if value is None:
+                raise NotImplementedError(
+                    "span query subset: span_multi match without a value"
+                )
+            max_exp = int(opts.get("max_expansions", 50))
+            if mkind == "prefix":
+                exps = self.expand_prefix(str(value), max_exp)
+            elif mkind == "wildcard":
+                exps = self.expand_wildcard(str(value), max_exp)
+            elif mkind == "regexp":
+                exps = self.expand_regexp(str(value), max_exp)
+            elif mkind == "fuzzy":
+                exps = self.expand_fuzzy(
+                    str(value),
+                    max_edits=int(opts.get("fuzziness", 2)),
+                    prefix_length=int(opts.get("prefix_length", 0)),
+                    max_expansions=max_exp,
+                )
+            else:
+                raise NotImplementedError(
+                    f"span query subset: span_multi match kind {mkind!r}"
+                )
+            clauses = [
+                {"span_raw_term": {"content": t}} for t, _df, _b in exps
+            ]
+            if not clauses:
+                return {"span_raw_term": {"content": ""}}  # never matches
+            if len(clauses) == 1:
+                return clauses[0]
+            return {"span_or": {"clauses": clauses}}
+        if kind in ("span_near", "span_or"):
+            out = dict(body)
+            out["clauses"] = [
+                self.rewrite_span_multi(c)
+                for c in (body.get("clauses") or [])
+            ]
+            return {kind: out}
+        if kind == "span_not":
+            out = dict(body)
+            for part in ("include", "exclude"):
+                if part in out:
+                    out[part] = self.rewrite_span_multi(out[part])
+            return {kind: out}
+        if kind == "span_first":
+            out = dict(body)
+            if "match" in out:
+                out["match"] = self.rewrite_span_multi(out["match"])
+            return {kind: out}
+        if kind in ("span_containing", "span_within"):
+            out = dict(body)
+            for part in ("big", "little"):
+                if part in out:
+                    out[part] = self.rewrite_span_multi(out[part])
+            return {kind: out}
+        return node
+
     def search_spans(
         self, span_query: dict, k: int = 10, join_docs: bool = True
     ) -> DataFrame:
@@ -6428,6 +6612,7 @@ class BM25Index:
         (a required branch analyzes to nothing / unindexed required
         term / empty conjunctive pre-pass / no positive indexed term).
         """
+        span_query = self.rewrite_span_multi(span_query)
         parse = parse_span_query(span_query)
         if parse.required is None:
             return None

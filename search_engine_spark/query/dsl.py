@@ -123,8 +123,8 @@ _SCORING = ("match", "multi_match", "combined_fields", "match_phrase",
             "boosting", "function_score", "script_score", "rank_feature",
             "query_string", "simple_query_string", "terms_set",
             "intervals", "span_term", "span_near", "span_or", "span_not",
-            "span_first", "span_containing", "span_within", "pinned",
-            "distance_feature")
+            "span_first", "span_containing", "span_within", "span_multi",
+            "pinned", "distance_feature")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -335,6 +335,22 @@ def _score_match(idx, body, k, predicate, join_docs):
 def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
     kind, body = _one_key(node, "query")
     if kind == "match":
+        field, spec = _one_key(body, "match field")
+        if isinstance(spec, dict) and "fuzziness" in spec:
+            # match + fuzziness: per-token fuzzy synonym groups
+            if field != "content":
+                _unsupported(f"fuzzy match on field {field!r}")
+            if predicate is not None:
+                _unsupported("filter context combined with fuzzy match")
+            if spec.get("operator", "or").lower() != "or":
+                _unsupported("fuzzy match with operator AND")
+            return idx.search_match_fuzzy(
+                spec["query"],
+                fuzziness=spec["fuzziness"],
+                prefix_length=int(spec.get("prefix_length", 0)),
+                max_expansions=int(spec.get("max_expansions", 50)),
+                k=k, join_docs=join_docs,
+            )
         return _score_match(idx, node, k, predicate, join_docs)
     if predicate is not None:
         _unsupported(f"filter context combined with {kind!r}")

@@ -487,6 +487,46 @@ class PrefixOracle(BM25Oracle):
         """Fuzzy ground truth: classic Levenshtein (matching Spark's
         native levenshtein, NOT Damerau), expansions ordered closest
         first then term order, synonym-group scored."""
+        return self._group_topk(
+            self._fuzzy_exps(word, max_edits, prefix_length,
+                             max_expansions),
+            k,
+        )
+
+    def topk_match_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        fuzziness="AUTO",
+        prefix_length: int = 0,
+        max_expansions: int = 50,
+    ) -> List[Tuple[int, float]]:
+        """match-with-fuzziness ground truth: each DISTINCT analyzed
+        token expands to its fuzzy synonym group (AUTO = 0/1/2 edits at
+        the ES length breakpoints 3 and 6, applied to the analyzed
+        token); a doc's score is the SUM of its group scores (bool
+        should of SynonymQueries)."""
+        out: Dict[int, float] = {}
+        for t in dict.fromkeys(tokenize_py(query)):
+            edits = (
+                (0 if len(t) < 3 else 1 if len(t) < 6 else 2)
+                if fuzziness == "AUTO"
+                else int(fuzziness)
+            )
+            g = self._group_scores(
+                self._fuzzy_exps(t, edits, prefix_length, max_expansions)
+            )
+            for d, s in g.items():
+                out[d] = out.get(d, 0.0) + s
+        return sorted(out.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    def _fuzzy_exps(
+        self,
+        word: str,
+        max_edits: int,
+        prefix_length: int,
+        max_expansions: int,
+    ) -> List[str]:
         import re
 
         w = re.sub(r"[^a-z0-9]", "", word.lower())
@@ -515,14 +555,13 @@ class PrefixOracle(BM25Oracle):
             else:
                 cands = [t for t in cands if t.startswith(w[:prefix_length])]
         scored = [(t, lev(t, w)) for t in cands]
-        exps = [
+        return [
             t
             for t, d in sorted(
                 ((t, d) for t, d in scored if d <= max_edits),
                 key=lambda x: (x[1], x[0]),
             )
         ][:max_expansions]
-        return self._group_topk(exps, k)
 
 
 class PhraseOracle(BM25Oracle):

@@ -40,6 +40,11 @@ FILTERED token stream — the same position space as match_phrase):
                    0-based, end-exclusive: end=1 means "at position 0").
 - span_containing  big spans containing >= 1 little span.
 - span_within      little spans contained in >= 1 big span.
+- span_multi       a wrapped prefix/wildcard/fuzzy/regexp query,
+                   rewritten BEFORE parsing into a span_or of raw
+                   dictionary terms (BM25Index.rewrite_span_multi —
+                   Lucene's SpanMultiTermQueryWrapper); the parser
+                   itself refuses unrewritten span_multi nodes.
 
 Scoring follows the engine's phrase convention: the whole span query is
 a pseudo-term with tf = number of matching spans and
@@ -59,7 +64,11 @@ Span = Tuple[int, int]
 
 _SPAN_KINDS = {
     "span_term", "span_near", "span_or", "span_not", "span_first",
-    "span_containing", "span_within",
+    "span_containing", "span_within", "span_multi",
+    # internal leaf produced by BM25Index.rewrite_span_multi: the value
+    # is a DICTIONARY term used verbatim (already stemmed — running it
+    # through the analyzer again would re-stem and corrupt it)
+    "span_raw_term",
 }
 
 
@@ -104,10 +113,30 @@ def parse_span_query(node: dict) -> SpanParse:
         if not isinstance(n, dict) or len(n) != 1:
             _unsupported("span clause must be a single-key object")
         kind, body = next(iter(n.items()))
-        if kind in ("span_multi", "field_masking_span"):
-            _unsupported(f"{kind}")
+        if kind == "field_masking_span":
+            _unsupported("field_masking_span")
+        if kind == "span_multi":
+            _unsupported(
+                "span_multi must be rewritten against the term "
+                "dictionary first (BM25Index.search_spans does this "
+                "automatically via rewrite_span_multi)"
+            )
         if kind not in _SPAN_KINDS:
             _unsupported(f"clause kind {kind!r}")
+        if kind == "span_raw_term":
+            if not isinstance(body, dict) or len(body) != 1:
+                _unsupported("span_raw_term must name exactly one field")
+            field, spec = next(iter(body.items()))
+            if field not in ("content", "text"):
+                _unsupported(f"span_raw_term on field {field!r}")
+            value = str(
+                spec.get("value") if isinstance(spec, dict) else spec
+            )
+            if not value:
+                return ("empty",)
+            if not under_exclude:
+                positive.add(value)
+            return ("term", ordinal(value))
         if kind == "span_term":
             if not isinstance(body, dict) or len(body) != 1:
                 _unsupported("span_term must name exactly one field")

@@ -341,3 +341,79 @@ class TestMultiTermRewritesOnMergedIndex:
             for r in cidx.search_fuzzy(fuzz, k=20, join_docs=False).collect()
         ]
         assert got_f == exp_f and got_f
+
+
+class TestMatchFuzzy:
+    """ES match + fuzziness: per-token fuzzy synonym groups summed
+    (bool should of SynonymQueries) — engine vs oracle, AUTO edits."""
+
+    def test_matches_oracle(self, spark, corpus):
+        oracle, idx = corpus
+        terms = [t for t in sorted(oracle.df) if len(t) >= 6]
+        step = max(1, len(terms) // 4)
+        queries = []
+        for t1, t2 in zip(terms[::step], terms[1::step]):
+            queries += [
+                f"{t1[:-1]} {t2}",          # one typo'd, one exact
+                f"{t1[:2]}x{t1[3:]} {t2}x", # both fuzzy
+                t1,                          # single token
+            ]
+        queries += ["zzzzzzzz qqqqqqq"]     # all-miss
+        assert len(queries) >= 7
+        for fz in ["AUTO", 1, 2]:
+            for q in queries:
+                exp = [
+                    (d, round(s, 9))
+                    for d, s in oracle.topk_match_fuzzy(
+                        q, k=12, fuzziness=fz
+                    )
+                ]
+                got = [
+                    (r["doc_id"], round(r["score"], 9))
+                    for r in idx.search_match_fuzzy(
+                        q, fuzziness=fz, k=12, join_docs=False
+                    ).collect()
+                ]
+                assert got == exp, (fz, q)
+
+    def test_auto_short_token_is_exact(self, spark, corpus):
+        """AUTO gives 0 edits to tokens under 3 chars — a 2-char token
+        only matches itself (if indexed)."""
+        oracle, idx = corpus
+        two = next((t for t in sorted(oracle.df) if len(t) == 2), None)
+        if two is None:
+            pytest.skip("no 2-char dictionary term in this corpus")
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_match_fuzzy(
+                two, fuzziness="AUTO", k=10, join_docs=False
+            ).collect()
+        ]
+        exp = [
+            (d, round(s, 9))
+            for d, s in oracle.topk_fuzzy(two, k=10, max_edits=0)
+        ]
+        assert got == exp
+
+    def test_dsl_lowering(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        oracle, idx = corpus
+        t = [t for t in sorted(oracle.df) if len(t) >= 6][0]
+        q = f"{t[:-1]} {t}"
+        body = {"query": {"match": {"content": {
+            "query": q, "fuzziness": "AUTO"}}}, "size": 6}
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in execute_es_query(idx, body, join_docs=False).collect()
+        ]
+        direct = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search_match_fuzzy(
+                q, k=6, join_docs=False
+            ).collect()
+        ]
+        assert got == direct
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {"query": {"match": {"content": {
+                "query": q, "fuzziness": 1, "operator": "and"}}}})

@@ -165,6 +165,44 @@ class TestSpanRankIdentity:
         assert rows
         assert set(rows[0].asDict()) == {"doc_id", "score", "url", "title"}
 
+    def test_span_multi_prefix(self, spark, corpus):
+        """span_multi wrapping a prefix query == span_or of its
+        dictionary expansions (Lucene SpanMultiTermQueryWrapper);
+        rank-identity vs the oracle on the rewritten tree, and the
+        rewrite composes inside span_near."""
+        oracle, idx, raw = corpus
+        _, (a, b, _c) = _queries(raw)
+        stem = tokenize_py(a)[0]
+        prefix = stem[:3]
+        q = {"span_multi": {"match": {"prefix": {"content": prefix}}}}
+        rewritten = idx.rewrite_span_multi(q)
+        assert "span_or" in rewritten or "span_raw_term" in rewritten
+        expected = oracle.topk_spans(rewritten, k=10)
+        assert expected  # the prefix of a corpus term must match
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_spans(q, k=10, join_docs=False).collect()
+        ]
+        assert [x for x, _ in got] == [x for x, _ in expected]
+        for (_, x), (_, y) in zip(got, expected):
+            assert abs(x - y) < 1e-9
+
+        near = {"span_near": {"clauses": [q, _t(b)], "slop": 3,
+                              "in_order": True}}
+        got2 = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_spans(
+                near, k=10, join_docs=False
+            ).collect()
+        ]
+        exp2 = oracle.topk_spans(idx.rewrite_span_multi(near), k=10)
+        assert [x for x, _ in got2] == [x for x, _ in exp2]
+
+        # no expansions -> provably empty, not an error
+        none = {"span_multi": {"match": {"prefix": {
+            "content": "zzzznotaprefix"}}}}
+        assert idx.search_spans(none, k=5, join_docs=False).count() == 0
+
     def test_refusals(self, spark, corpus):
         _, idx, _ = corpus
         with pytest.raises(NotImplementedError):
