@@ -4180,6 +4180,7 @@ class BM25Index:
         k: int = 10,
         join_docs: bool = True,
         predicate=None,
+        inner_hits_size: int = 0,
     ) -> DataFrame:
         """Field collapsing — the ES top-level `collapse` parameter:
         the top-k results keeping only the BEST-scoring doc per value
@@ -4192,7 +4193,15 @@ class BM25Index:
         best), one hash join to attach the value, a row_number window
         per value for the argmax, then the global
         TakeOrderedAndProject.  Docs with a null collapse field are
-        dropped, as in ES.  Returns (doc_id, score, value)."""
+        dropped, as in ES.  Returns (doc_id, score, value).
+
+        inner_hits_size > 0 — the ES collapse `inner_hits` section:
+        each representative also carries its group's top
+        inner_hits_size matches (including itself) as
+        `inner_hits: array<struct<doc_id, score>>` in group rank order
+        (score desc, doc_id asc).  The SAME window pass that ranks the
+        argmax feeds the inner lists (rn <= size -> sorted
+        collect_list) — no second scoring job."""
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, value string"
         )
@@ -4210,18 +4219,51 @@ class BM25Index:
         w = Window.partitionBy("value").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
-        topk = (
-            scored.join(vals, "doc_id")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", "score", "value")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
+        ranked = scored.join(vals, "doc_id").withColumn(
+            "_rn", F.row_number().over(w)
         )
+        if inner_hits_size > 0:
+            inner = (
+                ranked.filter(F.col("_rn") <= int(inner_hits_size))
+                .groupBy("value")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("_rn", "doc_id", "score")
+                        )
+                    ).alias("_ih")
+                )
+                .select(
+                    "value",
+                    F.transform(
+                        "_ih",
+                        lambda x: F.struct(
+                            x["doc_id"].alias("doc_id"),
+                            x["score"].alias("score"),
+                        ),
+                    ).alias("inner_hits"),
+                )
+            )
+            topk = (
+                ranked.filter(F.col("_rn") == 1)
+                .select("doc_id", "score", "value")
+                .join(inner, "value")
+                .select("doc_id", "score", "value", "inner_hits")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        else:
+            topk = (
+                ranked.filter(F.col("_rn") == 1)
+                .select("doc_id", "score", "value")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
         if not join_docs:
             return topk
+        extra = [c for c in ("value", "inner_hits") if c in topk.columns]
         return self._join_docs(topk.select("doc_id", "score")).join(
-            F.broadcast(topk.select("doc_id", "value")), "doc_id"
+            F.broadcast(topk.select("doc_id", *extra)), "doc_id"
         )
 
     def search_sorted(

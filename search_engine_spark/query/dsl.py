@@ -2041,9 +2041,11 @@ def execute_es_query(
         cq, cmode, cpred = _agg_context(query)
         if cmode != "or" or isinstance(cq, dict):
             _unsupported("collapse under operator=and or phrase match")
+        ih = collapse.get("inner_hits") or {}
         df = idx.search_collapse(
             cq, collapse["field"], k=k, join_docs=join_docs,
             predicate=cpred,
+            inner_hits_size=int(ih.get("size", 3)) if ih else 0,
         )
         if frm:
             w = F.row_number().over(

@@ -96,6 +96,7 @@ def search_multi(
     k: int = 10,
     search_type: str = "query_then_fetch",
     mode: str = "or",
+    indices_boost: Optional[Dict[str, float]] = None,
 ) -> DataFrame:
     """Top-k BM25 over several indices — ES `GET /i1,i2/_search`.
 
@@ -104,20 +105,42 @@ def search_multi(
     doc_id asc).  `search_type` picks the ES consistency/cost
     trade-off documented in the module docstring; `mode` is the usual
     "or"/"and" operator (AND in dfs mode requires every GLOBALLY
-    indexed query term, exactly like one combined index would)."""
+    indexed query term, exactly like one combined index would).
+
+    `indices_boost` — the ES request-body `indices_boost` section:
+    {index_name: factor} multiplies that index's scores BEFORE the
+    coordinating merge (unnamed indices boost 1.0).  Boosting is
+    per-index monotonic, so each shard's top-k stays valid and only
+    the merge order changes — zero extra work."""
     if not indices:
         raise ValueError("need at least one index")
     if search_type not in ("query_then_fetch", "dfs_query_then_fetch"):
         raise ValueError(f"unknown search_type: {search_type!r}")
     if mode not in ("or", "and"):
         raise ValueError(f"unknown mode: {mode!r}")
+    boosts = indices_boost or {}
+    unknown = set(boosts) - {name for name, _ in indices}
+    if unknown:
+        raise ValueError(f"indices_boost names unknown indices {sorted(unknown)}")
     if k <= 0:
         return _empty_multi(indices)
 
+    def _boosted(df: DataFrame, name: str) -> DataFrame:
+        b = float(boosts.get(name, 1.0))
+        if b == 1.0:
+            return df
+        return df.withColumn("score", F.col("score") * F.lit(b))
+
     if search_type == "query_then_fetch":
         parts = [
-            _with_index(
-                idx.search(query, k=k, mode="and" if mode == "and" else "blockmax"),
+            _boosted(
+                _with_index(
+                    idx.search(
+                        query, k=k,
+                        mode="and" if mode == "and" else "blockmax",
+                    ),
+                    name,
+                ),
                 name,
             )
             for name, idx in indices
@@ -165,7 +188,7 @@ def search_multi(
             )
         scored = idx._drop_tombstones(scored)
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        parts.append(_with_index(idx._join_docs(topk), name))
+        parts.append(_boosted(_with_index(idx._join_docs(topk), name), name))
     if not parts:
         return _empty_multi(indices)
     return _merge_topk(parts, k)

@@ -2318,3 +2318,52 @@ class TestNormalizeAndMovingPercentiles:
             assert abs(r["pct"] - counts[i] / tot) < 1e-9
             w = counts[max(0, i - 2): i + 1]
             assert abs(r["mp"] - float(np.percentile(w, 50.0))) < 1e-9
+
+
+class TestCollapseInnerHits:
+    """ES collapse inner_hits: each representative carries its group's
+    top-N matches in group rank order, from the same window pass."""
+
+    def test_inner_hits_match_python(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        size = 3
+        rows = idx.search_collapse(
+            q, "domain", k=5, join_docs=False, inner_hits_size=size
+        ).collect()
+        assert rows
+        terms = [
+            t for t in set(tokenize_py(q)) if oracle.df.get(t, 0) > 0
+        ]
+        groups = {}
+        for d in _matched(oracle, q):
+            groups.setdefault(domain_by_doc[d], []).append(
+                (d, oracle.score(d, terms))
+            )
+        for r in rows:
+            want = sorted(
+                groups[r["value"]], key=lambda x: (-x[1], x[0])
+            )[:size]
+            got = [(h["doc_id"], h["score"]) for h in r["inner_hits"]]
+            assert [g[0] for g in got] == [w[0] for w in want], r["value"]
+            for (_, gs), (_, ws) in zip(got, want):
+                assert abs(gs - ws) < 1e-9
+            # the representative is its group's first inner hit
+            assert got[0][0] == r["doc_id"]
+
+    def test_dsl_inner_hits(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {
+            "query": {"match": {"content": QUERIES[0]}},
+            "collapse": {"field": "domain",
+                         "inner_hits": {"size": 2}},
+            "size": 4,
+        }
+        rows = execute_es_query(idx, body, join_docs=False).collect()
+        assert rows and all(
+            1 <= len(r["inner_hits"]) <= 2 for r in rows
+        )

@@ -132,3 +132,65 @@ class TestCountMulti:
         pair, idx_all = indices
         for query in QUERIES:
             assert count_multi(pair, query) == idx_all.count_matches(query)
+
+
+class TestIndicesBoost:
+    """ES indices_boost: per-index score multipliers applied before
+    the coordinating merge."""
+
+    def test_boost_reorders_merge(self, indices):
+        """Boosted merge == python merge of the PER-INDEX top-k lists
+        with the boost applied (a boosted shard's lower hits may enter
+        the merge that lost it unboosted — so the expectation must be
+        built from per-shard lists, not the unboosted merge)."""
+        pair, _ = indices
+        q = QUERIES[0]
+        boosts = {"a": 3.0}
+        pool = []
+        for name, idx in pair:
+            rows = search_multi([(name, idx)], q, k=12).collect()
+            pool += [
+                (r["score"] * boosts.get(name, 1.0), name, r["url"])
+                for r in rows
+            ]
+        want = sorted(pool, key=lambda x: (-x[0], x[1]))[:12]
+        got = [
+            (r["score"], r["_index"], r["url"])
+            for r in search_multi(
+                pair, q, k=12, indices_boost=boosts
+            ).collect()
+        ]
+        assert len(got) == len(want)
+        for (gs, gi, gu), (ws, wi, wu) in zip(got, want):
+            assert (gi, gu) == (wi, wu)
+            assert abs(gs - ws) < 1e-9
+
+    def test_boost_in_dfs_mode(self, indices):
+        pair, _ = indices
+        q = QUERIES[0]
+        # k larger than any shard's match count -> the plain run is the
+        # full pool; the boosted top-10 must be its boosted re-rank
+        plain = search_multi(
+            pair, q, k=10_000, search_type="dfs_query_then_fetch"
+        ).collect()
+        boosted = search_multi(
+            pair, q, k=10, search_type="dfs_query_then_fetch",
+            indices_boost={"b": 2.0},
+        ).collect()
+        pool = sorted(
+            (
+                (r["score"] * (2.0 if r["_index"] == "b" else 1.0),
+                 r["_index"], r["url"])
+                for r in plain
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:10]
+        assert len(boosted) == len(pool)
+        for r, (ws, wi, wu) in zip(boosted, pool):
+            assert (r["_index"], r["url"]) == (wi, wu)
+            assert abs(r["score"] - ws) < 1e-9
+
+    def test_unknown_index_name_refused(self, indices):
+        pair, _ = indices
+        with pytest.raises(ValueError):
+            search_multi(pair, QUERIES[0], indices_boost={"nope": 2.0})
