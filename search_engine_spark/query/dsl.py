@@ -2002,6 +2002,8 @@ def execute_es_query(
     if pairs:
         if body.get("collapse") or body.get("rescore"):
             _unsupported("sort combined with collapse/rescore")
+        if body.get("script_fields"):
+            _unsupported("script_fields combined with sort")
         q, mode, pred = _agg_context(query)
         if isinstance(q, dict):
             _unsupported("sort under a match_phrase query")
@@ -2107,11 +2109,44 @@ def execute_es_query(
             idx, df, body, query, pages,
             [F.desc("score"), F.asc("doc_id")],
         )
+    sfields = body.get("script_fields")
+    if sfields:
+        # ES script_fields: derived response columns from the painless
+        # arithmetic subset — translated to native SQL exprs, doc-field
+        # references joined from the docs table for the k hits only
+        from search_engine_spark.query.painless import painless_to_sql
+
+        exprs, needed = {}, set()
+        for name, node in sfields.items():
+            script = node.get("script", node) if isinstance(node, dict) \
+                else node
+            src_s = script.get("source") if isinstance(script, dict) \
+                else script
+            if not src_s:
+                _unsupported(f"script_fields {name!r} without a source")
+            sql, flds = painless_to_sql(
+                src_s,
+                script.get("params") if isinstance(script, dict) else None,
+            )
+            exprs[name] = sql
+            needed.update(flds)
+        missing = sorted(needed - set(df.columns))
+        if missing:
+            df = df.join(
+                idx.docs.select("doc_id", *missing), "doc_id", "left"
+            )
+        df = df.withColumn("_score", F.col("score"))
+        for name, sql in exprs.items():
+            df = df.withColumn(name, F.expr(sql).cast("double"))
+        df = df.drop("_score", *missing)
+        if missing:
+            # the join dropped the hits' ordering guarantee
+            df = df.orderBy(F.desc("score"), F.asc("doc_id"))
     src = body.get("_source")
     if src:
         keep = [
             c for c in df.columns
-            if c in set(src) | {"score", "doc_id"}
+            if c in set(src) | {"score", "doc_id"} | set(sfields or {})
             or c.startswith("highlight_")
         ]
         df = df.select(*keep)

@@ -136,3 +136,12 @@ def rank_eval(
         "metric_score": (sum(scores) / len(scores)) if scores else 0.0,
         "details": details,
     }
+
+
+def execute_es_rank_eval(idx, body: Dict) -> Dict:
+    """Run an ES `_rank_eval` request body verbatim:
+    {"requests": [...], "metric": {...}} — the endpoint twin of
+    rank_eval()."""
+    return rank_eval(
+        idx, body.get("requests") or [], metric=body.get("metric")
+    )

@@ -154,3 +154,62 @@ class TestTermsEnum:
         assert idx.terms_enum(p, size=0) == []
         # empty prefix = dictionary walk from the start
         assert idx.terms_enum("", size=4) == terms[:4]
+
+
+class TestScriptFieldsAndEndpoint:
+    def test_execute_es_rank_eval_body(self, spark, corpus):
+        from search_engine_spark.query.rankeval import execute_es_rank_eval
+
+        oracle, idx = corpus
+        q = "search engine index"
+        top = [d for d, _ in sorted(
+            oracle.or_scores(q).items(), key=lambda x: (-x[1], x[0])
+        )][:3]
+        body = {
+            "requests": [{
+                "id": "q1",
+                "request": {"query": {"match": {"content": q}}},
+                "ratings": [{"_id": top[0], "rating": 2}],
+            }],
+            "metric": {"precision": {"k": 3}},
+        }
+        res = execute_es_rank_eval(idx, body)
+        assert res["metric_score"] == pytest.approx(1.0 / 3.0)
+
+    def test_script_fields(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        oracle, idx = corpus
+        body = {
+            "query": {"match": {"content": "search engine index"}},
+            "script_fields": {
+                "boosted": {"script": {
+                    "source": "_score * params.f + doc['doclen'].value",
+                    "params": {"f": 2.5},
+                }},
+            },
+            "size": 5,
+        }
+        rows = execute_es_query(idx, body, join_docs=False).collect()
+        assert rows
+        doclen = {
+            r["doc_id"]: r["doclen"]
+            for r in idx.docs.select("doc_id", "doclen").collect()
+        }
+        # ordering stays (score desc, doc_id asc) after the field join
+        assert [r["doc_id"] for r in rows] == [
+            d for d, _ in sorted(
+                ((r["doc_id"], r["score"]) for r in rows),
+                key=lambda x: (-x[1], x[0]),
+            )
+        ]
+        for r in rows:
+            want = r["score"] * 2.5 + doclen[r["doc_id"]]
+            assert r["boosted"] == pytest.approx(want, rel=1e-12)
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {
+                "query": {"match": {"content": "search"}},
+                "script_fields": {"x": {"script": {
+                    "source": "doc['doclen'].value"}}},
+                "sort": [{"doclen": "desc"}],
+            })
