@@ -4484,21 +4484,68 @@ class BM25Index:
         one groupBy + TakeOrderedAndProject as page 1 — the exact
         bucket analogue of search_after vs from/size.  Key order is
         each field asc, nulls excluded (ES composite skips documents
-        missing a source unless missing_bucket is set)."""
+        missing a source unless missing_bucket is set).
+
+        Each element of `fields` is a plain column name (a terms
+        source, back-compat) or an ES source spec:
+          {"terms": {"field": f}}                          string key
+          {"histogram": {"field": f, "interval": i}}       double key
+                                                           floor(v/i)*i
+          {"date_histogram": {"field": f,
+                              "calendar_interval": unit}}  date_trunc
+        Histogram keys stay NUMERIC (natural order + typed after
+        cursor — string-cast would sort "10" before "9"); date keys
+        are date_trunc timestamps rendered as ISO strings, whose
+        lexicographic order IS chronological order."""
         if not fields:
             raise ValueError("fields must be non-empty")
+
+        def _source(i: int, s):
+            """(key column expr, after-literal caster, schema type)"""
+            if isinstance(s, str):
+                s = {"terms": {"field": s}}
+            if not isinstance(s, dict) or len(s) != 1:
+                raise ValueError(f"bad composite source {s!r}")
+            kind, b = next(iter(s.items()))
+            f = b["field"]
+            if kind == "terms":
+                return (F.expr(f).cast("string"),
+                        lambda v: F.lit(str(v)), "string")
+            if kind == "histogram":
+                iv = float(b["interval"])
+                if iv <= 0:
+                    raise ValueError("histogram interval must be > 0")
+                col = (
+                    F.floor(F.expr(f).cast("double") / F.lit(iv))
+                    * F.lit(iv)
+                )
+                return col, (lambda v: F.lit(float(v))), "double"
+            if kind == "date_histogram":
+                unit = b.get("calendar_interval") or b.get(
+                    "fixed_interval"
+                )
+                if unit not in ("year", "quarter", "month", "week",
+                                "day", "hour", "minute"):
+                    raise NotImplementedError(
+                        f"composite date_histogram interval {unit!r}"
+                    )
+                col = F.date_format(
+                    F.date_trunc(unit, F.expr(f)),
+                    "yyyy-MM-dd HH:mm:ss",
+                )
+                return col, (lambda v: F.lit(str(v))), "string"
+            raise NotImplementedError(f"composite source {kind!r}")
+
+        srcs = [_source(i, s) for i, s in enumerate(fields)]
         empty = self.spark.createDataFrame(
             [],
-            ", ".join(f"{f'k{i}'} string" for i in range(len(fields)))
+            ", ".join(f"k{i} {t}" for i, (_, _, t) in enumerate(srcs))
             + ", doc_count long",
         )
         matched = self._matched_ids(query, mode, predicate)
         if matched is None:
             return empty
-        keys = [
-            F.expr(f).cast("string").alias(f"k{i}")
-            for i, f in enumerate(fields)
-        ]
+        keys = [col.alias(f"k{i}") for i, (col, _, _) in enumerate(srcs)]
         vals = matched.join(self.docs.select("doc_id", *keys), "doc_id")
         for i in range(len(fields)):
             vals = vals.filter(F.col(f"k{i}").isNotNull())
@@ -4511,9 +4558,9 @@ class BM25Index:
             # lexicographic strictly-greater: OR over prefix-equal cuts
             cond = F.lit(False)
             for i in range(len(fields)):
-                c = F.col(f"k{i}") > F.lit(str(after[i]))
+                c = F.col(f"k{i}") > srcs[i][1](after[i])
                 for j in range(i):
-                    c = c & (F.col(f"k{j}") == F.lit(str(after[j])))
+                    c = c & (F.col(f"k{j}") == srcs[j][1](after[j]))
                 cond = cond | c
             buckets = buckets.filter(cond)
         return buckets.orderBy(
@@ -6113,6 +6160,47 @@ class BM25Index:
             .limit(k)
         )
         return self._join_docs(topk) if join_docs else topk
+
+    def field_caps(self) -> Dict[str, Dict[str, object]]:
+        """Field capabilities — the ES `_field_caps` API: what each
+        queryable field is (type) and how it can be used (searchable
+        through the inverted index vs aggregatable/sortable/filterable
+        as a metadata column).  Docs-table columns are metadata fields
+        (aggregatable + filter-context searchable, like ES keyword/
+        numeric/date doc_values); `content` is the analyzed full-text
+        stream behind the posting lists (searchable, NOT aggregatable —
+        ES `text` has no doc_values), plus title/description as
+        analyzed fields when the index was built with field postings
+        (detected by one StartsWith-pruned dictionary probe — the
+        namespaced terms live in term_stats)."""
+        spark_to_es = {
+            "bigint": "long", "double": "double", "string": "keyword",
+            "timestamp": "date", "timestamp_ntz": "date",
+            "boolean": "boolean",
+        }
+        out: Dict[str, Dict[str, object]] = {}
+        for name, dtype in self.docs.dtypes:
+            out[name] = {
+                "type": spark_to_es.get(dtype, dtype),
+                "searchable": True,   # filter context (metadata scan)
+                "aggregatable": True,
+            }
+        analyzed = ["content"]
+        has_fields = (
+            self.term_stats.filter(F.col("term").startswith("t!"))
+            .limit(1)
+            .count()
+            > 0
+        )
+        if has_fields:
+            analyzed += ["title", "description"]
+        for name in analyzed:
+            out[name] = {
+                "type": "text",
+                "searchable": True,   # full-text via posting lists
+                "aggregatable": False,
+            }
+        return out
 
     def terms_enum(
         self,

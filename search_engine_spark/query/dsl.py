@@ -1743,9 +1743,9 @@ def execute_es_aggs(idx, body: Dict, _foreground=None) -> Dict[str, object]:
             for src in spec["sources"]:
                 sname, srcnode = _one_key(src, "composite source")
                 skind, sspec = _one_key(srcnode, "composite source node")
-                if skind != "terms":
+                if skind not in ("terms", "histogram", "date_histogram"):
                     _unsupported(f"composite source {skind!r}")
-                fields.append(sspec["field"])
+                fields.append({skind: sspec})
                 src_names.append(sname)
             after = spec.get("after")
             if isinstance(after, dict):  # ES's {source_name: last_value}

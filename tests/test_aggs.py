@@ -2367,3 +2367,107 @@ class TestCollapseInnerHits:
         assert rows and all(
             1 <= len(r["inner_hits"]) <= 2 for r in rows
         )
+
+
+class TestCompositeSources:
+    """Composite agg histogram / date_histogram sources: numeric keys
+    keep natural order (string-cast would sort '128' before '64') and
+    the after cursor stays typed."""
+
+    def test_histogram_source_pages_numerically(self, spark, corpus):
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        interval = 64.0
+        want = {}
+        for d in _matched(oracle, q):
+            key = (oracle.doclen[d] // 64) * 64.0
+            want[key] = want.get(key, 0) + 1
+        ordered = sorted(want.items())
+        src = [{"histogram": {"field": "doclen", "interval": interval}}]
+        page1 = idx.facet_composite(q, src, size=3).collect()
+        assert [(r["k0"], r["doc_count"]) for r in page1] == ordered[:3]
+        # typed after cursor resumes mid-list
+        after = (page1[-1]["k0"],)
+        page2 = idx.facet_composite(q, src, size=3, after=after).collect()
+        assert [(r["k0"], r["doc_count"]) for r in page2] == ordered[3:6]
+        # paging must cross a numeric boundary a string sort would break
+        all_keys = [k for k, _ in ordered]
+        assert all_keys == sorted(all_keys)  # numeric order
+        assert [str(k) for k in all_keys] != sorted(str(k) for k in all_keys) \
+            or len(all_keys) < 3  # corpus-dependent guard
+
+    def test_mixed_date_and_terms_sources(self, spark, corpus):
+        paths, oracle, domain_by_doc = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        q = QUERIES[0]
+        ts_by_doc = {
+            r["doc_id"]: r["warc_ts"]
+            for r in spark.read.parquet(paths.docs).select(
+                "doc_id", "warc_ts"
+            ).collect()
+        }
+        want = {}
+        for d in _matched(oracle, q):
+            ts = ts_by_doc[d]
+            month = ts.replace(day=1, hour=0, minute=0, second=0,
+                               microsecond=0)
+            key = (month.strftime("%Y-%m-%d %H:%M:%S"), domain_by_doc[d])
+            want[key] = want.get(key, 0) + 1
+        ordered = sorted(want.items())
+        src = [
+            {"date_histogram": {"field": "warc_ts",
+                                "calendar_interval": "month"}},
+            {"terms": {"field": "domain"}},
+        ]
+        rows = idx.facet_composite(q, src, size=100).collect()
+        assert [((r["k0"], r["k1"]), r["doc_count"]) for r in rows] == \
+            ordered[:100]
+
+    def test_dsl_lowering_and_refusals(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {
+            "query": {"match": {"content": QUERIES[0]}},
+            "aggs": {"c": {"composite": {
+                "size": 4,
+                "sources": [
+                    {"dl": {"histogram": {"field": "doclen",
+                                          "interval": 64}}},
+                ],
+            }}},
+        }
+        rows = execute_es_aggs(idx, body)["c"].collect()
+        direct = idx.facet_composite(
+            QUERIES[0],
+            [{"histogram": {"field": "doclen", "interval": 64}}],
+            size=4,
+        ).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in direct]
+        with pytest.raises(ValueError):
+            idx.facet_composite(
+                QUERIES[0],
+                [{"histogram": {"field": "doclen", "interval": 0}}],
+            )
+        with pytest.raises(NotImplementedError):
+            idx.facet_composite(
+                QUERIES[0], [{"geotile_grid": {"field": "x"}}]
+            )
+
+
+class TestFieldCaps:
+    def test_field_caps_shape(self, spark, corpus):
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        caps = idx.field_caps()
+        assert caps["content"] == {
+            "type": "text", "searchable": True, "aggregatable": False,
+        }
+        assert caps["domain"]["type"] == "keyword"
+        assert caps["doclen"]["type"] == "long"
+        assert caps["warc_ts"]["type"] == "date"
+        assert caps["doclen"]["aggregatable"]
+        # this fixture has no field postings -> no analyzed title
+        assert caps["title"]["type"] == "keyword"

@@ -368,3 +368,27 @@ def test_percolate_broadcasts_queries_no_doc_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert plan.count("+- Exchange") == 1  # tree shows ONE shuffle
+
+
+def test_spans_scan_prunes_buckets_one_groupby(spark, tmp_path_factory):
+    """Span queries must keep the phrase plan shape: positional scan
+    pruned to the leaf terms' buckets, ONE groupBy(doc_id) shuffle
+    feeding the Arrow span evaluator, TakeOrderedAndProject on top."""
+    root = str(tmp_path_factory.mktemp("plan_span_idx"))
+    build_index(
+        spark, synth_pages(spark, 120, num_partitions=4), root,
+        num_buckets=8, block_size=16, num_partitions=4, resume=False,
+        index_positions=True,
+    )
+    sidx = BM25Index(spark, root, seed_min_df=0)
+    q = {"span_near": {"clauses": [
+        {"span_term": {"content": "python"}},
+        {"span_term": {"content": "programming"}},
+    ], "slop": 2, "in_order": True}}
+    df = sidx.search_spans(q, k=10, join_docs=False)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400]
+    assert "TakeOrderedAndProject" in plan
+    # one doc_id aggregation shuffle; no join exchanges sneak in
+    assert plan.count("Exchange") <= 2, plan
