@@ -1457,6 +1457,45 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_TOTAL = 12_000  # token (n_chars) budget for the mixture
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """Weighted corpus mixing (ops/sampling.py:mix_corpus — the LLM
+    data-mixture op): per-source fraction = min(1, weight×total/avail),
+    rows kept by the deterministic id-hash filter.  No upsampling here
+    so _epoch is constant and the row set is pure SQL."""
+    from search_engine_spark.ops import sampling as SA
+
+    out, _plan = SA.mix_corpus(
+        _read(spark, sf_dir, "documents"),
+        "doc_id", "source", "n_chars", MIX_WEIGHTS, MIX_TOTAL,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def _sql_corpus_mix():
+    from search_engine_spark.ops.sampling import BUCKETS, bucket_sql
+
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    wsum = sum(MIX_WEIGHTS.values())
+    return f"""
+WITH avail AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS a
+               FROM documents GROUP BY source),
+w(source, wt) AS (VALUES {values}),
+plan AS (SELECT w.source,
+                CAST(round(least(1.0, (wt / {wsum}) * {MIX_TOTAL} / a)
+                     * {BUCKETS}) AS BIGINT) AS cut
+         FROM w JOIN avail USING (source))
+SELECT d.doc_id, d.source
+FROM documents d JOIN plan USING (source)
+WHERE {bucket_sql('d.doc_id', 'mix|ep0')} < cut
+ORDER BY doc_id"""
+
+
 # ---- exact match counts (ES hits.total, main.py:218; engine analogue
 # BM25Index.count_matches) ----------------------------------------------------
 
@@ -4889,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "sample_10pct": _q_sample_10pct,
         "split_assign": _q_split_assign,
+        "corpus_mix_sample": _q_corpus_mix,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
@@ -5013,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION,
         "sample_10pct": _sql_sample_10pct(),
         "split_assign": _sql_split_assign(),
+        "corpus_mix_sample": _sql_corpus_mix(),
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,

@@ -167,6 +167,33 @@ def main() -> None:
         "suggest_completion": lambda q: idx.suggest_completion(
             q.split()[0][:3], size=10
         ).collect(),
+        "span_near": lambda q: idx.search_spans(
+            {"span_near": {"clauses": [
+                {"span_term": {"content": q.split()[0]}},
+                {"span_term": {"content": q.split()[1]}},
+            ], "slop": 3, "in_order": True}}, k=10, join_docs=False,
+        ).collect(),
+        "span_not": lambda q: idx.search_spans(
+            {"span_not": {
+                "include": {"span_term": {"content": q.split()[0]}},
+                "exclude": {"span_term": {"content": q.split()[1]}},
+                "pre": 2, "post": 2}}, k=10, join_docs=False,
+        ).collect(),
+        "pinned": lambda q: idx.search_pinned(
+            [1, 5], q, k=10, join_docs=False
+        ).collect(),
+        "distance_feature": lambda q: idx.search_distance_feature(
+            "warc_ts", "2024-01-05T00:00:00", "7d", k=10,
+            join_docs=False,
+        ).collect(),
+        "match_fuzzy": lambda q: idx.search_match_fuzzy(
+            q, k=10, join_docs=False
+        ).collect(),
+        "terms_enum": lambda q: idx.terms_enum(q[:2], size=10),
+        "intervals": lambda q: idx.search_intervals(
+            " ".join(q.split()[:2]), max_gaps=4, ordered=True, k=10,
+            join_docs=False,
+        ).collect(),
     }
 
     results = {}

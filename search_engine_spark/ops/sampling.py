@@ -128,3 +128,91 @@ def split(
         else F.lit(names[-1])
     )
     return df.withColumn("_split", expr)
+
+
+def mix_plan(
+    avail: Dict[str, int],
+    weights: Dict[str, float],
+    total_tokens: int,
+    allow_upsample: bool = False,
+) -> Dict[str, Tuple[int, float]]:
+    """Per-source (full_epochs, remainder_fraction) to hit a target
+    mixture — pure driver math, exposed for tests/oracles.
+
+    target_s = weight_s/Σweights × total_tokens; ratio = target/avail.
+    Without upsampling the ratio caps at 1 (you can't sample more than
+    exists); with it, ratio k.f means k full passes over the source
+    plus an f-fraction sample — how LLM data mixtures repeat
+    under-represented sources across epochs.  Sources with a weight but
+    no rows are reported as (0, 0.0)."""
+    ws = {k: float(v) for k, v in weights.items()}
+    if not ws or any(v < 0 for v in ws.values()) or sum(ws.values()) <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    if total_tokens <= 0:
+        raise ValueError("total_tokens must be > 0")
+    wsum = sum(ws.values())
+    plan: Dict[str, Tuple[int, float]] = {}
+    for s, w in sorted(ws.items()):
+        a = int(avail.get(s, 0))
+        if a <= 0:
+            plan[s] = (0, 0.0)
+            continue
+        ratio = (w / wsum) * total_tokens / a
+        if not allow_upsample:
+            ratio = min(ratio, 1.0)
+        full = int(ratio)
+        plan[s] = (full, ratio - full)
+    return plan
+
+
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    token_col: str,
+    weights: Dict[str, float],
+    total_tokens: int,
+    salt: str = "mix",
+    allow_upsample: bool = False,
+) -> Tuple[DataFrame, Dict[str, Tuple[int, float]]]:
+    """Deterministic weighted corpus mixing — the training-data
+    "data mixture" op: sample each source so the sampled TOKEN mass
+    approximates weight_s × total_tokens.  Returns (mixed rows with an
+    `_epoch` column, the per-source plan).
+
+    Row-level hash sampling at the planned fraction gives expected
+    token mass = fraction × available (exact in expectation, not per
+    run — the pinned trade-off every hash-sampled pipeline makes); the
+    sample itself is fully deterministic given (id, salt).  Upsampled
+    sources emit full copies `_epoch` 0..k-1 plus an epoch-salted
+    remainder sample at `_epoch` k, so repeated rows stay
+    distinguishable downstream.
+
+    Physical shape: ONE tiny groupBy(source).sum(token) planning pass,
+    then per-source codegen'd hash filters unioned over the same scan —
+    no shuffle of data rows, composes with partition pruning; at 100 TB
+    the plan job is seconds and the mix itself is a WHERE clause."""
+    rows = (
+        df.groupBy(source_col).agg(F.sum(F.col(token_col)).alias("a"))
+        .collect()
+    )
+    avail = {r[0]: int(r["a"]) for r in rows}
+    plan = mix_plan(avail, weights, total_tokens, allow_upsample)
+    parts: List[DataFrame] = []
+    for s, (full, frac) in plan.items():
+        src = df.filter(F.col(source_col) == s)
+        for e in range(full):
+            parts.append(src.withColumn("_epoch", F.lit(e)))
+        if frac > 0.0:
+            cut = int(round(frac * BUCKETS))
+            parts.append(
+                src.filter(
+                    _bucket_col(F.col(id_col), f"{salt}|ep{full}") < cut
+                ).withColumn("_epoch", F.lit(full))
+            )
+    if not parts:
+        return df.withColumn("_epoch", F.lit(0)).limit(0), plan
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, plan

@@ -101,3 +101,107 @@ class TestSplit:
             S.split(table, "id", [("a", 1), ("a", 1)])
         with pytest.raises(ValueError):
             S.split(table, "id", [("a", -1), ("b", 2)])
+
+
+class TestMixCorpus:
+    """Weighted corpus mixing: plan math, deterministic sampling,
+    epochs on upsample, token-mass accuracy in expectation."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # three sources with very different token mass
+        return spark.range(3000).select(
+            F.col("id"),
+            F.when(F.col("id") % 10 < 6, "web")
+            .when(F.col("id") % 10 < 9, "books")
+            .otherwise("code")
+            .alias("source"),
+            (F.col("id") % 100 + 50).alias("tokens"),
+        ).cache()
+
+    def test_plan_math(self, spark):
+        plan = S.mix_plan(
+            {"web": 1000, "books": 500}, {"web": 1, "books": 1}, 800
+        )
+        assert plan == {"web": (0, 0.4), "books": (0, 0.8)}
+        # capped without upsample
+        plan = S.mix_plan({"web": 100}, {"web": 1.0}, 500)
+        assert plan == {"web": (1, 0.0)}
+        plan = S.mix_plan(
+            {"web": 100}, {"web": 1.0}, 500, allow_upsample=True
+        )
+        assert plan == {"web": (5, 0.0)}
+        plan = S.mix_plan(
+            {"web": 200, "ghost": 0}, {"web": 1, "ghost": 1}, 100
+        )
+        assert plan["ghost"] == (0, 0.0)
+        assert plan["web"] == (0, 0.25)
+        with pytest.raises(ValueError):
+            S.mix_plan({"a": 1}, {}, 100)
+        with pytest.raises(ValueError):
+            S.mix_plan({"a": 1}, {"a": 1.0}, 0)
+
+    def test_mix_deterministic_and_token_accurate(self, spark, corpus):
+        avail = {
+            r["source"]: r["a"]
+            for r in corpus.groupBy("source")
+            .agg(F.sum("tokens").alias("a"))
+            .collect()
+        }
+        total = int(sum(avail.values()) * 0.5)
+        weights = {"web": 0.5, "books": 0.3, "code": 0.2}
+        out, plan = S.mix_corpus(
+            corpus, "id", "source", "tokens", weights, total
+        )
+        rows = out.collect()
+        again, _ = S.mix_corpus(
+            corpus, "id", "source", "tokens", weights, total
+        )
+        assert {(r["id"], r["_epoch"]) for r in rows} == {
+            (r["id"], r["_epoch"]) for r in again.collect()
+        }
+        got_tokens = {}
+        for r in rows:
+            got_tokens[r["source"]] = (
+                got_tokens.get(r["source"], 0) + r["tokens"]
+            )
+        for s, w in weights.items():
+            target = w * total
+            full, frac = plan[s]
+            expected = (full + frac) * avail[s]
+            assert abs(expected - min(target, (full + frac) * avail[s])) < 1e-6
+            # sampled token mass ≈ expectation (row-level Bernoulli)
+            assert abs(got_tokens[s] - expected) / max(expected, 1) < 0.15, s
+
+    def test_upsample_epochs(self, spark, corpus):
+        avail = {
+            r["source"]: r["a"]
+            for r in corpus.groupBy("source")
+            .agg(F.sum("tokens").alias("a"))
+            .collect()
+        }
+        # demand 2.5x the code source's mass, all weight on code
+        total = int(avail["code"] * 2.5)
+        out, plan = S.mix_corpus(
+            corpus, "id", "source", "tokens", {"code": 1.0}, total,
+            allow_upsample=True,
+        )
+        full, frac = plan["code"]
+        assert full == 2 and 0.4 < frac < 0.6
+        rows = out.collect()
+        assert {r["source"] for r in rows} == {"code"}
+        by_epoch = {}
+        for r in rows:
+            by_epoch.setdefault(r["_epoch"], set()).add(r["id"])
+        code_ids = {
+            r["id"] for r in corpus.filter(F.col("source") == "code").collect()
+        }
+        assert by_epoch[0] == code_ids and by_epoch[1] == code_ids
+        assert 0 < len(by_epoch[2]) < len(code_ids)
+
+    def test_empty_weights_for_missing_source_only(self, spark, corpus):
+        out, plan = S.mix_corpus(
+            corpus, "id", "source", "tokens", {"ghost": 1.0}, 1000
+        )
+        assert plan == {"ghost": (0, 0.0)}
+        assert out.count() == 0
