@@ -230,8 +230,70 @@ def _simple_query_string_args(body) -> Tuple[str, bool]:
     return out, conj or dop == "and"
 
 
+def _apply_runtime(body: Dict) -> Dict:
+    """Resolve ES `runtime_mappings` — script-defined fields usable in
+    filter clauses and agg/composite `field` positions.  Each runtime
+    field's painless arithmetic translates to a parenthesized SQL
+    expression (query/painless.py), textually substituted wherever the
+    body names the field: `field` values, and the field-KEY of
+    term/terms/range filter nodes (the engine's field arguments are
+    F.expr()'d, so an expression string is a drop-in).  Sorting by a
+    runtime field is refused (the sorted path selects sort columns by
+    name from the docs layout).  _score is meaningless at field-
+    definition time and refused."""
+    rts = body.get("runtime_mappings")
+    if not rts:
+        return body
+    from search_engine_spark.query.painless import painless_to_sql
+
+    rmap: Dict[str, str] = {}
+    for name, spec in rts.items():
+        script = spec.get("script", spec) if isinstance(spec, dict) \
+            else spec
+        src = script.get("source") if isinstance(script, dict) else script
+        if not src:
+            _unsupported(f"runtime field {name!r} without a script")
+        sql, _flds = painless_to_sql(
+            src, script.get("params") if isinstance(script, dict) else None
+        )
+        if "_score" in sql:
+            _unsupported(f"runtime field {name!r} referencing _score")
+        rmap[name] = f"({sql})"
+
+    for s in _as_list(body.get("sort", [])):
+        key = s if isinstance(s, str) else next(iter(s))
+        if key in rmap:
+            _unsupported(f"sort on runtime field {key!r}")
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "runtime_mappings":
+                    continue
+                if (
+                    k in ("term", "terms", "range")
+                    and isinstance(v, dict)
+                    and len(v) == 1
+                ):
+                    fk, fv = next(iter(v.items()))
+                    out[k] = {rmap.get(fk, fk): walk(fv)}
+                elif k == "field" and isinstance(v, str):
+                    out[k] = rmap.get(v, v)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return node
+
+    return walk(body)
+
+
 def _filter_predicate(clauses: List[Dict]) -> Optional[Column]:
-    """term/terms/range/exists clauses -> one docs-table Column."""
+    """term/terms/range/exists clauses -> one docs-table Column.
+    Field positions go through F.expr so runtime-field substitutions
+    (expression strings) work exactly like plain column names."""
     pred = None
     for clause in clauses:
         kind, body = _one_key(clause, "filter")
@@ -241,15 +303,15 @@ def _filter_predicate(clauses: List[Dict]) -> Optional[Column]:
             field, v = _one_key(body, "term")
             if isinstance(v, dict):
                 v = v.get("value")
-            c = F.col(field) == F.lit(v)
+            c = F.expr(field) == F.lit(v)
         elif kind == "terms":
             field, vals = _one_key(body, "terms")
-            c = F.col(field).isin(list(vals))
+            c = F.expr(field).isin(list(vals))
         elif kind == "range":
             field, bounds = _one_key(body, "range")
             c = F.lit(True)
             for op, v in bounds.items():
-                col = F.col(field)
+                col = F.expr(field)
                 if op == "gte":
                     c = c & (col >= F.lit(v))
                 elif op == "gt":
@@ -261,7 +323,7 @@ def _filter_predicate(clauses: List[Dict]) -> Optional[Column]:
                 else:
                     _unsupported(f"range op {op!r}")
         elif kind == "exists":
-            c = F.col(body["field"]).isNotNull()
+            c = F.expr(body["field"]).isNotNull()
         else:
             _unsupported(f"filter clause {kind!r} (scoring clauses don't "
                          "belong in filter context in this subset)")
@@ -1417,6 +1479,7 @@ def execute_es_aggs(idx, body: Dict, _foreground=None) -> Dict[str, object]:
 
     The query node supplies the foreground exactly as in ES: hits of
     the (match / bool must+filter) query."""
+    body = _apply_runtime(body)
     aggs = body.get("aggs") or body.get("aggregations")
     if not aggs:
         _unsupported("body without an aggs section")
@@ -1986,6 +2049,7 @@ def execute_es_query(
     (or the body's `sort` order).  `pages` supplies body text for
     content highlighting (the index stores none — serving-layer split).
     """
+    body = _apply_runtime(body)
     query = body.get("query")
     if query is None:
         _unsupported("body without a query node")

@@ -1793,3 +1793,80 @@ class TestBoxplotMadLowering:
         assert [r.asDict() for r in out["m"].collect()] == [
             r.asDict() for r in m
         ]
+
+
+class TestRuntimeMappings:
+    """ES runtime_mappings: script-defined fields usable in filter
+    clauses and agg field positions (painless arithmetic subset)."""
+
+    RT = {"dl2": {"type": "double", "script": {
+        "source": "doc['doclen'].value * 2 + params.off",
+        "params": {"off": 1}}}}
+
+    def test_runtime_filter_matches_plain(self, idx):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        # range on dl2 == range on doclen with transformed bounds
+        body = {
+            "query": {"bool": {
+                "must": [{"match": {"content": "search engine"}}],
+                "filter": [{"range": {"dl2": {"gte": 201}}}],
+            }},
+            "runtime_mappings": self.RT,
+            "size": 10,
+        }
+        got = [
+            (r["doc_id"], r["score"])
+            for r in execute_es_query(idx, body, join_docs=False).collect()
+        ]
+        plain = {
+            "query": {"bool": {
+                "must": [{"match": {"content": "search engine"}}],
+                "filter": [{"range": {"doclen": {"gte": 100}}}],
+            }},
+            "size": 10,
+        }
+        want = [
+            (r["doc_id"], r["score"])
+            for r in execute_es_query(
+                idx, plain, join_docs=False
+            ).collect()
+        ]
+        assert got == want and got
+
+    def test_runtime_agg_field(self, idx):
+        from search_engine_spark.query.dsl import execute_es_aggs
+
+        body = {
+            "query": {"match": {"content": "search engine"}},
+            "runtime_mappings": self.RT,
+            "aggs": {"s": {"stats": {"field": "dl2"}}},
+        }
+        row = execute_es_aggs(idx, body)["s"].collect()[0]
+        plain = {
+            "query": {"match": {"content": "search engine"}},
+            "aggs": {"s": {"stats": {"field": "doclen"}}},
+        }
+        prow = execute_es_aggs(idx, plain)["s"].collect()[0]
+        assert row["count"] == prow["count"]
+        assert row["min"] == prow["min"] * 2 + 1
+        assert row["max"] == prow["max"] * 2 + 1
+        assert abs(row["avg"] - (prow["avg"] * 2 + 1)) < 1e-9
+
+    def test_refusals(self, idx):
+        from search_engine_spark.query.dsl import (
+            execute_es_query as run,
+        )
+
+        with pytest.raises(NotImplementedError):
+            run(idx, {
+                "query": {"match": {"content": "x"}},
+                "runtime_mappings": self.RT,
+                "sort": [{"dl2": "desc"}],
+            })
+        with pytest.raises(NotImplementedError):
+            run(idx, {
+                "query": {"match": {"content": "x"}},
+                "runtime_mappings": {"bad": {"script": {
+                    "source": "_score * 2"}}},
+            })
