@@ -1496,6 +1496,41 @@ WHERE {bucket_sql('d.doc_id', 'mix|ep0')} < cut
 ORDER BY doc_id"""
 
 
+PACK_BUDGET, PACK_SHARDS = 4096, 8
+
+
+def _q_pack_assign(spark, sf_dir):
+    """GPT-style sequence packing (ops/packing.py): concat-and-chunk
+    assignment — shard by id hash, order by (hash, id) within shard,
+    pack = floor(stream offset / budget).  Native window arithmetic,
+    cluster-size-independent by construction."""
+    from search_engine_spark.ops import packing as PK
+
+    return (
+        PK.pack_sequences(
+            _read(spark, sf_dir, "documents"),
+            "doc_id", "n_chars", PACK_BUDGET, n_shards=PACK_SHARDS,
+        )
+        .select("doc_id", "pack_shard", "pack_seq", "pack_offset")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pack_assign():
+    from search_engine_spark.ops.packing import pack_sql
+
+    shard, off, b = pack_sql(
+        "doc_id", "n_chars", PACK_BUDGET, PACK_SHARDS
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {shard} AS pack_shard, {off} AS off
+           FROM documents WHERE n_chars > 0)
+SELECT doc_id, pack_shard,
+       CAST(floor(off / {b}) AS BIGINT) AS pack_seq,
+       CAST(off - floor(off / {b}) * {b} AS BIGINT) AS pack_offset
+FROM p ORDER BY doc_id"""
+
+
 # ---- exact match counts (ES hits.total, main.py:218; engine analogue
 # BM25Index.count_matches) ----------------------------------------------------
 
@@ -4929,6 +4964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_10pct": _q_sample_10pct,
         "split_assign": _q_split_assign,
         "corpus_mix_sample": _q_corpus_mix,
+        "pack_assign": _q_pack_assign,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
@@ -5054,6 +5090,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_10pct": _sql_sample_10pct(),
         "split_assign": _sql_split_assign(),
         "corpus_mix_sample": _sql_corpus_mix(),
+        "pack_assign": _sql_pack_assign(),
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,

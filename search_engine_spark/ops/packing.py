@@ -1,0 +1,125 @@
+"""Sequence packing for training-data pipelines — concat-and-chunk.
+
+LLM training consumes fixed-length sequences; the standard pipeline
+concatenates documents in a deterministic order and chunks the token
+stream every `budget` tokens (GPT-style packing).  At 100 TB the
+concat order cannot be a global sort — this op pins the distributed
+version:
+
+  shard   = md5(id|salt) % n_shards      (row-local, deterministic)
+  order   = (hash, id) within the shard  (no global coordination)
+  offset  = running token sum within the shard BEFORE this doc
+  pack    = (shard, floor(offset / budget))
+
+A document belongs to the pack where it STARTS in the concatenated
+stream (the downstream tokenizer splits its tokens across the pack
+boundary; a row-level engine assigns the start pack and the offset so
+that split is computable).  Everything is native window arithmetic —
+ONE shuffle (the per-shard repartition the window needs), no Python,
+no driver state; shard count scales with the cluster and each shard's
+packing is independent of every other's, so adding executors never
+changes the assignment (determinism across cluster sizes — the same
+property the sampling ops pin).
+
+The same arithmetic runs verbatim in DuckDB (contract oracle) and
+Python (tests).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.common import md5int_col, md5int_sql
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each row a training pack: adds `pack_shard`, `pack_seq`
+    (chunk ordinal within the shard), and `pack_offset` (the doc's
+    token offset INSIDE its pack, in [0, budget)).  Rows with
+    non-positive token counts are dropped (they occupy no stream
+    positions)."""
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be > 0")
+    h = md5int_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
+    )
+    base = (
+        df.filter(F.col(token_col) > 0)
+        .withColumn("_ph", h)
+        .withColumn(
+            "pack_shard", (F.col("_ph") % n_shards).cast("long")
+        )
+    )
+    w = (
+        Window.partitionBy("pack_shard")
+        .orderBy(F.col("_ph"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offset = (
+        F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    ).alias("_off")
+    return (
+        base.withColumn("_off", offset)
+        .withColumn(
+            "pack_seq", F.floor(F.col("_off") / budget).cast("long")
+        )
+        .withColumn(
+            "pack_offset",
+            (F.col("_off") - F.col("pack_seq") * budget).cast("long"),
+        )
+        .drop("_ph", "_off")
+    )
+
+
+def pack_sql(
+    id_expr: str,
+    token_expr: str,
+    budget: int,
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> Tuple[str, str, str]:
+    """DuckDB twins of (pack_shard, pack_seq, pack_offset) — SELECT
+    fragments over a table aliased `d`, for contract oracles."""
+    h = md5int_sql(f"CAST({id_expr} AS VARCHAR) || '|{salt}'")
+    shard = f"({h}) % {n_shards}"
+    off = (
+        f"sum({token_expr}) OVER (PARTITION BY {shard} "
+        f"ORDER BY ({h}), {id_expr} "
+        f"ROWS UNBOUNDED PRECEDING) - {token_expr}"
+    )
+    return shard, off, str(budget)
+
+
+def pack_stats(packed: DataFrame, token_col: str, budget: int) -> dict:
+    """Packing-quality report: pack count, mean fill ratio, and the
+    fraction of docs that straddle a pack boundary (their tokens spill
+    into the next pack) — ONE aggregate over the packed rows."""
+    row = packed.agg(
+        F.countDistinct("pack_shard", "pack_seq").alias("packs"),
+        F.sum(token_col).alias("tokens"),
+        F.avg(
+            (F.col("pack_offset") + F.col(token_col) > budget).cast(
+                "double"
+            )
+        ).alias("straddle_frac"),
+    ).collect()[0]
+    packs = int(row["packs"] or 0)
+    tokens = int(row["tokens"] or 0)
+    return {
+        "packs": packs,
+        "tokens": tokens,
+        "mean_fill": tokens / (packs * budget) if packs else 0.0,
+        "straddle_frac": float(row["straddle_frac"] or 0.0),
+    }
