@@ -199,6 +199,43 @@ def main() -> None:
         assert dsl_aggs["by_domain"].count() > 0
         assert dsl_aggs["len_stats"].collect()[0]["count"] > 0
         family["dsl"] = len(dsl_rows)
+
+        # 5a-bis) continuation surface: spans, fuzzy match, pinned,
+        # terms_enum, rank_eval — each must return sane results on the
+        # live index
+        w0, w1 = args.query.split()[0], args.query.split()[-1]
+        span_rows = execute_es_query(idx, {"query": {"span_near": {
+            "clauses": [{"span_term": {"content": w0}},
+                        {"span_term": {"content": w1}}],
+            "slop": 5, "in_order": True}}, "size": 5},
+            join_docs=False).collect()
+        family["span_near"] = len(span_rows)
+        fz = idx.search_match_fuzzy(
+            w0[:-1] + "x " + w1, fuzziness="AUTO", k=5, join_docs=False
+        ).collect()
+        assert fz, "fuzzy match must recover the misspelled query"
+        family["match_fuzzy"] = len(fz)
+        pin_target = direct[-1]["doc_id"]
+        pinned = idx.search_pinned(
+            [pin_target], args.query, k=5, join_docs=False
+        ).collect()
+        assert pinned[0]["doc_id"] == pin_target
+        te = idx.terms_enum(w0[:2], size=5)
+        assert te == sorted(te)
+        from search_engine_spark.query.rankeval import rank_eval
+        rq = {"query": {"match": {"content": args.query}}}
+        # judge the SAME ranking rank_eval will run (plain match, not
+        # best_fields): its own top-2 rated ideal must score NDCG 1
+        mtop = execute_es_query(
+            idx, {**rq, "size": 2}, join_docs=False
+        ).collect()
+        ndcg = rank_eval(idx, [{
+            "id": "demo", "request": rq,
+            "ratings": [{"_id": int(mtop[0]["doc_id"]), "rating": 3},
+                        {"_id": int(mtop[1]["doc_id"]), "rating": 2}],
+        }], metric={"dcg": {"k": 10, "normalize": True}})["metric_score"]
+        assert ndcg == 1.0, "engine's own top-2 judged ideal => NDCG 1"
+        family["rank_eval_ndcg"] = ndcg
         stages["query_s"] = round(time.time() - t, 2); t = time.time()
 
         # 5b) delete-by-query (ES _delete_by_query -> Lucene tombstones):

@@ -124,7 +124,7 @@ _SCORING = ("match", "multi_match", "combined_fields", "match_phrase",
             "query_string", "simple_query_string", "terms_set",
             "intervals", "span_term", "span_near", "span_or", "span_not",
             "span_first", "span_containing", "span_within", "span_multi",
-            "pinned", "distance_feature")
+            "pinned", "distance_feature", "wrapper")
 _FILTERING = ("term", "terms", "range", "exists", "match_all")
 
 _TEXT_FIELDS = ("content", "title", "description")
@@ -531,6 +531,19 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
         return idx.search_bool_prefix(
             q, k=k, max_expansions=max_exp, join_docs=join_docs
         )
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query node (the
+        # escape hatch clients use to ship raw queries through typed
+        # APIs) — decode and recurse
+        import base64
+        import json
+
+        raw = body.get("query") if isinstance(body, dict) else body
+        try:
+            inner = json.loads(base64.b64decode(raw))
+        except Exception as exc:
+            raise ValueError(f"wrapper query is not base64 JSON: {exc}")
+        return _score_clause(idx, inner, k, predicate, join_docs)
     if kind == "pinned":
         organic = body.get("organic")
         if organic is None:

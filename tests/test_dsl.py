@@ -1870,3 +1870,32 @@ class TestRuntimeMappings:
                 "runtime_mappings": {"bad": {"script": {
                     "source": "_score * 2"}}},
             })
+
+
+class TestWrapperQuery:
+    def test_wrapper_decodes_and_recurses(self, idx):
+        import base64
+        import json
+
+        from search_engine_spark.query.dsl import execute_es_query
+
+        inner = {"match": {"content": "search engine"}}
+        b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+        got = [
+            (r["doc_id"], r["score"])
+            for r in execute_es_query(
+                idx, {"query": {"wrapper": {"query": b64}}, "size": 7},
+                join_docs=False,
+            ).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score"])
+            for r in execute_es_query(
+                idx, {"query": inner, "size": 7}, join_docs=False
+            ).collect()
+        ]
+        assert got == want and got
+        with pytest.raises(ValueError):
+            execute_es_query(
+                idx, {"query": {"wrapper": {"query": "!!notb64!!"}}}
+            )
