@@ -230,3 +230,98 @@ class TestSpanRankIdentity:
         ]
         expected = oracle.topk_spans(qs[2], k=7)
         assert [x for x, _ in got] == [x for x, _ in expected]
+
+
+class TestSpanEvaluatorProperties:
+    """Hypothesis: the engine's DP/sweep evaluator (query/spans.py:
+    eval_spans) must agree with the oracle's brute-force enumeration on
+    random position lists and random span trees — no Spark involved,
+    so edge cases run by the thousand."""
+
+    def test_random_trees_agree_with_brute(self):
+        import random
+
+        from search_engine_spark.query.oracle import SpanOracle
+        from search_engine_spark.query.spans import (
+            eval_spans,
+            parse_span_query,
+        )
+
+        rng = random.Random(20260819)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+
+        def rand_tree(depth):
+            roll = rng.random()
+            if depth <= 0 or roll < 0.35:
+                return {"span_term": {"content": rng.choice(words)}}
+            if roll < 0.5:
+                return {"span_or": {"clauses": [
+                    rand_tree(depth - 1)
+                    for _ in range(rng.randint(2, 3))
+                ]}}
+            if roll < 0.7:
+                return {"span_near": {
+                    "clauses": [rand_tree(depth - 1)
+                                for _ in range(rng.randint(2, 3))],
+                    "slop": rng.randint(0, 4), "in_order": True}}
+            if roll < 0.8:
+                return {"span_not": {
+                    "include": rand_tree(depth - 1),
+                    "exclude": rand_tree(depth - 1),
+                    "pre": rng.randint(0, 2),
+                    "post": rng.randint(0, 2)}}
+            if roll < 0.9:
+                return {"span_first": {"match": rand_tree(depth - 1),
+                                       "end": rng.randint(1, 12)}}
+            big, little = rand_tree(depth - 1), rand_tree(depth - 1)
+            kind = rng.choice(["span_containing", "span_within"])
+            return {kind: {"big": big, "little": little}}
+
+        # brute-force via a tiny SpanOracle over one random doc at a
+        # time (its span_scores path uses the independent evaluator)
+        n_checked = 0
+        for trial in range(300):
+            doc = [rng.choice(words) for _ in range(rng.randint(4, 18))]
+            tree = rand_tree(2)
+            try:
+                parse = parse_span_query(tree)
+            except NotImplementedError:
+                continue
+            oracle = SpanOracle({0: list(doc)})
+            # oracle tf via its own brute evaluation
+            oscores = oracle.span_scores(tree)
+            # engine evaluator tf on the same positions
+            pos = [[] for _ in parse.terms]
+            by_term = {t: i for i, t in enumerate(parse.terms)}
+            for i, t in enumerate(doc):
+                o = by_term.get(t)
+                if o is not None:
+                    pos[o].append(i)
+            spans = eval_spans(parse.tree, pos)
+            ptf = len(spans)
+            if parse.required is None or not parse.positive_terms:
+                assert not oscores
+                continue
+            req_ok = all(
+                any(doc[p] == parse.terms[o] for p in range(len(doc)))
+                for o in parse.required
+            )
+            if not req_ok or ptf == 0:
+                assert 0 not in oscores, (tree, doc)
+            else:
+                # same tf => same score; compare through the score map
+                assert 0 in oscores, (tree, doc)
+                dl = len(doc)
+                from search_engine_spark.index.scoring import B, K1
+
+                idf_sum = sum(
+                    oracle.idf(t)
+                    for t in sorted(parse.positive_terms)
+                    if oracle.df.get(t, 0) > 0
+                )
+                want = idf_sum * (ptf * (K1 + 1.0)) / (
+                    ptf + K1 * (1.0 - B + B * dl / oracle.avgdl)
+                )
+                assert abs(oscores[0] - want) < 1e-9, (tree, doc)
+            n_checked += 1
+        assert n_checked > 200
