@@ -1496,6 +1496,29 @@ WHERE {bucket_sql('d.doc_id', 'mix|ep0')} < cut
 ORDER BY doc_id"""
 
 
+TERMS_ENUM_PREFIX, TERMS_ENUM_SIZE = "s", 15
+
+
+def _q_terms_enum_page(spark, sf_dir):
+    """Dictionary walk (BM25Index.terms_enum shape over SQL-parity
+    tokens): first N distinct corpus terms with the prefix, term
+    order — the ES _terms_enum autocomplete page."""
+    return (
+        _docs_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("term"))
+        .filter(F.col("term").startswith(TERMS_ENUM_PREFIX))
+        .distinct()
+        .orderBy(F.asc("term"))
+        .limit(TERMS_ENUM_SIZE)
+    )
+
+
+_SQL_TERMS_ENUM = f"""{_TOK_CTE}
+SELECT DISTINCT t AS term FROM tok, unnest(l) AS u(t)
+WHERE t LIKE '{TERMS_ENUM_PREFIX}%'
+ORDER BY term LIMIT {TERMS_ENUM_SIZE}"""
+
+
 PACK_BUDGET, PACK_SHARDS = 4096, 8
 
 
@@ -4965,6 +4988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "corpus_mix_sample": _q_corpus_mix,
         "pack_assign": _q_pack_assign,
+        "terms_enum_page": _q_terms_enum_page,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
@@ -5091,6 +5115,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _sql_split_assign(),
         "corpus_mix_sample": _sql_corpus_mix(),
         "pack_assign": _sql_pack_assign(),
+        "terms_enum_page": _SQL_TERMS_ENUM,
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,

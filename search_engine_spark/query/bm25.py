@@ -6127,24 +6127,73 @@ class BM25Index:
         clause).  fuzziness "AUTO" = 0/1/2 edits at the ES length
         breakpoints 3 and 6, measured on the analyzed token.
 
-        Physical plan: one bucket-pruned decode + groupBy per group
-        (the same posting mass ES's per-clause traversal pays), a
-        unionByName + ONE groupBy(doc_id) sum across groups — no
-        θ-pruning (synonym groups break per-term monotonicity), like
-        the other combined-order queries."""
+        Physical plan: ALL tokens' dictionary expansions run as ONE
+        batched job (per-token length-band + levenshtein filters
+        unioned over the term-sorted stats, a per-token window cutting
+        max_expansions closest-first — N tokens cost one job, not N);
+        then one bucket-pruned decode + groupBy per group (the same
+        posting mass ES's per-clause traversal pays), a unionByName +
+        ONE groupBy(doc_id) sum across groups — no θ-pruning (synonym
+        groups break per-term monotonicity), like the other
+        combined-order queries."""
         if k <= 0:
             return self._empty_scored(join_docs)
-        frames = []
+        import re
+
+        specs = []
         for t in dict.fromkeys(tokenize_py(query)):
             edits = (
                 (0 if len(t) < 3 else 1 if len(t) < 6 else 2)
                 if fuzziness == "AUTO"
                 else int(fuzziness)
             )
-            exps = self.expand_fuzzy(
-                t, max_edits=edits, prefix_length=prefix_length,
-                max_expansions=max_expansions,
+            w = re.sub(r"[^a-z0-9]", "", t.lower())
+            if w:
+                specs.append((w, max(0, min(int(edits), 2))))
+        if not specs:
+            return self._empty_scored(join_docs)
+        exp_frames = []
+        for w, edits in specs:
+            dist = F.levenshtein(F.col("term"), F.lit(w))
+            cond = (
+                ~F.col("term").contains("!")
+                & (F.abs(F.length("term") - F.lit(len(w))) <= edits)
+                & (dist <= edits)
             )
+            if prefix_length > 0:
+                if len(w) <= prefix_length:
+                    cond = F.col("term") == w
+                else:
+                    cond = F.col("term").startswith(
+                        w[:prefix_length]
+                    ) & cond
+            exp_frames.append(
+                self.term_stats.filter(cond).select(
+                    F.lit(w).alias("_w"), "term", "df", "term_bucket",
+                    dist.alias("_d"),
+                )
+            )
+        u = exp_frames[0]
+        for f in exp_frames[1:]:
+            u = u.unionByName(f)
+        wnd = Window.partitionBy("_w").orderBy(F.asc("_d"), F.asc("term"))
+        exp_rows = (
+            u.withColumn("_rn", F.row_number().over(wnd))
+            .filter(F.col("_rn") <= int(max_expansions))
+            .collect()
+        )
+        by_tok: Dict[str, List[Tuple[int, str, int, int]]] = {}
+        for r in exp_rows:
+            by_tok.setdefault(r["_w"], []).append(
+                (int(r["_d"]), r["term"], int(r["df"]),
+                 int(r["term_bucket"]))
+            )
+        frames = []
+        for w, _edits in specs:
+            exps = [
+                (t, df, b)
+                for _d, t, df, b in sorted(by_tok.get(w, []))
+            ]
             f = self._synonym_group_scored(exps)
             if f is not None:
                 frames.append(f)
