@@ -194,10 +194,70 @@ def main() -> None:
         for a, b in zip(order, order[1:]):
             assert counts[b] <= counts[a], (a, b, counts)
 
+        # 5) weighted mixture over the TRAIN split (ops/sampling.
+        # mix_corpus): treat domain as the source axis, ask for a
+        # token budget at half the available mass — every planned
+        # fraction must be <= 1 and the sampled mass must land near
+        # each source's target in expectation
+        from search_engine_spark.ops.packing import (
+            pack_sequences,
+            pack_stats,
+        )
+        from search_engine_spark.ops.sampling import mix_corpus
+
+        # localCheckpoint: the funnel lineage above (incl. iterative
+        # near-dedup) is expensive — materialize ONCE, the mix/pack
+        # stages below fire several independent actions
+        train = (
+            assigned.filter(F.col("_split") == "train")
+            .withColumn(
+                "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+            )
+            .withColumn("src", F.parse_url(F.col("url"), F.lit("HOST")))
+            .filter(F.col("src").isNotNull())
+            .select("url", "src", "n_tokens")
+            .localCheckpoint()
+        )
+        srcs = [r["src"] for r in train.select("src")
+                .distinct().collect()]
+        weights = {s: 1.0 for s in srcs}
+        total_toks = int(
+            train.agg(F.sum("n_tokens")).collect()[0][0] * 0.5
+        )
+        mixed, plan = mix_corpus(
+            train, "url", "src", "n_tokens", weights, total_toks
+        )
+        n_mixed = mixed.count()
+        assert 0 < n_mixed <= splits["train"]
+        # no-upsample invariant: each source's planned pass count is
+        # <= 1 total (a capped source reports (1, 0.0) — a single full
+        # pass; an abundant one (0, f<1))
+        assert all(0 <= frac <= 1 and full + frac <= 1.0
+                   for full, frac in plan.values()), plan
+
+        # 6) sequence packing (ops/packing.pack_sequences): every
+        # surviving doc gets a (shard, seq, offset) pack slot; offsets
+        # stay inside the budget and fill is sane
+        packed = pack_sequences(
+            mixed, "url", "n_tokens", budget=2048, n_shards=8
+        )
+        pstats = pack_stats(packed, "n_tokens", 2048)
+        assert packed.count() == n_mixed
+        assert packed.filter(
+            (F.col("pack_offset") < 0)
+            | (F.col("pack_offset") >= 2048)
+        ).count() == 0
+        # mean_fill can exceed 1: a straddling doc's tokens count
+        # toward its START pack (the chunker splits them downstream)
+        assert 0.0 < pstats["mean_fill"] < 2.5, pstats
+        assert 0.0 <= pstats["straddle_frac"] < 0.6, pstats
+
         print(json.dumps({
             "funnel": counts,
             "splits": splits,
             "kept_pct": round(100.0 * counts["near_dedup"] / counts["input"], 2),
+            "mixed_docs": n_mixed,
+            "pack_stats": pstats,
             "total_s": round(time.time() - t0, 2),
         }))
     finally:

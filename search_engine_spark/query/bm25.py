@@ -4576,7 +4576,8 @@ class BM25Index:
         min_doc_freq: int = 5,
         mode: str = "blockmax",
         join_docs: bool = True,
-        exclude_doc_id: Optional[int] = None,
+        exclude_doc_id=None,  # int or list of ints
+        like_tf: Optional[Dict[str, int]] = None,
     ) -> DataFrame:
         """More-like-this — the ES `more_like_this` query over `like`
         text (defaults mirror ES: max_query_terms=25, min_term_freq=2,
@@ -4587,12 +4588,20 @@ class BM25Index:
         inherited.  The selection itself is driver-side O(|like_text|)
         plus one term-stats lookup: the input is a query, not data.
 
-        exclude_doc_id drops the source doc when `like` came from an
-        indexed document (ES MLT's `like: {_id}` behavior of never
-        returning the liked doc itself)."""
+        exclude_doc_id drops the source doc(s) when `like` came from
+        indexed documents (ES MLT's `like: {_id}` behavior of never
+        returning the liked doc itself) — an int or a list of ints.
+
+        like_tf adds pre-counted term frequencies to the input (the
+        `like: [{"_id": n}]` form: a liked DOC's tf map recovered from
+        term_vectors — the index stores no raw content, but MLT's
+        selection needs only counts, not order)."""
         from collections import Counter
 
         tf = Counter(tokenize_py(like_text))
+        if like_tf:
+            for t, c in like_tf.items():
+                tf[t] += int(c)
         cands = sorted(t for t, c in tf.items() if c >= min_term_freq)
         stats = self._query_stats(cands)
         scored_terms = [
@@ -4605,13 +4614,21 @@ class BM25Index:
         if not selected:
             return self._empty_scored(join_docs)
         exclude = None
+        n_excl = 0
         if exclude_doc_id is not None:
-            exclude = self.spark.createDataFrame(
-                [(int(exclude_doc_id),)], "doc_id long"
+            ids = (
+                [int(exclude_doc_id)]
+                if isinstance(exclude_doc_id, int)
+                else sorted(int(i) for i in exclude_doc_id)
             )
+            if ids:
+                exclude = self.spark.createDataFrame(
+                    [(i,) for i in ids], "doc_id long"
+                )
+                n_excl = len(ids)
         return self.search(
             selected, k=k, mode=mode, join_docs=join_docs,
-            exclude=exclude, exclude_df_sum=1 if exclude is not None else 0,
+            exclude=exclude, exclude_df_sum=n_excl,
         )
 
     def _resolve_doc_ids(self, docs) -> set:

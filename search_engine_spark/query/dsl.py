@@ -675,11 +675,30 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
             k=k, join_docs=join_docs,
         )
     if kind == "more_like_this":
-        like = body["like"]
-        if isinstance(like, list):
-            like = " ".join(like)
+        # like entries: free text strings and/or {"_id": n} doc refs —
+        # a liked doc's term frequencies come back from term_vectors
+        # (the index stores no raw content; MLT selection needs only
+        # counts), and liked docs are excluded from the results (ES
+        # include=false default)
+        texts, ref_ids = [], []
+        for e in _as_list(body["like"]):
+            if isinstance(e, dict):
+                if "_id" not in e:
+                    _unsupported("more_like_this like-doc without _id")
+                ref_ids.append(int(e["_id"]))
+            else:
+                texts.append(str(e))
+        like_tf = None
+        if ref_ids:
+            like_tf = {}
+            for r in idx.term_vectors(ref_ids).collect():
+                like_tf[r["term"]] = like_tf.get(r["term"], 0) + int(
+                    r["tf"]
+                )
         return idx.more_like_this(
-            like,
+            " ".join(texts),
+            like_tf=like_tf,
+            exclude_doc_id=ref_ids or None,
             k=k,
             max_query_terms=int(body.get("max_query_terms", 25)),
             min_term_freq=int(body.get("min_term_freq", 2)),

@@ -1899,3 +1899,51 @@ class TestWrapperQuery:
             execute_es_query(
                 idx, {"query": {"wrapper": {"query": "!!notb64!!"}}}
             )
+
+
+class TestMoreLikeThisDocRefs:
+    """MLT like: [{"_id": n}] — the liked doc's tf map comes from
+    term_vectors, the liked doc never appears in the results, and the
+    lowering equals calling the engine with the recovered tf map."""
+
+    def test_like_by_id(self, idx):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        seed = idx.search("search engine", k=1, join_docs=False).collect()
+        src = int(seed[0]["doc_id"])
+        body = {"query": {"more_like_this": {
+            "like": [{"_id": src}],
+            "min_term_freq": 1, "min_doc_freq": 2,
+            "max_query_terms": 10}}, "size": 10}
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in execute_es_query(idx, body, join_docs=False).collect()
+        ]
+        assert got, "a real doc must have neighbors"
+        assert all(d != src for d, _ in got)
+        tf = {}
+        for r in idx.term_vectors(src).collect():
+            tf[r["term"]] = int(r["tf"])
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.more_like_this(
+                "", like_tf=tf, exclude_doc_id=[src], k=10,
+                min_term_freq=1, min_doc_freq=2, max_query_terms=10,
+                join_docs=False,
+            ).collect()
+        ]
+        assert got == want
+
+    def test_mixed_text_and_id(self, idx):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        seed = idx.search("database", k=1, join_docs=False).collect()
+        src = int(seed[0]["doc_id"])
+        body = {"query": {"more_like_this": {
+            "like": ["spark cluster partition", {"_id": src}],
+            "min_term_freq": 1, "min_doc_freq": 2}}, "size": 5}
+        got = execute_es_query(idx, body, join_docs=False).collect()
+        assert got and all(int(r["doc_id"]) != src for r in got)
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {"query": {"more_like_this": {
+                "like": [{"_index": "x"}]}}})
