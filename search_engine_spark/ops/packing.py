@@ -90,8 +90,14 @@ def pack_sql(
     n_shards: int = 64,
     salt: str = "pack",
 ) -> Tuple[str, str, str]:
-    """DuckDB twins of (pack_shard, pack_seq, pack_offset) — SELECT
-    fragments over a table aliased `d`, for contract oracles."""
+    """DuckDB building blocks for contract oracles: returns
+    (shard_sql, stream_offset_sql, budget_literal) — the SHARD
+    expression, the RAW running token offset (the window cumsum before
+    this row's tokens), and the budget as a string.  Callers derive
+    pack_seq = floor(offset / budget) and pack_offset = offset -
+    pack_seq * budget themselves (see __spark_entry__._sql_pack_assign)
+    — the offset is a window expression, so inlining it once into a CTE
+    and deriving both columns from the alias is the cheaper SQL."""
     h = md5int_sql(f"CAST({id_expr} AS VARCHAR) || '|{salt}'")
     shard = f"({h}) % {n_shards}"
     off = (

@@ -201,8 +201,18 @@ def mix_corpus(
     parts: List[DataFrame] = []
     for s, (full, frac) in plan.items():
         src = df.filter(F.col(source_col) == s)
-        for e in range(full):
-            parts.append(src.withColumn("_epoch", F.lit(e)))
+        if full > 0:
+            # ONE explode over an epoch sequence — a per-epoch union
+            # branch would grow the Catalyst plan linearly with the
+            # upsample ratio (a 1000x ratio must not mean 1000 scans)
+            parts.append(
+                src.withColumn(
+                    "_epoch",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(int(full) - 1))
+                    ),
+                )
+            )
         if frac > 0.0:
             cut = int(round(frac * BUCKETS))
             parts.append(

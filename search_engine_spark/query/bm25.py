@@ -4067,6 +4067,10 @@ class BM25Index:
         dtypes = dict(self.docs.dtypes)
         if field not in dtypes:
             raise ValueError(f"unknown docs column {field!r}")
+        if isinstance(pivot, str) and not dtypes[field].startswith(
+            "timestamp"
+        ):
+            raise ValueError("duration pivot on a non-timestamp field")
         if dtypes[field].startswith("timestamp"):
             pivot_ms = (
                 float(self._parse_duration(pivot)) * 1000.0
@@ -4088,10 +4092,6 @@ class BM25Index:
                 F.col(field).cast("double") - F.lit(float(origin))
             )
             pv = F.lit(float(pivot))
-        if isinstance(pivot, str) and not dtypes[field].startswith(
-            "timestamp"
-        ):
-            raise ValueError("duration pivot on a non-timestamp field")
         score = F.lit(float(boost)) * pv / (pv + dist)
         topk = (
             self._drop_tombstones(
@@ -6718,9 +6718,15 @@ class BM25Index:
             elif mkind == "regexp":
                 exps = self.expand_regexp(str(value), max_exp)
             elif mkind == "fuzzy":
+                fz = opts.get("fuzziness", "AUTO")
+                if fz == "AUTO":
+                    # ES fuzzy default: edit budget by term length
+                    # (0 under 3 chars, 1 under 6, else 2)
+                    n = len(str(value))
+                    fz = 0 if n < 3 else 1 if n < 6 else 2
                 exps = self.expand_fuzzy(
                     str(value),
-                    max_edits=int(opts.get("fuzziness", 2)),
+                    max_edits=int(fz),
                     prefix_length=int(opts.get("prefix_length", 0)),
                     max_expansions=max_exp,
                 )

@@ -406,6 +406,8 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
                 _unsupported("filter context combined with fuzzy match")
             if spec.get("operator", "or").lower() != "or":
                 _unsupported("fuzzy match with operator AND")
+            if spec.get("minimum_should_match"):
+                _unsupported("fuzzy match with minimum_should_match")
             return idx.search_match_fuzzy(
                 spec["query"],
                 fuzziness=spec["fuzziness"],
@@ -548,9 +550,19 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
         organic = body.get("organic")
         if organic is None:
             _unsupported("pinned without an organic query")
+        if "ids" in body:
+            pins = [int(v) for v in _as_list(body["ids"])]
+        elif "docs" in body:
+            # ES 7.15+ `docs` form: [{"_id": n, "_index": ...}]
+            pins = []
+            for d in _as_list(body["docs"]):
+                if not isinstance(d, dict) or "_id" not in d:
+                    _unsupported("pinned docs entry without _id")
+                pins.append(int(d["_id"]))
+        else:
+            _unsupported("pinned without ids or docs")
         return idx.search_pinned(
-            [int(v) for v in _as_list(body.get("ids", []))],
-            _engine_spec(organic), k=k, join_docs=join_docs,
+            pins, _engine_spec(organic), k=k, join_docs=join_docs,
         )
     if kind == "distance_feature":
         if not {"field", "origin", "pivot"} <= set(body):
@@ -2139,11 +2151,15 @@ def execute_es_query(
         cq, cmode, cpred = _agg_context(query)
         if cmode != "or" or isinstance(cq, dict):
             _unsupported("collapse under operator=and or phrase match")
-        ih = collapse.get("inner_hits") or {}
+        ih = collapse.get("inner_hits")
         df = idx.search_collapse(
             cq, collapse["field"], k=k, join_docs=join_docs,
             predicate=cpred,
-            inner_hits_size=int(ih.get("size", 3)) if ih else 0,
+            # an empty inner_hits object is a valid request for the
+            # ES default page size (3); only ABSENCE disables it
+            inner_hits_size=(
+                int(ih.get("size", 3)) if ih is not None else 0
+            ),
         )
         if frm:
             w = F.row_number().over(
@@ -2214,6 +2230,9 @@ def execute_es_query(
 
         exprs, needed = {}, set()
         for name, node in sfields.items():
+            if name in ("_score", "score", "doc_id"):
+                _unsupported(f"script_fields name {name!r} shadows a "
+                             "reserved result column")
             script = node.get("script", node) if isinstance(node, dict) \
                 else node
             src_s = script.get("source") if isinstance(script, dict) \
@@ -2234,7 +2253,9 @@ def execute_es_query(
         df = df.withColumn("_score", F.col("score"))
         for name, sql in exprs.items():
             df = df.withColumn(name, F.expr(sql).cast("double"))
-        df = df.drop("_score", *missing)
+        # drop only HELPER columns — a script field that reuses a doc
+        # column's name replaced the joined column and must survive
+        df = df.drop("_score", *[c for c in missing if c not in exprs])
         if missing:
             # the join dropped the hits' ordering guarantee
             df = df.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -112,10 +112,13 @@ def rank_eval(
     spec = spec or {}
     k = int(spec.get("k", 10))
 
+    ids = [str(r.get("id", f"req_{i}")) for i, r in enumerate(requests)]
+    if len(set(ids)) != len(ids):
+        dup = sorted({i for i in ids if ids.count(i) > 1})
+        raise ValueError(f"duplicate rank_eval request ids {dup}")
     details: Dict[str, Dict] = {}
     scores: List[float] = []
-    for req in requests:
-        rid = str(req.get("id", len(details)))
+    for rid, req in zip(ids, requests):
         ratings: Dict[int, int] = {
             int(r["_id"]): int(r["rating"])
             for r in req.get("ratings", [])

@@ -2471,3 +2471,25 @@ class TestFieldCaps:
         assert caps["doclen"]["aggregatable"]
         # this fixture has no field postings -> no analyzed title
         assert caps["title"]["type"] == "keyword"
+
+
+class TestCollapseInnerHitsDefault:
+    def test_empty_inner_hits_object_means_default_size(self, spark,
+                                                        corpus):
+        """{"inner_hits": {}} is a valid ES request for the default
+        page (size 3) — only ABSENCE disables inner hits."""
+        from search_engine_spark.query.dsl import execute_es_query
+
+        paths, *_ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        body = {"query": {"match": {"content": QUERIES[0]}},
+                "collapse": {"field": "domain", "inner_hits": {}},
+                "size": 3}
+        rows = execute_es_query(idx, body, join_docs=False).collect()
+        assert rows and all(
+            1 <= len(r["inner_hits"]) <= 3 for r in rows
+        )
+        none = {"query": {"match": {"content": QUERIES[0]}},
+                "collapse": {"field": "domain"}, "size": 3}
+        rows2 = execute_es_query(idx, none, join_docs=False).collect()
+        assert rows2 and "inner_hits" not in rows2[0].asDict()

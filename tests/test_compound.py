@@ -786,3 +786,40 @@ class TestDistanceFeature:
             )
         )
         assert got == direct
+
+
+class TestReviewRegressions:
+    def test_pinned_docs_form(self, spark, corpus):
+        """The ES 7.15+ pinned `docs` form must pin, not be ignored."""
+        from search_engine_spark.query.dsl import execute_es_query
+
+        idx, oracle, _, _, _ = corpus
+        q = "search engine index"
+        top = sorted(
+            oracle.or_scores(q).items(), key=lambda x: (-x[1], x[0])
+        )
+        pin = top[3][0]
+        body = {"query": {"pinned": {
+            "docs": [{"_id": pin}],
+            "organic": {"match": {"content": q}}}}, "size": 4}
+        got = _got(execute_es_query(idx, body, join_docs=False))
+        assert got[0][0] == pin and got[0][1] > 1e15
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {"query": {"pinned": {
+                "organic": {"match": {"content": q}}}}})
+
+    def test_duration_pivot_on_numeric_field_names_the_problem(
+        self, spark, corpus
+    ):
+        idx, *_ = corpus
+        with pytest.raises(ValueError, match="non-timestamp"):
+            idx.search_distance_feature("doclen", 0, "7d")
+
+    def test_fuzzy_match_msm_refused(self, spark, corpus):
+        from search_engine_spark.query.dsl import execute_es_query
+
+        idx, *_ = corpus
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {"query": {"match": {"content": {
+                "query": "a b", "fuzziness": 1,
+                "minimum_should_match": 2}}}})

@@ -213,3 +213,39 @@ class TestScriptFieldsAndEndpoint:
                     "source": "doc['doclen'].value"}}},
                 "sort": [{"doclen": "desc"}],
             })
+
+
+class TestReviewRegressions:
+    def test_script_field_may_shadow_doc_column(self, spark, corpus):
+        """A script field named after the doc column it references must
+        survive in the response (it replaces the joined helper)."""
+        from search_engine_spark.query.dsl import execute_es_query
+
+        _, idx = corpus
+        body = {
+            "query": {"match": {"content": "search engine index"}},
+            "script_fields": {"doclen": {"script": {
+                "source": "doc['doclen'].value * 2"}}},
+            "size": 4,
+        }
+        rows = execute_es_query(idx, body, join_docs=False).collect()
+        assert rows and all(r["doclen"] is not None for r in rows)
+        real = {
+            r["doc_id"]: r["doclen"]
+            for r in idx.docs.select("doc_id", "doclen").collect()
+        }
+        for r in rows:
+            assert r["doclen"] == real[r["doc_id"]] * 2
+        with pytest.raises(NotImplementedError):
+            execute_es_query(idx, {
+                "query": {"match": {"content": "search"}},
+                "script_fields": {"_score": {"script": {
+                    "source": "1 + 1"}}},
+            })
+
+    def test_duplicate_request_ids_refused(self, spark, corpus):
+        _, idx = corpus
+        req = {"request": {"query": {"match": {"content": "x"}}},
+               "ratings": []}
+        with pytest.raises(ValueError):
+            rank_eval(idx, [{"id": "q", **req}, {"id": "q", **req}])

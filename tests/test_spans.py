@@ -325,3 +325,23 @@ class TestSpanEvaluatorProperties:
                 assert abs(oscores[0] - want) < 1e-9, (tree, doc)
             n_checked += 1
         assert n_checked > 200
+
+
+class TestSpanMultiFuzzyAuto:
+    def test_fuzzy_auto_inside_span_multi(self, spark, corpus):
+        """fuzziness AUTO (the ES fuzzy default) must expand by the
+        length tiers, not crash on int('AUTO')."""
+        oracle, idx, raw = corpus
+        _, (a, _b, _c) = _queries(raw)
+        stem = tokenize_py(a)[0]
+        typo = stem[:-1] + "x" if len(stem) >= 6 else stem
+        q = {"span_multi": {"match": {"fuzzy": {"content": {
+            "value": typo, "fuzziness": "AUTO"}}}}}
+        rewritten = idx.rewrite_span_multi(q)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search_spans(q, k=10, join_docs=False).collect()
+        ]
+        exp = oracle.topk_spans(rewritten, k=10)
+        assert [x for x, _ in got] == [x for x, _ in exp]
+        assert got, "the AUTO expansion must recover the typo"
