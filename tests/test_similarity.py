@@ -162,3 +162,53 @@ class TestEmbeddingNearDupLSH:
             n_planes=8, n_tables=3, seed=7,
         ).count()
         assert n3 >= n1
+
+
+class TestIVFPQ:
+    """IVF-PQ: ADC scoring over coarse cells + product-quantized
+    residuals — recall vs brute force, determinism, refine exactness."""
+
+    def test_recall_and_determinism(self, spark, emb, qvec):
+        exact = {i for i, _ in _numpy_topk(emb, qvec, 10)}
+        a = S.ivfpq_topk(
+            emb, "id", "vec", qvec, k=10, n_cells=4, nprobe=2,
+            m_subvectors=16, n_codes=16,
+        ).collect()
+        b = S.ivfpq_topk(
+            emb, "id", "vec", qvec, k=10, n_cells=4, nprobe=2,
+            m_subvectors=16, n_codes=16,
+        ).collect()
+        assert [(r["id"], r["score"]) for r in a] == [
+            (r["id"], r["score"]) for r in b
+        ]
+        got = {r["id"] for r in a}
+        # fine PQ (1-dim subvectors) on clustered data: most of the
+        # true top-10; coarser m trades recall for bytes — the refine
+        # test below pins the production path
+        assert len(exact & got) >= 7, sorted(got)
+
+    def test_refine_rescores_exactly(self, spark, emb, qvec):
+        refined = S.ivfpq_topk(
+            emb, "id", "vec", qvec, k=10, n_cells=4, nprobe=2,
+            m_subvectors=4, n_codes=16, refine=50,
+        ).collect()
+        true_cos = dict(_numpy_topk(emb, qvec, len(emb.collect())))
+        for r in refined:
+            assert abs(r["cosine"] - true_cos[r["id"]]) < 1e-6
+        exact = {i for i, _ in _numpy_topk(emb, qvec, 10)}
+        assert len(exact & {r["id"] for r in refined}) >= 8
+
+    def test_adc_approximates_cosine(self, spark, emb, qvec):
+        """Mean |ADC - true cosine| over the probed cells must be small
+        relative to the score scale (the quantization error budget)."""
+        rows = S.ivfpq_topk(
+            emb, "id", "vec", qvec, k=50, n_cells=4, nprobe=4,
+            m_subvectors=8, n_codes=16,
+        ).collect()
+        true_cos = dict(_numpy_topk(emb, qvec, len(emb.collect())))
+        errs = [abs(r["score"] - true_cos[r["id"]]) for r in rows]
+        assert sum(errs) / len(errs) < 0.08, sum(errs) / len(errs)
+
+    def test_bad_subvector_split_refused(self, spark, emb, qvec):
+        with pytest.raises(ValueError):
+            S.ivfpq_topk(emb, "id", "vec", qvec, m_subvectors=5)
