@@ -1496,6 +1496,65 @@ WHERE {bucket_sql('d.doc_id', 'mix|ep0')} < cut
 ORDER BY doc_id"""
 
 
+RRF_TERMS_B = ["agg", "hash"]  # second retriever's query terms
+RRF_WINDOW, RRF_C = 30, 60     # rank_window_size, rank_constant
+
+
+def _q_rrf_topk(spark, sf_dir):
+    """Reciprocal-rank fusion (query/rrf.py:rrf_fuse — the ES
+    retriever/rrf hybrid): two BM25 retrievers' top windows fused by
+    sum of 1/(rank_constant + rank); rank ties (score desc, doc_id
+    asc), fused ties (rrf desc, doc_id asc)."""
+    toks = _docs_tokens(spark, sf_dir).localCheckpoint()
+    n, avgdl = _corpus_scalars(toks)
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    parts = []
+    for terms in (BM25_QUERY_TERMS, RRF_TERMS_B):
+        scored = _bm25_scored(toks, n, avgdl, terms)
+        parts.append(
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= RRF_WINDOW)
+            .select(
+                "doc_id",
+                (1.0 / (F.lit(float(RRF_C)) + F.col("_r"))).alias("_c"),
+            )
+        )
+    return (
+        parts[0].unionByName(parts[1])
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_c"), 9).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_RRF_B_SQL = ", ".join(f"'{t}'" for t in sorted(RRF_TERMS_B))
+_RRF_ALL_SQL = ", ".join(
+    f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS) | set(RRF_TERMS_B))
+)
+_SQL_RRF = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs, avg(len(l)) AS avgdl FROM tok),
+tfq AS (SELECT doc_id, len(l) AS dl, t AS term, count(*) AS tf
+        FROM tok, unnest(l) AS u(t) WHERE t IN ({_RRF_ALL_SQL})
+        GROUP BY doc_id, len(l), t),
+dft AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+co AS (SELECT doc_id, term,
+              ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * (tf * {K1 + 1.0})
+              / (tf + {K1} * (1.0 - {B} + {B} * dl / avgdl)) AS c
+       FROM tfq JOIN dft USING (term), n),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY sum(c) DESC, doc_id)
+              AS r
+       FROM co WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY sum(c) DESC, doc_id)
+              AS r
+       FROM co WHERE term IN ({_RRF_B_SQL}) GROUP BY doc_id)
+SELECT doc_id, round(sum(1.0 / ({RRF_C} + r)), 9) AS score
+FROM (SELECT * FROM ra WHERE r <= {RRF_WINDOW}
+      UNION ALL SELECT * FROM rb WHERE r <= {RRF_WINDOW})
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"""
+
+
 TERMS_ENUM_PREFIX, TERMS_ENUM_SIZE = "s", 15
 
 
@@ -4989,6 +5048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_sample": _q_corpus_mix,
         "pack_assign": _q_pack_assign,
         "terms_enum_page": _q_terms_enum_page,
+        "rrf_hybrid_topk": _q_rrf_topk,
         "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
         # dedup / fingerprint family (training-data ops)
@@ -5116,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix_sample": _sql_corpus_mix(),
         "pack_assign": _sql_pack_assign(),
         "terms_enum_page": _SQL_TERMS_ENUM,
+        "rrf_hybrid_topk": _SQL_RRF,
         "hybrid_rank": _sql_hybrid_rank(),
         "highlight_snippets": _sql_highlight(),
         "dedup_exact_clusters": _SQL_DEDUP_EXACT,
