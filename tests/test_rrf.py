@@ -127,3 +127,86 @@ class TestRRF:
             ]}}})  # knn without embeddings
         with pytest.raises(ValueError):
             rrf_fuse([], k=5, rank_constant=0)
+
+
+class TestLinearRetriever:
+    """ES linear retriever: weighted normalized score blend vs Python
+    recomputation (per-entry weight + normalizer)."""
+
+    def _py_linear(self, windows, weights, norms, k):
+        acc = {}
+        for ranked, wt, nm in zip(windows, weights, norms):
+            scores = [s for _, s in ranked]
+            if nm == "minmax":
+                mn, mx = min(scores), max(scores)
+                f = (lambda s: (s - mn) / (mx - mn)) if mx > mn \
+                    else (lambda s: 1.0)
+            elif nm == "l2_norm":
+                l2 = sum(s * s for s in scores) ** 0.5
+                f = (lambda s: s / l2) if l2 > 0 else (lambda s: 0.0)
+            else:
+                f = lambda s: s
+            for d, s in ranked:
+                acc[d] = acc.get(d, 0.0) + wt * f(s)
+        return sorted(acc.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+    @pytest.mark.parametrize("norms", [
+        ("minmax", "minmax"), ("l2_norm", "l2_norm"),
+        ("minmax", "l2_norm"), ("none", "none"),
+    ])
+    def test_matches_python(self, spark, corpus, norms):
+        idx, _ = corpus
+        from search_engine_spark.query.rrf import linear_fuse
+
+        qa, qb = "search engine index", "database partition shuffle"
+        window, k = 30, 10
+        fa = idx.search(qa, k=window, join_docs=False)
+        fb = idx.search(qb, k=window, join_docs=False)
+        wa = [(r["doc_id"], r["score"]) for r in fa.collect()]
+        wb = [(r["doc_id"], r["score"]) for r in fb.collect()]
+        weights = [2.0, 0.5]
+        want = self._py_linear([wa, wb], weights, list(norms), k)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in linear_fuse(
+                [fa, fb], weights=weights, normalizer=list(norms),
+                k=k, window_size=window,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], norms
+        for (_, g), (_, w) in zip(got, want):
+            assert abs(g - w) < 1e-9
+
+    def test_retriever_body(self, spark, corpus):
+        from search_engine_spark.query.rrf import (
+            execute_es_retriever,
+            linear_fuse,
+        )
+
+        idx, emb = corpus
+        body = {"retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {"query": {
+                    "match": {"content": "search engine"}}}},
+                 "weight": 3.0, "normalizer": "minmax"},
+                {"retriever": {"standard": {"query": {
+                    "match": {"content": "database"}}}},
+                 "weight": 1.0, "normalizer": "l2_norm"},
+            ],
+            "rank_window_size": 25,
+        }}, "size": 6}
+        got = execute_es_retriever(idx, body, join_docs=False).collect()
+        fa = idx.search("search engine", k=25, join_docs=False)
+        fb = idx.search("database", k=25, join_docs=False)
+        direct = linear_fuse(
+            [fa, fb], weights=[3.0, 1.0],
+            normalizer=["minmax", "l2_norm"], k=6, window_size=25,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in direct
+        ]
+        with pytest.raises(ValueError):
+            linear_fuse([fa], normalizer="nope")
+        with pytest.raises(NotImplementedError):
+            execute_es_retriever(idx, {"retriever": {"nope": {
+                "retrievers": [{}, {}]}}})
