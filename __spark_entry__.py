@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from search_engine_spark.index.scoring import B, K1
+from search_engine_spark.ops import ann_index as AI
 from search_engine_spark.ops import dedup as D
 from search_engine_spark.ops import similarity as S
 from search_engine_spark.ops import textstats as T
@@ -3747,13 +3748,35 @@ def _lsh_query_vec(spark, sf_dir):
     return emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
 
 
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    """Build-once cache location for the persisted ANN index over this
+    sf dir (testdata is immutable, so path+kind+format tags the build)."""
+    import hashlib
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{kind}|v1".encode()
+    ).hexdigest()[:12]
+    base = os.environ.get(
+        "SPARK_GRAFT_ANN_CACHE",
+        os.path.join(tempfile.gettempdir(), "spark_graft_ann"),
+    )
+    return os.path.join(base, f"{kind}_{tag}")
+
+
 def _q_lsh_ann(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    """ANN via the PERSISTED index (ops/ann_index.py): build once per sf
+    dir (train/encode/write partitionBy _bucket), every query after that
+    only reads the probed bucket partitions — the 100 TB shape."""
     qvec = _lsh_query_vec(spark, sf_dir)
-    return S.lsh_bucketed_topk(
-        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec,
-        k=10, n_planes=LSH_PLANES, probe_hamming=1, seed=LSH_SEED,
-    ).withColumnRenamed("id", "vec_id")
+    d = _ann_index_dir(sf_dir, "lsh")
+    if not os.path.exists(os.path.join(d, AI.META_NAME)):
+        emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        AI.ann_build(emb, "vec_id", "embedding", d, kind="lsh",
+                     n_planes=LSH_PLANES, seed=LSH_SEED)
+    idx = AI.ann_load(spark, d)
+    return idx.search(qvec, k=10, probe_hamming=1).withColumnRenamed(
+        "id", "vec_id"
+    )
 
 
 def _sql_lsh_ann(sf_dir=None):
@@ -3820,13 +3843,20 @@ IVF_SEED = 7
 
 
 def _q_ivf_ann(spark, sf_dir):
-    emb = _read(spark, sf_dir, "embeddings")
+    """IVF ANN via the PERSISTED index: k-means trains at BUILD time
+    only; the search loads meta.json and scans the nprobe probed `_cell`
+    partitions (storage-level pruning, pinned in test_plans.py)."""
     qvec = _lsh_query_vec(spark, sf_dir)
-    return S.ivf_topk(
-        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", qvec,
-        k=10, n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
-        train_sample=IVF_SAMPLE, iters=IVF_ITERS, seed=IVF_SEED,
-    ).withColumnRenamed("id", "vec_id")
+    d = _ann_index_dir(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(d, AI.META_NAME)):
+        emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        AI.ann_build(emb, "vec_id", "embedding", d, kind="ivf",
+                     n_cells=IVF_CELLS, train_sample=IVF_SAMPLE,
+                     iters=IVF_ITERS, seed=IVF_SEED)
+    idx = AI.ann_load(spark, d)
+    return idx.search(qvec, k=10, nprobe=IVF_NPROBE).withColumnRenamed(
+        "id", "vec_id"
+    )
 
 
 def _sql_ivf_ann(sf_dir=None):
@@ -4976,7 +5006,75 @@ ORDER BY score DESC, event_id LIMIT 10"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # search-engine core (SURVEY §2.D/§2.G/§2.C)
+        # === Round-2 verification front: entries WITHOUT a driver CORRECTNESS
+        # row yet (driver checks the first 50 in registration order; round 1
+        # covered the search-core 50, now rotated to the back).  LLM-pipeline
+        # ops lead per VERDICT.md "Next round" item 1.
+        "line_dedup": _q_line_dedup,
+        "minhash_signature": _q_minhash_sig,
+        "dedup_components": _q_dedup_components,
+        "gopher_rules": _q_gopher_rules,
+        "pii_stats": _q_pii_stats,
+        "c4_line_stats": _q_c4_line_stats,
+        "decontaminate": _q_decontaminate,
+        "sample_10pct": _q_sample_10pct,
+        "split_assign": _q_split_assign,
+        "corpus_mix_sample": _q_corpus_mix,
+        "pack_assign": _q_pack_assign,
+        "lsh_ann_topk": _q_lsh_ann,
+        "ivf_ann_topk": _q_ivf_ann,
+        "media_meta": _q_media_meta,
+        "frame_sample": _q_frame_sample,
+        "detect_language": _q_detect_language,
+        "rrf_hybrid_topk": _q_rrf_topk,
+        "dedup_exact_clusters": _q_dedup_exact,
+        "simhash48": _q_simhash,
+        "doc_fingerprint": _q_fingerprint,
+        "near_dup_pairs": _q_near_dup,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "embedding_cosine_topk": _q_embedding_topk,
+        "batch_ann_topk": _q_batch_ann,
+        "quality_scores": _q_quality,
+        "lang_en_score": _q_lang_en,
+        "token_counts": _q_token_counts,
+        "repetition_stats": _q_repetition_stats,
+        "pagerank_5iter": _q_pagerank,
+        "out_degree_graph": _q_out_degree_graph,
+        "hybrid_rank": _q_hybrid_rank,
+        "highlight_snippets": _q_highlight,
+        "url_ops": _q_url_ops,
+        "url_blocklist": _q_url_blocklist,
+        "frontier_pop": _q_frontier_pop,
+        "crawl_bfs_waves": _q_crawl_bfs_waves,
+        "utils_battery": _q_utils_battery,
+        "pagination_page2": _q_pagination,
+        "sorted_hits": _q_sorted_hits,
+        "collapse_topk": _q_collapse_topk,
+        "significant_terms_topk": _q_significant_terms,
+        "mlt_topk": _q_mlt_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "explain_contribs": _q_explain_contribs,
+        "match_counts": _q_match_counts,
+        "terms_enum_page": _q_terms_enum_page,
+        "facet_percentiles_toklen": _q_facet_percentiles,
+        "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
+        "facet_top_hits": _q_facet_top_hits,
+        # --- unchecked tier 2 (rotate into the front window in round 3) ---
+        "string_stats_source": _q_string_stats,
+        "t_test_welch": _q_t_test_welch,
+        "variable_width_hist": _q_variable_width_hist,
+        "rank_feature_topk": _q_rank_feature,
+        "facet_date_histogram": _q_date_histogram,
+        "semi_join_orders": _q_semi_join,
+        "anti_join_customers": _q_anti_join,
+        "topk_lineitem_price": _q_topk_price,
+        "group_count_events": _q_group_count,
+        "analytics_24h": _q_analytics_24h,
+        "out_degree": _q_out_degree,
+        "window_rank_orders": _q_window_rank,
+        "pricing_summary": _q_pricing_summary,
+        # --- driver-green in round 1 (CORRECTNESS_r01.json, all hash_match) ---
         "tf_raw": _q_tf_raw,
         "term_vectors": _q_term_vectors,
         "df_per_term": _q_df_per_term,
@@ -5027,84 +5125,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_range_toklen": _q_facet_range,
         "facet_cardinality_source": _q_facet_cardinality,
         "facet_composite_page": _q_facet_composite,
-        "facet_percentiles_toklen": _q_facet_percentiles,
-        "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
-        "string_stats_source": _q_string_stats,
-        "t_test_welch": _q_t_test_welch,
-        "variable_width_hist": _q_variable_width_hist,
-        "rank_feature_topk": _q_rank_feature,
-        "facet_top_hits": _q_facet_top_hits,
-        "facet_date_histogram": _q_date_histogram,
-        "collapse_topk": _q_collapse_topk,
-        "significant_terms_topk": _q_significant_terms,
-        "mlt_topk": _q_mlt_topk,
-        "tfidf_topk": _q_tfidf_topk,
-        "explain_contribs": _q_explain_contribs,
-        "match_counts": _q_match_counts,
-        "sorted_hits": _q_sorted_hits,
-        "repetition_stats": _q_repetition_stats,
-        "sample_10pct": _q_sample_10pct,
-        "split_assign": _q_split_assign,
-        "corpus_mix_sample": _q_corpus_mix,
-        "pack_assign": _q_pack_assign,
-        "terms_enum_page": _q_terms_enum_page,
-        "rrf_hybrid_topk": _q_rrf_topk,
-        "hybrid_rank": _q_hybrid_rank,
-        "highlight_snippets": _q_highlight,
-        # dedup / fingerprint family (training-data ops)
-        "dedup_exact_clusters": _q_dedup_exact,
-        "minhash_signature": _q_minhash_sig,
-        "simhash48": _q_simhash,
-        "doc_fingerprint": _q_fingerprint,
-        # text analysis
-        "lang_en_score": _q_lang_en,
-        "detect_language": _q_detect_language,
-        "token_counts": _q_token_counts,
-        # embeddings / similarity
-        "embedding_cosine_topk": _q_embedding_topk,
-        "batch_ann_topk": _q_batch_ann,
-        "lsh_ann_topk": _q_lsh_ann,
-        "ivf_ann_topk": _q_ivf_ann,
-        # scalar utility functions (F7/F8/F11/F13)
-        "utils_battery": _q_utils_battery,
-        # relational operator inventory (SURVEY §2.C/§2.D/§2.E/§2.G)
-        "semi_join_orders": _q_semi_join,
-        "anti_join_customers": _q_anti_join,
-        "topk_lineitem_price": _q_topk_price,
-        "group_count_events": _q_group_count,
-        "analytics_24h": _q_analytics_24h,
-        "out_degree": _q_out_degree,
-        "window_rank_orders": _q_window_rank,
-        "pricing_summary": _q_pricing_summary,
-        # graph / PageRank (SURVEY §3.3)
-        "pagerank_5iter": _q_pagerank,
-        "out_degree_graph": _q_out_degree_graph,
-        # web/url layer (SURVEY §2.B, §2.F9/F15)
-        "url_ops": _q_url_ops,
-        "url_blocklist": _q_url_blocklist,
-        "frontier_pop": _q_frontier_pop,
-        "crawl_bfs_waves": _q_crawl_bfs_waves,
-        # quality + near-dup (training-data ops)
-        "quality_scores": _q_quality,
-        "gopher_rules": _q_gopher_rules,
-        "pii_stats": _q_pii_stats,
-        "c4_line_stats": _q_c4_line_stats,
-        "line_dedup": _q_line_dedup,
-        "decontaminate": _q_decontaminate,
-        "near_dup_pairs": _q_near_dup,
-        "dedup_components": _q_dedup_components,
-        "embedding_near_dup": _q_embedding_near_dup,
-        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        # multimodal plumbing
-        "media_meta": _q_media_meta,
-        "frame_sample": _q_frame_sample,
-        # pagination (G3)
-        "pagination_page2": _q_pagination,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # === Round-2 verification front: entries WITHOUT a driver CORRECTNESS
+        # row yet (driver checks the first 50 in registration order; round 1
+        # covered the search-core 50, now rotated to the back).  LLM-pipeline
+        # ops lead per VERDICT.md "Next round" item 1.
+        "line_dedup": _SQL_LINE_DEDUP,
+        "minhash_signature": _SQL_MINHASH,
+        "dedup_components": _sql_dedup_components(),
+        "gopher_rules": _SQL_GOPHER,
+        "pii_stats": _SQL_PII,
+        "c4_line_stats": _SQL_C4_LINES,
+        "decontaminate": _SQL_DECONTAM,
+        "sample_10pct": _sql_sample_10pct(),
+        "split_assign": _sql_split_assign(),
+        "corpus_mix_sample": _sql_corpus_mix(),
+        "pack_assign": _sql_pack_assign(),
+        "lsh_ann_topk": _sql_lsh_ann(),
+        "ivf_ann_topk": _sql_ivf_ann(),
+        "media_meta": _SQL_MEDIA_META,
+        "frame_sample": _SQL_FRAME_SAMPLE,
+        "detect_language": _sql_detect_language(),
+        "rrf_hybrid_topk": _SQL_RRF,
+        "dedup_exact_clusters": _SQL_DEDUP_EXACT,
+        "simhash48": _simhash_sql(),
+        "doc_fingerprint": _SQL_FINGERPRINT,
+        "near_dup_pairs": _sql_near_dup(),
+        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "embedding_near_dup_lsh": _sql_embedding_near_dup_lsh(),
+        "embedding_cosine_topk": _SQL_EMB_TOPK,
+        "batch_ann_topk": _SQL_BATCH_ANN,
+        "quality_scores": _SQL_QUALITY,
+        "lang_en_score": _SQL_LANG_EN,
+        "token_counts": _SQL_TOKEN_COUNTS,
+        "repetition_stats": _SQL_REPETITION,
+        "pagerank_5iter": _sql_pagerank(),
+        "out_degree_graph": _SQL_OUT_DEGREE_GRAPH,
+        "hybrid_rank": _sql_hybrid_rank(),
+        "highlight_snippets": _sql_highlight(),
+        "url_ops": _sql_url_ops(),
+        "url_blocklist": _sql_url_blocklist(),
+        "frontier_pop": _sql_frontier_pop(),
+        "crawl_bfs_waves": _SQL_CRAWL_BFS,
+        "utils_battery": _sql_utils_battery(),
+        "pagination_page2": _SQL_PAGINATION,
+        "sorted_hits": _SQL_SORTED_HITS,
+        "collapse_topk": _SQL_COLLAPSE,
+        "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
+        "mlt_topk": _SQL_MLT,
+        "tfidf_topk": _SQL_TFIDF,
+        "explain_contribs": _SQL_EXPLAIN,
+        "match_counts": _SQL_MATCH_COUNTS,
+        "terms_enum_page": _SQL_TERMS_ENUM,
+        "facet_percentiles_toklen": _sql_facet_percentiles(),
+        "facet_percentile_ranks_toklen": _sql_facet_percentile_ranks(),
+        "facet_top_hits": _SQL_TOP_HITS,
+        # --- unchecked tier 2 (rotate into the front window in round 3) ---
+        "string_stats_source": _SQL_STRING_STATS,
+        "t_test_welch": _SQL_T_TEST,
+        "variable_width_hist": _SQL_VWH,
+        "rank_feature_topk": _SQL_RANK_FEATURE,
+        "facet_date_histogram": _SQL_DATE_HISTOGRAM,
+        "semi_join_orders": _SQL_SEMI,
+        "anti_join_customers": _SQL_ANTI,
+        "topk_lineitem_price": _SQL_TOPK,
+        "group_count_events": _SQL_GROUP_COUNT,
+        "analytics_24h": _SQL_24H,
+        "out_degree": _SQL_OUT_DEGREE,
+        "window_rank_orders": _SQL_WINDOW,
+        "pricing_summary": _SQL_PRICING,
+        # --- driver-green in round 1 (CORRECTNESS_r01.json, all hash_match) ---
         "tf_raw": _SQL_TF,
         "term_vectors": _SQL_TERM_VECTORS,
         "df_per_term": _SQL_DF,
@@ -5155,67 +5249,4 @@ def oracle_sql() -> dict[str, str]:
         "facet_range_toklen": _sql_facet_range(),
         "facet_cardinality_source": _SQL_FACET_CARDINALITY,
         "facet_composite_page": _SQL_FACET_COMPOSITE,
-        "facet_percentiles_toklen": _sql_facet_percentiles(),
-        "facet_percentile_ranks_toklen": _sql_facet_percentile_ranks(),
-        "string_stats_source": _SQL_STRING_STATS,
-        "t_test_welch": _SQL_T_TEST,
-        "variable_width_hist": _SQL_VWH,
-        "rank_feature_topk": _SQL_RANK_FEATURE,
-        "facet_top_hits": _SQL_TOP_HITS,
-        "facet_date_histogram": _SQL_DATE_HISTOGRAM,
-        "collapse_topk": _SQL_COLLAPSE,
-        "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
-        "mlt_topk": _SQL_MLT,
-        "tfidf_topk": _SQL_TFIDF,
-        "explain_contribs": _SQL_EXPLAIN,
-        "match_counts": _SQL_MATCH_COUNTS,
-        "sorted_hits": _SQL_SORTED_HITS,
-        "repetition_stats": _SQL_REPETITION,
-        "sample_10pct": _sql_sample_10pct(),
-        "split_assign": _sql_split_assign(),
-        "corpus_mix_sample": _sql_corpus_mix(),
-        "pack_assign": _sql_pack_assign(),
-        "terms_enum_page": _SQL_TERMS_ENUM,
-        "rrf_hybrid_topk": _SQL_RRF,
-        "hybrid_rank": _sql_hybrid_rank(),
-        "highlight_snippets": _sql_highlight(),
-        "dedup_exact_clusters": _SQL_DEDUP_EXACT,
-        "minhash_signature": _SQL_MINHASH,
-        "simhash48": _simhash_sql(),
-        "doc_fingerprint": _SQL_FINGERPRINT,
-        "lang_en_score": _SQL_LANG_EN,
-        "detect_language": _sql_detect_language(),
-        "token_counts": _SQL_TOKEN_COUNTS,
-        "embedding_cosine_topk": _SQL_EMB_TOPK,
-        "batch_ann_topk": _SQL_BATCH_ANN,
-        "lsh_ann_topk": _sql_lsh_ann(),
-        "ivf_ann_topk": _sql_ivf_ann(),
-        "utils_battery": _sql_utils_battery(),
-        "semi_join_orders": _SQL_SEMI,
-        "anti_join_customers": _SQL_ANTI,
-        "topk_lineitem_price": _SQL_TOPK,
-        "group_count_events": _SQL_GROUP_COUNT,
-        "analytics_24h": _SQL_24H,
-        "out_degree": _SQL_OUT_DEGREE,
-        "window_rank_orders": _SQL_WINDOW,
-        "pricing_summary": _SQL_PRICING,
-        "pagerank_5iter": _sql_pagerank(),
-        "out_degree_graph": _SQL_OUT_DEGREE_GRAPH,
-        "url_ops": _sql_url_ops(),
-        "url_blocklist": _sql_url_blocklist(),
-        "frontier_pop": _sql_frontier_pop(),
-        "crawl_bfs_waves": _SQL_CRAWL_BFS,
-        "quality_scores": _SQL_QUALITY,
-        "gopher_rules": _SQL_GOPHER,
-        "pii_stats": _SQL_PII,
-        "c4_line_stats": _SQL_C4_LINES,
-        "line_dedup": _SQL_LINE_DEDUP,
-        "decontaminate": _SQL_DECONTAM,
-        "near_dup_pairs": _sql_near_dup(),
-        "dedup_components": _sql_dedup_components(),
-        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
-        "embedding_near_dup_lsh": _sql_embedding_near_dup_lsh(),
-        "media_meta": _SQL_MEDIA_META,
-        "frame_sample": _SQL_FRAME_SAMPLE,
-        "pagination_page2": _SQL_PAGINATION,
     }

@@ -392,3 +392,29 @@ def test_spans_scan_prunes_buckets_one_groupby(spark, tmp_path_factory):
     assert "TakeOrderedAndProject" in plan
     # one doc_id aggregation shuffle; no join exchanges sneak in
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_ann_search_prunes_cell_partitions(spark, tmp_path_factory):
+    """Persisted-ANN scale contract (VERDICT round 1 item 2): a search
+    over a loaded index reads only the nprobe probed `_cell` PARTITIONS
+    of the stored table — PartitionFilters on `_cell` in the scan, no
+    re-encode (no pandas UDF / ArrowEvalPython) anywhere in the plan."""
+    import numpy as np
+
+    from search_engine_spark.ops import ann_index as AI
+
+    rng = np.random.RandomState(4)
+    rows = [(i, (rng.randn(8)).astype(float).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "id long, vec array<double>")
+    d = str(tmp_path_factory.mktemp("plan_ann") / "ivf")
+    AI.ann_build(emb, "id", "vec", d, kind="ivf", n_cells=8,
+                 train_sample=128, iters=4, seed=2)
+    idx = AI.ann_load(spark, d)
+    df = idx.search(rows[0][1], k=5, nprobe=2)
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters", 1)[1][:300]
+    assert "TakeOrderedAndProject" in plan
+    # query path never re-encodes: no Python/Arrow eval in the plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
