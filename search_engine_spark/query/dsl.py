@@ -2250,12 +2250,20 @@ def execute_es_query(
             df = df.join(
                 idx.docs.select("doc_id", *missing), "doc_id", "left"
             )
+        # ES evaluates every script field independently against the
+        # SOURCE document — one select from the pre-substitution columns
+        # so a script field whose name shadows a doc column can never
+        # feed another script field's expression.
         df = df.withColumn("_score", F.col("score"))
-        for name, sql in exprs.items():
-            df = df.withColumn(name, F.expr(sql).cast("double"))
+        df = df.select(
+            *[F.col(c) for c in df.columns
+              if c != "_score" and c not in exprs],
+            *[F.expr(sql).cast("double").alias(name)
+              for name, sql in exprs.items()],
+        )
         # drop only HELPER columns — a script field that reuses a doc
         # column's name replaced the joined column and must survive
-        df = df.drop("_score", *[c for c in missing if c not in exprs])
+        df = df.drop(*[c for c in missing if c not in exprs])
         if missing:
             # the join dropped the hits' ordering guarantee
             df = df.orderBy(F.desc("score"), F.asc("doc_id"))

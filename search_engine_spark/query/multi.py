@@ -122,6 +122,11 @@ def search_multi(
     unknown = set(boosts) - {name for name, _ in indices}
     if unknown:
         raise ValueError(f"indices_boost names unknown indices {sorted(unknown)}")
+    # boosts multiply AFTER per-index top-k, which is only order-safe
+    # for monotonic (positive) factors — refuse the rest loudly
+    bad = {n: b for n, b in boosts.items() if float(b) <= 0.0}
+    if bad:
+        raise ValueError(f"indices_boost factors must be > 0: {bad}")
     if k <= 0:
         return _empty_multi(indices)
 

@@ -258,7 +258,9 @@ def execute_es_retriever(
                 )
             )
             weights.append(float(entry.get("weight", 1.0)))
-            norms.append(entry.get("normalizer", "minmax"))
+            # ES's linear retriever defaults normalizer to "none"
+            # (no rescaling) when the entry omits it.
+            norms.append(entry.get("normalizer", "none"))
         fused = linear_fuse(
             frames, weights=weights, normalizer=norms, k=k,
             window_size=window,

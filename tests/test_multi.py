@@ -194,3 +194,12 @@ class TestIndicesBoost:
         pair, _ = indices
         with pytest.raises(ValueError):
             search_multi(pair, QUERIES[0], indices_boost={"nope": 2.0})
+
+    def test_nonpositive_boost_refused(self, indices):
+        """Boosts apply after per-index top-k; non-positive factors
+        would invert/zero ordering over the wrong candidate set, so
+        they must error (ADVICE round 1, multi.py)."""
+        pair, _ = indices
+        for bad in (0.0, -1.5):
+            with pytest.raises(ValueError, match="must be > 0"):
+                search_multi(pair, QUERIES[0], indices_boost={"a": bad})

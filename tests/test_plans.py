@@ -418,3 +418,20 @@ def test_ann_search_prunes_cell_partitions(spark, tmp_path_factory):
     # query path never re-encodes: no Python/Arrow eval in the plan
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_media_meta_plan_has_no_python(spark):
+    """Multimodal metadata is native (round-1 verdict fix): the
+    decode_media_meta plan must contain NO Python evaluation nodes —
+    only true pixel decode ever pays for Python workers."""
+    from search_engine_spark.ops import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(50)], "doc_id long, text string"
+    )
+    meta = M.decode_media_meta(M.synth_media_from_documents(docs))
+    plan = explain_str(meta, "simple")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "*(" in plan  # whole-stage codegen star on the projection

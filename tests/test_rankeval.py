@@ -243,6 +243,34 @@ class TestReviewRegressions:
                     "source": "1 + 1"}}},
             })
 
+    def test_shadowing_script_field_does_not_feed_later_field(
+        self, spark, corpus
+    ):
+        """ES evaluates script fields independently against the source
+        doc: a field named `doclen` must NOT change what a later field
+        reading doc['doclen'] sees (ADVICE round 1, dsl.py)."""
+        from search_engine_spark.query.dsl import execute_es_query
+
+        _, idx = corpus
+        body = {
+            "query": {"match": {"content": "search engine index"}},
+            "script_fields": {
+                "doclen": {"script": {"source": "doc['doclen'].value * 2"}},
+                "plus_one": {"script": {"source": "doc['doclen'].value + 1"}},
+            },
+            "size": 4,
+        }
+        rows = execute_es_query(idx, body, join_docs=False).collect()
+        assert rows
+        real = {
+            r["doc_id"]: r["doclen"]
+            for r in idx.docs.select("doc_id", "doclen").collect()
+        }
+        for r in rows:
+            assert r["doclen"] == real[r["doc_id"]] * 2
+            # reads the SOURCE doclen, not the shadowing script field
+            assert r["plus_one"] == real[r["doc_id"]] + 1
+
     def test_duplicate_request_ids_refused(self, spark, corpus):
         _, idx = corpus
         req = {"request": {"query": {"match": {"content": "x"}}},

@@ -210,3 +210,34 @@ class TestLinearRetriever:
         with pytest.raises(NotImplementedError):
             execute_es_retriever(idx, {"retriever": {"nope": {
                 "retrievers": [{}, {}]}}})
+
+    def test_linear_normalizer_defaults_to_none(self, spark, corpus):
+        """An entry omitting `normalizer` must score like ES: raw
+        (unnormalized) scores, i.e. normalizer "none" — not minmax
+        (ADVICE round 1, rrf.py)."""
+        from search_engine_spark.query.rrf import (
+            execute_es_retriever,
+            linear_fuse,
+        )
+
+        idx, _ = corpus
+        body = {"retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {"query": {
+                    "match": {"content": "search engine"}}}},
+                 "weight": 2.0},
+                {"retriever": {"standard": {"query": {
+                    "match": {"content": "database"}}}}},
+            ],
+            "rank_window_size": 25,
+        }}, "size": 6}
+        got = execute_es_retriever(idx, body, join_docs=False).collect()
+        fa = idx.search("search engine", k=25, join_docs=False)
+        fb = idx.search("database", k=25, join_docs=False)
+        direct = linear_fuse(
+            [fa, fb], weights=[2.0, 1.0],
+            normalizer=["none", "none"], k=6, window_size=25,
+        ).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in direct
+        ]
