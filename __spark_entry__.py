@@ -44,6 +44,8 @@ from search_engine_spark.text.tokenizer import raw_tokens_col
 # ---------------------------------------------------------------------------
 
 BM25_QUERY_TERMS = ["spark", "merge", "window"]  # canonical unstemmed tokens
+# RSJ-IDF probe: one rare term (positive idf) + two common (negative idf)
+TFIDF_PROB_TERMS = ["dup", "spark", "merge"]
 N_MINHASH = 12
 LSH_BANDS = 4
 LSH_ROWS = 3
@@ -1377,6 +1379,108 @@ dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
 SELECT doc_id,
        round(sum((1.0 + log10(tf)) * log10((n_docs + 1.0) / (df + 1.0))), 6) AS score
 FROM tf JOIN dft USING (term), n
+GROUP BY doc_id HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+def _q_tfidf_prob_topk(spark, sf_dir):
+    """Probabilistic (Robertson-Sparck Jones) IDF variant of the
+    reference TF-IDF ranker (tfidf.py:331-345): log10 TF times
+    log10((N - df) / df) — 0 when df is 0 or df >= N — positive
+    scores only, top-10.  The query mixes the one rare term in the
+    synthetic corpus ('dup', df≈5%, positive RSJ IDF) with common
+    terms (df≈77%, NEGATIVE RSJ IDF), so the B5 positive-score filter
+    does real work: only docs whose rare-term contribution outweighs
+    their common-term penalties surface.  The engine twin is
+    BM25Index.search(mode='tfidf', tfidf_idf='probabilistic'),
+    pinned against the oracle in tests/test_index_and_query.py."""
+    toks = _docs_tokens(spark, sf_dir)
+    n = toks.count()
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(TFIDF_PROB_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.when(
+        (F.col("df") > 0) & (F.col("df") < n),
+        F.log10((F.lit(n) - F.col("df")) / F.col("df")),
+    ).otherwise(F.lit(0.0))
+    return (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn("c", (1.0 + F.log10(F.col("tf"))) * idf)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_PROB_TERMS_SQL = ", ".join(f"'{t}'" for t in TFIDF_PROB_TERMS)
+_SQL_TFIDF_PROB = f"""{_TOK_CTE},
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_PROB_TERMS_SQL})
+       GROUP BY doc_id, t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum((1.0 + log10(tf)) *
+                 CASE WHEN df > 0 AND df < n_docs
+                      THEN log10((n_docs - df) * 1.0 / df) ELSE 0.0 END), 6)
+           AS score
+FROM tf JOIN dft USING (term), n
+GROUP BY doc_id HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+def _q_tfidf_max_topk(spark, sf_dir):
+    """Max-normalized IDF variant of the reference TF-IDF ranker
+    (tfidf.py:347-360): log10 TF times log10(max_df / (1 + df)) where
+    max_df is the CORPUS-WIDE maximum document frequency (over the
+    full dictionary, not just the query terms), positive scores only,
+    top-10.  Engine twin: BM25Index.search(mode='tfidf',
+    tfidf_idf='max') — there max_df is one memoized native MAX over
+    the dictionary-sized term_stats table, never a postings scan."""
+    toks = _docs_tokens(spark, sf_dir)
+    exploded = toks.select("doc_id", F.explode("toks").alias("term"))
+    max_df = (
+        exploded.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.max("df"))
+        .first()[0]
+    )
+    tf = (
+        exploded.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = F.log10(F.lit(float(max_df)) / (1.0 + F.col("df")))
+    return (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .withColumn("c", (1.0 + F.log10(F.col("tf"))) * idf)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SQL_TFIDF_MAX = f"""{_TOK_CTE},
+dft_all AS (SELECT t AS term, count(DISTINCT doc_id) AS df
+            FROM tok, unnest(l) AS u(t) GROUP BY t),
+mx AS (SELECT max(df) AS max_df FROM dft_all),
+tf AS (SELECT doc_id, t AS term, count(*) AS tf
+       FROM tok, unnest(l) AS u(t) WHERE t IN ({_TERMS_SQL})
+       GROUP BY doc_id, t),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(sum((1.0 + log10(tf)) * log10(max_df * 1.0 / (1.0 + df))), 6)
+           AS score
+FROM tf JOIN dft USING (term), mx
 GROUP BY doc_id HAVING score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
 
 
@@ -5054,6 +5158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_topk": _q_significant_terms,
         "mlt_topk": _q_mlt_topk,
         "tfidf_topk": _q_tfidf_topk,
+        "tfidf_prob_topk": _q_tfidf_prob_topk,
+        "tfidf_max_topk": _q_tfidf_max_topk,
         "explain_contribs": _q_explain_contribs,
         "match_counts": _q_match_counts,
         "terms_enum_page": _q_terms_enum_page,
@@ -5178,6 +5284,8 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms_topk": _SQL_SIGNIFICANT_TERMS,
         "mlt_topk": _SQL_MLT,
         "tfidf_topk": _SQL_TFIDF,
+        "tfidf_prob_topk": _SQL_TFIDF_PROB,
+        "tfidf_max_topk": _SQL_TFIDF_MAX,
         "explain_contribs": _SQL_EXPLAIN,
         "match_counts": _SQL_MATCH_COUNTS,
         "terms_enum_page": _SQL_TERMS_ENUM,

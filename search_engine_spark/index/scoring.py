@@ -40,6 +40,45 @@ def idf_col(n_docs: Column | int, df: Column) -> Column:
     return F.log1p((n - df + F.lit(0.5)) / (df + F.lit(0.5)))
 
 
+TFIDF_IDF_METHODS = ("standard", "smooth", "probabilistic", "max")
+
+
+def tfidf_idf_py(
+    method: str, n_docs: int, df: int, max_df: int | None = None
+) -> float:
+    """The reference's four TF-IDF IDF variants (tfidf.py:301-360),
+    log10-based like everything in its TF-IDF ranker:
+
+    - standard:       log10(N / df), 0 for unseen terms (tfidf.py:303-314)
+    - smooth:         log10((N+1) / (df+1))            (tfidf.py:316-329)
+    - probabilistic:  log10((N-df) / df), 0 when df==0 or df>=N
+                      (Robertson-Sparck Jones; can be negative for
+                      common terms — the B5 positive-score filter
+                      drops those docs, same as the reference)
+                      (tfidf.py:331-345)
+    - max:            log10(max_df / (1+df)) where max_df is the
+                      corpus-wide maximum document frequency
+                      (tfidf.py:347-360)
+    """
+    if method == "standard":
+        if df == 0 or n_docs == 0:
+            return 0.0
+        return math.log10(n_docs / df)
+    if method == "smooth":
+        return math.log10((n_docs + 1.0) / (df + 1.0))
+    if method == "probabilistic":
+        if df == 0 or df >= n_docs:
+            return 0.0
+        return math.log10((n_docs - df) / df)
+    if method == "max":
+        if not max_df:
+            return 0.0
+        return math.log10(max_df / (1.0 + df))
+    raise ValueError(
+        f"unknown tfidf idf method {method!r}; one of {TFIDF_IDF_METHODS}"
+    )
+
+
 # ---- tf normalization + full score --------------------------------------
 
 def score_py(tf: int, dl: int, idf: float, avgdl: float) -> float:

@@ -52,7 +52,12 @@ from search_engine_spark.index.codec import (
     segmented_delta_decode,
     varint_decode,
 )
-from search_engine_spark.index.scoring import idf_py, score_col, score_np
+from search_engine_spark.index.scoring import (
+    idf_py,
+    score_col,
+    score_np,
+    tfidf_idf_py,
+)
 from search_engine_spark.query.painless import painless_to_sql
 from search_engine_spark.query.parse import parse_query
 from search_engine_spark.query.spans import eval_spans, parse_span_query
@@ -721,6 +726,18 @@ class BM25Index:
             if self._stats_memo.get(t) is not None
         }
 
+    def _max_df(self) -> int:
+        """Corpus-wide maximum document frequency (the 'max' IDF
+        variant's normalizer, tfidf.py:347-360).  One native MAX over
+        the dictionary-sized term_stats table — a partial-agg scan
+        that never touches postings — memoized for the index's life
+        (the dictionary is immutable between merges, and merges build
+        a new BM25Index)."""
+        if getattr(self, "_max_df_memo", None) is None:
+            row = self.term_stats.agg(F.max("df").alias("m")).first()
+            self._max_df_memo = int(row["m"]) if row["m"] is not None else 0
+        return self._max_df_memo
+
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "doc_id long, score double, url string, title string"
@@ -759,6 +776,7 @@ class BM25Index:
         include_ids: Optional[np.ndarray] = None,
         after: Optional[Tuple[float, int]] = None,
         min_should_match: int = 1,
+        tfidf_idf: str = "smooth",
     ) -> DataFrame:
         """Top-k BM25 search.
 
@@ -778,9 +796,18 @@ class BM25Index:
               posting-list intersection realized as
               groupBy(doc_id).count == n_terms, exact and unpruned),
               "tfidf" (reference TF-IDF semantics, tfidf.py:167-572:
-              log TF × smooth IDF, positive scores only — the oracle-
-              parity ranking mode; block-max bounds are BM25-specific
-              so no pruning).
+              log TF × the selected IDF variant, positive scores only —
+              the oracle-parity ranking mode; block-max bounds are
+              BM25-specific so no pruning).
+
+        tfidf_idf: IDF variant for mode="tfidf" — "smooth" (default,
+        the reference ranker's own default), "standard",
+        "probabilistic" (Robertson-Sparck Jones; negative for terms in
+        more than half the corpus, so common-term-only docs fall to
+        the B5 positive-score filter exactly as in the reference), or
+        "max" (normalizes by the corpus-wide maximum df, one memoized
+        term_stats aggregate).  tfidf.py:301-360 / get_idf_vector
+        method= switch (tfidf.py:362-381).  Ignored by BM25 modes.
 
         exclude: doc_id DataFrame that must not surface (ES bool
         must_not — used by search_boolean); exclude_df_sum is its
@@ -833,10 +860,9 @@ class BM25Index:
             return self._empty_scored(join_docs, explain)
 
         if mode == "tfidf":
-            import math
-
+            max_df = self._max_df() if tfidf_idf == "max" else None
             idf_by_term = {
-                t: math.log10((self.n_docs + 1.0) / (stats[t][0] + 1.0))
+                t: tfidf_idf_py(tfidf_idf, self.n_docs, stats[t][0], max_df)
                 for t in terms
             }
         else:

@@ -870,13 +870,33 @@ class TFIDFOracle:
     def idf_smooth(self, term: str) -> float:
         return math.log10((self.n + 1) / (self.df.get(term, 0) + 1))
 
-    def topk(self, query: str, k: int = 10) -> List[Tuple[int, float]]:
+    def idf(self, term: str, method: str = "smooth") -> float:
+        """The reference's four IDF variants (tfidf.py:301-360)."""
+        df = self.df.get(term, 0)
+        if method == "smooth":
+            return self.idf_smooth(term)
+        if method == "standard":
+            return 0.0 if df == 0 or self.n == 0 else math.log10(self.n / df)
+        if method == "probabilistic":
+            if df == 0 or df >= self.n:
+                return 0.0
+            return math.log10((self.n - df) / df)
+        if method == "max":
+            max_df = max(self.df.values()) if self.df else 0
+            return 0.0 if max_df == 0 else math.log10(max_df / (1 + df))
+        raise ValueError(method)
+
+    def topk(
+        self, query: str, k: int = 10, idf_method: str = "smooth"
+    ) -> List[Tuple[int, float]]:
         terms = set(tokenize_py(query))
         if not terms:
             return []
         out = []
         for d in self.docs:
-            s = sum(self.log_tf(d, t) * self.idf_smooth(t) for t in terms)
+            s = sum(
+                self.log_tf(d, t) * self.idf(t, idf_method) for t in terms
+            )
             if s > 0:
                 out.append((d, s))
         out.sort(key=lambda x: (-x[1], x[0]))

@@ -149,6 +149,44 @@ class TestRankIdentity:
         for (_, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-9, query
 
+    @pytest.mark.parametrize(
+        "idf_method", ["standard", "probabilistic", "max"]
+    )
+    @pytest.mark.parametrize(
+        "query",
+        ["python programming tutorial", "quick brown fox", "the and is of"],
+    )
+    def test_tfidf_idf_variants_match_oracle(
+        self, spark, corpus, query, idf_method
+    ):
+        """tfidf_idf= selects the reference's standard / probabilistic /
+        max IDF variants (tfidf.py:301-360) — each rank- and score-
+        identical to the pure-Python oracle over the same postings."""
+        paths, oracle = corpus
+        tfidf_oracle = TFIDFOracle(
+            {d: list(toks) for d, toks in oracle.docs.items()}
+        )
+        idx = BM25Index(spark, paths.root)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in idx.search(
+                query, k=10, mode="tfidf", join_docs=False,
+                tfidf_idf=idf_method,
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        want = tfidf_oracle.topk(query, k=10, idf_method=idf_method)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9, query
+
+    def test_tfidf_unknown_idf_method_raises(self, spark, corpus):
+        paths, _ = corpus
+        idx = BM25Index(spark, paths.root)
+        with pytest.raises(ValueError, match="idf method"):
+            idx.search("python", mode="tfidf", tfidf_idf="bogus")
+
     def test_join_docs(self, spark, corpus):
         paths, _ = corpus
         idx = BM25Index(spark, paths.root)
