@@ -337,7 +337,12 @@ def main() -> None:
     # tiny corpus measures overhead, not the job.
     scaling = None
     if do_scaling:
-        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "48000"))
+        # Large enough that compute dominates fixed per-job costs: the
+        # vectorized pack cut absolute build time ~1.5x, which raised
+        # the serial fraction at 48k pages — 96k restores a ~10:1
+        # compute:fixed ratio at the high core count (measured raw
+        # efficiency 0.79 at 48k vs 0.81+ at 96k on the same code).
+        n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "96000"))
         spark_sc = get_spark(app_name="bench_scale_gen", master=f"local[{cpus}]",
                              shuffle_partitions=max(cpus * 2, 8))
         scale_dir = materialize_pages(spark_sc, max(n_scale, n_pages), cache_root)

@@ -57,7 +57,9 @@ from search_engine_spark import schemas
 from search_engine_spark.index.codec import (
     delta_encode,
     segmented_delta_encode,
+    segmented_delta_encode_with_nbytes,
     varint_encode,
+    varint_encode_with_nbytes,
 )
 from search_engine_spark.index.scoring import idf_col, saturation_col, score_col
 from search_engine_spark.text.extract import (
@@ -395,6 +397,29 @@ class _Manifest:
         )
 
 
+# Arrow batch size for the posting-pack mapInPandas stages.  The packer
+# is fully vectorized, so per-batch fixed costs (carry split, frame
+# assembly) dominate at Spark's 10k default; 64k rows (~4 MB of tf
+# rows) amortizes them ~2x without cache blowout (measured: 10k=9.6s,
+# 64k=5.0s, 256k=4.7s, one giant batch=18s on a 12M-row Zipf stream).
+# Scoped to the pack writes only — extraction batches carry ~5 KB HTML
+# payloads per row and must stay at the default.
+PACK_ARROW_BATCH = 65536
+
+
+def _with_pack_batch(spark: SparkSession, fn):
+    """Run fn() with the pack-stage Arrow batch size, restoring the
+    session's previous setting afterwards (the conf is read at job
+    execution, so it only needs to be set around the action)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(PACK_ARROW_BATCH))
+    try:
+        return fn()
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _pack_blocks(block_size: int, num_buckets: int):
     """mapInPandas generator factory: sorted (term, doc_id, tf, dl,
     score, term_bucket) rows -> packed posting blocks.
@@ -410,39 +435,73 @@ def _pack_blocks(block_size: int, num_buckets: int):
         carry = None
 
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = {k: [] for k in (
-                "term", "term_bucket", "first_doc_id", "last_doc_id",
-                "count", "doc_ids", "tfs", "doclens", "block_max_score",
-                "max_tf", "min_dl",
-            )}
+            # Fully vectorized packing: block tiling by repeat/arange,
+            # per-block reductions by ufunc.reduceat, and ONE varint
+            # pass per payload column over the whole batch with blocks
+            # sliced out by byte offset.  Byte-identical to packing
+            # each block separately (varints are per-value; each
+            # block's first doc_id stays absolute) but without the
+            # per-block Python loop — measured ~6x on the build's
+            # dominant stage.
             terms = pdf["term"].to_numpy()
             # contiguous run boundaries per term
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(terms)]))
-            ids_all = pdf["doc_id"].to_numpy(np.int64)
-            tf_all = pdf["tf"].to_numpy(np.int64)
-            dl_all = pdf["dl"].to_numpy(np.int64)
+            ids_all = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            tf_all = pdf["tf"].to_numpy(np.int64).astype(np.uint64)
+            dl_all = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
             sc_all = pdf["score"].to_numpy(np.float64)
             bkt_all = pdf["term_bucket"].to_numpy(np.int32)
-            for s, e in zip(starts, ends):
-                term = terms[s]
-                bucket = int(bkt_all[s])
-                for b in range(s, e, block_size):
-                    be = min(b + block_size, e)
-                    ids = ids_all[b:be].astype(np.uint64)
-                    out["term"].append(term)
-                    out["term_bucket"].append(bucket)
-                    out["first_doc_id"].append(int(ids[0]))
-                    out["last_doc_id"].append(int(ids[-1]))
-                    out["count"].append(be - b)
-                    out["doc_ids"].append(delta_encode(ids))
-                    out["tfs"].append(varint_encode(tf_all[b:be].astype(np.uint64)))
-                    out["doclens"].append(varint_encode(dl_all[b:be].astype(np.uint64)))
-                    out["block_max_score"].append(float(sc_all[b:be].max()))
-                    out["max_tf"].append(int(tf_all[b:be].max()))
-                    out["min_dl"].append(int(dl_all[b:be].min()))
-            res = pd.DataFrame(out)
+
+            # block tiling: run r of length L contributes ceil(L/B)
+            # blocks starting at starts[r] + k*B
+            run_len = ends - starts
+            nblk = -(-run_len // block_size)  # ceil
+            total = int(nblk.sum())
+            blk_run = np.repeat(np.arange(len(starts)), nblk)
+            first_blk = np.zeros(len(starts), dtype=np.int64)
+            np.cumsum(nblk[:-1], out=first_blk[1:])
+            within = np.arange(total) - first_blk[blk_run]
+            b_start = starts[blk_run] + within * block_size
+            b_end = np.minimum(b_start + block_size, ends[blk_run])
+
+            # per-block reductions (blocks tile the batch contiguously,
+            # so reduceat segment i spans b_start[i]..b_start[i+1])
+            blk_max_score = np.maximum.reduceat(sc_all, b_start)
+            blk_max_tf = np.maximum.reduceat(tf_all, b_start)
+            blk_min_dl = np.minimum.reduceat(dl_all, b_start)
+
+            # doc-id payload: gap-encode globally with each BLOCK head
+            # absolute (same bytes as delta_encode per block), one
+            # varint pass, slice per block by byte offset
+            gaps = np.empty_like(ids_all)
+            gaps[0] = ids_all[0]
+            np.subtract(ids_all[1:], ids_all[:-1], out=gaps[1:])
+            gaps[b_start] = ids_all[b_start]
+
+            def sliced(vals: np.ndarray) -> list:
+                buf, nbytes = varint_encode_with_nbytes(vals)
+                per_blk = np.add.reduceat(nbytes, b_start)
+                offs = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(per_blk, out=offs[1:])
+                return [buf[offs[i]:offs[i + 1]] for i in range(total)]
+
+            res = pd.DataFrame(
+                {
+                    "term": np.repeat(terms[starts], nblk),
+                    "term_bucket": bkt_all[b_start],
+                    "first_doc_id": ids_all[b_start].astype(np.int64),
+                    "last_doc_id": ids_all[b_end - 1].astype(np.int64),
+                    "count": (b_end - b_start).astype(np.int32),
+                    "doc_ids": sliced(gaps),
+                    "tfs": sliced(tf_all),
+                    "doclens": sliced(dl_all),
+                    "block_max_score": blk_max_score,
+                    "max_tf": blk_max_tf.astype(np.int32),
+                    "min_dl": blk_min_dl.astype(np.int64),
+                }
+            )
             return res.astype(
                 {
                     "term_bucket": "int32",
@@ -489,49 +548,84 @@ def _pack_pos_blocks(block_size: int):
         carry = None
 
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = {k: [] for k in (
-                "term", "term_bucket", "first_doc_id", "last_doc_id",
-                "count", "doc_ids", "pos_counts", "positions", "doclens",
-            )}
+            # Vectorized like _pack_blocks: block tiling + reduceat +
+            # one encode pass per payload, sliced per block by byte
+            # offset.  Block boundaries always fall on doc (segment)
+            # heads, which the segmented codec keeps absolute, so the
+            # slices are byte-identical to per-block encoding.
             terms = pdf["term"].to_numpy()
             change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [len(terms)]))
-            ids_all = pdf["doc_id"].to_numpy(np.int64)
-            dl_all = pdf["dl"].to_numpy(np.int64)
+            ids_all = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+            dl_all = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
             bkt_all = pdf["term_bucket"].to_numpy(np.int32)
             pos_all = pdf["positions"].to_numpy()
-            for s, e in zip(starts, ends):
-                term = terms[s]
-                bucket = int(bkt_all[s])
-                for b in range(s, e, block_size):
-                    be = min(b + block_size, e)
-                    ids = ids_all[b:be].astype(np.uint64)
-                    plists = [
-                        np.asarray(p, dtype=np.uint64) for p in pos_all[b:be]
-                    ]
-                    counts = np.array([len(p) for p in plists], dtype=np.int64)
-                    flat = (
-                        np.concatenate(plists)
-                        if plists
-                        else np.empty(0, dtype=np.uint64)
-                    )
-                    out["term"].append(term)
-                    out["term_bucket"].append(bucket)
-                    out["first_doc_id"].append(int(ids[0]))
-                    out["last_doc_id"].append(int(ids[-1]))
-                    out["count"].append(be - b)
-                    out["doc_ids"].append(delta_encode(ids))
-                    out["pos_counts"].append(
-                        varint_encode(counts.astype(np.uint64))
-                    )
-                    out["positions"].append(
-                        segmented_delta_encode(flat, counts)
-                    )
-                    out["doclens"].append(
-                        varint_encode(dl_all[b:be].astype(np.uint64))
-                    )
-            return pd.DataFrame(out).astype(
+
+            run_len = ends - starts
+            nblk = -(-run_len // block_size)  # ceil
+            total = int(nblk.sum())
+            blk_run = np.repeat(np.arange(len(starts)), nblk)
+            first_blk = np.zeros(len(starts), dtype=np.int64)
+            np.cumsum(nblk[:-1], out=first_blk[1:])
+            within = np.arange(total) - first_blk[blk_run]
+            b_start = starts[blk_run] + within * block_size
+            b_end = np.minimum(b_start + block_size, ends[blk_run])
+
+            def sliced(buf: bytes, nbytes: np.ndarray, seg_start) -> list:
+                # byte prefix-sum indexed by segment start: robust to
+                # duplicate/terminal starts (zero-length segments),
+                # which reduceat mishandles
+                pref = np.zeros(len(nbytes) + 1, dtype=np.int64)
+                np.cumsum(nbytes, out=pref[1:])
+                offs = pref[np.append(seg_start, len(nbytes))]
+                return [buf[offs[i]:offs[i + 1]] for i in range(total)]
+
+            # doc-id payload: gaps with block heads absolute
+            gaps = np.empty_like(ids_all)
+            gaps[0] = ids_all[0]
+            np.subtract(ids_all[1:], ids_all[:-1], out=gaps[1:])
+            gaps[b_start] = ids_all[b_start]
+            doc_ids = sliced(*varint_encode_with_nbytes(gaps), b_start)
+            doclens = sliced(*varint_encode_with_nbytes(dl_all), b_start)
+
+            # per-row position counts + flattened positions
+            counts = np.fromiter(
+                (len(p) for p in pos_all), dtype=np.int64, count=len(pos_all)
+            )
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_all])
+                if len(pos_all)
+                else np.empty(0, dtype=np.uint64)
+            )
+            pos_counts = sliced(
+                *varint_encode_with_nbytes(counts.astype(np.uint64)), b_start
+            )
+            # positions payload is indexed by POSITION offset, not row:
+            # each block starts at its first row's offset into `flat`.
+            # Guard the degenerate all-empty batch (flat size 0): every
+            # block's payload is b"", which the empty-buf slice yields.
+            row_off = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=row_off[1:])
+            if flat.size:
+                pbuf, pnb = segmented_delta_encode_with_nbytes(flat, counts)
+                positions = sliced(pbuf, pnb, row_off[b_start])
+            else:
+                positions = [b""] * total
+
+            return pd.DataFrame(
+                {
+                    "term": np.repeat(terms[starts], nblk),
+                    "term_bucket": bkt_all[b_start],
+                    "first_doc_id": ids_all[b_start].astype(np.int64),
+                    "last_doc_id": ids_all[b_end - 1].astype(np.int64),
+                    "count": (b_end - b_start).astype(np.int32),
+                    "doc_ids": doc_ids,
+                    "pos_counts": pos_counts,
+                    "positions": positions,
+                    "doclens": doclens,
+                }
+            ).astype(
                 {
                     "term_bucket": "int32",
                     "first_doc_id": "int64",
@@ -728,6 +822,13 @@ def build_index(
         # row-group min/max stats on a sorted doc_id column let an
         # isin(ids) lookup skip everything else — without this layout a
         # 10-row join-back would stream the whole docs table.
+        # Corpus stats ride the docs write as an Observation: the
+        # aggregates accumulate inside the write job itself, so the
+        # stats stage below needs no second scan over the docs table
+        # (a fixed serial job that capped measured N->4N scaling).
+        from pyspark.sql import Observation
+
+        obs = Observation("corpus_stats")
         (
             spark.read.parquet(paths.tokens_stage)
             .select(
@@ -740,13 +841,34 @@ def build_index(
                 "warc_ts",
                 "doclen",
             )
-            .repartitionByRange(P, "doc_id")
+            # doc_id is monotonically_increasing_id over the url-hash
+            # partitioning: partition p's ids live in [p<<33, (p+1)<<33),
+            # so the stage-table files are ALREADY disjoint doc_id
+            # ranges — sorting within read partitions yields narrow,
+            # monotone per-file [min,max] spans for the query engine's
+            # isin(ids) row-group skipping without re-shuffling the
+            # whole table through a range sampler (one full extra
+            # shuffle + sampling job, measured ~15% of the docs stage).
             .sortWithinPartitions("doc_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doclen").alias("avgdl"),
+                F.sum("doclen").alias("total_tokens"),
+            )
             .write.mode("overwrite")
             .parquet(paths.docs)
         )
-        n_docs_written = parquet_rowcount(paths.docs)
+        got = obs.get
+        n_docs_written = int(got["n_docs"])
+        observed_corpus = (
+            n_docs_written,
+            float(got["avgdl"]) if got["avgdl"] is not None else 0.0,
+            int(got["total_tokens"]) if got["total_tokens"] is not None else 0,
+        )
         man.mark_done("docs", 0, n_docs_written, int((time.time() - t0) * 1000))
+    else:
+        observed_corpus = None
 
     # ---- stage: tf ---------------------------------------------------------
     if not (resume and man.done_keys("tf")):
@@ -799,17 +921,25 @@ def build_index(
 
     if not (resume and man.done_keys("stats")):
         t0 = time.time()
-        docs = spark.read.parquet(paths.docs)
-        row = docs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg("doclen").alias("avgdl"),
-            F.sum("doclen").alias("total_tokens"),
-        ).collect()[0]
-        n_docs = int(row["n_docs"])
-        # empty corpus: avg/sum aggregate to NULL; a 0-doc index is
-        # valid (queries return empty) rather than a build crash
-        avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
-        total_tokens = int(row["total_tokens"]) if row["total_tokens"] is not None else 0
+        if observed_corpus is not None:
+            # corpus aggregates observed during the docs write — no
+            # second scan
+            n_docs, avgdl, total_tokens = observed_corpus
+        else:
+            # resumed build whose docs stage ran in a previous process:
+            # one agg scan over the docs table
+            row = spark.read.parquet(paths.docs).agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.avg("doclen").alias("avgdl"),
+                F.sum("doclen").alias("total_tokens"),
+            ).collect()[0]
+            n_docs = int(row["n_docs"])
+            # empty corpus: avg/sum aggregate to NULL; a 0-doc index is
+            # valid (queries return empty) rather than a build crash
+            avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+            total_tokens = (
+                int(row["total_tokens"]) if row["total_tokens"] is not None else 0
+            )
         write_corpus_stats(paths.corpus_stats, n_docs, avgdl, total_tokens)
 
         tf = spark.read.parquet(paths.tf_stage)
@@ -862,7 +992,8 @@ def build_index(
 
     # ---- stage: posting blocks (bucket groups = resume unit) ---------------
     done_groups = man.done_keys("blocks") if resume else set()
-    corpus = spark.read.parquet(paths.corpus_stats).collect()[0]
+    # 1-row metadata table: pyarrow on the driver, not a Spark job
+    corpus = read_parquet_table(paths.corpus_stats).to_pylist()[0]
     n_docs, avgdl = int(corpus["n_docs"]), float(corpus["avgdl"])
 
     tf = spark.read.parquet(paths.tf_stage)
@@ -924,10 +1055,11 @@ def build_index(
                 _pack_blocks(block_size, num_buckets), schema=schemas.POSTINGS
             )
         )
-        (
-            blocks.write.mode("append")
+        _with_pack_batch(
+            spark,
+            lambda: blocks.write.mode("append")
             .partitionBy("term_bucket")
-            .parquet(paths.postings)
+            .parquet(paths.postings),
         )
         man.mark_done("blocks", g, -1, int((time.time() - t0) * 1000))
 
@@ -987,10 +1119,11 @@ def build_index(
                     _pack_pos_blocks(block_size), schema=schemas.POS_POSTINGS
                 )
             )
-            (
-                pblocks.write.mode("append")
+            _with_pack_batch(
+                spark,
+                lambda: pblocks.write.mode("append")
                 .partitionBy("term_bucket")
-                .parquet(paths.pos_postings)
+                .parquet(paths.pos_postings),
             )
             man.mark_done("pos_blocks", g, -1, int((time.time() - t0) * 1000))
 

@@ -19,19 +19,39 @@ _SHIFTS = (np.arange(10, dtype=np.uint64) * np.uint64(7))
 _THRESHOLDS = (np.uint64(1) << (_SHIFTS[1:]))  # 2^7, 2^14, ... 2^63
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a 1-D array of non-negative ints."""
+def varint_encode_with_nbytes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a 1-D array, also returning each value's encoded
+    byte length.  Block packers varint ONE concatenated stream and
+    slice per-block payloads out by byte offsets from the lengths.
+
+    Lane-scatter formulation: byte k of every value lands via one
+    fancy-indexed store per lane, with lanes beyond the largest value's
+    width skipped entirely — posting gaps/tfs/doclens are almost all
+    1-2 bytes, so this runs 2-3 O(n) passes instead of materializing
+    an (n, 10) lane matrix (which was measured memory-bound ~5x slower
+    on multi-million-row streams)."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
-    # bytes needed per value: 1 + number of thresholds <= value
-    nbytes = 1 + (a[:, None] >= _THRESHOLDS[None, :]).sum(axis=1)
-    parts = ((a[:, None] >> _SHIFTS[None, :]) & np.uint64(0x7F)).astype(np.uint8)
-    lane = np.arange(10)[None, :]
-    used = lane < nbytes[:, None]
-    cont = lane < (nbytes - 1)[:, None]
-    parts = np.where(cont, parts | 0x80, parts)
-    return parts[used].tobytes()
+        return b"", np.empty(0, dtype=np.int64)
+    # bytes per value = 1 + #thresholds <= value: one binary search
+    # against the 9 width thresholds instead of 9 full compare passes
+    nbytes = 1 + np.searchsorted(_THRESHOLDS, a, side="right")
+    offs = np.cumsum(nbytes) - nbytes  # start offset of each value
+    out = np.empty(int(offs[-1] + nbytes[-1]), dtype=np.uint8)
+    max_nb = int(nbytes.max())
+    for k in range(max_nb):
+        mask = nbytes > k
+        vals = a[mask] if k else a  # lane 0 covers every value
+        idx = (offs[mask] if k else offs) + k
+        byte = ((vals >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nbytes[mask] if k else nbytes) - 1) > k
+        out[idx] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints."""
+    return varint_encode_with_nbytes(values)[0]
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -72,6 +92,28 @@ def delta_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+def segmented_delta_encode_with_nbytes(
+    flat: np.ndarray, counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """segmented_delta_encode that also returns each value's encoded
+    byte length, so block packers can slice per-block payloads out of
+    ONE encoded stream by byte offset (block boundaries always fall on
+    segment heads, which stay absolute, so the slices are identical to
+    encoding each block separately)."""
+    a = np.ascontiguousarray(flat, dtype=np.uint64)
+    c = np.asarray(counts, dtype=np.int64)
+    if a.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(c), dtype=np.int64)
+    np.cumsum(c[:-1], out=starts[1:])
+    starts = starts[c > 0]
+    gaps = np.empty_like(a)
+    gaps[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=gaps[1:])
+    gaps[starts] = a[starts]  # segment heads stay absolute
+    return varint_encode_with_nbytes(gaps)
+
+
 def segmented_delta_encode(flat: np.ndarray, counts: np.ndarray) -> bytes:
     """Gap-encode CONCATENATED sorted segments (each segment's first
     value absolute) then varint the whole stream.
@@ -82,18 +124,7 @@ def segmented_delta_encode(flat: np.ndarray, counts: np.ndarray) -> bytes:
     at decode time.  Vectorized: one subtract over the flat array with
     the segment heads patched back to absolute values.
     """
-    a = np.ascontiguousarray(flat, dtype=np.uint64)
-    c = np.asarray(counts, dtype=np.int64)
-    if a.size == 0:
-        return b""
-    starts = np.zeros(len(c), dtype=np.int64)
-    np.cumsum(c[:-1], out=starts[1:])
-    starts = starts[c > 0]
-    gaps = np.empty_like(a)
-    gaps[0] = a[0]
-    np.subtract(a[1:], a[:-1], out=gaps[1:])
-    gaps[starts] = a[starts]  # segment heads stay absolute
-    return varint_encode(gaps)
+    return segmented_delta_encode_with_nbytes(flat, counts)[0]
 
 
 def segmented_delta_decode(
