@@ -296,11 +296,35 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    **kwargs,
+) -> DataFrame:
+    """Embedding near-duplicate pairs — the name users reach for first,
+    so it routes to the SCALE path by default: method='lsh' (random-
+    hyperplane bucketed candidates + exact cosine confirm, kwargs
+    forwarded to embedding_near_dup_pairs_lsh).  method='exact' is the
+    O(n^2) theta-join baseline (embedding_near_dup_pairs) — correct at
+    any size but quadratic; only for small corpora or recall audits."""
+    if method == "lsh":
+        return embedding_near_dup_pairs_lsh(
+            emb, id_col, vec_col, threshold, **kwargs
+        )
+    if method == "exact":
+        return embedding_near_dup_pairs(emb, id_col, vec_col, threshold)
+    raise ValueError(f"unknown method {method!r}; one of ('lsh', 'exact')")
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:
-    """Exact O(n^2) cosine pairs (baseline; see similarity.lsh for the
-    bucketed scale path).  Pairs (id_a < id_b, cosine >= threshold)."""
+    """Exact O(n^2) cosine pairs (baseline; see embedding_near_dup /
+    embedding_near_dup_pairs_lsh for the bucketed scale path — the
+    default).  Pairs (id_a < id_b, cosine >= threshold)."""
     from search_engine_spark.ops.common import cosine_col
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))

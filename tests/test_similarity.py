@@ -150,6 +150,30 @@ class TestEmbeddingNearDupLSH:
         # table (1-(1-θ/π)^8)≈0.10 -> ~1e-3 over 3 tables
         assert len(lsh) >= 0.97 * len(brute)
 
+    def test_dispatcher_defaults_to_lsh(self, spark, dup_emb):
+        """embedding_near_dup (the obvious name) routes to the LSH
+        scale path by default; 'exact' opts into the O(n^2) baseline;
+        unknown methods refuse loudly."""
+        import pytest
+
+        from search_engine_spark.ops import dedup as D
+
+        via_default = D.embedding_near_dup(
+            dup_emb, "id", "vec", threshold=0.95,
+            dim=DIM, n_planes=8, n_tables=3, seed=7,
+        ).collect()
+        via_lsh = D.embedding_near_dup_pairs_lsh(
+            dup_emb, "id", "vec", threshold=0.95,
+            dim=DIM, n_planes=8, n_tables=3, seed=7,
+        ).collect()
+        assert sorted(map(tuple, via_default)) == sorted(map(tuple, via_lsh))
+        n_exact = D.embedding_near_dup(
+            dup_emb, "id", "vec", threshold=0.95, method="exact"
+        ).count()
+        assert n_exact >= len(via_default)
+        with pytest.raises(ValueError, match="unknown method"):
+            D.embedding_near_dup(dup_emb, "id", "vec", method="ann")
+
     def test_more_tables_monotone(self, spark, dup_emb):
         from search_engine_spark.ops import dedup as D
 
