@@ -1229,52 +1229,120 @@ def _metric_subaggs(nested) -> Optional[Dict]:
 def execute_es_knn(
     idx,
     body: Dict,
-    embeddings: DataFrame,
+    embeddings: Optional[DataFrame] = None,
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     approximate: bool = False,
     join_docs: bool = True,
+    ann=None,
 ) -> DataFrame:
     """The ES kNN search section: {"knn": {"query_vector": [...],
-    "k": n, "filter": [...]}} → cosine top-k over a dense-vector
-    column, restricted to live docs passing the filter.
+    "k": n, "filter": [...], "boost": b}} → cosine top-k over a
+    dense-vector column, restricted to live docs passing the filter.
 
     The index itself stores no vectors (the reference's data model has
     none — ES likewise keeps dense_vector fields alongside the text);
     `embeddings` supplies (id_col, vec_col) aligned with the index's
     doc ids.  Default is the exact brute-force cosine scan (the
     baseline ES's HNSW approximates); `approximate=True` switches to
-    the multi-probe LSH-bucketed scan (ops/similarity), the
-    partition-pruned scale path.  `num_candidates` is accepted and
-    ignored — it tunes HNSW beam width, which has no analogue here.
-    Hybrid knn + query scoring is refused.  Returns (doc_id, score)
-    [+ docs columns], score = cosine, ties doc_id asc."""
-    if body.get("query") is not None:
-        _unsupported("hybrid knn + query scoring")
+    the multi-probe LSH-bucketed scan (ops/similarity).  `ann` takes a
+    persisted ops.ann_index.AnnIndex instead — the SCALE path: train/
+    encode amortized across queries, every search a partition-pruned
+    scan of the stored table.  The live/filter mask is applied DURING
+    the scan for the embeddings paths; for `ann` it is a post-filter
+    over an over-fetched candidate window (4k when any mask applies —
+    the stored table knows nothing of tombstones), so heavily-filtered
+    ann searches can return <k rows, same trade as ES's post_filter.
+    `num_candidates` is accepted and ignored — it tunes HNSW beam
+    width, which has no analogue here.
+
+    Hybrid search: when the body carries BOTH `knn` and `query`, the
+    two candidate sets are combined the way ES documents it — final
+    score = query_score + knn_score * knn.boost over the UNION of the
+    query's top-`size` window and the knn top-k (a doc absent from one
+    side contributes 0 from that side), paged by from/size.  Returns
+    (doc_id, score) [+ docs columns], ties doc_id asc."""
     spec = body["knn"]
     qv = [float(x) for x in spec["query_vector"]]
     k = int(spec.get("k", 10))
+    boost = float(spec.get("boost", 1.0))
+    if boost <= 0:
+        raise ValueError(f"knn boost must be > 0, got {boost}")
     pred = (
         _filter_predicate(_as_list(spec["filter"]))
         if spec.get("filter") is not None
         else None
     )
     allowed = idx._matched_ids(None, predicate=pred)  # live ∩ filter
-    emb = embeddings.select(
-        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
-    ).join(allowed, "doc_id", "left_semi")
 
-    from search_engine_spark.ops.similarity import (
-        brute_force_topk,
-        lsh_bucketed_topk,
-    )
+    if ann is not None:
+        fetch = k if (pred is None and idx.tombstones is None) else 4 * k
+        hits = (
+            ann.search(qv, k=fetch)
+            .withColumnRenamed("id", "doc_id")
+            .withColumnRenamed("cosine", "score")
+            .join(allowed, "doc_id", "left_semi")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    else:
+        if embeddings is None:
+            raise ValueError("execute_es_knn needs `embeddings` or `ann`")
+        emb = embeddings.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("_v")
+        ).join(allowed, "doc_id", "left_semi")
 
-    fn = lsh_bucketed_topk if approximate else brute_force_topk
-    hits = (
-        fn(emb, "doc_id", "_v", qv, k=k)
-        .withColumnRenamed("id", "doc_id")
-        .withColumnRenamed("cosine", "score")
-    )
+        from search_engine_spark.ops.similarity import (
+            brute_force_topk,
+            lsh_bucketed_topk,
+        )
+
+        fn = lsh_bucketed_topk if approximate else brute_force_topk
+        hits = (
+            fn(emb, "doc_id", "_v", qv, k=k)
+            .withColumnRenamed("id", "doc_id")
+            .withColumnRenamed("cosine", "score")
+        )
+    if boost != 1.0:
+        hits = hits.withColumn("score", F.col("score") * F.lit(boost))
+
+    if body.get("query") is not None:
+        # ES hybrid: each side ranks independently; scores sum over the
+        # union (knn boost already applied above; the query side's
+        # boosts live inside its own clauses)
+        frm = int(body.get("from", 0))
+        size = int(body.get("size", 10))
+        qbody = {kk: vv for kk, vv in body.items() if kk != "knn"}
+        qbody["from"] = 0
+        qbody["size"] = frm + size
+        qhits = execute_es_query(idx, qbody, join_docs=False)
+        combined = (
+            qhits.select("doc_id", F.col("score").alias("_qs"))
+            .join(
+                hits.select("doc_id", F.col("score").alias("_ks")),
+                "doc_id",
+                "full_outer",
+            )
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("_qs"), F.lit(0.0))
+                    + F.coalesce(F.col("_ks"), F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(frm + size)
+        )
+        if frm:
+            w = F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+            combined = (
+                combined.withColumn("_rn", w)
+                .filter(F.col("_rn") > frm)
+                .drop("_rn")
+            )
+        return idx._join_docs(combined) if join_docs else combined
     return idx._join_docs(hits) if join_docs else hits
 
 

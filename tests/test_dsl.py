@@ -1651,7 +1651,7 @@ class TestKnnSection:
         )[:5]
         assert [(r["doc_id"], r["score"]) for r in got] == want
 
-    def test_filtered_and_hybrid_refused(self, spark, idx):
+    def test_filtered(self, spark, idx):
         from search_engine_spark.query.dsl import execute_es_knn
 
         _, emb = self._emb(spark, idx)
@@ -1665,13 +1665,111 @@ class TestKnnSection:
         assert got and all(
             r["url"].startswith("https://example.com/") for r in got
         )
-        with pytest.raises(NotImplementedError):
+
+    def test_hybrid_sums_boosted_scores(self, spark, idx):
+        """Hybrid knn + query: final score = query_score + knn_score *
+        knn.boost over the union of the two top windows (ES hybrid
+        search semantics), paged by from/size."""
+        from search_engine_spark.query.dsl import execute_es_knn, execute_es_query
+
+        _, emb = self._emb(spark, idx)
+        q = [1.0, 0.5, -0.25, 0.0, 2.0, -1.0, 0.75, 0.1]
+        size, boost = 8, 2.5
+        body = {
+            "query": {"match": {"content": "python programming"}},
+            "knn": {"query_vector": q, "k": 5, "boost": boost},
+            "size": size,
+        }
+        got = [
+            (r["doc_id"], r["score"])
+            for r in execute_es_knn(idx, body, emb, join_docs=False).collect()
+        ]
+        qside = {
+            r["doc_id"]: r["score"]
+            for r in execute_es_query(
+                idx,
+                {"query": body["query"], "size": size},
+                join_docs=False,
+            ).collect()
+        }
+        kside = {
+            r["doc_id"]: r["score"] * boost
+            for r in execute_es_knn(
+                idx, {"knn": {"query_vector": q, "k": 5}}, emb,
+                join_docs=False,
+            ).collect()
+        }
+        union = {d: qside.get(d, 0.0) + kside.get(d, 0.0)
+                 for d in set(qside) | set(kside)}
+        want = sorted(union.items(), key=lambda x: (-x[1], x[0]))[:size]
+        assert [(d, round(s, 9)) for d, s in got] == [
+            (d, round(s, 9)) for d, s in want
+        ]
+        # from= pages through the SAME combined order
+        page2 = [
+            (r["doc_id"], r["score"])
+            for r in execute_es_knn(
+                idx, {**body, "from": 3, "size": 3}, emb, join_docs=False
+            ).collect()
+        ]
+        want2 = sorted(union.items(), key=lambda x: (-x[1], x[0]))[3:6]
+        assert [d for d, _ in page2] == [d for d, _ in want2]
+
+    def test_persisted_ann_path_matches_brute(self, spark, idx, tmp_path):
+        """ann= serves the knn section from the persisted IVF index;
+        with nprobe == n_cells coverage is exhaustive so the top-k is
+        identical to the brute-force scan."""
+        from search_engine_spark.ops.ann_index import ann_build, ann_load
+        from search_engine_spark.query.dsl import execute_es_knn
+
+        _, emb = self._emb(spark, idx)
+        d = str(tmp_path / "annidx")
+        ann_build(emb, "doc_id", "embedding", d, kind="ivf", n_cells=4)
+        ann = ann_load(spark, d)
+        q = [1.0, 0.5, -0.25, 0.0, 2.0, -1.0, 0.75, 0.1]
+        body = {"knn": {"query_vector": q, "k": 5}}
+        brute = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in execute_es_knn(idx, body, emb, join_docs=False).collect()
+        ]
+        via_ann = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in execute_es_knn(
+                idx, body, ann=ann, join_docs=False
+            ).collect()
+        ]
+        # exhaustive probe: search() caps nprobe at n_cells
+        import search_engine_spark.query.dsl as dslmod
+
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in dslmod.execute_es_knn(
+                idx,
+                body,
+                ann=type(
+                    "W", (), {"search": lambda self, qv, k: ann.search(qv, k, nprobe=4)}
+                )(),
+                join_docs=False,
+            ).collect()
+        ]
+        assert got == brute
+        assert set(d for d, _ in via_ann) <= set(d for d, _ in brute) | set(
+            d for d, _ in via_ann
+        )  # ann with default nprobe is approximate but well-formed
+        assert len(via_ann) == 5
+
+    def test_knn_bad_boost_refused(self, spark, idx):
+        from search_engine_spark.query.dsl import execute_es_knn
+
+        _, emb = self._emb(spark, idx)
+        with pytest.raises(ValueError, match="boost"):
             execute_es_knn(
                 idx,
-                {"query": {"match": {"content": "x"}},
-                 "knn": {"query_vector": q, "k": 5}},
+                {"knn": {"query_vector": [0.1] * 8, "k": 5, "boost": 0}},
                 emb,
             )
+        with pytest.raises(ValueError, match="embeddings"):
+            execute_es_knn(idx, {"knn": {"query_vector": [0.1] * 8, "k": 5}})
 
 
 class TestPipelineAggLowering:
