@@ -10,10 +10,34 @@ Reference semantics (backend/crawler_service/crawler.py:333-361):
 
 The reference uses BeautifulSoup(html, 'html.parser'); bs4 is not a
 dependency here, so we implement the same extraction on the stdlib
-html.parser.HTMLParser event stream.  THE INVARIANT the engine must hold
-(BASELINE.json input_hint): the distributed Arrow UDF output is
-byte-identical per url to this function's output — both sides call
-`extract_content`, and tests assert equality across the Spark boundary.
+html.parser.HTMLParser event stream.  Crucially, bs4's html.parser
+backend uses THIS SAME tokenizer — the only behavior bs4 adds is tree
+building, and the parts that matter here are small and public:
+
+  * an end tag ``</x>`` pops the open-element stack down TO AND
+    INCLUDING the nearest open ``x`` (``BeautifulSoup._popToTag``); an
+    end tag with no matching open element is ignored.  So in
+    ``<div><nav>a</div>b``, ``</div>`` closes the nav too and ``b`` is
+    OUTSIDE the removed subtree (kept).
+  * void elements (br/meta/img/...) never hold children.
+  * decompose happens on the finished tree, so "first <title>" /
+    "first matching <meta>" means first in post-decompose document
+    order — a match inside a removed subtree does not count.
+  * ``soup.find('body')`` / the no-body whole-doc fallback: the
+    fallback text includes head/title text (everything in the tree).
+  * ``get_text(strip=True)`` strips each string and joins the
+    non-empty ones with the separator ('' for title, ' ' for text);
+    comments/declarations/CDATA are not strings (bs4>=4.9) and are
+    excluded.
+
+These semantics are pinned by a differential test against an
+independent mini-DOM oracle (tests/bs4_oracle.py) over an adversarial
+fixture battery + property fuzzing (tests/test_extract_differential.py).
+
+THE INVARIANT the engine must hold (BASELINE.json input_hint): the
+distributed Arrow UDF output is byte-identical per url to this
+function's output — both sides call `extract_content`, and tests assert
+equality across the Spark boundary.
 
 Pure stdlib, deterministic, safe to ship to executors.
 """
@@ -47,62 +71,83 @@ class Extracted(NamedTuple):
 
 
 class _Extractor(HTMLParser):
+    """Single-pass event-stream equivalent of the bs4 pipeline.
+
+    The open-element stack mirrors bs4's tree ancestry: because an
+    element's ancestor chain is fixed at creation time (pops only ever
+    shrink the stack), "is this text inside the removed/title/body
+    subtree of the FINAL tree" is decidable online from the stack state
+    at the moment the data event fires.
+    """
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.removed_depth = 0
-        self.in_title = False
-        self.title_parts: list[str] = []
+        self.stack: list[str] = []  # open non-void elements
+        self.removed_open = 0  # open _REMOVED_TAGS elements in stack
+        self.title_idx = -1  # stack idx of the designated <title>, -1 = not open
         self.title_done = False
-        self.description = ""
-        self.desc_done = False
+        self.title_parts: list[str] = []
+        self.body_idx = -1
+        self.body_done = False
         self.saw_body = False
-        self.in_body = 0
         self.body_parts: list[str] = []
         self.all_parts: list[str] = []
+        self.description = ""
+        self.desc_done = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _VOID:
-            if tag == "meta" and not self.desc_done:
+            # decompose-first: a meta inside a removed subtree never counts.
+            # The FIRST meta[name=description] is designated even when it
+            # has no content attr (soup.find returns it; the reference
+            # then leaves description empty rather than trying the next).
+            if tag == "meta" and not self.desc_done and not self.removed_open:
                 d = dict(attrs)
-                if d.get("name") == "description" and d.get("content"):
-                    self.description = d["content"].strip()
+                if d.get("name") == "description":
                     self.desc_done = True
+                    if d.get("content"):
+                        self.description = d["content"].strip()
             return
         if tag in _REMOVED_TAGS:
-            self.removed_depth += 1
-            return
-        if self.removed_depth:
-            return
-        if tag == "title" and not self.title_done:
-            self.in_title = True
-        elif tag == "body":
-            self.saw_body = True
-            self.in_body += 1
+            self.removed_open += 1
+        elif not self.removed_open:
+            if tag == "title" and not self.title_done and self.title_idx < 0:
+                self.title_idx = len(self.stack)
+            elif tag == "body" and not self.body_done and self.body_idx < 0:
+                self.body_idx = len(self.stack)
+                self.saw_body = True
+        self.stack.append(tag)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID:
             return
-        if tag in _REMOVED_TAGS:
-            if self.removed_depth:
-                self.removed_depth -= 1
-            return
-        if tag == "title" and self.in_title:
-            self.in_title = False
-            self.title_done = True
-        elif tag == "body" and self.in_body:
-            self.in_body -= 1
+        # bs4 _popToTag: pop to and including the nearest open `tag`;
+        # ignore the end tag if nothing matches.
+        stack = self.stack
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] == tag:
+                for name in stack[i:]:
+                    if name in _REMOVED_TAGS:
+                        self.removed_open -= 1
+                if self.title_idx >= i:
+                    self.title_idx = -1
+                    self.title_done = True
+                if self.body_idx >= i:
+                    self.body_idx = -1
+                    self.body_done = True
+                del stack[i:]
+                return
 
     def handle_data(self, data: str) -> None:
-        if self.removed_depth:
-            return
-        if self.in_title:
-            self.title_parts.append(data)
+        if self.removed_open:
             return
         stripped = data.strip()
         if not stripped:
             return
+        if self.title_idx >= 0:
+            self.title_parts.append(stripped)
         self.all_parts.append(stripped)
-        if self.in_body:
+        if self.body_idx >= 0:
             self.body_parts.append(stripped)
 
 
@@ -110,7 +155,9 @@ def extract_content(html: str) -> Extracted:
     """Extract (title, description, text) from an HTML string.
 
     Mirrors crawler.py:333-361: removed subtrees, title/meta capture,
-    body get_text(separator=' ', strip=True), \\s+ collapse, [:50000].
+    title get_text(strip=True) (separator '', per-string strip), body
+    get_text(separator=' ', strip=True), \\s+ collapse, [:50000];
+    whole-document fallback (head text included) when no <body> exists.
     """
     p = _Extractor()
     try:
@@ -119,7 +166,7 @@ def extract_content(html: str) -> Extracted:
     except Exception:
         pass  # malformed markup: keep whatever was parsed (bs4 is lenient too)
 
-    title = _WS.sub(" ", " ".join(p.title_parts)).strip()
+    title = "".join(p.title_parts)
     parts = p.body_parts if p.saw_body else p.all_parts
     text = _WS.sub(" ", " ".join(parts)).strip()
     return Extracted(title, p.description, text[:MAX_TEXT_CHARS])
