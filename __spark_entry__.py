@@ -2589,6 +2589,59 @@ LEFT JOIN stats s USING (doc_id)
 LEFT JOIN keep k USING (doc_id)"""
 
 
+SUBSTR_K = 8  # span length in words (Lee et al. 2021 use 50 BPE tokens)
+
+
+def _q_substring_dedup(spark, sf_dir):
+    return D.substring_dedup(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", k=SUBSTR_K
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _substr_gram_sql(k: int) -> str:
+    return " || ' ' || ".join(f"ws[i + {j}]" for j in range(k))
+
+
+_SQL_SUBSTRING_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                t -> length(t) > 0) AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - {SUBSTR_K - 2})) AS i
+  FROM w WHERE len(ws) >= {SUBSTR_K}),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+    CAST('0x' || substr(md5({_substr_gram_sql(SUBSTR_K)}), 1, 15) AS BIGINT)
+      AS h
+  FROM sh),
+rn AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM occ),
+didx AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(range(pos, pos + {SUBSTR_K})) AS t
+    FROM rn WHERE rn > 1)),
+agg AS (SELECT doc_id, count(*) AS nd FROM didx GROUP BY doc_id),
+wi AS (
+  SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS idx FROM w),
+kept AS (
+  SELECT wi.doc_id, string_agg(word, ' ' ORDER BY idx) AS ct
+  FROM wi LEFT JOIN didx ON wi.doc_id = didx.doc_id AND wi.idx = didx.t
+  WHERE didx.t IS NULL GROUP BY wi.doc_id)
+SELECT d.doc_id,
+  len(w.ws)::BIGINT AS n_tokens,
+  coalesce(agg.nd, 0)::BIGINT AS n_dup_tokens,
+  round(coalesce(agg.nd, 0) / greatest(len(w.ws), 1), 6) AS dup_ratio,
+  coalesce(kept.ct, '') AS clean_text
+FROM documents d
+JOIN w USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+LEFT JOIN kept USING (doc_id)"""
+
+
 # ---- benchmark decontamination (training-data op) -------------------------
 
 DECONTAM_N = 8  # leaked-window length (GPT-3 §C uses 13; same family)
@@ -5115,6 +5168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered the search-core 50, now rotated to the back).  LLM-pipeline
         # ops lead per VERDICT.md "Next round" item 1.
         "line_dedup": _q_line_dedup,
+        "substring_dedup": _q_substring_dedup,
         "minhash_signature": _q_minhash_sig,
         "dedup_components": _q_dedup_components,
         "gopher_rules": _q_gopher_rules,
@@ -5241,6 +5295,7 @@ def oracle_sql() -> dict[str, str]:
         # covered the search-core 50, now rotated to the back).  LLM-pipeline
         # ops lead per VERDICT.md "Next round" item 1.
         "line_dedup": _SQL_LINE_DEDUP,
+        "substring_dedup": _SQL_SUBSTRING_DEDUP,
         "minhash_signature": _SQL_MINHASH,
         "dedup_components": _sql_dedup_components(),
         "gopher_rules": _SQL_GOPHER,

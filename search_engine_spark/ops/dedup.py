@@ -3,7 +3,9 @@
 All operators are pure DataFrame transforms designed for 100 TB inputs:
 exact dedup is one hash-groupBy; MinHash/LSH turns the O(n^2) near-dup
 problem into a band-bucket equi-join (shuffle on band hash, candidate
-pairs only); SimHash gives a single 48-bit fingerprint per doc.  No
+pairs only); SimHash gives a single 48-bit fingerprint per doc; line-
+and substring-level dedup pick first-occurrence owners with map-side
+combinable groupBy(min) instead of skewed window sorts.  No
 Python in the row path — every hash is built from md5/conv column
 expressions so the DuckDB oracle can reproduce values bit-exactly.
 """
@@ -460,5 +462,92 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact substring (span-level) deduplication — the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" move, at
+    word k-gram granularity: any k-word span whose exact text occurs
+    earlier in the corpus (ordered by id, then span position; ties
+    impossible — (id, pos) is unique) is removed from the LATER
+    document, with overlapping duplicate spans merged.  Unlike
+    line_dedup this catches boilerplate that ignores line boundaries
+    (inlined disclaimers, templated sentences mid-paragraph) and
+    within-document repetition (a doc repeating its own k-gram loses
+    the later copies).
+
+    Words are whitespace-split surface forms (case-sensitive, no
+    stemming — span dedup must reconstruct readable text); the output
+    `clean_text` is therefore whitespace-normalized (single spaces).
+
+    Returns one row per input doc:
+      (id, n_tokens, n_dup_tokens, dup_ratio, clean_text)
+
+    Physical plan, sized for 100 TB: spans explode to (id, pos,
+    md5-60bit(gram)) — k-gram hashing, the paper's suffix-array
+    equivalence class replaced by the hash-grouping it recommends at
+    distributed scale; the canonical owner per gram is ONE
+    groupBy(h).agg(min(struct(id, pos))) with map-side partial
+    aggregation, so a gram occurring 100M times (hot boilerplate)
+    reaches its reducer pre-collapsed instead of feeding a skewed
+    window sort; occurrences join back on h (AQE skew-join handles the
+    residual hot keys), duplicate spans expand to covered token
+    indices, and one groupBy(id) rebuilds the text row-locally.  No
+    driver collect, no all-pairs, no Python in the row path."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda w: F.length(w) > 0,
+        ).alias("ws"),
+    )
+    n = F.size("ws")
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at("ws", i + j + 1) for j in range(k)],
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    occ = grams.select("id", "pos", md5int_col(F.col("gram")).alias("h"))
+    owners = occ.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("first"))
+    dup_idx = (
+        occ.join(owners, "h")
+        .filter(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("t"))
+        .groupBy("id")
+        .agg(F.collect_set("t").alias("dup"))
+    )
+    return (
+        base.join(dup_idx, "id", "left")
+        .withColumn("dup", F.coalesce("dup", F.array().cast("array<int>")))
+        .select(
+            "id",
+            n.cast("long").alias("n_tokens"),
+            F.size("dup").cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.size("dup") / F.greatest(n, F.lit(1)), 6
+            ).alias("dup_ratio"),
+            F.array_join(
+                F.filter(
+                    "ws", lambda w, i: ~F.array_contains(F.col("dup"), i)
+                ),
+                " ",
+            ).alias("clean_text"),
         )
     )

@@ -118,3 +118,87 @@ class TestLineDedup:
         assert "Cookie banner text" in want[1][2]
         # within-doc repeats collapse too
         assert want[5][2].count("repeated inside") == 1
+
+
+class TestSubstringDedup:
+    """Span-level exact dedup (Lee et al. 2021 at word k-grams) vs a
+    brute-force Python oracle: first occurrence (by id, then position)
+    owns each k-gram; later occurrences — cross-doc AND within-doc —
+    lose their covered tokens, overlaps merged."""
+
+    ROWS = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # shares words 0..7 with doc 1, then diverges
+        (2, "alpha beta gamma delta epsilon zeta eta theta NEW tail"),
+        # overlapping duplicate spans (words 0..8 shared with doc 1)
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota other"),
+        # within-doc repetition of its own 8-gram
+        (4, "p q r s t u v w p q r s t u v w"),
+        (5, "too short for any span"),
+        (6, ""),
+    ]
+    K = 8
+
+    @staticmethod
+    def _oracle(rows, k):
+        seen = {}
+        occs = []  # (id, pos, gram) in (id, pos) order
+        for i, t in sorted(rows):
+            ws = t.split()
+            for p in range(max(0, len(ws) - k + 1)):
+                occs.append((i, p, " ".join(ws[p:p + k])))
+        dup = {}
+        for i, p, g in occs:  # already (id, pos)-sorted
+            if g in seen:
+                dup.setdefault(i, set()).update(range(p, p + k))
+            else:
+                seen[g] = (i, p)
+        out = {}
+        for i, t in rows:
+            ws = t.split()
+            d = dup.get(i, set())
+            kept = [w for j, w in enumerate(ws) if j not in d]
+            ratio = round(len(d) / max(len(ws), 1), 6)
+            out[i] = (len(ws), len(d), ratio, " ".join(kept))
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            r["id"]: (
+                r["n_tokens"], r["n_dup_tokens"], r["dup_ratio"],
+                r["clean_text"],
+            )
+            for r in D.substring_dedup(df, "doc_id", "text", k=self.K)
+            .collect()
+        }
+        want = self._oracle(self.ROWS, self.K)
+        assert got == want
+        # the scenario assertions the fixture encodes
+        assert want[1][1] == 0                      # owner keeps all
+        assert want[2][1] == 8                      # one span removed
+        assert want[2][3] == "NEW tail"
+        assert want[3][1] == 9                      # two overlapping spans merge
+        assert want[3][3] == "other"
+        assert want[4][1] == 8                      # within-doc repeat
+        assert want[4][3] == "p q r s t u v w"
+        assert want[5][1] == 0 and want[6] == (0, 0, 0.0, "")
+
+    def test_corpus_fuzz_vs_oracle(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{j}" for j in range(12)]  # tiny vocab -> many collisions
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["id"]: (
+                r["n_tokens"], r["n_dup_tokens"], r["dup_ratio"],
+                r["clean_text"],
+            )
+            for r in D.substring_dedup(df, "doc_id", "text", k=4).collect()
+        }
+        assert got == self._oracle(rows, 4)
