@@ -2919,6 +2919,40 @@ SELECT media_id, kind,
 FROM m"""
 
 
+def _q_media_dedup(spark, sf_dir):
+    """Exact payload dedup with synthesized duplicates: every 7th media
+    row reappears under a shifted id (the same bytes fetched twice),
+    so clusters of size 2 genuinely exist and keeper selection is
+    exercised, not vacuous."""
+    from search_engine_spark.ops import multimodal as M
+
+    media = M.synth_media_from_documents(_read(spark, sf_dir, "documents"))
+    dupes = media.filter(F.col("media_id") % 7 == 0).withColumn(
+        "media_id", F.col("media_id") + 1_000_000
+    )
+    return M.media_exact_dedup(media.unionByName(dupes))
+
+
+_SQL_MEDIA_DEDUP = """
+WITH m0 AS (
+  SELECT doc_id AS media_id,
+         (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS kind,
+         text
+  FROM documents),
+m AS (
+  SELECT * FROM m0
+  UNION ALL
+  SELECT media_id + 1000000, kind, text FROM m0 WHERE media_id % 7 = 0),
+h AS (SELECT media_id, kind, md5(text) AS content_hash FROM m),
+c AS (
+  SELECT kind, content_hash, min(media_id) AS k, count(*) AS cs
+  FROM h GROUP BY kind, content_hash)
+SELECT media_id, kind, content_hash,
+  cs::BIGINT AS cluster_size,
+  media_id = k AS is_keeper
+FROM h JOIN c USING (kind, content_hash)"""
+
+
 def _q_frame_sample(spark, sf_dir):
     from search_engine_spark.ops import multimodal as M
 
@@ -5182,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "media_meta": _q_media_meta,
+        "media_exact_dedup": _q_media_dedup,
         "frame_sample": _q_frame_sample,
         "detect_language": _q_detect_language,
         "rrf_hybrid_topk": _q_rrf_topk,
@@ -5309,6 +5344,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _sql_lsh_ann(),
         "ivf_ann_topk": _sql_ivf_ann(),
         "media_meta": _SQL_MEDIA_META,
+        "media_exact_dedup": _SQL_MEDIA_DEDUP,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "detect_language": _sql_detect_language(),
         "rrf_hybrid_topk": _SQL_RRF,

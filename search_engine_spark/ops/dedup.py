@@ -497,7 +497,11 @@ def substring_dedup(
     window sort; occurrences join back on h (AQE skew-join handles the
     residual hot keys), duplicate spans expand to covered token
     indices, and one groupBy(id) rebuilds the text row-locally.  No
-    driver collect, no all-pairs, no Python in the row path."""
+    driver collect, no all-pairs, no Python in the row path.  The gram
+    subtree (tokenize+hash, map-only) is deliberately evaluated twice —
+    once for the owners aggregate, once as the join probe — because
+    persisting an occurrences table k x the corpus token count costs
+    more at 100 TB than recomputing a codegen'd projection."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.filter(

@@ -134,6 +134,40 @@ def sample_frames(meta: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact dedup of media payloads by (kind, content_hash) — the
+    multimodal counterpart of text exact_dedup: identical bytes (same
+    image/audio payload fetched from many pages) collapse to one keeper
+    (min media_id) per cluster.
+
+    Output: (media_id, kind, content_hash, cluster_size, is_keeper) —
+    one row per INPUT row, so callers can either filter is_keeper for
+    the deduped table or keep the full mapping for provenance.
+
+    Scale shape: hashes are one codegen'd pass over the payload (the
+    16-byte digest shuffles, never the payload); clusters are ONE
+    map-side-combinable groupBy; the join back is an equi-join on the
+    digest (AQE handles a viral payload's hot key).  Same
+    groupBy(min)+join pattern as line_dedup, for the same skew reason."""
+    h = F.md5(F.coalesce(F.col("payload"), F.lit(b"")))
+    hashed = media.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        h.alias("content_hash"),
+    )
+    clusters = hashed.groupBy("kind", "content_hash").agg(
+        F.min("media_id").alias("_keeper"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return hashed.join(clusters, ["kind", "content_hash"]).select(
+        "media_id",
+        "kind",
+        "content_hash",
+        "cluster_size",
+        (F.col("media_id") == F.col("_keeper")).alias("is_keeper"),
+    )
+
+
 def synth_media_from_documents(docs: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text") -> DataFrame:
     """Deterministic media table over the documents corpus: payload =

@@ -78,3 +78,36 @@ def test_synth_media_matches_text_bytes(spark):
         "héllo ünïcode".encode()
     ).hexdigest()
     assert rows[8]["n_bytes"] == len("héllo ünïcode".encode())
+
+
+class TestMediaExactDedup:
+    def test_keeper_and_clusters(self, spark):
+        from search_engine_spark.ops.multimodal import media_exact_dedup
+
+        rows = [
+            (1, "image", b"\x89PNG-payload-A", None),
+            (2, "image", b"\x89PNG-payload-A", None),   # dup of 1
+            (7, "image", b"\x89PNG-payload-A", None),   # dup of 1
+            (3, "image", b"\x89PNG-payload-B", None),
+            # same bytes, DIFFERENT kind: separate cluster by design
+            (4, "audio", b"\x89PNG-payload-A", None),
+            (5, "video", None, None),                   # null payload
+            (6, "video", b"", None),                    # empty payload
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary, source_url string"
+        )
+        got = {
+            r["media_id"]: (r["cluster_size"], r["is_keeper"])
+            for r in media_exact_dedup(df).collect()
+        }
+        assert got[1] == (3, True)
+        assert got[2] == (3, False) and got[7] == (3, False)
+        assert got[3] == (1, True)
+        assert got[4] == (1, True)
+        # null and empty payload hash identically (coalesce to b"") and
+        # share a kind -> one cluster, min id keeps
+        assert got[5] == (2, True) and got[6] == (2, False)
+        # exactly one keeper per (kind, hash) cluster
+        kept = sum(1 for cs, k in got.values() if k)
+        assert kept == 4
