@@ -320,7 +320,7 @@ def main() -> None:
 
     ops = ["bm25_topk", "multifield_bm25_topk", "batch_bm25_topk",
            "phrase_bm25_topk", "phrase_slop_topk", "prefix_bm25_topk",
-           "minhash_signature", "simhash48",
+           "minhash_signature", "simhash48", "substring_dedup",
            "embedding_cosine_topk", "ivf_ann_topk", "pricing_summary",
            "window_rank_orders"]
     qmap = entrymod.queries()
