@@ -63,3 +63,25 @@ def test_null_text_pages_are_tolerated(spark, tmp_path):
     assert idx.n_docs == 3
     got = idx.search("quick fox", k=5).collect()
     assert len(got) == 1 and got[0]["url"] == "https://a.example/1"
+
+
+def test_dedup_ops_on_empty_and_degenerate_input(spark):
+    """substring/media dedup over empty and all-null inputs: no rows,
+    no crashes (posexplode of an empty gram array must not drop the
+    whole pipeline into an error path)."""
+    from search_engine_spark.ops.dedup import substring_dedup
+    from search_engine_spark.ops.multimodal import media_exact_dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_dedup(empty, "doc_id", "text").count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in substring_dedup(nulls, "doc_id", "text").collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["clean_text"] == ""
+
+    no_media = spark.createDataFrame(
+        [], "media_id long, kind string, payload binary, source_url string"
+    )
+    assert media_exact_dedup(no_media).count() == 0
