@@ -435,3 +435,42 @@ def test_media_meta_plan_has_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "*(" in plan  # whole-stage codegen star on the projection
+
+
+def test_substring_dedup_partial_min_no_python_no_cartesian(spark):
+    """Span dedup's owner election must do map-side partial aggregation
+    (partial_min over the gram hash) — the skew story for hot
+    boilerplate grams — and stay fully native: no Python nodes, no
+    cartesian/broadcast-NL join anywhere."""
+    from search_engine_spark.ops.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated boilerplate text block number {i % 5} "
+             "with enough words to form spans") for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = explain_str(substring_dedup(docs, "doc_id", "text"), "formatted")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_media_dedup_shuffles_digest_not_payload(spark):
+    """media_exact_dedup's exchanges must carry only (id, kind, 16-byte
+    digest) columns — the binary payload never shuffles."""
+    from search_engine_spark.ops import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    media = M.synth_media_from_documents(docs)
+    plan = explain_str(M.media_exact_dedup(media), "formatted")
+    # every Exchange block's input schema mentions content_hash/kind/id
+    # only; the payload column must be projected away before any shuffle
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        assert "payload" not in m.group(1), m.group(1)
+    assert "partial_min" in plan or "partial_count" in plan
