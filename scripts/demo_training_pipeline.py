@@ -9,6 +9,9 @@ end-to-end the way a 100 TB pretraining-data build would run:
       corpus itself)
     → exact dedup (hash-groupBy) → near dedup (MinHash-LSH →
       connected components → one survivor per cluster)
+    → span-level exact substring dedup (Lee et al. 2021 word-8-grams:
+      a templated disclaimer pasted into 1/3 of the docs survives in
+      exactly one)
     → deterministic hash-based train/val/test split (RNG-free,
       re-runnable, subset-nested)
     → per-stage survivor counts + split sizes as ONE JSON line.
@@ -176,9 +179,41 @@ def main() -> None:
             "near-duplicate families kept multiple members"
         )
 
-        # 4) deterministic split — RNG-free, stable across reruns
+        # 4) span-level exact substring dedup (Lee et al. 2021 shape):
+        # paste a templated 14-word disclaimer into ~1/3 of the
+        # surviving docs — whole-doc and near dedup CANNOT catch a span
+        # inside otherwise-distinct pages; substring_dedup must leave
+        # it in exactly ONE document corpus-wide
+        from search_engine_spark.ops.dedup import substring_dedup
+
+        disclaimer = ("all rights reserved this content may not be "
+                      "reproduced in any form without permission")
+        hit = F.pmod(F.xxhash64("url"), F.lit(3)) == 0
+        polluted = docs_n.withColumn(
+            "text",
+            F.when(hit, F.concat("text", F.lit(" " + disclaimer)))
+            .otherwise(F.col("text")),
+        )
+        n_injected = polluted.filter(
+            F.col("text").contains(disclaimer)
+        ).count()
+        assert n_injected > 1, "span pollution did not happen"
+        sdd = substring_dedup(polluted, "url", "text", k=8)
+        survivors = sdd.filter(
+            F.col("clean_text").contains(disclaimer)
+        ).count()
+        assert survivors == 1, (
+            f"disclaimer span survives in {survivors} docs, want 1"
+        )
+        assert sdd.filter("n_dup_tokens > 0").count() >= n_injected - 1
+        docs_s = sdd.select(
+            F.col("id").alias("url"), F.col("clean_text").alias("text")
+        )
+        counts["span_dedup"] = docs_s.count()
+
+        # 5) deterministic split — RNG-free, stable across reruns
         assigned = split(
-            docs_n, "url",
+            docs_s, "url",
             [("train", 0.9), ("val", 0.05), ("test", 0.05)],
         )
         splits = {
@@ -187,14 +222,14 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        assert sum(splits.values()) == counts["near_dedup"]
+        assert sum(splits.values()) == counts["span_dedup"]
         # monotone funnel
         order = ["input", "lang_en", "quality", "perplexity",
-                 "exact_dedup", "near_dedup"]
+                 "exact_dedup", "near_dedup", "span_dedup"]
         for a, b in zip(order, order[1:]):
             assert counts[b] <= counts[a], (a, b, counts)
 
-        # 5) weighted mixture over the TRAIN split (ops/sampling.
+        # 6) weighted mixture over the TRAIN split (ops/sampling.
         # mix_corpus): treat domain as the source axis, ask for a
         # token budget at half the available mass — every planned
         # fraction must be <= 1 and the sampled mass must land near
@@ -235,7 +270,7 @@ def main() -> None:
         assert all(0 <= frac <= 1 and full + frac <= 1.0
                    for full, frac in plan.values()), plan
 
-        # 6) sequence packing (ops/packing.pack_sequences): every
+        # 7) sequence packing (ops/packing.pack_sequences): every
         # surviving doc gets a (shard, seq, offset) pack slot; offsets
         # stay inside the budget and fill is sane
         packed = pack_sequences(
@@ -255,7 +290,7 @@ def main() -> None:
         print(json.dumps({
             "funnel": counts,
             "splits": splits,
-            "kept_pct": round(100.0 * counts["near_dedup"] / counts["input"], 2),
+            "kept_pct": round(100.0 * counts["span_dedup"] / counts["input"], 2),
             "mixed_docs": n_mixed,
             "pack_stats": pstats,
             "total_s": round(time.time() - t0, 2),
