@@ -135,7 +135,27 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact
     shingle-set Jaccard verification (explode + join on shingle, set
-    semantics) -> pairs over threshold."""
+    semantics) -> pairs over threshold.
+
+    Tuning num_hashes/bands (b bands x r = num_hashes/bands rows):
+    a pair with true Jaccard j becomes an LSH CANDIDATE with
+    P = 1 - (1 - j^r)^b; the S-curve midpoint sits near (1/b)^(1/r).
+    Because candidates here are exact-verified afterwards, false
+    positives only cost compute — false NEGATIVES (j >= threshold but
+    never bucketed together) are the silent failure, so pick a config
+    whose P at your threshold is close to 1:
+
+      config          (b x r)   P(j=0.3)  P(0.5)  P(0.7)  P(0.8)  midpoint
+      12 hashes, 4 bands (4x3)    0.10     0.41    0.81    0.94     ~0.63
+      128 hashes, 32 bands (32x4) 0.23     0.87    1.00    1.00     ~0.42
+      128 hashes, 16 bands (16x8) 0.00     0.06    0.61    0.95     ~0.71
+
+    The 12/4 default is DEMO-scale (cheap signatures, ~19% miss rate at
+    j=0.7).  At production threshold 0.7-0.8 use 128/32 when recall
+    matters more than candidate volume (verification prunes the rest),
+    or 128/16 to keep candidate volume near the threshold band.  Cost
+    scales linearly in num_hashes (signature aggregation) and b
+    (banded-explode shuffle rows)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
@@ -246,7 +266,8 @@ def minhash_dedup(
     group (the minimum id — deterministic) plus every unpaired doc.
     The anti-join side is only the LOSERS (dup-group members minus one
     per group), which is tiny relative to the corpus; AQE broadcasts it
-    when it fits."""
+    when it fits.  num_hashes/bands recall trade-off: see the tuning
+    table on minhash_dedup_pairs."""
     pairs = minhash_dedup_pairs(
         df, id_col, text_col, num_hashes, bands, jaccard_threshold, shingle_k
     )
