@@ -173,7 +173,7 @@ def measure_scaling(pages_dir: str, cpus: int) -> dict:
     measures the job, not the neighbors.
     """
     lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "6"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "8"))
     # adaptive: once the best-per-level efficiency demonstrates the
     # target, more rounds only burn wall-clock — stop; a noisy host
     # gets the full rep budget to find a quiet window
