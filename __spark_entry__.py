@@ -5256,6 +5256,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
         "facet_top_hits": _q_facet_top_hits,
         # --- unchecked tier 2 (rotate into the front window in round 3) ---
+        # Round-3 rotation list (never driver-verified after round 2 —
+        # the two round-2 additions pushed terms_enum_page and
+        # facet_percentiles_toklen just past the 50-entry window):
+        #   terms_enum_page facet_percentiles_toklen
+        #   facet_percentile_ranks_toklen facet_top_hits
+        #   string_stats_source t_test_welch variable_width_hist
+        #   rank_feature_topk facet_date_histogram semi_join_orders
+        #   anti_join_customers topk_lineitem_price group_count_events
+        #   analytics_24h out_degree window_rank_orders pricing_summary
         "string_stats_source": _q_string_stats,
         "t_test_welch": _q_t_test_welch,
         "variable_width_hist": _q_variable_width_hist,
