@@ -54,14 +54,9 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
-    if args.master:
-        from search_engine_spark.session import get_spark
+    from search_engine_spark.session import submit_or_local
 
-        spark = get_spark(app_name="sgs-crawl", master=args.master)
-    else:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.builder.appName("sgs-crawl").getOrCreate()
+    spark = submit_or_local("sgs-crawl", args.master)
 
     from search_engine_spark.web.crawl import crawl_and_index, simulate_crawl
 

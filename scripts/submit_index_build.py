@@ -59,22 +59,16 @@ def main() -> None:
                     help="local fallback master; omit under spark-submit")
     args = ap.parse_args()
 
-    if args.master:
-        # local fallback: get_spark ships the package onto executor
-        # PYTHONPATH (the local-mode stand-in for --py-files)
-        from search_engine_spark.session import get_spark
+    # under spark-submit the builder inherits the submitted conf
+    # (--py-files handles code shipping); plain-python launches get the
+    # tuned local session — see session.submit_or_local
+    from search_engine_spark.session import submit_or_local
 
-        spark = get_spark(
-            app_name="sgs-index-build", master=args.master,
-            # the stage-metrics collector reads the status REST API
-            extra_conf={"spark.ui.enabled": "true"} if args.metrics else None,
-        )
-    else:
-        # under spark-submit the builder inherits the submitted conf and
-        # --py-files handles code shipping
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.builder.appName("sgs-index-build").getOrCreate()
+    spark = submit_or_local(
+        "sgs-index-build", args.master,
+        # the stage-metrics collector reads the status REST API
+        extra_conf={"spark.ui.enabled": "true"} if args.metrics else None,
+    )
 
     from search_engine_spark.index.builder import build_index
     from search_engine_spark.synth import synth_pages

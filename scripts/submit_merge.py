@@ -44,14 +44,9 @@ def main() -> None:
                     help="local fallback master; omit under spark-submit")
     args = ap.parse_args()
 
-    if args.master:
-        from search_engine_spark.session import get_spark
+    from search_engine_spark.session import submit_or_local
 
-        spark = get_spark(app_name="sgs-merge", master=args.master)
-    else:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.builder.appName("sgs-merge").getOrCreate()
+    spark = submit_or_local("sgs-merge", args.master)
 
     from search_engine_spark.index.merge import compact_index, merge_pages
     from search_engine_spark.synth import synth_pages

@@ -53,14 +53,9 @@ def main() -> None:
                     help="ES _mget: url or doc_id; repeatable")
     args = ap.parse_args()
 
-    if args.master:
-        from search_engine_spark.session import get_spark
+    from search_engine_spark.session import submit_or_local
 
-        spark = get_spark(app_name="sgs-query", master=args.master)
-    else:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.builder.appName("sgs-query").getOrCreate()
+    spark = submit_or_local("sgs-query", args.master)
 
     from search_engine_spark.query.bm25 import BM25Index
     from search_engine_spark.query.serving import log_query

@@ -11,6 +11,7 @@ this sandbox); every physical path is centralized in
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +60,38 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def submit_or_local(
+    app_name: str,
+    master: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Session resolver for the scripts/submit_*.py cluster drivers.
+
+    Under spark-submit the submitted conf (master, memory, --py-files)
+    must win, so the builder adds nothing; launched as plain
+    ``python scripts/submit_*.py`` there IS no submitted conf — the
+    bare builder would silently start an untuned local JVM with the 1g
+    default heap and 10k-row Arrow batches, which OOMs on any real
+    corpus with a misleading Arrow/heap stack (measured: a 240k-page
+    build that runs in 66 s on the tuned session).  spark-submit's
+    PythonRunner always exports PYSPARK_GATEWAY_PORT to the driver
+    process, so its absence identifies the plain-python case reliably.
+    """
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        master = f"local[{default_parallelism()}]"
+        print(
+            f"[session] not launched via spark-submit; using tuned "
+            f"local session master={master}",
+            file=sys.stderr,
+        )
+    if master:
+        return get_spark(app_name=app_name, master=master, extra_conf=extra_conf)
+    b = SparkSession.builder.appName(app_name)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
