@@ -2902,7 +2902,7 @@ def _q_media_meta(spark, sf_dir):
     return M.decode_media_meta(media)
 
 
-_MEDIA_X = md5int_sql("text")
+_MEDIA_X = md5int_sql("coalesce(text, '')")  # engine: md5(coalesce(payload, b''))
 _SQL_MEDIA_META = f"""
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -2910,8 +2910,8 @@ WITH m AS (
          text, {_MEDIA_X} AS x
   FROM documents)
 SELECT media_id, kind,
-  strlen(text)::BIGINT AS n_bytes,
-  md5(text) AS content_hash,
+  strlen(coalesce(text, ''))::BIGINT AS n_bytes,
+  md5(coalesce(text, '')) AS content_hash,
   CASE WHEN kind IN ('image','video') THEN (16 + x % 4096)::INT END AS width,
   CASE WHEN kind IN ('image','video') THEN (16 + (x // 4096) % 4096)::INT END AS height,
   CASE WHEN kind IN ('audio','video') THEN (1000 + x % 600000)::BIGINT END AS duration_ms,
@@ -2943,7 +2943,8 @@ m AS (
   SELECT * FROM m0
   UNION ALL
   SELECT media_id + 1000000, kind, text FROM m0 WHERE media_id % 7 = 0),
-h AS (SELECT media_id, kind, md5(text) AS content_hash FROM m),
+-- coalesce matches the engine's md5(coalesce(payload, b'')) on NULL text
+h AS (SELECT media_id, kind, md5(coalesce(text, '')) AS content_hash FROM m),
 c AS (
   SELECT kind, content_hash, min(media_id) AS k, count(*) AS cs
   FROM h GROUP BY kind, content_hash)

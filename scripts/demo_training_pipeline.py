@@ -189,16 +189,20 @@ def main() -> None:
         disclaimer = ("all rights reserved this content may not be "
                       "reproduced in any form without permission")
         hit = F.pmod(F.xxhash64("url"), F.lit(3)) == 0
+        # localCheckpoint: the funnel above (incl. iterative MinHash
+        # dedup) would otherwise recompute for EVERY assertion action
+        # in this stage — materialize once, then the three counts below
+        # and the split stage all read the checkpointed rows
         polluted = docs_n.withColumn(
             "text",
             F.when(hit, F.concat("text", F.lit(" " + disclaimer)))
             .otherwise(F.col("text")),
-        )
+        ).localCheckpoint()
         n_injected = polluted.filter(
             F.col("text").contains(disclaimer)
         ).count()
         assert n_injected > 1, "span pollution did not happen"
-        sdd = substring_dedup(polluted, "url", "text", k=8)
+        sdd = substring_dedup(polluted, "url", "text", k=8).localCheckpoint()
         survivors = sdd.filter(
             F.col("clean_text").contains(disclaimer)
         ).count()

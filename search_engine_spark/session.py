@@ -83,12 +83,29 @@ def submit_or_local(
     process, so its absence identifies the plain-python case reliably.
     """
     if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
-        master = f"local[{default_parallelism()}]"
-        print(
-            f"[session] not launched via spark-submit; using tuned "
-            f"local session master={master}",
-            file=sys.stderr,
-        )
+        # A cluster master configured via spark-defaults.conf (or the
+        # MASTER env var) must still win over the local fallback —
+        # builder.master() would silently override it otherwise.
+        configured = os.environ.get("MASTER")
+        home = os.environ.get("SPARK_HOME")
+        if not configured and home:
+            defaults = os.path.join(home, "conf", "spark-defaults.conf")
+            try:
+                with open(defaults) as f:
+                    for line in f:
+                        parts = line.strip().split(None, 1)
+                        if len(parts) == 2 and parts[0] == "spark.master":
+                            configured = parts[1]
+            except OSError:
+                pass
+        if not configured:
+            master = f"local[{default_parallelism()}]"
+            print(
+                f"[session] not launched via spark-submit and no "
+                f"configured master found; using tuned local session "
+                f"master={master}",
+                file=sys.stderr,
+            )
     if master:
         return get_spark(app_name=app_name, master=master, extra_conf=extra_conf)
     b = SparkSession.builder.appName(app_name)
