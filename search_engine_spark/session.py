@@ -65,6 +65,28 @@ def get_spark(
     return b.getOrCreate()
 
 
+def configured_master() -> str | None:
+    """A cluster master configured OUTSIDE spark-submit — the MASTER
+    env var or a spark.master line in $SPARK_HOME/conf/
+    spark-defaults.conf.  When one exists, the local fallback in
+    submit_or_local must NOT override it: builder.master() takes
+    precedence over the defaults file, so forcing local would silently
+    pull a configured cluster job onto the driver box."""
+    configured = os.environ.get("MASTER")
+    home = os.environ.get("SPARK_HOME")
+    if not configured and home:
+        defaults = os.path.join(home, "conf", "spark-defaults.conf")
+        try:
+            with open(defaults) as f:
+                for line in f:
+                    parts = line.strip().split(None, 1)
+                    if len(parts) == 2 and parts[0] == "spark.master":
+                        configured = parts[1]
+        except OSError:
+            pass
+    return configured or None
+
+
 def submit_or_local(
     app_name: str,
     master: str | None = None,
@@ -83,22 +105,7 @@ def submit_or_local(
     process, so its absence identifies the plain-python case reliably.
     """
     if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
-        # A cluster master configured via spark-defaults.conf (or the
-        # MASTER env var) must still win over the local fallback —
-        # builder.master() would silently override it otherwise.
-        configured = os.environ.get("MASTER")
-        home = os.environ.get("SPARK_HOME")
-        if not configured and home:
-            defaults = os.path.join(home, "conf", "spark-defaults.conf")
-            try:
-                with open(defaults) as f:
-                    for line in f:
-                        parts = line.strip().split(None, 1)
-                        if len(parts) == 2 and parts[0] == "spark.master":
-                            configured = parts[1]
-            except OSError:
-                pass
-        if not configured:
+        if not configured_master():
             master = f"local[{default_parallelism()}]"
             print(
                 f"[session] not launched via spark-submit and no "
