@@ -147,6 +147,31 @@ FIXTURES = {
     "deeply_misnested_inline": (
         "<body><b>one<i>two</b>three</i>four</body>"
     ),
+    # charset / entity edge cases (convert_charrefs=True semantics,
+    # shared by bs4-html.parser and the engine tokenizer)
+    "numeric_and_hex_charrefs": (
+        "<body>&#65;&#x42;&#x1F600; pound &#163; done</body>"
+    ),
+    "unknown_entity_kept_literal": (
+        "<body>a &nosuchentity; b &fakeref c</body>"
+    ),
+    "known_entity_without_semicolon": (
+        "<body>fish &amp chips &lt tag</body>"
+    ),
+    "entities_in_title_and_meta": (
+        '<head><title>A &amp; B &#8212; C</title>'
+        '<meta name="description" content="x &gt; y"></head><body>t</body>'
+    ),
+    "non_ascii_unicode_text": (
+        "<html><head><title>Ümläut — café</title></head>"
+        "<body>日本語 العربية "
+        "emoji \U0001f680 end</body></html>"
+    ),
+    "charref_splits_no_string_break": (
+        # convert_charrefs merges data around refs into ONE string:
+        # strip applies to the merged run, not per-fragment
+        "<body>  &#32;lead&amp;tail&#32;  </body>"
+    ),
 }
 
 
