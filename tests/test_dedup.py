@@ -202,3 +202,35 @@ class TestSubstringDedup:
             for r in D.substring_dedup(df, "doc_id", "text", k=4).collect()
         }
         assert got == self._oracle(rows, 4)
+
+    def test_hypothesis_random_corpora(self, spark):
+        """Property: engine == brute-force oracle on arbitrary small
+        corpora (tiny vocab maximizes shared spans; k=3 maximizes span
+        interactions), including all-empty and single-doc corpora."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        doc = st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0,
+            max_size=14,
+        ).map(" ".join)
+
+        @settings(
+            max_examples=12, deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(st.lists(doc, min_size=1, max_size=8))
+        def check(texts):
+            rows = list(enumerate(texts))
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            got = {
+                r["id"]: (
+                    r["n_tokens"], r["n_dup_tokens"], r["dup_ratio"],
+                    r["clean_text"],
+                )
+                for r in D.substring_dedup(df, "doc_id", "text", k=3)
+                .collect()
+            }
+            assert got == self._oracle(rows, 3)
+
+        check()
