@@ -1718,6 +1718,110 @@ SELECT doc_id, pack_shard,
 FROM p ORDER BY doc_id"""
 
 
+# ---- curation ops (ops/curation.py — order / quality-sample / budget) -----
+
+SHUFFLE_SHARDS = 16
+# deterministic pseudo-quality with even bin spread (both engines run
+# the identical integer arithmetic); lazy — F.col needs a live session
+_qual_spark = lambda: ((F.col("doc_id") * 37) % 1000) / 1000.0  # noqa: E731
+_QUAL_SQL = "((doc_id * 37) % 1000) / 1000.0"
+BUDGET_BINS = 100
+
+
+def _q_shuffle_order(spark, sf_dir):
+    """Deterministic training-order shuffle (ops/curation.shuffle_rows):
+    shard = md5(id|salt) % n_shards, dense position within the shard by
+    (hash, id) — one shard-local window, no global sort, identical
+    assignment at any cluster size."""
+    from search_engine_spark.ops import curation as C
+
+    return (
+        C.shuffle_rows(
+            _read(spark, sf_dir, "documents"), "doc_id",
+            n_shards=SHUFFLE_SHARDS,
+        )
+        .select("doc_id", "shuffle_shard", "shuffle_pos")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_shuffle_order():
+    from search_engine_spark.ops.curation import shuffle_sql
+
+    shard, h = shuffle_sql("doc_id", SHUFFLE_SHARDS)
+    return f"""
+WITH s AS (SELECT doc_id, {shard} AS shuffle_shard, {h} AS h FROM documents)
+SELECT doc_id, shuffle_shard,
+       CAST(row_number() OVER (PARTITION BY shuffle_shard
+                               ORDER BY h, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM s ORDER BY doc_id"""
+
+
+def _q_quality_weighted_sample(spark, sf_dir):
+    """Soft quality filter (ops/curation.quality_sample): each doc
+    survives with probability == its quality score, deterministically
+    by id hash — a pure row-local WHERE clause (the FineWeb/DCLM
+    quality-proportional keep)."""
+    from search_engine_spark.ops import curation as C
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "qual", F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    )
+    return (
+        C.quality_sample(docs, "doc_id", "qual")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_weighted_sample():
+    from search_engine_spark.ops.curation import quality_sample_sql
+
+    pred = quality_sample_sql(
+        "doc_id", "least(n_chars / 500.0, 1.0)", 1.0
+    )
+    return f"""
+SELECT doc_id FROM documents WHERE {pred} ORDER BY doc_id"""
+
+
+def _q_token_budget_select(spark, sf_dir):
+    """Token-budget corpus selection (ops/curation.select_token_budget):
+    highest-quality docs up to ~30% of the corpus token mass via the
+    two-pass histogram threshold — ONE tiny n_bins-row aggregate + ONE
+    row-local filter, never a global sort/cumsum."""
+    import math as _math
+
+    from search_engine_spark.ops import curation as C
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "qual", _qual_spark()
+    )
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    budget = int(_math.floor(0.3 * total))
+    return (
+        C.select_token_budget(
+            docs, "doc_id", "qual", "n_chars", budget,
+            n_bins=BUDGET_BINS,
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_token_budget_select():
+    from search_engine_spark.ops.curation import select_token_budget_sql
+
+    inner = select_token_budget_sql(
+        "doc_id",
+        _QUAL_SQL,
+        "n_chars",
+        "(SELECT CAST(floor(0.3 * sum(n_chars)) AS BIGINT) FROM documents)",
+        BUDGET_BINS,
+    )
+    return f"SELECT doc_id FROM ({inner}) ORDER BY doc_id"
+
+
 # ---- exact match counts (ES hits.total, main.py:218; engine analogue
 # BM25Index.count_matches) ----------------------------------------------------
 
@@ -5266,6 +5370,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   rank_feature_topk facet_date_histogram semi_join_orders
         #   anti_join_customers topk_lineitem_price group_count_events
         #   analytics_24h out_degree window_rank_orders pricing_summary
+        #   shuffle_order quality_weighted_sample token_budget_select
+        #   (the three curation ops added mid-round-2)
+        "shuffle_order": _q_shuffle_order,
+        "quality_weighted_sample": _q_quality_weighted_sample,
+        "token_budget_select": _q_token_budget_select,
         "string_stats_source": _q_string_stats,
         "t_test_welch": _q_t_test_welch,
         "variable_width_hist": _q_variable_width_hist,
@@ -5351,6 +5460,9 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": _sql_split_assign(),
         "corpus_mix_sample": _sql_corpus_mix(),
         "pack_assign": _sql_pack_assign(),
+        "shuffle_order": _sql_shuffle_order(),
+        "quality_weighted_sample": _sql_quality_weighted_sample(),
+        "token_budget_select": _sql_token_budget_select(),
         "lsh_ann_topk": _sql_lsh_ann(),
         "ivf_ann_topk": _sql_ivf_ann(),
         "media_meta": _SQL_MEDIA_META,
