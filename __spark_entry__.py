@@ -1822,6 +1822,60 @@ def _sql_token_budget_select():
     return f"SELECT doc_id FROM ({inner}) ORDER BY doc_id"
 
 
+# ---- BPE tokenizer training + encoding (ops/bpe.py) -----------------------
+
+BPE_TOP_WORDS = 200
+BPE_MERGES = 50
+
+
+def _q_bpe_word_counts(spark, sf_dir):
+    """The corpus-sized half of BPE training (ops/bpe.word_counts):
+    word frequencies via one skew-safe sum-combinable groupBy — top 50
+    by (count desc, word asc), the head of the capped training
+    dictionary."""
+    from search_engine_spark.ops import bpe as B
+
+    return (
+        B.word_counts(_read(spark, sf_dir, "documents"), "text")
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(50)
+    )
+
+
+_SQL_BPE_WORD_COUNTS = """
+WITH w AS (
+  SELECT t AS word
+  FROM documents,
+       unnest(list_filter(
+         string_split_regex(lower(text), '\\s+'),
+         x -> length(x) > 0)) AS u(t)
+  WHERE text IS NOT NULL)
+SELECT word, count(*) AS count FROM w GROUP BY word
+ORDER BY count DESC, word ASC LIMIT 50"""
+
+
+def _q_bpe_token_counts(spark, sf_dir):
+    """Per-doc token counts under a corpus-trained BPE vocab
+    (ops/bpe.train_bpe + bpe_token_counts).  Training is driver-side
+    over the capped word-frequency dictionary (vocabulary-bounded, the
+    production shape); encoding is a distributed Arrow mapInPandas.
+    BPE segmentation is not SQL-expressible — rows-only contract
+    entry; semantics are pinned by tests/test_bpe.py (training
+    goldens, encode==training segmentation, round-trip, Python
+    parity)."""
+    from search_engine_spark.ops import bpe as B
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = B.train_bpe(
+        B.top_words(docs, "text", BPE_TOP_WORDS), BPE_MERGES
+    )
+    return (
+        B.bpe_token_counts(docs, "doc_id", "text", merges)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 # ---- exact match counts (ES hits.total, main.py:218; engine analogue
 # BM25Index.count_matches) ----------------------------------------------------
 
@@ -5371,10 +5425,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   anti_join_customers topk_lineitem_price group_count_events
         #   analytics_24h out_degree window_rank_orders pricing_summary
         #   shuffle_order quality_weighted_sample token_budget_select
-        #   (the three curation ops added mid-round-2)
+        #   bpe_word_counts bpe_token_counts
+        #   (the five curation/BPE ops added mid-round-2)
         "shuffle_order": _q_shuffle_order,
         "quality_weighted_sample": _q_quality_weighted_sample,
         "token_budget_select": _q_token_budget_select,
+        "bpe_word_counts": _q_bpe_word_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "string_stats_source": _q_string_stats,
         "t_test_welch": _q_t_test_welch,
         "variable_width_hist": _q_variable_width_hist,
@@ -5463,6 +5520,10 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": _sql_shuffle_order(),
         "quality_weighted_sample": _sql_quality_weighted_sample(),
         "token_budget_select": _sql_token_budget_select(),
+        "bpe_word_counts": _SQL_BPE_WORD_COUNTS,
+        # bpe_token_counts: deliberately NO oracle — BPE segmentation
+        # is not SQL-expressible; driver records rows-only (see
+        # _q_bpe_token_counts docstring)
         "lsh_ann_topk": _sql_lsh_ann(),
         "ivf_ann_topk": _sql_ivf_ann(),
         "media_meta": _SQL_MEDIA_META,
