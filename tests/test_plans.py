@@ -474,3 +474,64 @@ def test_media_dedup_shuffles_digest_not_payload(spark):
     for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
         assert "payload" not in m.group(1), m.group(1)
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_quality_sample_is_pure_scan_filter(spark):
+    """quality_sample must stay a row-local WHERE inside the scan's
+    codegen: zero Exchange, zero Python, zero join nodes."""
+    from search_engine_spark.ops.curation import quality_sample
+
+    docs = spark.createDataFrame(
+        [(i, (i % 100) / 100.0) for i in range(50)],
+        "doc_id long, qual double",
+    )
+    plan = explain_str(quality_sample(docs, "doc_id", "qual"), "formatted")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "codegen id" in plan  # the filter runs inside codegen
+
+
+def test_token_budget_pass2_is_row_local_filter(spark):
+    """select_token_budget's selection pass must be a row-local filter
+    — the histogram is a separate tiny job; the returned frame itself
+    carries no shuffle, no join, no Python."""
+    from search_engine_spark.ops.curation import select_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, (i % 100) / 100.0, i % 30 + 1) for i in range(200)],
+        "doc_id long, qual double, tok long",
+    )
+    sel = select_token_budget(docs, "doc_id", "qual", "tok", 500, n_bins=20)
+    plan = explain_str(sel, "formatted")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shuffle_rows_single_exchange_no_global_sort(spark):
+    """shuffle_rows must cost exactly ONE hash Exchange (the window's
+    shard partitioning) and never a rangepartitioning/global Sort."""
+    from search_engine_spark.ops.curation import shuffle_rows
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    plan = explain_str(shuffle_rows(docs, "doc_id", n_shards=8), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_word_counts_partial_agg(spark):
+    """The BPE word-frequency pass must partial-aggregate map-side
+    (the Zipf-head skew story) with no Python nodes."""
+    from search_engine_spark.ops.bpe import word_counts
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * 3) for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = explain_str(word_counts(docs, "text"), "formatted")
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
