@@ -14,6 +14,12 @@ end-to-end the way a 100 TB pretraining-data build would run:
       exactly one)
     → deterministic hash-based train/val/test split (RNG-free,
       re-runnable, subset-nested)
+    → curation: quality-proportional soft sampling, token-budget
+      selection (two-pass histogram threshold — no global sort), and
+      the deterministic hash-sharded training-order shuffle
+    → BPE: subword vocab learned on the selected corpus (capped word
+      dictionary → driver-side merges), per-doc token counts encoded
+      distributedly
     → per-stage survivor counts + split sizes as ONE JSON line.
 
 Every stage is a DataFrame transform from search_engine_spark/ops/ —
@@ -291,12 +297,87 @@ def main() -> None:
         assert 0.0 < pstats["mean_fill"] < 2.5, pstats
         assert 0.0 <= pstats["straddle_frac"] < 0.6, pstats
 
+        # 8) curation (ops/curation.py): quality-proportional soft
+        # sampling, token-budget selection (two-pass histogram
+        # threshold, no global sort), and the deterministic
+        # training-order shuffle over the final corpus
+        from search_engine_spark.ops.curation import (
+            quality_sample,
+            select_token_budget,
+            shuffle_rows,
+        )
+
+        scored = docs_s.join(
+            quality_scores(docs_s, "url", "text")
+            .select(F.col("id").alias("url"), "quality_score"),
+            "url",
+        ).withColumn(
+            "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+        ).localCheckpoint()
+        soft = quality_sample(scored, "url", "quality_score")
+        n_soft = soft.count()
+        assert 0 < n_soft <= counts["span_dedup"]
+        budget = int(
+            scored.agg(F.sum("n_tokens")).collect()[0][0] * 0.5
+        )
+        selected = select_token_budget(
+            scored, "url", "quality_score", "n_tokens", budget,
+            n_bins=100,
+        ).localCheckpoint()
+        sel_mass = selected.agg(F.sum("n_tokens")).collect()[0][0]
+        total_mass = scored.agg(F.sum("n_tokens")).collect()[0][0]
+        # within one quality-bin's mass of the budget
+        assert abs(sel_mass - budget) <= total_mass / 100 + 1, (
+            sel_mass, budget)
+        ordered = shuffle_rows(selected, "url", n_shards=8)
+        per_shard = (
+            ordered.groupBy("shuffle_shard")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("shuffle_pos").alias("mx"))
+            .collect()
+        )
+        assert all(r["mx"] == r["n"] - 1 for r in per_shard), (
+            "shuffle positions not dense per shard")
+        counts["quality_sampled"] = n_soft
+        counts["budget_selected"] = selected.count()
+
+        # 9) BPE: learn a subword vocab on the selected corpus (capped
+        # word dictionary -> driver-side merges), count tokens per doc
+        # distributedly; spot-check one doc against the pure-Python
+        # encoder
+        from search_engine_spark.ops import bpe as B
+
+        merges = B.train_bpe(
+            B.top_words(selected, "text", 500), 64
+        )
+        assert len(merges) > 0
+        bpe_counts = B.bpe_token_counts(
+            selected, "url", "text", merges
+        )
+        joined = bpe_counts.join(
+            selected.select(F.col("url").alias("id"), "text", "n_tokens"),
+            "id",
+        ).localCheckpoint()
+        # every word emits >= 1 subword token
+        assert joined.filter(
+            F.col("n_bpe_tokens") < F.col("n_tokens")
+        ).count() == 0
+        one = joined.first()
+        assert one["n_bpe_tokens"] == len(
+            B.encode_py(one["text"], B._ranks(merges))
+        ), "distributed encode disagrees with the Python encoder"
+        mean_bpe = joined.agg(
+            F.avg(F.col("n_bpe_tokens") / F.col("n_tokens"))
+        ).collect()[0][0]
+
         print(json.dumps({
             "funnel": counts,
             "splits": splits,
             "kept_pct": round(100.0 * counts["span_dedup"] / counts["input"], 2),
             "mixed_docs": n_mixed,
             "pack_stats": pstats,
+            "bpe": {"n_merges": len(merges),
+                    "mean_tokens_per_word": round(mean_bpe, 3)},
             "total_s": round(time.time() - t0, 2),
         }))
     finally:

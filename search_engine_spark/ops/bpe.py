@@ -45,7 +45,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    LongType,
     StringType,
     StructField,
     StructType,
@@ -219,9 +218,10 @@ def bpe_encode(
     The merge list rides the task closure (broadcast-sized); each
     Arrow batch memoizes distinct-word segmentations."""
     ranks = _ranks(merges)
+    id_type = df.schema[id_col].dataType  # ids may be long OR string
     schema = StructType(
         [
-            StructField("id", LongType()),
+            StructField("id", id_type),
             StructField("tokens", ArrayType(StringType())),
         ]
     )
@@ -247,7 +247,7 @@ def bpe_encode(
             )
 
     src = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         F.col(text_col).alias("_text"),
     )
     return src.mapInPandas(run, schema)

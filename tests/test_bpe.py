@@ -181,3 +181,17 @@ class TestProperty:
             assert "".join(toks) == "".join(
                 w + B.END for w in B.words_py(t)
             )
+
+
+class TestStringIds:
+    def test_encode_preserves_string_id_type(self, spark):
+        docs = spark.createDataFrame(
+            [("url://a", "hello world"), ("url://b", "hello again")],
+            ["url", "text"],
+        )
+        merges = B.train_bpe(B.top_words(docs, "text", 10), 5)
+        out = B.bpe_encode(docs, "url", "text", merges)
+        assert dict(out.dtypes)["id"] == "string"
+        got = {r["id"]: r["tokens"] for r in out.collect()}
+        ranks = B._ranks(merges)
+        assert got["url://a"] == B.encode_py("hello world", ranks)
