@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.ops.common import md5int_col, md5int_sql
-from search_engine_spark.ops.sampling import BUCKETS, bucket_sql
+from search_engine_spark.ops.sampling import BUCKETS, _bucket_col, bucket_sql
 
 
 def shuffle_rows(
@@ -115,9 +115,7 @@ def quality_sample(
         F.greatest(F.col(quality_col) * F.lit(float(scale)), F.lit(0.0)),
         F.lit(1.0),
     )
-    b = md5int_col(
-        F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
-    ) % BUCKETS
+    b = _bucket_col(F.col(id_col), salt)
     return df.filter(b < F.floor(p * BUCKETS).cast("long"))
 
 
@@ -191,9 +189,7 @@ def select_token_budget(
     if t is None:
         return base.drop("_qbin")
     cut = int(math.floor(frac * BUCKETS))
-    b = md5int_col(
-        F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
-    ) % BUCKETS
+    b = _bucket_col(F.col(id_col), salt)
     # pass 2: pure row-local filter
     return base.filter(
         (F.col("_qbin") > t) | ((F.col("_qbin") == t) & (b < cut))
