@@ -1876,6 +1876,44 @@ def _q_bpe_token_counts(spark, sf_dir):
     )
 
 
+# ---- model-based quality classifier (ops/classifier.py) -------------------
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """DCLM/FineWeb-Edu-style model-based quality scoring
+    (ops/classifier.py): train a hashed-ngram logistic classifier on
+    weak labels (the documents table as the trusted seed vs a
+    deterministic synthesized junk corpus), then score every document
+    map-only.  Model training is distributed L-BFGS (pyspark.ml); the
+    driver holds only the coefficient vector.  Scores depend on
+    float aggregation order at the last ulp, so this is a rows-only
+    contract entry; separation/ranking semantics are pinned in
+    tests/test_classifier.py."""
+    from search_engine_spark.ops import classifier as CL
+
+    docs = _read(spark, sf_dir, "documents")
+    junk = spark.range(200).select(
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("zz"),
+                    ((F.col("id") * 131 + i * 17) % 997).cast("string"),
+                )
+                for i in range(12)
+            ],
+        ).alias("text")
+    )
+    model = CL.train_quality_classifier(
+        docs.select("text"), junk, n_features=1 << 14, max_iter=20
+    )
+    return (
+        model.score(docs, "doc_id")
+        .select(F.col("id").alias("doc_id"), "quality_prob")
+        .orderBy("doc_id")
+    )
+
+
 # ---- exact match counts (ES hits.total, main.py:218; engine analogue
 # BM25Index.count_matches) ----------------------------------------------------
 
@@ -5425,13 +5463,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   anti_join_customers topk_lineitem_price group_count_events
         #   analytics_24h out_degree window_rank_orders pricing_summary
         #   shuffle_order quality_weighted_sample token_budget_select
-        #   bpe_word_counts bpe_token_counts
-        #   (the five curation/BPE ops added mid-round-2)
+        #   bpe_word_counts bpe_token_counts quality_classifier_scores
+        #   (the curation/BPE/classifier ops added mid-round-2)
         "shuffle_order": _q_shuffle_order,
         "quality_weighted_sample": _q_quality_weighted_sample,
         "token_budget_select": _q_token_budget_select,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_token_counts": _q_bpe_token_counts,
+        "quality_classifier_scores": _q_quality_classifier,
         "string_stats_source": _q_string_stats,
         "t_test_welch": _q_t_test_welch,
         "variable_width_hist": _q_variable_width_hist,
@@ -5524,6 +5563,8 @@ def oracle_sql() -> dict[str, str]:
         # bpe_token_counts: deliberately NO oracle — BPE segmentation
         # is not SQL-expressible; driver records rows-only (see
         # _q_bpe_token_counts docstring)
+        # quality_classifier_scores: deliberately NO oracle — L-BFGS
+        # training is not SQL-expressible; rows-only (see docstring)
         "lsh_ann_topk": _sql_lsh_ann(),
         "ivf_ann_topk": _sql_ivf_ann(),
         "media_meta": _SQL_MEDIA_META,
