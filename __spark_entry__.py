@@ -1876,6 +1876,33 @@ def _q_bpe_token_counts(spark, sf_dir):
     )
 
 
+CAP_PER_SOURCE = 15
+
+
+def _q_cap_per_source(spark, sf_dir):
+    """Per-key row cap (ops/curation.cap_per_key): at most N docs per
+    source — the "max N pages per domain" curation step; survivors are
+    each key's lowest-(md5(id|salt), id) rows, an unbiased
+    deterministic hash-sample."""
+    from search_engine_spark.ops import curation as C
+
+    return (
+        C.cap_per_key(
+            _read(spark, sf_dir, "documents"), "doc_id", "source",
+            CAP_PER_SOURCE,
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_cap_per_source():
+    from search_engine_spark.ops.curation import cap_per_key_sql
+
+    inner = cap_per_key_sql("doc_id", "source", CAP_PER_SOURCE)
+    return f"SELECT doc_id, source FROM ({inner}) ORDER BY doc_id"
+
+
 # ---- model-based quality classifier (ops/classifier.py) -------------------
 
 
@@ -5471,6 +5498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_token_counts": _q_bpe_token_counts,
         "quality_classifier_scores": _q_quality_classifier,
+        "cap_per_source": _q_cap_per_source,
         "string_stats_source": _q_string_stats,
         "t_test_welch": _q_t_test_welch,
         "variable_width_hist": _q_variable_width_hist,
@@ -5565,6 +5593,7 @@ def oracle_sql() -> dict[str, str]:
         # _q_bpe_token_counts docstring)
         # quality_classifier_scores: deliberately NO oracle — L-BFGS
         # training is not SQL-expressible; rows-only (see docstring)
+        "cap_per_source": _sql_cap_per_source(),
         "lsh_ann_topk": _sql_lsh_ann(),
         "ivf_ann_topk": _sql_ivf_ann(),
         "media_meta": _SQL_MEDIA_META,

@@ -128,6 +128,55 @@ def quality_sample_sql(
     return f"({b} < CAST(floor({p} * {BUCKETS}) AS BIGINT))"
 
 
+def cap_per_key(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_per_key: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap rows per key — the "at most N pages per domain" curation
+    step.  WHICH rows survive is deterministic: each key keeps its
+    max_per_key lowest-(md5(id|salt), id) rows, so the kept subset is
+    an unbiased hash-sample of the key's rows, identical across
+    engines and reruns (a popularity- or recency-biased cap would just
+    change the window's ORDER BY).
+
+    ONE shuffle (the window's partition-by on the key).  Hot keys are
+    the point of the op — a domain with 10^8 pages sorts only ITS rows
+    within its partitions; the cap bounds the OUTPUT, and the window's
+    rank never needs more than a streaming pass per key."""
+    if max_per_key <= 0:
+        raise ValueError("max_per_key must be > 0")
+    h = md5int_col(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
+    )
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(max_per_key))
+        .drop("_rn")
+    )
+
+
+def cap_per_key_sql(
+    id_expr: str,
+    key_expr: str,
+    max_per_key: int,
+    salt: str = "cap",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin: the same hash-ordered row_number cap."""
+    h = md5int_sql(f"CAST({id_expr} AS VARCHAR) || '|{salt}'")
+    return f"""
+SELECT * EXCLUDE (_rn, _h) FROM (
+  SELECT *, {h} AS _h,
+         row_number() OVER (PARTITION BY {key_expr}
+                            ORDER BY {h}, {id_expr}) AS _rn
+  FROM {source})
+WHERE _rn <= {int(max_per_key)}"""
+
+
 def budget_threshold(
     bin_mass: Dict[int, int], budget: int, n_bins: int
 ) -> Tuple[Optional[int], float]:

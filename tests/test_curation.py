@@ -186,3 +186,39 @@ class TestTokenBudget:
         # empty bins are skipped
         t, f = C.budget_threshold({9: 30, 2: 40}, 50, 10)
         assert t == 2 and abs(f - 0.5) < 1e-12
+
+
+class TestCapPerKey:
+    def test_matches_python_and_cap_holds(self, spark, table):
+        df = table.withColumn("dom", (F.col("id") % 7).cast("string"))
+        capped = C.cap_per_key(df, "id", "dom", 50)
+        rows = capped.collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["dom"], []).append(r["id"])
+        assert all(len(v) <= 50 for v in per.values())
+        # python replay: per key, 50 lowest (hash, id)
+        exp = {}
+        for i in range(N):
+            exp.setdefault(str(i % 7), []).append(i)
+        for k, ids in exp.items():
+            ids.sort(key=lambda i: (_h(i, "cap"), i))
+            exp[k] = set(ids[:50])
+        got = {k: set(v) for k, v in per.items()}
+        assert got == exp
+
+    def test_small_keys_kept_whole(self, spark):
+        df = spark.range(10).select(
+            F.col("id"), F.lit("only").alias("dom")
+        )
+        assert C.cap_per_key(df, "id", "dom", 100).count() == 10
+
+    def test_deterministic_across_partitioning(self, spark, table):
+        df = table.withColumn("dom", (F.col("id") % 5).cast("string"))
+        a = {r["id"] for r in C.cap_per_key(df.repartition(3), "id", "dom", 40).collect()}
+        b = {r["id"] for r in C.cap_per_key(df.repartition(17), "id", "dom", 40).collect()}
+        assert a == b
+
+    def test_validation(self, spark, table):
+        with pytest.raises(ValueError):
+            C.cap_per_key(table.withColumn("dom", F.lit("x")), "id", "dom", 0)
