@@ -97,6 +97,19 @@ def train_quality_classifier(
         featuresCol="features", labelCol="label",
     )
     model = lr.fit(tf.transform(data))
+    # Drop the training summary: it pins the SparkSession into the
+    # model's object graph, and serializing the session into score()'s
+    # task closure fails whenever session state holds a non-serializable
+    # member (observed: ObservationManager after any df.observe() in the
+    # same session).  setSummary is package-private in Scala — public at
+    # the JVM level — so clear it defensively; scoring needs only the
+    # coefficient vector.
+    try:
+        spark = positives.sparkSession
+        model._java_obj.setSummary(spark._jvm.scala.Option.empty())
+    except Exception:
+        pass  # best-effort: without an observer in the session the
+        # summary is harmless, and scoring still works
     return QualityModel(tf, model)
 
 

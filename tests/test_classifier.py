@@ -139,3 +139,20 @@ class TestFeatures:
         df = spark.createDataFrame([("t",)], ["text"])
         with pytest.raises(ValueError):
             C.train_quality_classifier(df, df, n_features=0)
+
+
+class TestSessionState:
+    def test_scoring_survives_session_observations(self, spark, model):
+        """Regression: df.observe() puts an ObservationManager into
+        session state; a model still carrying its training summary
+        then fails task serialization at score-time.  The trainer
+        clears the summary, so scoring must work after observes."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+        docs = spark.createDataFrame(
+            [(1, PROSE[0]), (2, JUNK[0])], ["doc_id", "text"]
+        )
+        rows = model.score(docs, "doc_id").collect()
+        assert len(rows) == 2
