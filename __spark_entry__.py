@@ -5490,7 +5490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   anti_join_customers topk_lineitem_price group_count_events
         #   analytics_24h out_degree window_rank_orders pricing_summary
         #   shuffle_order quality_weighted_sample token_budget_select
-        #   bpe_word_counts bpe_token_counts quality_classifier_scores
+        #   cap_per_source bpe_word_counts bpe_token_counts
+        #   quality_classifier_scores
         #   (the curation/BPE/classifier ops added mid-round-2)
         "shuffle_order": _q_shuffle_order,
         "quality_weighted_sample": _q_quality_weighted_sample,

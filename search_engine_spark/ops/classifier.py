@@ -32,8 +32,6 @@ coefficients — the honest contract for any distributed trainer.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,8 +45,12 @@ def _words(text_col: Column) -> Column:
 
 def ngram_features(text_col: Column) -> Column:
     """words + adjacent word bigrams ("a b") — the fastText feature
-    set, as one native array expression."""
-    w = _words(text_col)
+    set, as one native array expression.  NULL text yields an empty
+    array (HashingTF NPEs on null input, and a null doc is simply a
+    doc with no features)."""
+    w = F.coalesce(
+        _words(text_col), F.array().cast("array<string>")
+    )
     n = F.size(w)
     bigrams = F.when(
         n >= 2,
@@ -152,15 +154,28 @@ def classifier_filter(
 ) -> DataFrame:
     """Keep documents the model rates above `threshold` — or, with
     `soft=True`, keep each doc with probability equal to its model
-    score (the FineWeb-Edu soft-keep, via ops/curation.quality_sample
-    so membership is deterministic by id hash)."""
-    scored = model.score(df, id_col, text_col)
-    if soft:
-        from search_engine_spark.ops.curation import quality_sample
+    score (the FineWeb-Edu soft-keep, deterministic by id hash — the
+    same predicate as ops/curation.quality_sample).
 
-        keep = quality_sample(scored, "id", "quality_prob", salt=salt)
-    else:
-        keep = scored.filter(F.col("quality_prob") >= float(threshold))
-    return df.join(
-        keep.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    ONE corpus scan, zero shuffle: featurization and the LR transform
+    carry the original columns through, the keep predicate filters
+    row-locally, and the model columns are dropped — never a score
+    pass followed by a semi-join back."""
+    from pyspark.ml.functions import vector_to_array
+
+    from search_engine_spark.ops.sampling import BUCKETS, _bucket_col
+
+    feats = model.tf.transform(
+        df.withColumn("_grams", ngram_features(F.col(text_col)))
     )
+    scored = model.lr_model.transform(feats)
+    prob = vector_to_array(F.col("probability"))[1]
+    if soft:
+        keep = _bucket_col(F.col(id_col), salt) < F.floor(
+            F.least(F.greatest(prob, F.lit(0.0)), F.lit(1.0)) * BUCKETS
+        ).cast("long")
+    else:
+        keep = prob >= float(threshold)
+    drop = ["_grams", "features", "rawPrediction", "probability",
+            "prediction"]
+    return scored.filter(keep).drop(*drop)

@@ -75,17 +75,19 @@ def shuffle_rows(
     h = md5int_col(
         F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))
     )
-    out = df.withColumn("_sh", h).withColumn(
-        "shuffle_shard", (F.col("_sh") % n_shards).cast("int")
+    # collision-proof temp name: callers may legitimately carry their
+    # own _-prefixed window columns
+    out = df.withColumn("_sgs_sh", h).withColumn(
+        "shuffle_shard", (F.col("_sgs_sh") % n_shards).cast("int")
     )
     w = Window.partitionBy("shuffle_shard").orderBy(
-        F.col("_sh"), F.col(id_col)
+        F.col("_sgs_sh"), F.col(id_col)
     )
     return (
         out.withColumn(
             "shuffle_pos", (F.row_number().over(w) - 1).cast("long")
         )
-        .drop("_sh")
+        .drop("_sgs_sh")
     )
 
 
@@ -153,9 +155,9 @@ def cap_per_key(
     )
     w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= int(max_per_key))
-        .drop("_rn")
+        df.withColumn("_sgs_rn", F.row_number().over(w))
+        .filter(F.col("_sgs_rn") <= int(max_per_key))
+        .drop("_sgs_rn")
     )
 
 
@@ -166,14 +168,14 @@ def cap_per_key_sql(
     salt: str = "cap",
     source: str = "documents",
 ) -> str:
-    """DuckDB twin: the same hash-ordered row_number cap."""
+    """DuckDB twin: the same hash-ordered row_number cap (the hash is
+    projected once in the inner query, not recomputed per reference)."""
     h = md5int_sql(f"CAST({id_expr} AS VARCHAR) || '|{salt}'")
     return f"""
 SELECT * EXCLUDE (_rn, _h) FROM (
-  SELECT *, {h} AS _h,
-         row_number() OVER (PARTITION BY {key_expr}
-                            ORDER BY {h}, {id_expr}) AS _rn
-  FROM {source})
+  SELECT *, row_number() OVER (PARTITION BY {key_expr}
+                               ORDER BY _h, {id_expr}) AS _rn
+  FROM (SELECT *, {h} AS _h FROM {source}))
 WHERE _rn <= {int(max_per_key)}"""
 
 

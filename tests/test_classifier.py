@@ -156,3 +156,28 @@ class TestSessionState:
         )
         rows = model.score(docs, "doc_id").collect()
         assert len(rows) == 2
+
+
+class TestNullSafety:
+    def test_null_text_scores_without_crashing(self, spark, model):
+        docs = spark.createDataFrame(
+            [(1, PROSE[0]), (2, None)], ["doc_id", "text"]
+        )
+        rows = model.score(docs, "doc_id").collect()
+        assert len(rows) == 2
+
+    def test_filter_is_single_scan_no_join(self, spark, model):
+        import contextlib
+        import io
+
+        docs = spark.createDataFrame(
+            [(1, "some text")], ["doc_id", "text"]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            C.classifier_filter(
+                docs, "doc_id", "text", model, soft=True
+            ).explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "Join" not in plan
+        assert "Exchange" not in plan
