@@ -322,7 +322,12 @@ def main() -> None:
            "phrase_bm25_topk", "phrase_slop_topk", "prefix_bm25_topk",
            "minhash_signature", "simhash48", "substring_dedup",
            "embedding_cosine_topk", "ivf_ann_topk", "pricing_summary",
-           "window_rank_orders"]
+           "window_rank_orders",
+           # curation/BPE training-pipeline ops (quality_classifier is
+           # excluded: its L-BFGS fit is a ~40 s training job, not a
+           # query — benched once in BASELINE.md instead)
+           "token_budget_select", "cap_per_source", "shuffle_order",
+           "bpe_token_counts"]
     qmap = entrymod.queries()
     for name in ops:
         t0 = time.time()
