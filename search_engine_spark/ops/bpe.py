@@ -102,16 +102,12 @@ def top_words(
 # ---------------------------------------------------------------------------
 
 
-def train_bpe(
+def train_bpe_naive(
     word_freqs: Iterable[Tuple[str, int]], n_merges: int
 ) -> List[Tuple[str, str]]:
-    """Learn `n_merges` merges from a (word, count) dictionary.
-
-    Classic Sennrich BPE: symbols start as characters + END; each step
-    merges the most frequent adjacent pair across the weighted
-    dictionary (ties → lexicographically smallest pair).  Stops early
-    when no pair repeats.  O(dict-size × n_merges); cap the dict with
-    `top_words`, not the merge count."""
+    """Reference trainer (the spec): full pair recount + full vocab
+    rewrite every merge — O(dict-size × n_merges).  Kept as the
+    parity oracle for `train_bpe`; use only on small dictionaries."""
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
     vocab: Dict[Tuple[str, ...], int] = {}
@@ -152,6 +148,101 @@ def train_bpe(
             key = tuple(out)
             nv[key] = nv.get(key, 0) + c
         vocab = nv
+    return merges
+
+
+def train_bpe(
+    word_freqs: Iterable[Tuple[str, int]], n_merges: int
+) -> List[Tuple[str, str]]:
+    """Learn `n_merges` merges from a (word, count) dictionary.
+
+    Classic Sennrich BPE: symbols start as characters + END; each step
+    merges the most frequent adjacent pair across the weighted
+    dictionary (ties → lexicographically smallest pair).  Stops early
+    when no pair repeats.
+
+    Incremental implementation (the production-tokenizer approach):
+    per-pair counts and pair→word membership are maintained under a
+    lazy max-heap keyed (-count, pair) — stale heap entries are skipped
+    by comparing against the live count, so pops preserve the naive
+    trainer's exact (max count, lexicographic min) selection.  Each
+    merge touches only the words CONTAINING the merged pair, so total
+    cost is ~O(corpus-symbol churn), not O(dict × merges) — a 50k-word
+    dictionary trains 32k merges in seconds instead of hours.
+    Merge-list equality with `train_bpe_naive` is property-tested
+    (tests/test_bpe.py)."""
+    import heapq
+    from collections import Counter
+
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    agg: Dict[Tuple[str, ...], int] = {}
+    for w, c in word_freqs:
+        if not w or c <= 0:
+            continue
+        seq = tuple(w) + (END,)
+        agg[seq] = agg.get(seq, 0) + int(c)
+    words: List[List] = [[list(seq), c] for seq, c in agg.items()]
+    pair_counts: Dict[Tuple[str, str], int] = {}
+    pair_words: Dict[Tuple[str, str], set] = {}
+    for i, (seq, c) in enumerate(words):
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: List[Tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        nc, p = heapq.heappop(heap)
+        cur = pair_counts.get(p, 0)
+        if cur != -nc:
+            continue  # stale entry — the live count has its own entry
+        if cur < 2:
+            break  # current max doesn't repeat — stop, like the spec
+        merges.append(p)
+        a, b = p
+        m = a + b
+        changed: set = set()
+        for i in list(pair_words.get(p, ())):
+            seq, cnt = words[i]
+            out: List[str] = []
+            j = 0
+            hit = False
+            while j < len(seq):
+                if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+                    out.append(m)
+                    j += 2
+                    hit = True
+                else:
+                    out.append(seq[j])
+                    j += 1
+            if not hit:  # membership gone stale via an earlier merge
+                pair_words[p].discard(i)
+                continue
+            old = Counter(zip(seq, seq[1:]))
+            new = Counter(zip(out, out[1:]))
+            words[i][0] = out
+            for q, d in (old - new).items():
+                pair_counts[q] = pair_counts.get(q, 0) - d * cnt
+                changed.add(q)
+                if q not in new:
+                    ws = pair_words.get(q)
+                    if ws is not None:
+                        ws.discard(i)
+            for q, d in (new - old).items():
+                pair_counts[q] = pair_counts.get(q, 0) + d * cnt
+                changed.add(q)
+                pair_words.setdefault(q, set()).add(i)
+        pair_counts.pop(p, None)
+        pair_words.pop(p, None)
+        changed.discard(p)
+        for q in changed:
+            c = pair_counts.get(q, 0)
+            if c <= 0:
+                pair_counts.pop(q, None)
+                pair_words.pop(q, None)
+            else:
+                heapq.heappush(heap, (-c, q))
     return merges
 
 

@@ -195,3 +195,53 @@ class TestStringIds:
         got = {r["id"]: r["tokens"] for r in out.collect()}
         ranks = B._ranks(merges)
         assert got["url://a"] == B.encode_py("hello world", ranks)
+
+
+class TestFastTrainerParity:
+    def test_equals_naive_on_random_corpora(self):
+        import random
+
+        for seed in range(12):
+            rng = random.Random(seed)
+            alpha = "abc" if seed % 2 else "abcdef"
+            wf = [
+                (
+                    "".join(
+                        rng.choice(alpha)
+                        for _ in range(rng.randint(1, 9))
+                    ),
+                    rng.randint(1, 6),
+                )
+                for _ in range(rng.randint(3, 60))
+            ]
+            n = rng.randint(0, 40)
+            assert B.train_bpe(wf, n) == B.train_bpe_naive(wf, n), (
+                seed, n, wf[:5])
+
+    def test_equals_naive_with_heavy_ties_and_runs(self):
+        # repeated-char runs exercise overlap handling; equal counts
+        # exercise the lexicographic tie-break through the lazy heap
+        wf = [("aaaa", 3), ("aaab", 3), ("bbaa", 3), ("abab", 3)]
+        for n in (1, 2, 5, 20):
+            assert B.train_bpe(wf, n) == B.train_bpe_naive(wf, n), n
+
+    def test_large_dictionary_is_fast(self):
+        import random
+        import time
+
+        rng = random.Random(1)
+        wf = [
+            (
+                "".join(
+                    rng.choice("abcdefghijklmnop")
+                    for _ in range(rng.randint(2, 12))
+                ),
+                rng.randint(1, 100),
+            )
+            for _ in range(20000)
+        ]
+        t0 = time.time()
+        merges = B.train_bpe(wf, 2000)
+        dt = time.time() - t0
+        assert len(merges) == 2000
+        assert dt < 30, f"incremental trainer too slow: {dt:.1f}s"
