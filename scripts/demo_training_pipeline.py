@@ -292,9 +292,8 @@ def main() -> None:
             (F.col("pack_offset") < 0)
             | (F.col("pack_offset") >= 2048)
         ).count() == 0
-        # mean_fill can exceed 1: a straddling doc's tokens count
-        # toward its START pack (the chunker splits them downstream)
-        assert 0.0 < pstats["mean_fill"] < 2.5, pstats
+        # packs counts OCCUPIED budget-chunks per shard, so fill <= 1
+        assert 0.0 < pstats["mean_fill"] <= 1.0, pstats
         assert 0.0 <= pstats["straddle_frac"] < 0.6, pstats
 
         # 8) curation (ops/curation.py): quality-proportional soft

@@ -108,6 +108,8 @@ def ann_build(
     if kind == "lsh":
         # dim from one row; planes are seeded so no training pass needed
         first = emb.select(F.size(F.col(vec_col))).first()
+        if first is None or first[0] is None:
+            raise ValueError("ann_build: empty corpus (or null vector)")
         dim = int(first[0])
         planes = S.hyperplanes(dim, n_planes, seed)
         meta.update({"dim": dim, "n_planes": n_planes,
@@ -308,19 +310,41 @@ class AnnIndex:
             raise ValueError("search_batch supports ivf/ivfpq kinds")
         from pyspark.sql.window import Window
 
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        # preserve the caller's q_id type (string query ids are as
+        # legitimate as longs) in both the probe map and empty results
+        q_id_type = queries.schema[q_id_col].dataType
+        id_type = self._vectors().schema[self.id_col].dataType
         qrows = queries.select(
             F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("q_vec")
         ).collect()
         if not qrows:
             return self.spark.createDataFrame(
-                [], "q_id long, id long, cosine double"
+                [],
+                StructType([
+                    StructField("q_id", q_id_type),
+                    StructField("id", id_type),
+                    StructField("cosine", DoubleType()),
+                ]),
             )
         probe_map = []
         for r in qrows:
             for c in self.probe_cells(list(r["q_vec"]), nprobe):
                 probe_map.append((r["q_id"], int(c), list(map(float, r["q_vec"]))))
         pm = self.spark.createDataFrame(
-            probe_map, "q_id long, _cell int, q_vec array<double>"
+            probe_map,
+            StructType([
+                StructField("q_id", q_id_type),
+                StructField("_cell", IntegerType()),
+                StructField("q_vec", ArrayType(DoubleType())),
+            ]),
         )
         union_cells = sorted({c for _, c, _ in probe_map})
         cand = self._vectors().filter(F.col("_cell").isin(union_cells))

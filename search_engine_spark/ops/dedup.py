@@ -12,6 +12,8 @@ expressions so the DuckDB oracle can reproduce values bit-exactly.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,14 +45,19 @@ def exact_dup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Keep one row (min id) per distinct text value."""
-    w = F.min(id_col).over
-    from pyspark.sql.window import Window
+    """Keep one row (min id) per distinct text value.
 
-    keep = F.row_number().over(
-        Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    Winner election is a groupBy(hash).min(id) — partial aggregation
+    collapses a viral 100M-copy document map-side — followed by a
+    semi-join back on the (unique) id.  The window formulation (one
+    shuffle, but the hot text's every copy sorts in ONE partition) is
+    exactly the skewed-window pattern the module header forbids."""
+    winners = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_ck"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
-    return df.withColumn("_rn", keep).filter(F.col("_rn") == 1).drop("_rn")
+    return df.join(winners, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -156,6 +163,12 @@ def minhash_dedup_pairs(
     or 128/16 to keep candidate volume near the threshold band.  Cost
     scales linearly in num_hashes (signature aggregation) and b
     (banded-explode shuffle rows)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) — "
+            "a remainder would silently discard hash functions and "
+            "degrade recall below the documented S-curve"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
@@ -365,7 +378,7 @@ def embedding_near_dup_pairs_lsh(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
-    dim: int = 64,
+    dim: Optional[int] = None,
     n_planes: int = 8,
     n_tables: int = 2,
     seed: int = 42,
@@ -387,6 +400,18 @@ def embedding_near_dup_pairs_lsh(
     from search_engine_spark.ops.common import cosine_col
     from search_engine_spark.ops.similarity import _bucket_col, hyperplanes
 
+    if n_tables <= 0:
+        raise ValueError("n_tables must be > 0")
+    if dim is None:
+        # derive from the data: a dim mismatch silently NULLs every
+        # plane dot product, hashes all rows to bucket 0, and turns
+        # the bucketed join into the exact O(n²) join this op avoids
+        first = emb.select(F.size(F.col(vec_col))).first()
+        if first is None or first[0] is None:
+            return emb.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = int(first[0])
     out = None
     for t in range(int(n_tables)):
         planes = hyperplanes(dim, n_planes, seed + t)
@@ -533,18 +558,7 @@ def substring_dedup(
     n = F.size("ws")
     grams = base.select(
         "id",
-        F.posexplode(
-            F.when(
-                n >= k,
-                F.transform(
-                    F.sequence(F.lit(0), n - k),
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[F.element_at("ws", i + j + 1) for j in range(k)],
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "gram"),
+        F.posexplode(shingles_col(F.col("ws"), k)).alias("pos", "gram"),
     )
     occ = grams.select("id", "pos", md5int_col(F.col("gram")).alias("h"))
     owners = occ.groupBy("h").agg(F.min(F.struct("id", "pos")).alias("first"))

@@ -111,21 +111,34 @@ def pack_sql(
 def pack_stats(packed: DataFrame, token_col: str, budget: int) -> dict:
     """Packing-quality report: pack count, mean fill ratio, and the
     fraction of docs that straddle a pack boundary (their tokens spill
-    into the next pack) — ONE aggregate over the packed rows."""
-    row = packed.agg(
-        F.countDistinct("pack_shard", "pack_seq").alias("packs"),
-        F.sum(token_col).alias("tokens"),
-        F.avg(
-            (F.col("pack_offset") + F.col(token_col) > budget).cast(
-                "double"
-            )
-        ).alias("straddle_frac"),
-    ).collect()[0]
-    packs = int(row["packs"] or 0)
-    tokens = int(row["tokens"] or 0)
+    into the next pack) — ONE shard-level aggregate.
+
+    `packs` counts the budget-sized chunks each shard's token stream
+    OCCUPIES — ceil(shard_tokens / budget) summed over shards — not
+    the packs where some document starts: a single 10×budget document
+    occupies 10 packs, so counting distinct start-packs would report 1
+    pack at 1000% fill.  mean_fill is therefore ≤ 1, and measures how
+    completely the final chunk of each shard is used."""
+    rows = (
+        packed.groupBy("pack_shard")
+        .agg(
+            F.sum(token_col).alias("t"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.col("pack_offset") + F.col(token_col) > budget
+                ).cast("long")
+            ).alias("strad"),
+        )
+        .collect()
+    )
+    tokens = sum(int(r["t"]) for r in rows)
+    n_docs = sum(int(r["n"]) for r in rows)
+    packs = sum(-(-int(r["t"]) // budget) for r in rows)  # ceil div
+    straddle = sum(int(r["strad"]) for r in rows)
     return {
         "packs": packs,
         "tokens": tokens,
         "mean_fill": tokens / (packs * budget) if packs else 0.0,
-        "straddle_frac": float(row["straddle_frac"] or 0.0),
+        "straddle_frac": straddle / n_docs if n_docs else 0.0,
     }

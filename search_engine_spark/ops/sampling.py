@@ -196,7 +196,9 @@ def mix_corpus(
         df.groupBy(source_col).agg(F.sum(F.col(token_col)).alias("a"))
         .collect()
     )
-    avail = {r[0]: int(r["a"]) for r in rows}
+    # sum() is NULL when every token value in a source is null (e.g.
+    # size(null array) rows) — such a source has no sampleable mass
+    avail = {r[0]: int(r["a"] or 0) for r in rows}
     plan = mix_plan(avail, weights, total_tokens, allow_upsample)
     parts: List[DataFrame] = []
     for s, (full, frac) in plan.items():

@@ -24,6 +24,21 @@ from pyspark.sql import functions as F
 from search_engine_spark.ops.common import cosine_col, dot_col
 
 
+def _empty_topk(emb: DataFrame, id_col: str, score_name: str) -> DataFrame:
+    """Empty result preserving the INPUT's id type — a hardcoded
+    `id long` schema would make the empty-corpus path union-incompatible
+    with the string-id results the non-empty path produces."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return emb.sparkSession.createDataFrame(
+        [],
+        StructType([
+            StructField("id", emb.schema[id_col].dataType),
+            StructField(score_name, DoubleType()),
+        ]),
+    )
+
+
 def _as_double_array(values: Sequence[float]):
     return F.array(*[F.lit(float(v)) for v in values])
 
@@ -174,7 +189,7 @@ def ivf_topk(
         .collect()
     )
     if not sample_rows:
-        return emb.sparkSession.createDataFrame([], "id long, cosine double")
+        return _empty_topk(emb, id_col, "cosine")
     sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     cent = kmeans_centroids(sample, n_cells, iters=iters, seed=seed)
 
@@ -318,9 +333,7 @@ def ivfpq_topk(
         .collect()
     )
     if not sample_rows:
-        return emb.sparkSession.createDataFrame(
-            [], "id long, score double"
-        )
+        return _empty_topk(emb, id_col, "score")
     sample = np.array([list(r[1]) for r in sample_rows], dtype=np.float64)
     cent = kmeans_centroids(sample, n_cells, iters=iters, seed=seed)
     books = pq_codebooks(

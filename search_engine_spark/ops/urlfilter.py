@@ -31,12 +31,19 @@ from pyspark.sql import functions as F
 HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 PORT_RE = r":[0-9]+$"
+# authority userinfo ("alice:pw@host") — must be stripped BEFORE domain
+# matching or "https://x@blocked.com/" evades every host predicate
+USERINFO_RE = r"^[^/@]*@"
 
 
 def host_col(url: Column) -> Column:
-    """Lowercased host with any :port stripped."""
+    """Lowercased host with any userinfo@ prefix and :port stripped."""
     return F.regexp_replace(
-        F.lower(F.regexp_extract(url, HOST_RE, 1)), PORT_RE, ""
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, HOST_RE, 1)),
+            USERINFO_RE, "",
+        ),
+        PORT_RE, "",
     )
 
 
@@ -47,8 +54,8 @@ def path_col(url: Column) -> Column:
 
 def host_sql(url_expr: str) -> str:
     return (
-        f"regexp_replace(lower(regexp_extract({url_expr}, "
-        f"'{HOST_RE}', 1)), '{PORT_RE}', '')"
+        f"regexp_replace(regexp_replace(lower(regexp_extract({url_expr}, "
+        f"'{HOST_RE}', 1)), '{USERINFO_RE}', ''), '{PORT_RE}', '')"
     )
 
 

@@ -1,6 +1,7 @@
 """Near-dup dedup clustering: connected components (transitive closure
 over LSH pairs) and the one-survivor-per-cluster dedup operator."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from search_engine_spark.ops import dedup as D
@@ -234,3 +235,40 @@ class TestSubstringDedup:
             assert got == self._oracle(rows, 3)
 
         check()
+
+
+class TestConfigGuards:
+    def test_bands_must_divide_num_hashes(self, spark):
+        from search_engine_spark.ops.dedup import minhash_dedup_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f")], "id long, text string"
+        )
+        with pytest.raises(ValueError, match="divide"):
+            minhash_dedup_pairs(df, "id", "text", num_hashes=128, bands=5)
+
+    def test_embedding_lsh_infers_dim(self, spark):
+        from search_engine_spark.ops.dedup import (
+            embedding_near_dup_pairs,
+            embedding_near_dup_pairs_lsh,
+        )
+
+        # 16-dim vectors WITHOUT passing dim: candidates must still be
+        # a subset of (and for near-identical pairs, include) the brute
+        # result — a dim mismatch would NULL the planes and not crash,
+        # so assert the pair is actually FOUND
+        rows = [
+            (1, [1.0] * 8 + [0.0] * 8),
+            (2, [1.0] * 8 + [0.0] * 7 + [0.01]),
+            (3, [0.0] * 8 + [1.0] * 8),
+        ]
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs_lsh(
+                df, "id", "vec", threshold=0.9, n_tables=4
+            ).collect()
+        }
+        assert (1, 2) in got
+        with pytest.raises(ValueError):
+            embedding_near_dup_pairs_lsh(df, "id", "vec", n_tables=0)

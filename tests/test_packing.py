@@ -95,7 +95,14 @@ class TestPackSequences:
         st = P.pack_stats(packed, "tokens", BUDGET)
         rows = [(r["id"], r["tokens"]) for r in table.collect()]
         want = _py_pack(rows)
-        assert st["packs"] == len({(s, q) for s, q, _ in want.values()})
+        # packs = chunks OCCUPIED per shard (ceil of shard token mass)
+        shard_tok = {}
+        tok = dict(rows)
+        for i, (s, _, _) in want.items():
+            shard_tok[s] = shard_tok.get(s, 0) + tok[i]
+        assert st["packs"] == sum(
+            -(-t // BUDGET) for t in shard_tok.values()
+        )
         assert st["tokens"] == sum(t for _, t in rows)
         assert 0.5 < st["mean_fill"] <= 1.0 + 100 / BUDGET
         tok = dict(rows)
@@ -117,3 +124,15 @@ class TestPackSequences:
         )
         rows = P.pack_sequences(df, "id", "tokens", 16, n_shards=2).collect()
         assert [r["id"] for r in rows] == [2]
+
+
+class TestLongDocs:
+    def test_stats_count_occupied_packs_not_start_packs(self, spark):
+        # ONE 1000-token doc at budget 100 occupies 10 packs; counting
+        # start-packs would report 1 pack at 1000% fill
+        df = spark.createDataFrame([(1, 1000)], "id long, tokens long")
+        packed = P.pack_sequences(df, "id", "tokens", 100, n_shards=1)
+        st = P.pack_stats(packed, "tokens", 100)
+        assert st["packs"] == 10
+        assert st["mean_fill"] == pytest.approx(1.0)
+        assert st["straddle_frac"] == 1.0

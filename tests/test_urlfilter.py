@@ -76,3 +76,18 @@ class TestUrlFilter:
             df, blocked_domains=BLOCKED, path_keywords=KEYWORDS
         )._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure WHERE, no shuffle
+
+
+class TestUserinfoBypass:
+    def test_userinfo_cannot_evade_blocklist(self, spark):
+        # "alice@blocked" authority must still match the blocked domain
+        df = spark.createDataFrame(
+            [
+                (1, "https://alice@ads.tracker.com/x"),
+                (2, "https://a:b@sub.ads.tracker.com:443/y"),
+                (3, "https://alice@ok.example.org/z"),
+            ],
+            "doc_id long, url string",
+        )
+        kept = apply_url_filter(df, "url", BLOCKED, KEYWORDS)
+        assert {r["doc_id"] for r in kept.collect()} == {3}
