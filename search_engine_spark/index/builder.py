@@ -43,6 +43,7 @@ Scale notes (100 TB / 10^12 docs):
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -284,6 +285,7 @@ def _config_pa_schema():
                 ("index_fields", pa.bool_()),
                 ("index_positions", pa.bool_()),
                 ("index_shingles", pa.bool_()),
+                ("bucket_groups", pa.int32()),
             ]
         )
     return _CONFIG_PA
@@ -296,10 +298,14 @@ def write_build_config(
     index_fields: bool,
     index_positions: bool = False,
     index_shingles: bool = False,
+    bucket_groups: int = 1,
 ) -> None:
     """Persist the layout-defining build parameters next to the index.
     Incremental merges MUST reuse them — a delta built with a different
-    num_buckets lands in term_bucket partitions the query never scans."""
+    num_buckets lands in term_bucket partitions the query never scans.
+    bucket_groups is recorded because the blocks stage's manifest keys
+    are group ordinals: resuming with a different group count would
+    silently skip (or re-append) whole posting partitions."""
     write_rows_parquet(
         path,
         _config_pa_schema(),
@@ -309,6 +315,7 @@ def write_build_config(
             "index_fields": [index_fields],
             "index_positions": [index_positions],
             "index_shingles": [index_shingles],
+            "bucket_groups": [bucket_groups],
         },
     )
 
@@ -327,6 +334,8 @@ def read_build_config(path: str) -> Optional[dict]:
             "index_positions": bool(row.get("index_positions", False)),
             # absent in configs written before shingle-LM support
             "index_shingles": bool(row.get("index_shingles", False)),
+            # absent in configs written before group-resume validation
+            "bucket_groups": int(row.get("bucket_groups") or 1),
         }
     except Exception:
         return None
@@ -420,7 +429,7 @@ def _with_pack_batch(spark: SparkSession, fn):
         spark.conf.set(key, prev)
 
 
-def _pack_blocks(block_size: int, num_buckets: int):
+def _pack_blocks(block_size: int):
     """mapInPandas generator factory: sorted (term, doc_id, tf, dl,
     score, term_bucket) rows -> packed posting blocks.
 
@@ -686,12 +695,54 @@ def build_index(
     """
     paths = IndexPaths(out_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
+    existing_cfg = read_build_config(paths.build_config)
+    if existing_cfg is not None and resume:
+        # a resumed build MUST match the persisted layout: done-keys in
+        # the manifest are meaningless under different bucketing/group
+        # counts (skipped or duplicated posting partitions), and a
+        # changed num_buckets would hash terms into partitions the
+        # query-time pruning never scans
+        requested = {
+            "num_buckets": num_buckets,
+            "block_size": block_size,
+            "index_fields": index_fields,
+            "index_positions": index_positions,
+            "index_shingles": index_shingles,
+            "bucket_groups": bucket_groups,
+        }
+        mismatch = {
+            k: (existing_cfg.get(k), v)
+            for k, v in requested.items()
+            if existing_cfg.get(k) != v
+        }
+        if mismatch:
+            raise ValueError(
+                "build_index(resume=True) layout mismatch vs the "
+                f"persisted build_config at {paths.build_config}: "
+                f"{mismatch} (existing, requested). Pass the original "
+                "settings, or rebuild fresh with resume=False."
+            )
+    elif existing_cfg is not None and not resume:
+        # fresh rebuild into an existing index dir: the posting stages
+        # are mode('append') and queries aggregate per doc across block
+        # runs, so stale artifacts MUST go — postings, the manifest
+        # (its done-keys describe the old build), and any merge-layer
+        # state (deltas/tombstones reference the old doc_id space)
+        for stale in (
+            paths.postings, paths.pos_postings, paths.manifest,
+            os.path.join(out_dir, "deltas"),
+            os.path.join(out_dir, "tombstones"),
+            os.path.join(out_dir, "premerge"),
+            paths.build_config,
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+        existing_cfg = None
     man = _Manifest(spark, paths, build_id)
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
-    if read_build_config(paths.build_config) is None:
+    if existing_cfg is None:
         write_build_config(
             paths.build_config, num_buckets, block_size, index_fields,
-            index_positions, index_shingles,
+            index_positions, index_shingles, bucket_groups,
         )
 
     metrics_coll = None
@@ -1052,7 +1103,7 @@ def build_index(
             .sortWithinPartitions("term", "doc_id")
             .drop("salt")
             .mapInPandas(
-                _pack_blocks(block_size, num_buckets), schema=schemas.POSTINGS
+                _pack_blocks(block_size), schema=schemas.POSTINGS
             )
         )
         _with_pack_batch(
@@ -1168,10 +1219,32 @@ def build_shingle_stats(
     collect_list-shaped posting build.  Idempotent (mode=overwrite);
     standalone-callable after compact_index, whose doc rewrite leaves
     these stats stale (Lucene-stale semantics, like term_stats under
-    merge deletes).  Takes an IndexPaths or the index root dir."""
+    merge deletes).  Takes an IndexPaths or the index root dir.
+
+    Merged indexes: the LM covers the base PLUS every delta segment,
+    minus tombstoned docs — the documented refresh path after
+    merge_pages must learn the merged batches' vocabulary, not just
+    the initial build's."""
+    from search_engine_spark.index.merge import (
+        delta_roots,
+        read_tombstones,
+    )
+
     paths = IndexPaths(out_dir) if isinstance(out_dir, str) else out_dir
     P = num_partitions or spark.sparkContext.defaultParallelism * 2
-    toks = spark.read.parquet(paths.tokens_stage).select("tokens")
+    deltas = delta_roots(spark, paths)
+    tomb = read_tombstones(spark, paths)
+
+    def _staged(stage_of) -> DataFrame:
+        parts = [stage_of(paths)] + [stage_of(IndexPaths(d)) for d in deltas]
+        df = spark.read.parquet(*parts)
+        if tomb is not None:
+            df = df.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            )
+        return df
+
+    toks = _staged(lambda p: p.tokens_stage).select("tokens")
     (
         toks.filter(F.size("tokens") >= 2)
         .select(
@@ -1193,7 +1266,7 @@ def build_shingle_stats(
         .parquet(paths.shingle_stats)
     )
     (
-        spark.read.parquet(paths.tf_stage)
+        _staged(lambda p: p.tf_stage)
         .filter(~F.col("term").contains("!"))
         .groupBy("term")
         .agg(F.sum("tf").cast("long").alias("cnt"))

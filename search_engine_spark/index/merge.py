@@ -225,6 +225,7 @@ def _resolve_config(
             bool(index_positions)
             if index_positions is not None
             else _fs_exists(spark, paths.pos_postings),
+            _fs_exists(spark, paths.shingle_stats),
         )
     for name, given, stored in (
         ("num_buckets", num_buckets, cfg["num_buckets"]),
@@ -243,6 +244,7 @@ def _resolve_config(
         cfg["block_size"],
         cfg["index_fields"],
         cfg["index_positions"],
+        cfg.get("index_shingles", False),
     )
 
 
@@ -276,8 +278,11 @@ def merge_pages(
     paths = IndexPaths(index_dir)
     build_id = build_id or uuid.uuid4().hex[:12]
     man = _Manifest(spark, paths, build_id)
-    num_buckets, block_size, index_fields, index_positions = _resolve_config(
-        spark, paths, num_buckets, block_size, index_fields, index_positions
+    num_buckets, block_size, index_fields, index_positions, _ = (
+        _resolve_config(
+            spark, paths, num_buckets, block_size, index_fields,
+            index_positions,
+        )
     )
 
     def step_state(step: str) -> Optional[str]:
@@ -366,9 +371,15 @@ def merge_pages(
             tomb = tomb.join(
                 F.broadcast(prior.select("doc_id")), "doc_id", "left_anti"
             )
-        n_tomb = tomb.count()
-        if n_tomb:
-            tomb.write.mode("append").parquet(tombstones_path(paths))
+        # persist: count + write must not each re-run the base-docs
+        # semi-join (per-batch hot path)
+        tomb = tomb.persist()
+        try:
+            n_tomb = tomb.count()
+            if n_tomb:
+                tomb.write.mode("append").parquet(tombstones_path(paths))
+        finally:
+            tomb.unpersist()
         man.mark_done("merge_tombstones", 0, n_tomb, 0, fingerprint=build_id)
 
     # 3) splice the delta into the base tables: postings append into the
@@ -508,9 +519,16 @@ def delete_pages(
     tomb = hit.select("doc_id", "url").withColumn(
         "build_id", F.lit(build_id)
     )
-    n = tomb.count()
-    if n:
-        tomb.write.mode("append").parquet(tombstones_path(paths))
+    # persist so the write doesn't RE-RUN the docs join/filter pipeline
+    # after the count (this is the per-batch hot path); the no-op
+    # delete still writes nothing
+    tomb = tomb.persist()
+    try:
+        n = tomb.count()
+        if n:
+            tomb.write.mode("append").parquet(tombstones_path(paths))
+    finally:
+        tomb.unpersist()
     man = _Manifest(spark, paths, build_id)
     man.mark_done("delete", 0, n, 0, fingerprint=build_id)
     return n
@@ -595,9 +613,13 @@ def update_by_query(
         hit = docs.join(match_urls.select("url"), "url", "left_semi")
     else:
         hit = docs  # match_all
-    hit_urls = hit.select("url")
+    # persist: matched-count, the source semi-join, and merge_pages all
+    # re-read this frame — without it each action re-runs the live-docs
+    # join/filter
+    hit_urls = hit.select("url").persist()
     matched = hit_urls.count()
     if not matched:
+        hit_urls.unpersist()
         return UpdateResult(build_id, 0, 0, 0, None)
     rows = source_pages.join(hit_urls, "url", "left_semi")
     updated_src = rows.withColumns(
@@ -608,12 +630,15 @@ def update_by_query(
             for c, e in script.items()
         }
     )
-    n_src = updated_src.count()
-    if not n_src:
-        return UpdateResult(build_id, matched, 0, matched, None)
-    res = merge_pages(
-        spark, index_dir, updated_src, build_id=build_id
-    )
+    try:
+        n_src = updated_src.count()
+        if not n_src:
+            return UpdateResult(build_id, matched, 0, matched, None)
+        res = merge_pages(
+            spark, index_dir, updated_src, build_id=build_id
+        )
+    finally:
+        hit_urls.unpersist()
     return UpdateResult(
         build_id, matched, res.new_docs, matched - res.new_docs, res
     )
@@ -660,8 +685,8 @@ def compact_index(
     dst = IndexPaths(out_dir)
     build_id = uuid.uuid4().hex[:12]
     man = _Manifest(spark, dst, build_id)
-    num_buckets, block_size, index_fields, index_positions = _resolve_config(
-        spark, src, num_buckets, block_size, None
+    num_buckets, block_size, index_fields, index_positions, index_shingles = (
+        _resolve_config(spark, src, num_buckets, block_size, None)
     )
 
     tf_parts = [src.tf_stage] + [
@@ -685,10 +710,12 @@ def compact_index(
         .parquet(dst.docs)
     )
     n_live = spark.read.parquet(dst.docs).count()
-    if index_positions:
-        # the positional stage re-derives positions from the tokens
-        # stage (tf rows don't carry them) — union the base's and every
-        # delta's token streams, drop tombstoned docs
+    if index_positions or index_shingles:
+        # the positional and shingle stages re-derive from the tokens
+        # stage (tf rows carry neither) — union the base's and every
+        # delta's token streams, drop tombstoned docs.  Carrying it for
+        # shingles too keeps the phrase-suggester LM rebuildable on the
+        # compacted index (build_shingle_stats reads tokens_stage).
         tok_parts = [src.tokens_stage] + [
             IndexPaths(d).tokens_stage for d in delta_roots(spark, src)
         ]
@@ -715,6 +742,9 @@ def compact_index(
         # this just re-derives exact field_stats for the live corpus
         index_fields=index_fields,
         index_positions=index_positions,
+        # a shingled source compacts to a shingled dest — dropping the
+        # suggester LM on compaction would be silent data loss
+        index_shingles=index_shingles,
     )
 
 
@@ -729,7 +759,7 @@ def reindex(
     num_partitions: Optional[int] = None,
     index_fields: Optional[bool] = None,
     index_positions: Optional[bool] = None,
-    index_shingles: bool = False,
+    index_shingles: Optional[bool] = None,
 ) -> IndexPaths:
     """The ES `_reindex` API as a batch job: write a brand-new index at
     `out_dir` from the LIVE documents of `index_dir` (tombstones folded
@@ -769,7 +799,20 @@ def reindex(
             "index_fields=True needs a fielded source index — reindex "
             "never re-extracts title/description token streams"
         )
-    dst_positions = bool(index_positions) if index_positions is not None else False
+    # like num_buckets/block_size/index_fields: omitted settings INHERIT
+    # the source config — a reindex that silently dropped the source's
+    # positional postings or suggester LM would break phrase queries on
+    # the replacement index with no signal
+    dst_positions = (
+        bool(index_positions)
+        if index_positions is not None
+        else cfg["index_positions"]
+    )
+    dst_shingles = (
+        bool(index_shingles)
+        if index_shingles is not None
+        else cfg.get("index_shingles", False)
+    )
 
     tf_parts = [src.tf_stage] + [
         IndexPaths(d).tf_stage for d in delta_roots(spark, src)
@@ -797,7 +840,7 @@ def reindex(
         .parquet(dst.docs)
     )
     n_live = spark.read.parquet(dst.docs).count()
-    if dst_positions or index_shingles:
+    if dst_positions or dst_shingles:
         tok_parts = [src.tokens_stage] + [
             IndexPaths(d).tokens_stage for d in delta_roots(spark, src)
         ]
@@ -828,5 +871,5 @@ def reindex(
         build_id=build_id,
         index_fields=dst_fields,
         index_positions=dst_positions,
-        index_shingles=index_shingles,
+        index_shingles=dst_shingles,
     )
