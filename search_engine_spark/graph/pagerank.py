@@ -97,6 +97,10 @@ def pagerank_fixed(
     edges = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     nodes = nodes_of(edges)
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # an empty link graph (fresh crawl, no intra-corpus links) has
+        # an empty rank map, like the reference — not a ZeroDivision
+        return nodes.select("id", F.lit(0.0).alias("r"))
     deg = out_degrees(edges)
     ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(n_iter):
@@ -176,6 +180,11 @@ def pagerank(
     edges = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     nodes = nodes_of(edges).cache()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return (
+            nodes.select("id", F.lit(0.0).alias("r")),
+            {"iterations": 0, "l1_diff": 0.0, "n_nodes": 0},
+        )
     deg = out_degrees(edges).cache()
     edges = edges.cache()
 

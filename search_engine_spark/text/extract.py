@@ -172,7 +172,10 @@ def extract_content(html: str) -> Extracted:
     return Extracted(title, p.description, text[:MAX_TEXT_CHARS])
 
 
-def _decode(html_bytes) -> str:
+def decode_html(html_bytes) -> str:
+    """Shared html-column coercion (None/bytes/str) — the ONE place
+    charset handling lives; the link extractor imports it too so both
+    paths decode the same bytes identically."""
     if html_bytes is None:
         return ""
     if isinstance(html_bytes, (bytes, bytearray)):
@@ -186,7 +189,7 @@ def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     is pure C-accelerated stdlib parsing, no JVM<->Python per-row churn.
     """
     for pdf in batches:
-        ex = [extract_content(_decode(h)) for h in pdf["html"]]
+        ex = [extract_content(decode_html(h)) for h in pdf["html"]]
         out = pdf.drop(columns=["html"])
         out["title"] = [e.title[:MAX_TITLE_CHARS] for e in ex]
         out["description"] = [e.description[:MAX_DESC_CHARS] for e in ex]
@@ -219,7 +222,7 @@ def extract_tokenize_batches(keep_text: bool = False):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         stem_cache: dict = {}  # lives for the whole partition
         for pdf in batches:
-            ex = [extract_content(_decode(h)) for h in pdf["html"]]
+            ex = [extract_content(decode_html(h)) for h in pdf["html"]]
             toks = [tokenize_py_cached(e.text, stem_cache) for e in ex]
             out = pdf.drop(columns=["html"])
             out["title"] = [e.title[:MAX_TITLE_CHARS] for e in ex]

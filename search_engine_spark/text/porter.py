@@ -63,17 +63,6 @@ def _ends_cvc(word: str) -> bool:
     )
 
 
-def _replace_suffix(word: str, suffix: str, repl: str, min_measure: int) -> str | None:
-    """If word ends with suffix and measure(stem) > min_measure-ish rule,
-    return stem+repl, else None.  min_measure is the m> threshold."""
-    if not word.endswith(suffix):
-        return None
-    stem = word[: len(word) - len(suffix)]
-    if _measure(stem) > min_measure:
-        return stem + repl
-    return word  # suffix matched but condition failed: rule consumes the match
-
-
 _STEP2_RULES = (
     ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
     ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),

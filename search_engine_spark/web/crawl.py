@@ -66,8 +66,19 @@ MAX_DEPTH_DEFAULT = 3  # config.py crawler_max_depth default
 
 
 def seed_frontier(spark: SparkSession, seed_urls: List[str]) -> DataFrame:
-    """Seeds enter at priority 0.0, depth 0 (crawler.py:576-582, A5)."""
-    rows = [(u, 0.0, 0) for u in sorted(set(seed_urls))]
+    """Seeds enter at priority 0.0, depth 0 (crawler.py:576-582, A5).
+
+    Seeds take the SAME normalize+validate gate as discovered links
+    (crawler.py pushes every url through normalize before the
+    frontier): a raw 'http://Example.com/a/' seed would never equi-join
+    the canonical pages table, and the same page could be crawled twice
+    under its raw and normalized keys."""
+    from search_engine_spark.web.urls import is_valid_url, normalize_url
+
+    seeds = {
+        normalize_url(u) for u in seed_urls if u and is_valid_url(u)
+    }
+    rows = [(u, 0.0, 0) for u in sorted(seeds)]
     return spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
 
 
@@ -78,9 +89,14 @@ def _empty(spark: SparkSession, schema_ddl: str) -> DataFrame:
 def robots_block_cond(url, rules_domain, rules_prefix):
     """One disallow rule matches a url when the domain equals and the
     path starts with the rule's prefix — RobotFileParser's effective
-    prefix-disallow semantics (crawler.py:164-208, A2) as columns."""
-    return (domain_col(url) == rules_domain) & path_col(url).startswith(
-        rules_prefix
+    prefix-disallow semantics (crawler.py:164-208, A2) as columns.
+    An EMPTY prefix never blocks: RobotFileParser treats a bare
+    'Disallow:' line as allow-all, while startswith('') would have
+    blocked the whole domain."""
+    return (
+        (rules_prefix != "")
+        & (domain_col(url) == rules_domain)
+        & path_col(url).startswith(rules_prefix)
     )
 
 
@@ -253,12 +269,15 @@ def crawl_and_index(
     from search_engine_spark.index.merge import merge_pages
 
     waves = 1 + (int(max_depth) if follow_links else 0)
+    # every REQUESTED url must be processed (the reference endpoint
+    # answers per url): a batch_size below the seed count would leave
+    # the tail in the discarded frontier, silently unfetched/unreported
     crawled, edges, _ = simulate_crawl(
         spark,
         pages,
         urls,
         waves=waves,
-        batch_size=batch_size,
+        batch_size=max(int(batch_size), len(urls)),
         max_depth=int(max_depth) if follow_links else 0,
         robots=robots,
     )
@@ -267,13 +286,31 @@ def crawl_and_index(
     batch = pages.join(F.broadcast(fetched), "url", "inner")
     n_fetched = fetched.count()
     if n_fetched:
-        res = merge_pages(spark, index_dir, batch, build_id=job_id)
-        job_id = res.build_id  # reuse the merge's resumable id
+        docs_exists = True
+        try:
+            spark.read.parquet(index_dir.rstrip("/") + "/docs").schema
+        except Exception:
+            docs_exists = False
+        if docs_exists:
+            res = merge_pages(spark, index_dir, batch, build_id=job_id)
+            job_id = res.build_id  # reuse the merge's resumable id
+        else:
+            # brand-new index dir: ES auto-creates the index on first
+            # write — bootstrap with a fresh build over the batch
+            from search_engine_spark.index.builder import build_index
+
+            build_index(spark, batch, index_dir, resume=False,
+                        build_id=job_id)
     job_id = job_id or "job-0"
 
-    docs = spark.read.parquet(
-        index_dir.rstrip("/") + "/docs"
-    ).select("url", "title")
+    docs_path = index_dir.rstrip("/") + "/docs"
+    try:
+        docs = spark.read.parquet(docs_path).select("url", "title")
+    except Exception:
+        # nothing fetched into a brand-new index dir: no docs table
+        # exists yet — answer per-url failures like the reference
+        # endpoint instead of raising PATH_NOT_FOUND
+        docs = _empty(spark, "url string, title string")
     results = (
         crawled.select("url", F.col("fetched").alias("success"))
         .join(docs, "url", "left")

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+from search_engine_spark.text.extract import decode_html
 from search_engine_spark.web.urls import (
     is_valid_url,
     normalize_url,
@@ -72,21 +73,13 @@ def extract_links(html: str, base_url: str) -> List[str]:
     return sorted(out)
 
 
-def _decode(html_bytes) -> str:
-    if html_bytes is None:
-        return ""
-    if isinstance(html_bytes, (bytes, bytearray)):
-        return bytes(html_bytes).decode("utf-8", errors="replace")
-    return str(html_bytes)
-
-
 def _links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
                 "links": [
-                    extract_links(_decode(h), u)
+                    extract_links(decode_html(h), u)
                     for u, h in zip(pdf["url"], pdf["html"])
                 ],
             }
@@ -139,10 +132,17 @@ def frontier_pop_batch(frontier: DataFrame, n: int) -> DataFrame:
 
 def frontier_add(frontier: DataFrame, new_urls: DataFrame) -> DataFrame:
     """Frontier insert (crawler.py:127-135, A5/H3): union + de-dup,
-    keeping the lowest priority per url (ZADD keeps latest; min is the
-    deterministic batch equivalent)."""
-    return (
+    keeping the lowest-priority entry per url (ZADD keeps latest; min
+    is the deterministic batch equivalent).  The winning entry's depth
+    rides along in one min(struct) — a frontier row is (url, priority,
+    depth) per FRONTIER_SCHEMA, and dropping depth here forced
+    crawl.py to re-implement the merge inline."""
+    merged = (
         frontier.unionByName(new_urls)
         .groupBy("url")
-        .agg(F.min("priority").alias("priority"))
+        .agg(F.min(F.struct("priority", "depth")).alias("_w"))
+    )
+    return merged.select(
+        "url", F.col("_w.priority").alias("priority"),
+        F.col("_w.depth").alias("depth"),
     )

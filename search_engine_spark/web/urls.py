@@ -79,8 +79,17 @@ def domain_col(url: Column) -> Column:
 
 def is_valid_url_col(url: Column) -> Column:
     """utils.py:33-40: scheme ∈ {http, https} ∧ netloc ≠ ''.
-    (urlparse lowercases the scheme, hence the case-insensitive match.)"""
-    return scheme_col(url).isin("http", "https") & (netloc_col(url) != "")
+    (urlparse lowercases the scheme, hence the case-insensitive match.
+    urlparse also RAISES on a netloc with unbalanced IPv6 brackets —
+    utils.py returns False through its except — so the native twin
+    must reject those too.)"""
+    nl = netloc_col(url)
+    bad_ipv6 = nl.contains("[") != nl.contains("]")
+    return (
+        scheme_col(url).isin("http", "https")
+        & (nl != "")
+        & ~bad_ipv6
+    )
 
 
 def should_skip_url_col(url: Column) -> Column:
@@ -106,7 +115,11 @@ def normalize_url_col(url: Column) -> Column:
     )
     path = path_col(url)
     path = F.when(path == "/", path).otherwise(F.regexp_replace(path, r"/+$", ""))
-    return F.concat(scheme, F.lit("://"), F.lower(netloc), path, query_col(url))
+    # a bare trailing '?' (empty query) is dropped, as urlunparse does
+    # in the Python twin — both paths must emit ONE canonical key
+    q = query_col(url)
+    q = F.when(q == "?", F.lit("")).otherwise(q)
+    return F.concat(scheme, F.lit("://"), F.lower(netloc), path, q)
 
 
 def crawl_priority_col(url: Column, depth: Column) -> Column:
@@ -157,7 +170,11 @@ def query_sql(u: str) -> str:
 
 
 def is_valid_url_sql(u: str) -> str:
-    return f"({scheme_sql(u)} IN ('http','https') AND {netloc_sql(u)} <> '')"
+    nl = netloc_sql(u)
+    return (
+        f"({scheme_sql(u)} IN ('http','https') AND {nl} <> '' "
+        f"AND (contains({nl}, '[') = contains({nl}, ']')))"
+    )
 
 
 def should_skip_url_sql(u: str) -> str:
@@ -177,7 +194,9 @@ def normalize_url_sql(u: str) -> str:
     )
     p = path_sql(u)
     p2 = f"CASE WHEN {p} = '/' THEN '/' ELSE regexp_replace({p}, '/+$', '') END"
-    return f"({sch} || '://' || lower({nl2}) || {p2} || {query_sql(u)})"
+    q = query_sql(u)
+    q2 = f"CASE WHEN {q} = '?' THEN '' ELSE {q} END"
+    return f"({sch} || '://' || lower({nl2}) || {p2} || {q2})"
 
 
 def crawl_priority_sql(u: str, depth: str) -> str:

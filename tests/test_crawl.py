@@ -232,3 +232,65 @@ class TestCrawlAndIndex:
         got = {(r["url"], r["success"]) for r in results.collect()}
         assert got == exp
         assert job["completed"] == sum(1 for _, f in exp if f)
+
+
+def test_seed_normalization_and_robots_empty_prefix(spark):
+    """Seeds take the same normalize+validate gate as discovered links,
+    and an empty robots Disallow prefix allows (not blocks) the domain."""
+    pages = spark.createDataFrame(
+        [("http://example.com/a", b"<html><body>hi</body></html>")],
+        "url string, html binary",
+    )
+    # raw seed form differs from the canonical pages key
+    crawled, _, _ = simulate_crawl(
+        spark, pages, ["http://Example.COM:80/a/"], waves=1
+    )
+    rows = crawled.collect()
+    assert [(r["url"], r["fetched"]) for r in rows] == [
+        ("http://example.com/a", True)
+    ]
+    # invalid seeds are dropped, not carried as unfetchable rows
+    crawled2, _, _ = simulate_crawl(
+        spark, pages, ["not-a-url", "http://example.com/a"], waves=1
+    )
+    assert crawled2.count() == 1
+    # empty Disallow prefix = allow-all (RobotFileParser semantics)
+    robots = spark.createDataFrame(
+        [("example.com", "")], "domain string, path_prefix string"
+    )
+    crawled3, _, _ = simulate_crawl(
+        spark, pages, ["http://example.com/a"], waves=1, robots=robots
+    )
+    assert crawled3.collect()[0]["fetched"] is True
+
+
+def test_crawl_and_index_covers_all_urls_and_fresh_dir(spark, tmp_path):
+    """Requested urls beyond batch_size must still be processed, and a
+    zero-fetch call against a brand-new index dir answers per-url
+    failures instead of raising."""
+    from search_engine_spark.web.crawl import crawl_and_index
+
+    pages = spark.createDataFrame(
+        [
+            (f"http://s.com/{i}", None,
+             b"<html><title>t</title><body>words here</body></html>",
+             None, "en")
+            for i in range(6)
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    urls = [f"http://s.com/{i}" for i in range(6)]
+    results, job = crawl_and_index(
+        spark, str(tmp_path / "idx"), pages, urls,
+        follow_links=False, batch_size=2,
+    )
+    assert results.count() == 6 and job["total"] == 6
+    assert job["completed"] == 6
+    # all-miss batch on a fresh dir: per-url failures, no crash
+    results2, job2 = crawl_and_index(
+        spark, str(tmp_path / "idx2"), pages,
+        ["http://missing.com/x"], follow_links=False,
+    )
+    r = results2.collect()[0]
+    assert r["success"] is False and r["error"] == "fetch_failed"
+    assert job2["failed"] == 1

@@ -199,11 +199,55 @@ def test_edges_from_pages(spark):
 
 def test_frontier_ops(spark):
     f = spark.createDataFrame(
-        [("u1", 5.0), ("u2", 1.0), ("u3", 3.0)], ["url", "priority"]
+        [("u1", 5.0, 0), ("u2", 1.0, 1), ("u3", 3.0, 0)],
+        ["url", "priority", "depth"],
     )
-    new = spark.createDataFrame([("u2", 0.5), ("u4", 2.0)], ["url", "priority"])
+    new = spark.createDataFrame(
+        [("u2", 0.5, 2), ("u4", 2.0, 1)], ["url", "priority", "depth"]
+    )
     merged = frontier_add(f, new)
-    got = {r["url"]: r["priority"] for r in merged.collect()}
-    assert got == {"u1": 5.0, "u2": 0.5, "u3": 3.0, "u4": 2.0}
+    got = {r["url"]: (r["priority"], r["depth"]) for r in merged.collect()}
+    # the WINNING entry's depth rides with its priority
+    assert got == {
+        "u1": (5.0, 0), "u2": (0.5, 2), "u3": (3.0, 0), "u4": (2.0, 1)
+    }
     popped = [r["url"] for r in frontier_pop_batch(merged, 2).collect()]
     assert popped == ["u2", "u4"]
+
+
+def test_pagerank_empty_graph(spark):
+    from search_engine_spark.graph.pagerank import pagerank, pagerank_fixed
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed(empty).count() == 0
+    ranks, info = pagerank(spark, empty)
+    assert ranks.count() == 0 and info["n_nodes"] == 0
+
+
+def test_url_parity_bare_query_and_ipv6(spark):
+    """The native twins must agree with the Python twins on a bare
+    trailing '?' (urlunparse drops it) and unbalanced IPv6 brackets
+    (urlparse raises -> invalid)."""
+    from search_engine_spark.web.urls import (
+        is_valid_url,
+        is_valid_url_col,
+        normalize_url,
+        normalize_url_col,
+    )
+
+    urls = [
+        "http://x.com/a?",
+        "http://x.com/a?b=1",
+        "http://[::1",
+        "http://[::1]/p",
+        "https://ok.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        "url",
+        normalize_url_col(F.col("url")).alias("n"),
+        is_valid_url_col(F.col("url")).alias("v"),
+    ).collect()
+    for r in rows:
+        assert r["n"] == normalize_url(r["url"]), r["url"]
+        assert r["v"] == is_valid_url(r["url"]), r["url"]
