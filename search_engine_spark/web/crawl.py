@@ -46,12 +46,16 @@ from pyspark.sql.types import (
 
 from search_engine_spark.web.links import (
     MAX_LINKS_PER_PAGE,
+    frontier_add,
     page_links,
 )
 from search_engine_spark.web.urls import (
     crawl_priority_col,
     domain_col,
+    is_valid_url,
+    normalize_url,
     path_col,
+    should_skip_url,
 )
 
 FRONTIER_SCHEMA = StructType(
@@ -68,16 +72,24 @@ MAX_DEPTH_DEFAULT = 3  # config.py crawler_max_depth default
 def seed_frontier(spark: SparkSession, seed_urls: List[str]) -> DataFrame:
     """Seeds enter at priority 0.0, depth 0 (crawler.py:576-582, A5).
 
-    Seeds take the SAME normalize+validate gate as discovered links
-    (crawler.py pushes every url through normalize before the
+    Seeds take the SAME gate as discovered links (extract_links:
+    normalize FIRST, then validate + skip-filter the NORMALIZED url —
+    crawler.py pushes every url through this path before the
     frontier): a raw 'http://Example.com/a/' seed would never equi-join
     the canonical pages table, and the same page could be crawled twice
-    under its raw and normalized keys."""
-    from search_engine_spark.web.urls import is_valid_url, normalize_url
-
-    seeds = {
-        normalize_url(u) for u in seed_urls if u and is_valid_url(u)
-    }
+    under its raw and normalized keys.  Droppable seeds (invalid /
+    skip-listed) simply never enter; callers that must answer per
+    REQUESTED url (crawl_and_index) map their results separately."""
+    seeds = set()
+    for u in seed_urls:
+        if not u:
+            continue
+        try:
+            n = normalize_url(u)
+        except ValueError:  # urlparse raises e.g. on unbalanced [ ]
+            continue
+        if is_valid_url(n) and not should_skip_url(n):
+            seeds.add(n)
     rows = [(u, 0.0, 0) for u in sorted(seeds)]
     return spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
 
@@ -92,11 +104,15 @@ def robots_block_cond(url, rules_domain, rules_prefix):
     prefix-disallow semantics (crawler.py:164-208, A2) as columns.
     An EMPTY prefix never blocks: RobotFileParser treats a bare
     'Disallow:' line as allow-all, while startswith('') would have
-    blocked the whole domain."""
+    blocked the whole domain.  An empty URL path reads as '/' —
+    RobotFileParser substitutes '/' for it, so 'Disallow: /' must
+    block the bare root url too."""
+    p = path_col(url)
+    p = F.when(p == "", F.lit("/")).otherwise(p)
     return (
         (rules_prefix != "")
         & (domain_col(url) == rules_domain)
-        & path_col(url).startswith(rules_prefix)
+        & p.startswith(rules_prefix)
     )
 
 
@@ -218,22 +234,12 @@ def simulate_crawl(
         )
 
         # A5/H3: pop removes from the queue (ZREM), add keeps the best
-        # (lowest) priority per url — min over (priority, depth, url)
-        # keeps the row atomically, matching a ZADD race deterministically.
-        frontier = (
-            frontier.join(batch.select("url"), "url", "left_anti")
-            .unionByName(discovered)
-            .groupBy("url")
-            .agg(
-                F.min(F.struct("priority", "depth")).alias("_best"),
-            )
-            .select(
-                "url",
-                F.col("_best.priority").alias("priority"),
-                F.col("_best.depth").alias("depth"),
-            )
-            .localCheckpoint()
-        )
+        # (lowest) (priority, depth) per url atomically — the shared
+        # frontier_add helper (links.py), ONE merge implementation.
+        frontier = frontier_add(
+            frontier.join(batch.select("url"), "url", "left_anti"),
+            discovered,
+        ).localCheckpoint()
 
     return crawled, edges, frontier
 
@@ -266,12 +272,29 @@ def crawl_and_index(
       job — the crawl_jobs[job_id] summary dict (main.py:520-551
         shape): status/total/completed/failed.
     """
+    import uuid as _uuid
+
     from search_engine_spark.index.merge import merge_pages
 
+    job_id = job_id or _uuid.uuid4().hex[:12]
+    # the endpoint answers per REQUESTED url: map each requested string
+    # to its canonical frontier key (None for invalid/skip-listed urls,
+    # which never enter the crawl but still get a failure row)
+    req = []
+    for u in urls:
+        key = None
+        if u:
+            try:
+                n = normalize_url(u)
+                if is_valid_url(n) and not should_skip_url(n):
+                    key = n
+            except ValueError:
+                key = None
+        req.append((u, key))
+
     waves = 1 + (int(max_depth) if follow_links else 0)
-    # every REQUESTED url must be processed (the reference endpoint
-    # answers per url): a batch_size below the seed count would leave
-    # the tail in the discarded frontier, silently unfetched/unreported
+    # every requested url must be processed: a batch_size below the
+    # seed count would leave the tail in the discarded frontier
     crawled, edges, _ = simulate_crawl(
         spark,
         pages,
@@ -285,35 +308,76 @@ def crawl_and_index(
     fetched = crawled.filter(F.col("fetched")).select("url")
     batch = pages.join(F.broadcast(fetched), "url", "inner")
     n_fetched = fetched.count()
-    if n_fetched:
-        docs_exists = True
+
+    def _docs_or_none():
+        """docs table, or None ONLY for does-not-exist — any other
+        read failure must raise, not masquerade as an empty index
+        (routing a transient error to a fresh rebuild would destroy
+        previously merged documents)."""
+        from pyspark.errors import AnalysisException
+
         try:
-            spark.read.parquet(index_dir.rstrip("/") + "/docs").schema
-        except Exception:
-            docs_exists = False
-        if docs_exists:
+            return spark.read.parquet(
+                index_dir.rstrip("/") + "/docs"
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return None
+            raise
+
+    if n_fetched:
+        if _docs_or_none() is not None:
             res = merge_pages(spark, index_dir, batch, build_id=job_id)
-            job_id = res.build_id  # reuse the merge's resumable id
+            job_id = res.build_id  # the merge's resumable id
         else:
             # brand-new index dir: ES auto-creates the index on first
-            # write — bootstrap with a fresh build over the batch
+            # write — bootstrap with a fresh build over the batch,
+            # stamped with the SAME job id for manifest correlation
             from search_engine_spark.index.builder import build_index
 
             build_index(spark, batch, index_dir, resume=False,
                         build_id=job_id)
-    job_id = job_id or "job-0"
 
-    docs_path = index_dir.rstrip("/") + "/docs"
-    try:
-        docs = spark.read.parquet(docs_path).select("url", "title")
-    except Exception:
-        # nothing fetched into a brand-new index dir: no docs table
-        # exists yet — answer per-url failures like the reference
-        # endpoint instead of raising PATH_NOT_FOUND
+    if _docs_or_none() is not None:
+        # the LIVE view: a re-crawled url's old (tombstoned) doc row
+        # must not produce a second result row for the same url
+        from search_engine_spark.index.builder import IndexPaths
+        from search_engine_spark.index.merge import live_docs
+
+        docs = live_docs(spark, IndexPaths(index_dir)).select(
+            "url", "title"
+        )
+    else:
         docs = _empty(spark, "url string, title string")
+    # requested rows (keyed by the CALLER's url string, canonical key
+    # joined underneath) + discovered rows from followed links
+    req_df = spark.createDataFrame(req, "req_url string, url string")
+    requested = (
+        req_df.join(crawled, "url", "left")
+        .select(
+            F.col("req_url").alias("url"),
+            F.coalesce(F.col("fetched"), F.lit(False)).alias("success"),
+            F.col("url").alias("_key"),
+        )
+    )
+    discovered = (
+        crawled.join(
+            F.broadcast(req_df.filter(F.col("url").isNotNull())
+                        .select("url")),
+            "url", "left_anti",
+        )
+        .select(
+            "url",
+            F.col("fetched").alias("success"),
+            F.col("url").alias("_key"),
+        )
+    )
     results = (
-        crawled.select("url", F.col("fetched").alias("success"))
-        .join(docs, "url", "left")
+        requested.unionByName(discovered)
+        .join(
+            docs.select(F.col("url").alias("_key"), "title"),
+            "_key", "left",
+        )
         .select(
             "url",
             "success",
@@ -321,13 +385,15 @@ def crawl_and_index(
             F.when(~F.col("success"), F.lit("fetch_failed")).alias("error"),
         )
         .orderBy("url")
+        .localCheckpoint()
     )
-    total = crawled.count()
+    total = results.count()
+    completed = results.filter(F.col("success")).count()
     job = {
         "job_id": job_id,
         "status": "completed",
         "total": total,
-        "completed": n_fetched,
-        "failed": total - n_fetched,
+        "completed": completed,
+        "failed": total - completed,
     }
     return results, job

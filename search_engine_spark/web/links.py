@@ -66,8 +66,13 @@ def extract_links(html: str, base_url: str) -> List[str]:
         href = href.strip()
         if not href or href.startswith(_SKIP_PREFIXES):
             continue
-        absolute = urljoin(base_url, href)
-        normalized = normalize_url(absolute)
+        try:
+            absolute = urljoin(base_url, href)
+            normalized = normalize_url(absolute)
+        except ValueError:
+            # urlparse raises on e.g. unbalanced IPv6 brackets — one
+            # hostile href must not kill the whole Arrow batch
+            continue
         if is_valid_url(normalized) and not should_skip_url(normalized):
             out.add(normalized)
     return sorted(out)

@@ -294,3 +294,53 @@ def test_crawl_and_index_covers_all_urls_and_fresh_dir(spark, tmp_path):
     r = results2.collect()[0]
     assert r["success"] is False and r["error"] == "fetch_failed"
     assert job2["failed"] == 1
+
+
+def test_extract_links_survives_hostile_href():
+    assert extract_links(
+        '<a href="http://[::1">x</a><a href="/ok">y</a>',
+        "http://site.com/",
+    ) == ["http://site.com/ok"]
+
+
+def test_crawl_and_index_answers_per_requested_url(spark, tmp_path):
+    """Invalid and non-canonical requested urls still get result rows
+    keyed by the CALLER's string; robots 'Disallow: /' blocks the bare
+    root url (RobotFileParser substitutes '/' for an empty path)."""
+    from search_engine_spark.web.crawl import (
+        crawl_and_index,
+        robots_block_cond,
+        simulate_crawl,
+    )
+
+    pages = spark.createDataFrame(
+        [("http://s.com/a", None,
+          b"<html><title>t</title><body>words</body></html>", None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    results, job = crawl_and_index(
+        spark, str(tmp_path / "idx"), pages,
+        ["not-a-url", "http://S.com:80/a/", "http://s.com/miss"],
+        follow_links=False,
+    )
+    got = {r["url"]: r["success"] for r in results.collect()}
+    assert got == {
+        "not-a-url": False,
+        "http://S.com:80/a/": True,   # caller's raw string, canonical fetch
+        "http://s.com/miss": False,
+    }
+    assert job["total"] == 3 and job["completed"] == 1
+    assert job["job_id"] != "job-0"  # a real correlatable id
+
+    # root-url disallow
+    root_pages = spark.createDataFrame(
+        [("http://r.com", b"<html><body>hi</body></html>")],
+        "url string, html binary",
+    )
+    robots = spark.createDataFrame(
+        [("r.com", "/")], "domain string, path_prefix string"
+    )
+    crawled, _, _ = simulate_crawl(
+        spark, root_pages, ["http://r.com"], waves=1, robots=robots
+    )
+    assert crawled.collect()[0]["fetched"] is False
