@@ -2098,11 +2098,12 @@ class BM25Index:
             raise ValueError(f"sort direction must be asc|desc: {direction!r}")
         if not metrics:
             raise ValueError("metrics must be non-empty")
-        schema = (
-            f"`{field}` double, "
-            + ", ".join(f"`{m}` double" for m in metrics if m != field)
-            + ", doc_id long"
-        )
+        # metrics may equal the sort field — the join must not leave a
+        # dangling comma in the DDL (it crashed the empty branch)
+        parts = [f"`{field}` double"] + [
+            f"`{m}` double" for m in metrics if m != field
+        ]
+        schema = ", ".join(parts) + ", doc_id long"
         matched = self._matched_ids(query, mode, predicate)
         if matched is None:
             return self.spark.createDataFrame([], schema)
@@ -4428,7 +4429,13 @@ class BM25Index:
         fg_size = matched.count()
         if fg_size == 0:
             return empty
-        blocks = self.postings.select("term", "count", "doc_ids")
+        # content-field terms only: a fielded index carries t!/d!
+        # namespaced title/description postings that would double-count
+        # the same word as separate buckets (every dictionary expander
+        # applies the same exclusion)
+        blocks = self.postings.select("term", "count", "doc_ids").filter(
+            ~F.col("term").contains("!")
+        )
         if fg_size <= self.filter_collect_max:
             # fast path: count masked candidates per block INSIDE Arrow
             # — partial aggregation before the shuffle, one row per
@@ -4974,6 +4981,10 @@ class BM25Index:
         terms = sorted(set(p.terms))
         stats = self._query_stats(terms)
         terms = [t for t in terms if t in stats]
+        if getattr(p, "terms_required", False) and p.terms and not terms:
+            # a REQUIRED match clause whose terms are all unindexed can
+            # match nothing (ES bool.must semantics)
+            return self._empty_scored(join_docs)
         if terms:
             # Result docs ⊆ matches of every must phrase ⊆ docs(rarest
             # term of phrase 1) — when that bound is tiny next to the
@@ -5013,6 +5024,17 @@ class BM25Index:
                 # must terms: phrase docs must also hold every term
                 ph = (
                     ph.join(tsc.filter(F.col("_nt") == len(terms)), "doc_id")
+                    .select(
+                        "doc_id",
+                        (F.col("score") + F.col("_ts")).alias("score"),
+                    )
+                )
+            elif getattr(p, "terms_required", False):
+                # ES bool.must OR-match: >=1 of the clause's terms must
+                # hold in addition to the phrases (inner join — tsc rows
+                # exist only for docs holding >=1 term)
+                ph = (
+                    ph.join(tsc, "doc_id")
                     .select(
                         "doc_id",
                         (F.col("score") + F.col("_ts")).alias("score"),

@@ -729,10 +729,22 @@ def _score_clause(idx, node, k, predicate, join_docs) -> DataFrame:
 
 
 def _content_match_terms(clause) -> Tuple[List[str], bool]:
-    """(tokens, is_and) of a match clause restricted to content/no-msm."""
+    """(tokens, is_and) of a match clause restricted to content/no-msm.
+    Options the composed paths cannot honor (fuzziness etc.) refuse
+    LOUDLY — the standalone clause path supports them, so silently
+    dropping one here would run a different query than requested."""
     field, q, op, msm = _match_parts(clause)
     if field != "content" or msm:
         _unsupported("composed bool: match must be on content without msm")
+    _, inner = _one_key(clause, "match")
+    _, spec = _one_key(inner, "match field")
+    if isinstance(spec, dict):
+        extra = set(spec) - {"query", "operator", "minimum_should_match"}
+        if extra:
+            _unsupported(
+                f"composed bool: match options {sorted(extra)} "
+                "(supported only as a standalone clause)"
+            )
     return tokenize_py(q), op == "and"
 
 
@@ -815,6 +827,10 @@ def _execute_bool(idx, body, k, join_docs) -> DataFrame:
             raw="<dsl>", terms=terms, not_terms=sorted(set(not_terms)),
             phrases=phrases, not_phrases=not_phrases,
             positive_and=positive_and,
+            # bool.must match (OR operator): ES still REQUIRES >=1 of
+            # the clause's terms — unlike the boolean-string grammar's
+            # optional bare terms
+            terms_required=bool(match_clauses),
         )
         if not p.terms and not p.phrases:
             return idx._empty_scored(join_docs)
@@ -938,9 +954,16 @@ def _highlight_terms(query) -> List[str]:
                     texts.append(v["query"] if isinstance(v, dict) else v)
                 elif k == "more_like_this":
                     like = v["like"]
-                    texts.append(
-                        " ".join(like) if isinstance(like, list) else like
-                    )
+                    if isinstance(like, list):
+                        # doc-reference entries ({'_id': n}) carry no
+                        # highlightable text — only string likes do
+                        texts.append(
+                            " ".join(
+                                x for x in like if isinstance(x, str)
+                            )
+                        )
+                    elif isinstance(like, str):
+                        texts.append(like)
                 else:
                     walk(v)
         elif isinstance(n, list):
@@ -2205,6 +2228,8 @@ def execute_es_query(
             df = _apply_highlight(idx, df, body, query, pages, order)
         src = body.get("_source")
         if src:
+            if isinstance(src, str):
+                src = [src]  # ES allows "_source": "url"
             keep = [
                 c for c in df.columns
                 if c in set(src) | {"score", "doc_id"}
@@ -2239,6 +2264,22 @@ def execute_es_query(
                 idx, df, body, query, pages,
                 [F.desc("score"), F.asc("doc_id")],
             )
+        if body.get("script_fields"):
+            # the collapse frame carries inner-hits columns the script
+            # substitution machinery doesn't model — refuse loudly
+            # rather than silently ignore the section
+            _unsupported("script_fields combined with collapse")
+        src = body.get("_source")
+        if src:
+            if isinstance(src, str):
+                src = [src]
+            keep = [
+                c for c in df.columns
+                if c in set(src) | {"score", "doc_id"}
+                or c.startswith("highlight_")
+                or c == "inner_hits"
+            ]
+            df = df.select(*keep)
         return df
     rescore = body.get("rescore")
     if rescore:
@@ -2337,6 +2378,8 @@ def execute_es_query(
             df = df.orderBy(F.desc("score"), F.asc("doc_id"))
     src = body.get("_source")
     if src:
+        if isinstance(src, str):
+            src = [src]  # ES allows "_source": "url"
         keep = [
             c for c in df.columns
             if c in set(src) | {"score", "doc_id"} | set(sfields or {})

@@ -57,6 +57,11 @@ class ParsedQuery:
     not_phrases: List[str] = field(default_factory=list)
     operators: Dict[str, bool] = field(default_factory=dict)
     positive_and: bool = False
+    # ES bool.must with an OR-operator match clause: >=1 of the clause's
+    # terms is REQUIRED alongside the phrases (inner >=1 join), unlike
+    # the boolean-string grammar where bare terms are optional should
+    # clauses.  Only consulted when positive_and is False.
+    terms_required: bool = False
 
 
 def _segment_parts(segment: str, all_phrases: List[str]):

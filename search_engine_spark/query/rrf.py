@@ -188,6 +188,7 @@ def _retriever_frame(idx, node, window, embeddings, id_col, vec_col):
     """Lower ONE retriever entry ({"standard": ...} | {"knn": ...}) to
     its top-window (doc_id, score) frame."""
     from search_engine_spark.query.dsl import (
+        _as_list,
         _unsupported,
         execute_es_knn,
         execute_es_query,
@@ -197,8 +198,16 @@ def _retriever_frame(idx, node, window, embeddings, id_col, vec_col):
         _unsupported("retriever entry must be a single-key object")
     kind, rbody = next(iter(node.items()))
     if kind == "standard":
+        q = rbody["query"]
+        filt = rbody.get("filter")
+        if filt is not None:
+            # ES applies the retriever-level filter to the standard
+            # retriever's window — compose it as a bool filter so the
+            # fusion never sees unfiltered candidates (shapes the bool
+            # lowering can't take refuse loudly there)
+            q = {"bool": {"must": [q], "filter": _as_list(filt)}}
         return execute_es_query(
-            idx, {"query": rbody["query"], "size": window},
+            idx, {"query": q, "size": window},
             join_docs=False,
         )
     if kind == "knn":

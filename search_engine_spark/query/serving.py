@@ -91,13 +91,26 @@ def fragment_col(
     text: Column, terms: Sequence[str], size: int = FRAGMENT_SIZE
 ) -> Column:
     """First-hit fragment: `size` chars starting ~size/3 before the first
-    occurrence of any query term in lower(text) (head of the doc when no
+    WHOLE-WORD occurrence of any query term (head of the doc when no
     term occurs) — the ES highlighter's fragment, deterministically.
-    Position is instr-based (identical semantics in Spark and DuckDB)."""
+
+    Whole-word matters: a bare substring instr() would center the
+    fragment on 'cat' inside 'concatenated' while the highlighter's
+    \\b gate marks nothing there.  Position stays instr-based for
+    engine parity: non-alphanumerics map to spaces (length-preserving,
+    one char -> one space) and the padded ' term ' search yields the
+    term's exact character position in the ORIGINAL text."""
     if not terms:
         return F.substring(text, 1, size)
-    low = F.lower(text)
-    positions = [F.nullif(F.instr(low, t.lower()), F.lit(0)) for t in sorted(set(terms))]
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), r"[^a-z0-9]", " "),
+        F.lit(" "),
+    )
+    positions = [
+        F.nullif(F.instr(norm, f" {t.lower()} "), F.lit(0))
+        for t in sorted(set(terms))
+    ]
     pos = F.coalesce(F.least(*positions) if len(positions) > 1 else positions[0], F.lit(1))
     start = F.greatest(F.lit(1), pos - F.lit(size // 3))
     return F.substring(text, start, size)
@@ -109,8 +122,12 @@ def fragment_sql(
     """DuckDB twin of fragment_col."""
     if not terms:
         return f"substr({text_expr}, 1, {size})"
+    norm = (
+        f"(' ' || regexp_replace(lower({text_expr}), '[^a-z0-9]', ' ', 'g')"
+        f" || ' ')"
+    )
     positions = ", ".join(
-        f"nullif(strpos(lower({text_expr}), '{t.lower()}'), 0)"
+        f"nullif(strpos({norm}, ' {t.lower()} '), 0)"
         for t in sorted(set(terms))
     )
     pos = f"coalesce(least({positions}), 1)"

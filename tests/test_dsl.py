@@ -204,10 +204,24 @@ class TestBoolLowering:
             "must_not": [{"match_phrase": {"content": "quick brown"}}],
         }}}
         got = rows(execute_es_query(idx, body, join_docs=False))
+        # ES bool.must REQUIRES the match clause too (a phrase-only doc
+        # without 'python' is excluded) — for a single-term match the
+        # required->=1 semantics equal the AND grammar form.  The bare
+        # boolean-string grammar ('python "machine learning"') keeps
+        # bare terms optional, so it is NOT the ES-equivalent here.
         want = rows(idx.search_boolean(
-            'python "machine learning" NOT "quick brown"', k=10,
+            'python AND "machine learning" NOT "quick brown"', k=10,
             join_docs=False))
         assert got == want
+        # and every hit really holds the must term
+        hit_ids = [d for d, _ in got]
+        assert hit_ids, "expected hits matching both clauses"
+        with_term = {
+            r["doc_id"]
+            for r in idx.search("python", k=1000, join_docs=False)
+            .collect()
+        }
+        assert set(hit_ids) <= with_term
 
     def test_should_with_msm(self, idx):
         body = {"query": {"bool": {
@@ -2045,3 +2059,76 @@ class TestMoreLikeThisDocRefs:
         with pytest.raises(NotImplementedError):
             execute_es_query(idx, {"query": {"more_like_this": {
                 "like": [{"_index": "x"}]}}})
+
+
+class TestReviewRegressions:
+    def test_string_source_keeps_column(self, idx):
+        body = {"query": {"match": {"content": "python"}},
+                "_source": "url", "size": 3}
+        df = execute_es_query(idx, body)
+        assert "url" in df.columns
+        assert "title" not in df.columns
+
+    def test_collapse_applies_source_and_refuses_script_fields(self, idx):
+        body = {"query": {"match": {"content": "python"}},
+                "collapse": {"field": "domain"}, "_source": ["url"]}
+        df = execute_es_query(idx, body)
+        assert "url" in df.columns and "title" not in df.columns
+        import pytest as _pt
+
+        with _pt.raises(NotImplementedError):
+            execute_es_query(idx, {
+                "query": {"match": {"content": "python"}},
+                "collapse": {"field": "domain"},
+                "script_fields": {"x": {"script": {"source": "_score * 2"}}},
+            })
+
+    def test_highlight_with_mlt_doc_reference(self, idx):
+        body = {"query": {"more_like_this": {"like": [{"_id": 1}],
+                                             "min_term_freq": 1,
+                                             "min_doc_freq": 1}},
+                "highlight": {"fields": {"title": {}}}, "size": 3}
+        df = execute_es_query(idx, body)  # must not TypeError
+        assert df.count() >= 0
+
+    def test_composed_bool_refuses_fuzzy_match(self, idx):
+        import pytest as _pt
+
+        with _pt.raises(NotImplementedError, match="match options"):
+            execute_es_query(idx, {"query": {"bool": {
+                "must": [
+                    {"match": {"content": {"query": "pythn",
+                                           "fuzziness": 2}}},
+                    {"match_phrase": {"content": "machine learning"}},
+                ]}}})
+
+    def test_rrf_standard_retriever_filter_is_applied(self, idx):
+        from search_engine_spark.query.rrf import execute_es_retriever
+
+        body = {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"content": "python"}},
+                          "filter": [{"term": {"domain": "no-such.example"}}]}},
+            {"standard": {"query": {"match": {"content": "python"}}}},
+        ]}}, "size": 5}
+        df = execute_es_retriever(idx, body, join_docs=False)
+        # the filtered retriever matches nothing, so the fusion's rank
+        # order equals the unfiltered query's own top order
+        alone = execute_es_query(
+            idx, {"query": {"match": {"content": "python"}}, "size": 5},
+            join_docs=False,
+        )
+        assert [r["doc_id"] for r in df.collect()] == [
+            r["doc_id"] for r in alone.collect()
+        ]
+
+    def test_significant_terms_excludes_field_namespace(self, idx):
+        # the fixture index is fielded: no t!/d! buckets may appear
+        out = idx.significant_terms("python", size=50)
+        assert out.filter(F.col("term").contains("!")).count() == 0
+
+    def test_top_metrics_sort_field_in_metrics(self, idx):
+        # metrics == sort field: no dangling-comma DDL on any branch
+        out = idx.facet_top_metrics(
+            "zzzunindexedzzz", metrics=["doclen"], sort=("doclen", "desc")
+        )
+        assert out.count() == 0
