@@ -77,12 +77,14 @@ class StageMetricsCollector:
             self._base = f"{ui}/api/v1/applications/{app_id}"
 
     def _stages(self) -> list[dict]:
+        """Completed stages from the status REST API.  Failures RAISE:
+        metrics collection is opt-in diagnostics, and a silently-empty
+        baseline would make collect() misattribute every earlier stage
+        in the session to this build (the builder's fail-loudly check
+        guards only a missing UI, not a failed request)."""
         if not self._base:
             return []
-        try:
-            return _get_json(f"{self._base}/stages?status=complete")
-        except Exception:
-            return []
+        return _get_json(f"{self._base}/stages?status=complete")
 
     def begin(self) -> None:
         self._seen = {(s["stageId"], s["attemptId"]) for s in self._stages()}
@@ -104,6 +106,9 @@ class StageMetricsCollector:
             key = (s["stageId"], s["attemptId"])
             if key in self._seen:
                 continue
+            # fold into the baseline so successive collect() snapshots
+            # compose without double-reporting a stage
+            self._seen.add(key)
             med, mx = self._task_quantiles(*key)
             skew = (mx / med) if (med and mx and med > 0) else None
             rows.append(

@@ -71,21 +71,28 @@ def ngram_contamination(
     if n < 1:
         raise ValueError("n must be >= 1")
     doc_grams = _distinct_grams(docs, text_col, n, id_col)
-    bench_grams = _distinct_grams(bench, bench_text_col, n).distinct()
+    bench_grams = (
+        _distinct_grams(bench, bench_text_col, n)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     if broadcast_bench:
         bench_grams = F.broadcast(bench_grams)
-    per_doc = doc_grams.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_grams")
-    )
-    hits = (
-        doc_grams.join(bench_grams, "gram")
+    # ONE scan of the corpus gram stream: the left join marks benchmark
+    # grams in place, so gram count AND match count fall out of the
+    # same partial-aggregated groupBy — tokenize+shingle (the dominant
+    # cost at scale) runs once, not once per aggregate
+    per_doc = (
+        doc_grams.join(bench_grams, "gram", "left")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_matched"),
+        )
     )
     return (
         docs.select(F.col(id_col).alias("id"))
         .join(per_doc, "id", "left")
-        .join(hits, "id", "left")
         .select(
             "id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

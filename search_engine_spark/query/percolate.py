@@ -98,9 +98,12 @@ def percolate(
         F.first("operator").alias("operator"),
         F.first("_msm").alias("_msm"),
     )
+    # operator=and wins over min_should_match — the engine's search
+    # (and ES) applies msm only to OR modes, so an AND query requires
+    # EVERY term even when a msm is also present
     required = (
-        F.when(F.col("_msm") > 0, F.col("_msm"))
-        .when(F.col("operator") == "and", F.col("n_terms"))
+        F.when(F.col("operator") == "and", F.col("n_terms"))
+        .when(F.col("_msm") > 0, F.col("_msm"))
         .otherwise(F.lit(1))
     )
     return pairs.filter(F.col("matched_terms") >= required).select(

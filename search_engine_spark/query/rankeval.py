@@ -79,6 +79,15 @@ def _metric_score(
         return dcg / idcg if idcg > 0 else 0.0
     if kind == "expected_reciprocal_rank":
         max_rel = int(spec.get("maximum_relevance", 4))
+        bad = [v for v in ratings.values() if v > max_rel]
+        if bad:
+            # ES rejects ratings above maximum_relevance; letting one
+            # through yields a stop-"probability" > 1 and a negative
+            # carry that silently corrupts the averaged score
+            raise ValueError(
+                f"rating(s) {sorted(set(bad))} exceed "
+                f"maximum_relevance={max_rel}"
+            )
         p_stop = 1.0
         err = 0.0
         for i, d in enumerate(top, 1):

@@ -99,3 +99,28 @@ class TestPercolate:
             ).collect()
         }
         assert a == _oracle(texts)
+
+
+def test_and_operator_wins_over_msm(spark):
+    """operator=and requires EVERY term even when min_should_match is
+    also present — matching the engine's search and ES, where msm
+    applies only to OR modes."""
+    from search_engine_spark.query.percolate import percolate
+
+    queries = spark.createDataFrame(
+        [(1, "big data spark", "and", 2)],
+        "query_id long, query string, operator string, min_should_match int",
+    )
+    docs = spark.createDataFrame(
+        [(10, "big data here"), (11, "big data spark works")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(
+            docs, queries, text_col="text", id_col="doc_id",
+            operator_col="operator",
+            min_should_match_col="min_should_match",
+        ).collect()
+    }
+    assert got == {(11, 1)}  # 2-of-3 doc 10 must NOT fire the AND query

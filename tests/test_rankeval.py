@@ -277,3 +277,13 @@ class TestReviewRegressions:
                "ratings": []}
         with pytest.raises(ValueError):
             rank_eval(idx, [{"id": "q", **req}, {"id": "q", **req}])
+
+
+def test_err_rejects_ratings_above_maximum_relevance():
+    from search_engine_spark.query.rankeval import _metric_score
+
+    with pytest.raises(ValueError, match="maximum_relevance"):
+        _metric_score(
+            "expected_reciprocal_rank", {"k": 5, "maximum_relevance": 4},
+            ["a"], {"a": 5},
+        )
