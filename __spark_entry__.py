@@ -94,11 +94,23 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    out = tempfile.mkdtemp(prefix="sgs_entry_")
-    build_index(
-        spark, pages, out, num_buckets=16, block_size=128,
-        num_partitions=8, run_extraction=False, resume=False,
+    # deterministic cache dir (testdata is immutable): repeat entry()
+    # calls reuse the built index instead of leaking one temp tree per
+    # invocation
+    import hashlib as _hl
+
+    tag = _hl.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"sgs_entry_idx_{tag}"
     )
+    sentinel = os.path.join(out, "_ENTRY_BUILD_COMPLETE")
+    if not os.path.exists(sentinel):
+        build_index(
+            spark, pages, out, num_buckets=16, block_size=128,
+            num_partitions=8, run_extraction=False, resume=False,
+        )
+        with open(sentinel, "w") as f:
+            f.write("ok\n")
     idx = BM25Index(spark, out)
     return idx.search("spark merge window query", k=10, mode="blockmax")
 
@@ -4165,11 +4177,19 @@ def _lsh_query_vec(spark, sf_dir):
 
 def _ann_index_dir(sf_dir: str, kind: str) -> str:
     """Build-once cache location for the persisted ANN index over this
-    sf dir (testdata is immutable, so path+kind+format tags the build)."""
+    sf dir.  The tag hashes EVERY build parameter, not a hand-bumped
+    version string: a constant edited above (planes/cells/seeds/...)
+    must invalidate the cache, or a stale index from the old constants
+    would be served against an oracle computed from the new ones —
+    a correctness mismatch that survives reruns."""
     import hashlib
 
+    params = (
+        f"{LSH_DIM}|{LSH_PLANES}|{LSH_SEED}|"
+        f"{IVF_CELLS}|{IVF_NPROBE}|{IVF_SAMPLE}|{IVF_ITERS}|{IVF_SEED}"
+    )
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{kind}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{kind}|{params}".encode()
     ).hexdigest()[:12]
     base = os.environ.get(
         "SPARK_GRAFT_ANN_CACHE",
@@ -5568,7 +5588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         # === Round-2 verification front: entries WITHOUT a driver CORRECTNESS
         # row yet (driver checks the first 50 in registration order; round 1
         # covered the search-core 50, now rotated to the back).  LLM-pipeline
@@ -5595,8 +5615,10 @@ def oracle_sql() -> dict[str, str]:
         # quality_classifier_scores: deliberately NO oracle — L-BFGS
         # training is not SQL-expressible; rows-only (see docstring)
         "cap_per_source": _sql_cap_per_source(),
-        "lsh_ann_topk": _sql_lsh_ann(),
-        "ivf_ann_topk": _sql_ivf_ann(),
+        # lsh/ivf oracles are injected below: they eagerly read the
+        # embeddings parquet and train driver-side, and a missing
+        # testdata dir must degrade THOSE TWO entries to rows-only,
+        # not fail the whole oracle_sql() call
         "media_meta": _SQL_MEDIA_META,
         "media_exact_dedup": _SQL_MEDIA_DEDUP,
         "frame_sample": _SQL_FRAME_SAMPLE,
@@ -5703,3 +5725,11 @@ def oracle_sql() -> dict[str, str]:
         "facet_cardinality_source": _SQL_FACET_CARDINALITY,
         "facet_composite_page": _SQL_FACET_COMPOSITE,
     }
+    try:
+        out["lsh_ann_topk"] = _sql_lsh_ann()
+        out["ivf_ann_topk"] = _sql_ivf_ann()
+    except Exception:
+        # embeddings parquet unreadable here: those two entries become
+        # rows-only rather than taking down every other oracle
+        pass
+    return out

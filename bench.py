@@ -8,7 +8,9 @@ Headline: the north-rule pipeline at web shape —
      the block-max engine
   3. representative operator timings over the sf testdata tables
   4. scaling evidence: the same index build at two parallelism levels
-     (local[N/4] vs local[N]) on the same materialized input ->
+     (default local[1] vs local[4] — see measure_scaling for why this
+     pair isolates the job from the VM's virtualization ceiling) on
+     the same materialized input ->
      throughput at both + scaling efficiency (BASELINE.md target >=0.8)
 
 Usage: python bench.py            (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
@@ -167,7 +169,9 @@ def measure_scaling(pages_dir: str, cpus: int) -> dict:
     neighbors), so 1->4 isolates the JOB's scaling behavior from the
     virtualization ceiling.  Each worker JIT-warms the full build path
     on a small slice before its timed run, and each level runs
-    SPARK_GRAFT_SCALE_REPS times (default 2) taking the MIN wall —
+    SPARK_GRAFT_SCALE_REPS rounds at most (default 8, adaptive
+    early-stop at SPARK_GRAFT_SCALE_TARGET), each level's wall the MIN
+    of SPARK_GRAFT_SCALE_INNER_REPS back-to-back builds —
     wall-clock noise on this shared VM is ~±10%, which swings the
     efficiency ratio by ~0.15 if taken from single runs; min-of-reps
     measures the job, not the neighbors.
@@ -187,8 +191,15 @@ def measure_scaling(pages_dir: str, cpus: int) -> dict:
             [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(c), pages_dir],
             capture_output=True, text=True, timeout=3600,
         )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        return json.loads(line)
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if p.returncode != 0 or not lines:
+            # surface the worker's real diagnosis instead of a bare
+            # IndexError in the driver-run bench
+            raise RuntimeError(
+                f"scaling worker (cpus={c}) failed rc={p.returncode}; "
+                f"stderr tail: {p.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])
 
     # INTERLEAVED rounds (lo,hi,lo,hi,...).  Each round is a complete
     # same-instant N-vs-4N measurement: the two levels run back-to-back

@@ -113,7 +113,10 @@ def main() -> None:
             q, k=10, boosts={"content": 1.0}, join_docs=False
         ).collect(),
         "suggest_terms": lambda q: idx.suggest_terms(
-            q[:-1] + "x", suggest_mode="always"
+            # inject a real typo: replacing the last char with itself
+            # would benchmark the exact-match path instead
+            q[:-1] + ("x" if not q.endswith("x") else "z"),
+            suggest_mode="always"
         ).collect(),
         "facet_percentiles": lambda q: idx.facet_percentiles(
             q, "doclen", approx=True

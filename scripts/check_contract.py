@@ -31,7 +31,7 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        return f"{v + 0.0:.6f}"  # -0.0 and 0.0 are the same value
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_val(x) for x in v) + "]"
     return str(v)
@@ -56,6 +56,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -56,9 +56,6 @@ def main() -> None:
     t0 = time.time()
     stages = {}
 
-    def tick(name):
-        stages[name] = round(time.time() - sum(stages.values()) - t0, 2)
-
     try:
         # 0) the "web": pre-fetched pages table
         pages = synth_pages(spark, args.pages, num_partitions=8)

@@ -51,6 +51,8 @@ def main() -> None:
     from search_engine_spark.index.merge import compact_index, merge_pages
     from search_engine_spark.synth import synth_pages
 
+    if args.pages and args.synth:
+        ap.error("--pages and --synth are mutually exclusive")
     if args.pages or args.synth:
         if args.synth:
             pages = synth_pages(spark, args.synth)
