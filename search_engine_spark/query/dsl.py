@@ -323,7 +323,18 @@ def _filter_predicate(clauses: List[Dict]) -> Optional[Column]:
                 else:
                     _unsupported(f"range op {op!r}")
         elif kind == "exists":
-            c = F.expr(body["field"]).isNotNull()
+            fld = body["field"]
+            if fld == "content":
+                # the one analyzed field with NO docs-table column —
+                # an isNotNull on the metadata scan would die with an
+                # unresolved-column AnalysisException; refusing loudly
+                # keeps the subset contract (every indexed doc has
+                # content — use match_all or a doclen range instead)
+                _unsupported(
+                    "exists on the analyzed 'content' field (no "
+                    "docs-table column)"
+                )
+            c = F.expr(fld).isNotNull()
         else:
             _unsupported(f"filter clause {kind!r} (scoring clauses don't "
                          "belong in filter context in this subset)")
