@@ -2273,10 +2273,23 @@ GROUP BY o_orderstatus"""
 
 
 def _q_anti_join(spark, sf_dir):
+    """Anti-join (C6, the bloom-style dedup shape, crawler.py:491-513).
+
+    Round-3 de-vacuation (VERDICT r2 "What's wrong" #1): the old
+    predicate (customers with NO order at all) yielded 0 survivors at
+    sf<=0.01, so a 0-row result trivially matched a 0-row oracle.  The
+    predicate is now "customers with no 1-URGENT order", measured
+    non-empty AND non-total at every shipped sf (18/150 at sf0.001,
+    203/1500 at sf0.01, 1986/15000 at sf0.1) — the anti-join must
+    actually filter to match.  tests/test_entry_tier2.py pins
+    0 < rows < count(customer).
+    """
     cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
+    urgent = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -2284,7 +2297,8 @@ def _q_anti_join(spark, sf_dir):
 
 _SQL_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
 ORDER BY c_custkey"""
 
 
@@ -5441,10 +5455,67 @@ ORDER BY score DESC, event_id LIMIT 10"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # === Round-2 verification front: entries WITHOUT a driver CORRECTNESS
-        # row yet (driver checks the first 50 in registration order; round 1
-        # covered the search-core 50, now rotated to the back).  LLM-pipeline
-        # ops lead per VERDICT.md "Next round" item 1.
+        # === Round-3 verification front (VERDICT r2 "Next round" item 1):
+        # the driver checks the FIRST 50 entries in registration order.
+        # Rounds 1+2 drove 100 distinct entries green; the 24 below are the
+        # only ones never driver-verified — they lead so CORRECTNESS_r03
+        # completes 124/124.  Slots 25-29 are entries whose code changed in
+        # round 3 (re-verified on purpose); the remainder of the window is
+        # round-1 re-checks (two rounds stale).
+        "terms_enum_page": _q_terms_enum_page,
+        "facet_percentiles_toklen": _q_facet_percentiles,
+        "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
+        "facet_top_hits": _q_facet_top_hits,
+        "string_stats_source": _q_string_stats,
+        "t_test_welch": _q_t_test_welch,
+        "variable_width_hist": _q_variable_width_hist,
+        "rank_feature_topk": _q_rank_feature,
+        "facet_date_histogram": _q_date_histogram,
+        "shuffle_order": _q_shuffle_order,
+        "quality_weighted_sample": _q_quality_weighted_sample,
+        "token_budget_select": _q_token_budget_select,
+        "cap_per_source": _q_cap_per_source,
+        "bpe_word_counts": _q_bpe_word_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "quality_classifier_scores": _q_quality_classifier,
+        "semi_join_orders": _q_semi_join,
+        "anti_join_customers": _q_anti_join,
+        "topk_lineitem_price": _q_topk_price,
+        "group_count_events": _q_group_count,
+        "analytics_24h": _q_analytics_24h,
+        "out_degree": _q_out_degree,
+        "window_rank_orders": _q_window_rank,
+        "pricing_summary": _q_pricing_summary,
+        # --- round-3 code changes: re-verify under the driver ---
+        "batch_ann_topk": _q_batch_ann,
+        "crawl_bfs_waves": _q_crawl_bfs_waves,
+        "url_blocklist": _q_url_blocklist,
+        "url_ops": _q_url_ops,
+        "frontier_pop": _q_frontier_pop,
+        # --- round-1 greens, re-checked (oldest evidence first) ---
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_and": _q_bm25_topk_and,
+        "boolean_bm25_topk": _q_boolean_bm25_topk,
+        "index_stats": _q_index_stats,
+        "phrase_bm25_topk": _q_phrase_bm25_topk,
+        "prefix_bm25_topk": _q_prefix_bm25_topk,
+        "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
+        "suggest_terms": _q_suggest_terms,
+        "suggest_phrase": _q_suggest_phrase,
+        "suggest_completion": _q_suggest_completion,
+        "percolate_matches": _q_percolate,
+        "facet_composite_page": _q_facet_composite,
+        "tf_raw": _q_tf_raw,
+        "df_per_term": _q_df_per_term,
+        "idf_smooth": _q_idf_smooth,
+        "doclen": _q_doclen,
+        "corpus_stats": _q_corpus_stats,
+        "batch_bm25_topk": _q_batch_bm25_topk,
+        "hybrid_rank": _q_hybrid_rank,
+        "pagerank_5iter": _q_pagerank,
+        "lm_perplexity": _q_lm_perplexity,
+        # ================= end of driver first-50 window =================
+        # --- round-2 greens (CORRECTNESS_r02.json, all hash_match) ---
         "line_dedup": _q_line_dedup,
         "substring_dedup": _q_substring_dedup,
         "minhash_signature": _q_minhash_sig,
@@ -5471,19 +5542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_cosine_topk": _q_embedding_topk,
-        "batch_ann_topk": _q_batch_ann,
         "quality_scores": _q_quality,
         "lang_en_score": _q_lang_en,
         "token_counts": _q_token_counts,
         "repetition_stats": _q_repetition_stats,
-        "pagerank_5iter": _q_pagerank,
         "out_degree_graph": _q_out_degree_graph,
-        "hybrid_rank": _q_hybrid_rank,
         "highlight_snippets": _q_highlight,
-        "url_ops": _q_url_ops,
-        "url_blocklist": _q_url_blocklist,
-        "frontier_pop": _q_frontier_pop,
-        "crawl_bfs_waves": _q_crawl_bfs_waves,
         "utils_battery": _q_utils_battery,
         "pagination_page2": _q_pagination,
         "sorted_hits": _q_sorted_hits,
@@ -5495,83 +5559,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_max_topk": _q_tfidf_max_topk,
         "explain_contribs": _q_explain_contribs,
         "match_counts": _q_match_counts,
-        "terms_enum_page": _q_terms_enum_page,
-        "facet_percentiles_toklen": _q_facet_percentiles,
-        "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
-        "facet_top_hits": _q_facet_top_hits,
-        # --- unchecked tier 2 (rotate into the front window in round 3) ---
-        # Round-3 rotation list (never driver-verified after round 2 —
-        # the two round-2 additions pushed terms_enum_page and
-        # facet_percentiles_toklen just past the 50-entry window):
-        #   terms_enum_page facet_percentiles_toklen
-        #   facet_percentile_ranks_toklen facet_top_hits
-        #   string_stats_source t_test_welch variable_width_hist
-        #   rank_feature_topk facet_date_histogram semi_join_orders
-        #   anti_join_customers topk_lineitem_price group_count_events
-        #   analytics_24h out_degree window_rank_orders pricing_summary
-        #   shuffle_order quality_weighted_sample token_budget_select
-        #   cap_per_source bpe_word_counts bpe_token_counts
-        #   quality_classifier_scores
-        #   (the curation/BPE/classifier ops added mid-round-2)
-        "shuffle_order": _q_shuffle_order,
-        "quality_weighted_sample": _q_quality_weighted_sample,
-        "token_budget_select": _q_token_budget_select,
-        "bpe_word_counts": _q_bpe_word_counts,
-        "bpe_token_counts": _q_bpe_token_counts,
-        "quality_classifier_scores": _q_quality_classifier,
-        "cap_per_source": _q_cap_per_source,
-        "string_stats_source": _q_string_stats,
-        "t_test_welch": _q_t_test_welch,
-        "variable_width_hist": _q_variable_width_hist,
-        "rank_feature_topk": _q_rank_feature,
-        "facet_date_histogram": _q_date_histogram,
-        "semi_join_orders": _q_semi_join,
-        "anti_join_customers": _q_anti_join,
-        "topk_lineitem_price": _q_topk_price,
-        "group_count_events": _q_group_count,
-        "analytics_24h": _q_analytics_24h,
-        "out_degree": _q_out_degree,
-        "window_rank_orders": _q_window_rank,
-        "pricing_summary": _q_pricing_summary,
-        # --- driver-green in round 1 (CORRECTNESS_r01.json, all hash_match) ---
-        "tf_raw": _q_tf_raw,
+        # --- driver-green in round 1 (CORRECTNESS_r01.json, all hash_match;
+        #     the rest of r1's window now rides in the front-50 re-check) ---
         "term_vectors": _q_term_vectors,
-        "df_per_term": _q_df_per_term,
-        "idf_smooth": _q_idf_smooth,
-        "doclen": _q_doclen,
-        "corpus_stats": _q_corpus_stats,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_topk_and": _q_bm25_topk_and,
         "bm25_topk_msm2": _q_bm25_topk_msm2,
         "bm25_topk_not": _q_bm25_topk_not,
         "multi_index_dfs_topk": _q_multi_index_dfs,
-        "boolean_bm25_topk": _q_boolean_bm25_topk,
-        "index_stats": _q_index_stats,
-        "phrase_bm25_topk": _q_phrase_bm25_topk,
         "phrase_slop_topk": _q_phrase_slop_topk,
         "span_not_topk": _q_span_not_topk,
         "span_first_topk": _q_span_first_topk,
         "pinned_topk": _q_pinned_topk,
         "distance_feature_topk": _q_distance_feature_topk,
-        "prefix_bm25_topk": _q_prefix_bm25_topk,
         "wildcard_bm25_topk": _q_wildcard_bm25_topk,
-        "fuzzy_bm25_topk": _q_fuzzy_bm25_topk,
         "regexp_bm25_topk": _q_regexp_bm25_topk,
         "bool_prefix_topk": _q_bool_prefix_topk,
         "dismax_topk": _q_dismax_topk,
         "boosting_topk": _q_boosting_topk,
         "function_score_topk": _q_function_score_topk,
         "rescore_topk": _q_rescore_topk,
-        "batch_bm25_topk": _q_batch_bm25_topk,
         "multifield_bm25_topk": _q_multifield_bm25,
         "crossfield_bm25_topk": _q_crossfield_bm25,
-        "suggest_terms": _q_suggest_terms,
-        "suggest_phrase": _q_suggest_phrase,
-        "suggest_completion": _q_suggest_completion,
-        "percolate_matches": _q_percolate,
         "facet_multi_terms": _q_facet_multi_terms,
         "facet_rare_terms": _q_facet_rare_terms,
-        "lm_perplexity": _q_lm_perplexity,
         "filtered_bm25_topk": _q_filtered_bm25_topk,
         "terms_set_topk": _q_terms_set_topk,
         "matrix_stats": _q_matrix_stats,
@@ -5583,7 +5592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram_toklen": _q_facet_histogram,
         "facet_range_toklen": _q_facet_range,
         "facet_cardinality_source": _q_facet_cardinality,
-        "facet_composite_page": _q_facet_composite,
     }
 
 
