@@ -43,7 +43,6 @@ Scale notes (100 TB / 10^12 docs):
 from __future__ import annotations
 
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -728,6 +727,13 @@ def build_index(
         # runs, so stale artifacts MUST go — postings, the manifest
         # (its done-keys describe the old build), and any merge-layer
         # state (deltas/tombstones reference the old doc_id space)
+        # Hadoop-FS delete, NOT shutil.rmtree: the index root may be
+        # hdfs:///s3a:// (the same FS helpers merge.py uses for
+        # renames), where rmtree is a silent no-op and the stale
+        # postings would survive under the appends below.  strict:
+        # failing to clear must abort the rebuild, not corrupt it.
+        from search_engine_spark.index.merge import _fs_delete
+
         for stale in (
             paths.postings, paths.pos_postings, paths.manifest,
             os.path.join(out_dir, "deltas"),
@@ -735,7 +741,7 @@ def build_index(
             os.path.join(out_dir, "premerge"),
             paths.build_config,
         ):
-            shutil.rmtree(stale, ignore_errors=True)
+            _fs_delete(spark, stale, strict=True)
         existing_cfg = None
     man = _Manifest(spark, paths, build_id)
     P = num_partitions or spark.sparkContext.defaultParallelism * 2

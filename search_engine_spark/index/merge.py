@@ -119,10 +119,21 @@ def _fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     fs.rename(Path(src), Path(dst))
 
 
-def _fs_delete(spark: SparkSession, path: str) -> None:
+def _fs_delete(spark: SparkSession, path: str, strict: bool = False) -> None:
+    """Recursive delete via the Hadoop FileSystem API — works for
+    local, hdfs:// and s3a:// roots alike (shutil.rmtree silently
+    no-ops on remote URIs, which is exactly the stale-postings hazard
+    builder.py's fresh-rebuild path must avoid).  strict=True raises
+    if the path survives the delete instead of letting a later
+    mode('append') write duplicate postings on top of stale ones."""
     fs, Path = _hadoop(spark, path)
     if fs.exists(Path(path)):
-        fs.delete(Path(path), True)
+        ok = fs.delete(Path(path), True)
+        if strict and (not ok or fs.exists(Path(path))):
+            raise IOError(
+                f"fresh-rebuild clearing failed to delete {path}; "
+                "refusing to append over stale index artifacts"
+            )
 
 
 def _fs_subdirs(spark: SparkSession, path: str) -> List[str]:

@@ -32,8 +32,13 @@ HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
 PORT_RE = r":[0-9]+$"
 # authority userinfo ("alice:pw@host") — must be stripped BEFORE domain
-# matching or "https://x@blocked.com/" evades every host predicate
-USERINFO_RE = r"^[^/@]*@"
+# matching or "https://x@blocked.com/" evades every host predicate.
+# Greedy ^.*@ matches up to the LAST '@', the same split urlparse and
+# browsers use: 'a@b@evil.com' must yield host 'evil.com', not
+# 'b@evil.com' (which would evade both the equality and '.domain'
+# suffix predicates).  Safe because the HOST_RE capture already
+# excludes '/', '?', '#' — the match cannot cross into the path.
+USERINFO_RE = r"^.*@"
 
 
 def host_col(url: Column) -> Column:

@@ -157,7 +157,7 @@ def simulate_crawl(
             .limit(int(batch_size))
             .localCheckpoint()  # pin the pop — reused 4× this wave
         )
-        if batch.rdd.isEmpty():
+        if batch.isEmpty():
             break  # frontier drained (run()'s stop condition)
 
         # mark visited before "fetching" (crawler.py:495)
@@ -313,17 +313,18 @@ def crawl_and_index(
         """docs table, or None ONLY for does-not-exist — any other
         read failure must raise, not masquerade as an empty index
         (routing a transient error to a fresh rebuild would destroy
-        previously merged documents)."""
-        from pyspark.errors import AnalysisException
+        previously merged documents).  Existence is probed via the
+        Hadoop FileSystem API (merge._fs_exists), not by parsing
+        AnalysisException text: the PATH_NOT_FOUND error class is
+        Spark-version-dependent (older releases say 'Path does not
+        exist'), and a substring match would turn a fresh dir into a
+        hard error on those versions (ADVICE r2)."""
+        from search_engine_spark.index.merge import _fs_exists
 
-        try:
-            return spark.read.parquet(
-                index_dir.rstrip("/") + "/docs"
-            )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" in str(e):
-                return None
-            raise
+        docs_path = index_dir.rstrip("/") + "/docs"
+        if not _fs_exists(spark, docs_path):
+            return None
+        return spark.read.parquet(docs_path)
 
     if n_fetched:
         if _docs_or_none() is not None:

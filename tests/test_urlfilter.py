@@ -91,3 +91,23 @@ class TestUserinfoBypass:
         )
         kept = apply_url_filter(df, "url", BLOCKED, KEYWORDS)
         assert {r["doc_id"] for r in kept.collect()} == {3}
+
+    def test_double_at_cannot_evade_blocklist(self, spark):
+        # URL parsers split the authority at the LAST '@'
+        # (urlparse.hostname, browsers): 'a@b@evil.com' is host
+        # 'evil.com'.  A lazy strip-to-first-@ would leave
+        # 'b@evil.com', which matches neither the equality nor the
+        # '.domain' suffix predicate — the double-@ variant must not
+        # slip through (ADVICE r2).
+        df = spark.createDataFrame(
+            [
+                (1, "https://x@y@ads.tracker.com/p"),
+                (2, "https://a@b:pw@sub.ads.tracker.com:8443/p"),
+                (3, "https://x@y@ok.example.org/p"),
+            ],
+            "doc_id long, url string",
+        )
+        for _, url in [(r, u) for r, u in df.collect()]:
+            assert urlparse(url).hostname.count("@") == 0  # oracle sanity
+        kept = apply_url_filter(df, "url", BLOCKED, KEYWORDS)
+        assert {r["doc_id"] for r in kept.collect()} == {3}
