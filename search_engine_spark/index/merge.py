@@ -75,6 +75,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
+from pyspark.errors import AnalysisException, ParseException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -633,14 +634,25 @@ def update_by_query(
         hit_urls.unpersist()
         return UpdateResult(build_id, 0, 0, 0, None)
     rows = source_pages.join(hit_urls, "url", "left_semi")
-    updated_src = rows.withColumns(
-        {
-            c: (F.expr(e) if isinstance(e, str) else e).cast(
-                dict(source_pages.dtypes)[c]
-            )
+    try:
+        updated_src = rows.withColumns(
+            {
+                c: (F.expr(e) if isinstance(e, str) else e).cast(
+                    dict(source_pages.dtypes)[c]
+                )
             for c, e in script.items()
-        }
-    )
+            }
+        )
+        # force analysis NOW: a malformed or unresolvable script
+        # expression must refuse typed here (the documented contract —
+        # ValueError naming the gap), not surface as a raw
+        # Parse/AnalysisException deep inside the merge job
+        updated_src.schema
+    except (AnalysisException, ParseException) as e:
+        hit_urls.unpersist()
+        raise ValueError(
+            f"invalid _update_by_query script expression: {e}"
+        ) from e
     try:
         n_src = updated_src.count()
         if not n_src:

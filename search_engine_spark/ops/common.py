@@ -114,4 +114,12 @@ def dot_col(a: Column, b: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b)))
+    # try_divide: a zero-norm vector (real corpora contain them —
+    # empty docs, padding rows) must yield NULL cosine, not abort the
+    # whole scan with DIVIDE_BY_ZERO under ANSI mode.  NULL is also
+    # exactly what the DuckDB oracles produce for x/0, and both
+    # engines sort NULLs last under ORDER BY cosine DESC, so top-k
+    # parity holds.  Found by the retriever fuzzer (test_retriever_fuzz).
+    return F.try_divide(
+        dot_col(a, b), F.sqrt(dot_col(a, a)) * F.sqrt(dot_col(b, b))
+    )
