@@ -273,7 +273,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    n_pages = max(2000, int(PAGES_PER_SF * sf))
+    # SPARK_GRAFT_BENCH_PAGES overrides the build-corpus size without
+    # touching the sf tables — the sf1-shape evidence pass (120k pages)
+    # runs through the SAME harness even though the driver ships
+    # relational testdata only up to sf0.1 (see BASELINE.md round-3
+    # scale section)
+    n_pages = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_PAGES", max(2000, int(PAGES_PER_SF * sf))
+    ))
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
     cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
