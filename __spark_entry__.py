@@ -4219,7 +4219,12 @@ def _sql_batch_ann(sf_dir=None):
         qn = qv / max(np.linalg.norm(qv), 1e-12)
         probe = set(np.argsort(-(cent @ qn))[:BATCH_IVF_NPROBE].tolist())
         members = sorted(i for i in corpus if cells[i] in probe)
-        member_sql = ", ".join(str(i) for i in members)
+        # probed cells can be member-empty on small/skewed dirs —
+        # "IN ()" is a DuckDB parse error, so mirror search_batch's
+        # empty-candidate result (0 rows for this q_id) explicitly
+        member_sql = (
+            ", ".join(str(i) for i in members) if members else "NULL"
+        )
         qv_sql = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
         blocks.append(f"""
 SELECT q_id, id, cosine FROM (
@@ -4409,7 +4414,12 @@ def _sql_ivf_ann(sf_dir=None):
         v = v / max(np.linalg.norm(v), 1e-12)
         if int((cent @ v).argmax()) in probe:
             members.append(i)
-    member_sql = ", ".join(str(i) for i in sorted(members))
+    # same empty-membership guard as _sql_batch_ann: "IN ()" is a
+    # DuckDB parse error; "IN (NULL)" matches nothing, mirroring the
+    # engine's empty probed-cell result
+    member_sql = (
+        ", ".join(str(i) for i in sorted(members)) if members else "NULL"
+    )
     qv_sql = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
     return f"""
 WITH cand AS (SELECT vec_id, embedding FROM embeddings

@@ -634,26 +634,30 @@ def update_by_query(
         hit_urls.unpersist()
         return UpdateResult(build_id, 0, 0, 0, None)
     rows = source_pages.join(hit_urls, "url", "left_semi")
+    # ONE try/finally owns the persisted frame: ANY failure below —
+    # including non-analysis errors the typed-refusal translation does
+    # not cover (bad script value types, missing source columns) —
+    # must still release hit_urls, or the cached frame leaks executor
+    # memory for the rest of the session
     try:
-        updated_src = rows.withColumns(
-            {
-                c: (F.expr(e) if isinstance(e, str) else e).cast(
-                    dict(source_pages.dtypes)[c]
-                )
-            for c, e in script.items()
-            }
-        )
-        # force analysis NOW: a malformed or unresolvable script
-        # expression must refuse typed here (the documented contract —
-        # ValueError naming the gap), not surface as a raw
-        # Parse/AnalysisException deep inside the merge job
-        updated_src.schema
-    except (AnalysisException, ParseException) as e:
-        hit_urls.unpersist()
-        raise ValueError(
-            f"invalid _update_by_query script expression: {e}"
-        ) from e
-    try:
+        try:
+            updated_src = rows.withColumns(
+                {
+                    c: (F.expr(e) if isinstance(e, str) else e).cast(
+                        dict(source_pages.dtypes)[c]
+                    )
+                    for c, e in script.items()
+                }
+            )
+            # force analysis NOW: a malformed or unresolvable script
+            # expression must refuse typed here (the documented
+            # contract — ValueError naming the gap), not surface as a
+            # raw Parse/AnalysisException deep inside the merge job
+            updated_src.schema
+        except (AnalysisException, ParseException) as e:
+            raise ValueError(
+                f"invalid _update_by_query script expression: {e}"
+            ) from e
         n_src = updated_src.count()
         if not n_src:
             return UpdateResult(build_id, matched, 0, matched, None)

@@ -2400,7 +2400,13 @@ class BM25Index:
         vals = self.docs.select(
             "doc_id", F.expr(field).cast("double").alias("_v")
         ).filter(F.col("_v").isNotNull())
-        joined = matched.join(vals, "doc_id")
+        # localCheckpoint: the match+join runs ONCE — the gating count,
+        # the (approx path's) percentile edges, and the final bucket agg
+        # all re-read the materialized frame instead of re-running the
+        # postings scan per action (the update_by_query persist
+        # convention, without the unpersist lifecycle problem of a
+        # lazily-consumed return value)
+        joined = matched.join(vals, "doc_id").localCheckpoint()
         n_match = joined.count()
         if n_match == 0:
             return self.spark.createDataFrame([], schema)

@@ -441,19 +441,28 @@ def test_batch_ann_prunes_cells(spark, tmp_path_factory):
     df = idx.search_batch(queries, "qid", "qv", k=5, nprobe=2)
     plan = explain_str(df)
     assert "PartitionFilters" in plan
-    assert "_cell" in plan.split("PartitionFilters", 1)[1][:300]
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
-    # 3 queries x nprobe=2 probes a strict subset of the 8 cells
-    union = {c for (_, c, _) in (
-        (r["qid"], cell, None)
+    # the EXECUTED scan's pruned cell set must equal the union of the
+    # driver-side probe lists — parsed out of the PartitionFilters
+    # clause, not re-derived, so a regression that drops the isin
+    # filter (scanning all cells) fails here
+    import re
+
+    union = {
+        cell
         for r in queries.collect()
         for cell in idx.probe_cells(list(r["qv"]), 2)
-    )}
-    assert len(union) < 8
+    }
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    m = re.search(r"_cell#\d+ IN \(([\d,]+)\)", pf)
+    assert m, f"no static _cell IN (...) pruning in: {pf}"
+    scanned = {int(x) for x in m.group(1).split(",")}
+    assert scanned == union, (scanned, union)
+    assert len(scanned) < 8  # a strict subset of the table's cells
 
 
 def test_media_meta_plan_has_no_python(spark):
