@@ -4241,6 +4241,111 @@ SELECT q_id, id, cosine FROM (
     return " UNION ALL ".join(blocks)
 
 
+# ---- SemDeDup: semantic dedup via k-means clusters ------------------------
+# (Abbas et al. 2023, arXiv:2303.09540 — cluster, find near-dups within
+# clusters only, keep the least-prototypical member.)
+
+SEMDEDUP_CLUSTERS = 6
+SEMDEDUP_TAU = 0.32
+SEMDEDUP_SAMPLE = 256
+SEMDEDUP_ITERS = 5
+SEMDEDUP_SEED = 42
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup keep-set (ops/dedup.py:semdedup): k-means clusters the
+    embeddings (bounded md5-ordered training sample), near-dup pairs
+    form only within a cluster (equi-join on _cell, never O(n^2)), and
+    among round-6-cosine >= tau duplicates only the member with the
+    lexicographically smallest (centroid_cos, id) survives per
+    domination — the paper's keep-low-centroid-similarity rule as a
+    deterministic single-pass spec.  tau=0.32 is measured non-vacuous
+    on every shipped sf (145/500, 168/500, 1260/2000 dropped)."""
+    from search_engine_spark.ops.dedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, "vec_id", "embedding",
+        n_clusters=SEMDEDUP_CLUSTERS, threshold=SEMDEDUP_TAU,
+        train_sample=SEMDEDUP_SAMPLE, iters=SEMDEDUP_ITERS,
+        seed=SEMDEDUP_SEED,
+    )
+    return (
+        out.select(
+            F.col("id").alias("vec_id"),
+            F.col("_cell").alias("cell"),
+            "cent_cos",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_semdedup(sf_dir=None):
+    """Hermetic replica: centroids + per-id (cell, centroid_cos)
+    recomputed driver-side in numpy (same md5 sample order, spherical
+    k-means, round-6 cosine, first-max argmax) and emitted as a VALUES
+    literal table — an independent cross-check of the distributed
+    assignment; the within-cluster pair join + domination + anti-join
+    then run in DuckDB SQL over the raw embeddings."""
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pydict()
+    ids = [int(v) for v in tbl["vec_id"]]
+    vecs = {i: np.asarray(e, dtype=np.float64)
+            for i, e in zip(ids, tbl["embedding"])}
+    dim = len(next(iter(vecs.values())))
+
+    def md5int(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(ids, key=lambda i: (md5int(i), str(i)))[:SEMDEDUP_SAMPLE]
+    cent = S.kmeans_centroids(
+        np.stack([vecs[i] for i in ordered]), SEMDEDUP_CLUSTERS,
+        iters=SEMDEDUP_ITERS, seed=SEMDEDUP_SEED,
+    )
+    rows = []
+    for i in ids:
+        v = vecs[i]
+        nv = float(np.linalg.norm(v))
+        if nv == 0.0:
+            continue  # zero-norm rows drop, as in the engine
+        cs = [
+            round(float(c @ v / (np.linalg.norm(c) * nv)), 6) for c in cent
+        ]
+        m = max(cs)
+        rows.append((i, cs.index(m), m))
+    values = ", ".join(f"({i}, {c}, {cc!r})" for i, c, cc in rows)
+    cos_ab = (
+        f"round(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)) "
+        f"/ ( sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE))) "
+        f"* sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))) ), 6)"
+    )
+    return f"""
+WITH assign(id, cell, cc) AS (VALUES {values}),
+dom AS (
+  SELECT DISTINCT a.id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id <> b.id
+  JOIN embeddings ea ON ea.vec_id = a.id
+  JOIN embeddings eb ON eb.vec_id = b.id
+  WHERE {cos_ab} >= {SEMDEDUP_TAU}
+    AND (b.cc < a.cc OR (b.cc = a.cc AND b.id < a.id)))
+SELECT a.id AS vec_id, a.cell, a.cc AS cent_cos
+FROM assign a WHERE a.id NOT IN (SELECT id FROM dom)
+ORDER BY vec_id"""
+
+
 # ---- LSH-bucketed ANN (the 100 TB scale path) -----------------------------
 # The hyperplanes are deterministic (seeded); the oracle embeds the SAME
 # plane values as SQL literals, so the approximate result is exactly
@@ -5566,6 +5671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": _q_url_blocklist,
         "url_ops": _q_url_ops,
         "frontier_pop": _q_frontier_pop,
+        # --- new in round 3 (never driver-verified) ---
+        "semdedup_keep": _q_semdedup,
         # --- round-1 greens, re-checked (oldest evidence first) ---
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
@@ -5814,8 +5921,9 @@ def oracle_sql() -> dict[str, str]:
         out["lsh_ann_topk"] = _sql_lsh_ann()
         out["ivf_ann_topk"] = _sql_ivf_ann()
         out["batch_ann_topk"] = _sql_batch_ann()
+        out["semdedup_keep"] = _sql_semdedup()
     except Exception:
-        # embeddings parquet unreadable here: those three entries become
+        # embeddings parquet unreadable here: those four entries become
         # rows-only rather than taking down every other oracle
         pass
     return out

@@ -438,6 +438,102 @@ def embedding_near_dup_pairs_lsh(
     return out.dropDuplicates(["id_a", "id_b"])
 
 
+def semdedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 6,
+    threshold: float = 0.9,
+    train_sample: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, find
+    near-duplicate pairs WITHIN each cluster only, and among duplicates
+    keep the member LEAST similar to its cluster centroid (the paper's
+    keep-low-centroid-similarity rule — prototypical members drop,
+    outliers survive, preserving diversity).
+
+    Returns the KEPT rows: (id, _cell, cent_cos), one per surviving
+    document.  Deterministic single-pass spec (no iteration, no
+    connected components): row x drops iff SOME same-cluster neighbor y
+    has round-6 cosine(x, y) >= threshold and (cc_y, id_y) < (cc_x,
+    id_x) lexicographically — an exists-dominating-neighbor rule any
+    SQL engine reproduces exactly.  Zero-norm vectors are excluded up
+    front (their cosine is NULL everywhere — see common.cosine_col).
+
+    Scale shape (the paper runs 50k clusters over 8B embeddings):
+    centroids train once on a bounded md5-ordered driver sample
+    (ann_index recipe) and broadcast as literals; assignment is one
+    codegen projection (k dot products per row, argmax via
+    array_position — first-max tie-break, matching numpy argmax); the
+    candidate join is an EQUI-join on `_cell` (shuffle by cluster id,
+    never the O(n^2) theta-join), so work is Σ|cluster|² — bounded by
+    cluster granularity, which n_clusters controls; the domination
+    test is a distinct semi-join, one shuffle.  At 10^12 rows write
+    the assigned table partitionBy(_cell) first and the join is
+    partition-local."""
+    from search_engine_spark.ops.ann_index import _train_sample_matrix
+    from search_engine_spark.ops.common import cosine_col
+    from search_engine_spark.ops.similarity import kmeans_centroids
+
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    sample = _train_sample_matrix(emb, id_col, vec_col, train_sample)
+    cent = kmeans_centroids(sample, n_clusters, iters=iters, seed=seed)
+    cos_arr = F.array(*[
+        F.round(
+            cosine_col(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+            ),
+            6,
+        )
+        for c in cent
+    ])
+    assigned = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            cos_arr.alias("_cos"),
+        )
+        .withColumn("cent_cos", F.array_max("_cos"))
+        .filter(F.col("cent_cos").isNotNull())  # zero-norm rows out
+        .withColumn(
+            "_cell",
+            (F.array_position("_cos", F.col("cent_cos")) - 1).cast("int"),
+        )
+        .drop("_cos")
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        "_cell", F.col("cent_cos").alias("cc_a"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        "_cell", F.col("cent_cos").alias("cc_b"),
+    )
+    dominated = (
+        a.join(b, "_cell")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+               >= F.lit(float(threshold)))
+            & (
+                (F.col("cc_b") < F.col("cc_a"))
+                | ((F.col("cc_b") == F.col("cc_a"))
+                   & (F.col("id_b") < F.col("id_a")))
+            )
+        )
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated, "id", "left_anti")
+        .select("id", "_cell", "cent_cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style corpus-level exact LINE dedup: each distinct nonblank line
 # survives only at its first occurrence (by id, then line position)

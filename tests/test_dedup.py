@@ -272,3 +272,65 @@ class TestConfigGuards:
         assert (1, 2) in got
         with pytest.raises(ValueError):
             embedding_near_dup_pairs_lsh(df, "id", "vec", n_tables=0)
+
+
+class TestSemDedup:
+    """SemDeDup (ops/dedup.py:semdedup): cluster-then-dedup with the
+    keep-least-prototypical rule, checked on planted duplicate groups."""
+
+    def _rows(self):
+        # two well-separated clusters on orthogonal axes; within
+        # cluster A a near-identical duplicate pair (ids 1,2) plus a
+        # distinct member (3); cluster B all distinct; one zero vector
+        return [
+            (1, [1.0, 0.0, 0.0, 0.05]),
+            (2, [1.0, 0.0, 0.0, 0.06]),   # dup of 1
+            (3, [0.7, 0.0, 0.0, -0.7]),   # same cluster, not a dup
+            (10, [0.0, 1.0, 0.0, 0.0]),
+            (11, [0.0, 0.7, 0.7, 0.0]),
+            (99, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: excluded, no crash
+        ]
+
+    def test_keeps_least_prototypical_of_dup_group(self, spark):
+        from search_engine_spark.ops.dedup import semdedup
+
+        df = spark.createDataFrame(self._rows(), "id long, vec array<double>")
+        out = semdedup(df, "id", "vec", n_clusters=2, threshold=0.95,
+                       train_sample=16, iters=4, seed=1).collect()
+        kept = {r["id"] for r in out}
+        assert 99 not in kept                    # zero vector excluded
+        assert {3, 10, 11} <= kept               # non-dups all survive
+        assert len(kept & {1, 2}) == 1           # exactly one of the pair
+        # the survivor is the one with the SMALLER centroid cosine
+        cc = {r["id"]: r["cent_cos"] for r in out}
+        dup_kept = (kept & {1, 2}).pop()
+        # recompute both members' centroid cos from a fresh assignment
+        both = {
+            r["id"]: r["cent_cos"]
+            for r in semdedup(df, "id", "vec", n_clusters=2, threshold=2.0,
+                              train_sample=16, iters=4, seed=1).collect()
+        }  # threshold > 1: nothing drops, so both cc values visible
+        other = ({1, 2} - {dup_kept}).pop()
+        assert (both[dup_kept], dup_kept) <= (both[other], other)
+        assert cc[dup_kept] == both[dup_kept]
+
+    def test_no_cartesian_join_and_identity_when_no_dups(self, spark):
+        from search_engine_spark.ops.dedup import semdedup
+
+        df = spark.createDataFrame(self._rows(), "id long, vec array<double>")
+        out = semdedup(df, "id", "vec", n_clusters=2, threshold=0.999999,
+                       train_sample=16, iters=4, seed=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # nothing above the near-1.0 threshold except exact re-scans of
+        # the same vector never happen (ids are distinct) -> identity
+        # minus the zero vector
+        assert {r["id"] for r in out.collect()} == {1, 2, 3, 10, 11}
+
+    def test_rejects_bad_clusters(self, spark):
+        from search_engine_spark.ops.dedup import semdedup
+
+        df = spark.createDataFrame(self._rows(), "id long, vec array<double>")
+        with pytest.raises(ValueError):
+            semdedup(df, "id", "vec", n_clusters=0)
