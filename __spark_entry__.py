@@ -4241,6 +4241,45 @@ SELECT q_id, id, cosine FROM (
     return " UNION ALL ".join(blocks)
 
 
+# ---- DSIR: hashed-ngram importance-resampling data selection --------------
+# (Xie et al. 2023, arXiv:2302.03169 — deterministic top-k variant.)
+
+DSIR_K = 50
+DSIR_BUCKETS = 256
+DSIR_TARGET_SQL = "doc_id % 10 = 0"  # held-out "target domain" subset
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR data selection (ops/dsir.py): target and raw corpora reduce
+    to add-one-smoothed hashed unigram+bigram bucket distributions
+    (md5 buckets — engine-portable, B fixed per the paper regardless of
+    corpus size); each raw doc scores sum of per-gram log
+    p_target/p_raw ratios via a broadcast B-row ratio table (no
+    corpus-sized shuffle beyond the per-doc sum); top-k by (round-6
+    weight desc, doc_id)."""
+    from search_engine_spark.ops.dsir import dsir_select
+
+    toks = _docs_tokens(spark, sf_dir)
+    return (
+        dsir_select(
+            toks, "doc_id", "toks", F.col("doc_id") % 10 == 0,
+            k=DSIR_K, n_buckets=DSIR_BUCKETS,
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+def _sql_dsir_select():
+    from search_engine_spark.ops.dsir import dsir_ratio_sql
+
+    return (
+        _TOK_CTE + ","
+        + dsir_ratio_sql("tok", DSIR_TARGET_SQL, DSIR_BUCKETS)
+        + f"\nSELECT doc_id, log_w FROM w "
+          f"ORDER BY log_w DESC, doc_id LIMIT {DSIR_K}"
+    )
+
+
 # ---- SemDeDup: semantic dedup via k-means clusters ------------------------
 # (Abbas et al. 2023, arXiv:2303.09540 — cluster, find near-dups within
 # clusters only, keep the least-prototypical member.)
@@ -5673,6 +5712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_pop": _q_frontier_pop,
         # --- new in round 3 (never driver-verified) ---
         "semdedup_keep": _q_semdedup,
+        "dsir_select_topk": _q_dsir_select,
         # --- round-1 greens, re-checked (oldest evidence first) ---
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_and": _q_bm25_topk_and,
@@ -5804,6 +5844,7 @@ def oracle_sql() -> dict[str, str]:
         # quality_classifier_scores: deliberately NO oracle — L-BFGS
         # training is not SQL-expressible; rows-only (see docstring)
         "cap_per_source": _sql_cap_per_source(),
+        "dsir_select_topk": _sql_dsir_select(),
         # lsh/ivf oracles are injected below: they eagerly read the
         # embeddings parquet and train driver-side, and a missing
         # testdata dir must degrade THOSE TWO entries to rows-only,

@@ -1,0 +1,162 @@
+"""DSIR-style data selection via hashed n-gram importance weights.
+
+Public method: "Data Selection for Language Models via Importance
+Resampling" (Xie et al. 2023, arXiv:2302.03169).  A target corpus
+(e.g. Wikipedia-quality text) and a raw pool are both reduced to
+bag-of-hashed-ngram (unigram+bigram) counts over a FIXED number of
+hash buckets; every raw document scores the log importance weight
+
+    log w(x) = Σ_{gram g ∈ x} [ log p_target(b(g)) − log p_raw(b(g)) ]
+
+with add-one-smoothed bucket probabilities, and the selected subset is
+the top-k by weight (the paper's Gumbel-resampling variant adds hash-
+seeded Gumbel noise; the deterministic top-k variant is what ships as
+the oracle-checked contract entry — see `noise`).
+
+Spark shape, sized for the paper's own design point (B fixed at ~10k
+regardless of corpus size):
+- ONE explode produces gram occurrences (≈ 2× token count);
+- bucket counting is a map-side-combinable groupBy over B keys —
+  the aggregate output is B-sized no matter how big the corpus;
+- the (bucket → log-ratio) table is broadcast (B rows) and each raw
+  gram occurrence picks up its ratio with NO shuffle;
+- per-doc weight is one groupBy(id) sum — the only corpus-sized
+  shuffle;
+- selection is a global top-k (TakeOrderedAndProject).
+Hashing is md5-based (ops.common.md5int_col), NOT Spark's hash(), so
+DuckDB/Python replicas produce identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.ops.common import md5int_col, md5int_sql
+
+DEFAULT_BUCKETS = 256
+
+
+def _bigrams(tokens: Column) -> Column:
+    """Space-joined bigrams of the `__toks` array column (the caller
+    aliases its token column to `__toks` first — the SQL lambda needs a
+    stable name).  Empty array for 0/1-token docs."""
+    del tokens  # documents the binding; the expr reads __toks directly
+    return F.when(
+        F.size(F.col("__toks")) >= 2,
+        F.expr(
+            "transform(slice(__toks, 1, size(__toks) - 1), "
+            "(x, i) -> concat(x, ' ', element_at(__toks, i + 2)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    is_target: Column,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-RAW-document log importance weight (id, log_w round-6).
+
+    `is_target` marks the reference-distribution rows; they shape the
+    bucket probabilities but are not scored (a selection never returns
+    them).  Weights are comparable only within one call (they depend
+    on both corpora's totals)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    B = int(n_buckets)
+    toks = F.col("__toks")
+    grams = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            is_target.alias("_tgt"),
+            F.col(tokens_col).alias("__toks"),
+        )
+        .select(
+            "id",
+            "_tgt",
+            F.explode(F.concat(toks, _bigrams(toks))).alias("gram"),
+        )
+        .select(
+            "id", "_tgt", (md5int_col(F.col("gram")) % B).alias("_b")
+        )
+    )
+    counts = grams.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    ).collect()[0]
+    nt, nr = int(totals["nt"] or 0), int(totals["nr"] or 0)
+    ratios = counts.select(
+        "_b",
+        (
+            F.log((F.col("ct") + 1.0) / F.lit(float(nt + B)))
+            - F.log((F.col("cr") + 1.0) / F.lit(float(nr + B)))
+        ).alias("_r"),
+    )
+    return (
+        grams.filter(~F.col("_tgt"))
+        .join(F.broadcast(ratios), "_b")
+        .groupBy("id")
+        .agg(F.round(F.sum("_r"), 6).alias("log_w"))
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    is_target: Column,
+    k: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+    noise: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k raw documents by DSIR importance weight (id, log_w).
+
+    noise=True adds the paper's Gumbel perturbation, made deterministic
+    and engine-reproducible by seeding each document's uniform draw
+    from md5(seed || id): g = -ln(-ln(u)), u ∈ (0, 1)."""
+    w = dsir_log_weights(docs, id_col, tokens_col, is_target, n_buckets)
+    if noise:
+        u = (
+            (md5int_col(F.concat(F.lit(f"{seed}|"), F.col("id").cast("string")))
+             % 1_000_000).cast("double") + 0.5
+        ) / 1_000_000.0
+        w = w.withColumn(
+            "log_w", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+        )
+    return w.orderBy(F.desc("log_w"), F.asc("id")).limit(int(k))
+
+
+def dsir_ratio_sql(
+    tok_rel: str,
+    target_pred: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> str:
+    """DuckDB CTE block reproducing the bucket log-ratio pipeline over a
+    tokenized relation `tok_rel(doc_id, l)`; `target_pred` is a SQL
+    predicate over doc_id marking the target rows.  Returns CTEs
+    `g/gb/cnt/tot` and leaves `w(doc_id, log_w)` for the caller."""
+    B = int(n_buckets)
+    return f"""
+g AS (SELECT doc_id, t AS gram FROM {tok_rel}, unnest(l) AS u(t)
+      UNION ALL
+      SELECT doc_id, l[i] || ' ' || l[i + 1]
+      FROM {tok_rel}, unnest(range(1, len(l))) AS r(i)),
+gb AS (SELECT doc_id, ({target_pred}) AS tgt,
+              {md5int_sql('gram')} % {B} AS b FROM g),
+cnt AS (SELECT b,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+               sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+        FROM gb GROUP BY b),
+tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+w AS (SELECT doc_id,
+             round(sum( ln((ct + 1.0) / (nt + {B}))
+                      - ln((cr + 1.0) / (nr + {B})) ), 6) AS log_w
+      FROM gb JOIN cnt USING (b), tot
+      WHERE NOT tgt GROUP BY doc_id)"""
