@@ -20,6 +20,12 @@ end-to-end the way a 100 TB pretraining-data build would run:
     → BPE: subword vocab learned on the selected corpus (capped word
       dictionary → driver-side merges), per-doc token counts encoded
       distributedly
+    → SemDeDup semantic dedup over upstream-encoder embeddings
+      (planted paraphrase families — disjoint wording, shared family
+      vector — collapse to one member each; token-level stages above
+      provably cannot see them)
+    → DSIR importance-resampling selection (hashed-ngram weights,
+      val split as the target distribution, deterministic top-k)
     → per-stage survivor counts + split sizes as ONE JSON line.
 
 Every stage is a DataFrame transform from search_engine_spark/ops/ —
@@ -399,6 +405,106 @@ def main() -> None:
         mean_bpe = joined.agg(
             F.avg(F.col("n_bpe_tokens") / F.col("n_tokens"))
         ).collect()[0][0]
+
+        # 10) SEMANTIC dedup (SemDeDup, ops/dedup.py:semdedup) over the
+        # surviving corpus.  Embeddings come from an UPSTREAM encoder in
+        # a real pipeline; here they are synthesized deterministically
+        # per semantic family: paraphrase pollution — same meaning,
+        # disjoint wording — is invisible to every token-level stage
+        # above, so we plant 10 two-member families among the survivors
+        # (pairs of DISTINCT docs sharing a family vector, tiny jitter)
+        # and require exactly one member of each family to survive
+        # while every singleton does.
+        from search_engine_spark.ops.common import md5int_col
+        from search_engine_spark.ops.dedup import semdedup
+
+        from pyspark.sql.window import Window as _W
+
+        survivors = nonempty.select("url").localCheckpoint()
+        fam = (
+            survivors.orderBy("url").limit(20)
+            .withColumn(
+                "_fid",
+                (F.row_number().over(_W.orderBy("url")) % 10).cast("string"),
+            )
+        )
+        keyed = survivors.join(fam, "url", "left").select(
+            "url",
+            F.coalesce(F.col("_fid"), F.col("url")).alias("_key"),
+            F.col("_fid").isNotNull().alias("_planted"),
+        )
+        DIM = 32
+        emb = keyed.select(
+            "url", "_planted", "_key",
+            F.array(*[
+                (
+                    F.sin(
+                        (md5int_col(
+                            F.concat(F.col("_key"), F.lit(f"|{j}"))
+                        ) % 100_000).cast("double")
+                    )
+                    # per-URL jitter so family members are near- but
+                    # not bit-identical (cos ~0.9999)
+                    + 0.01 * F.sin(
+                        (md5int_col(
+                            F.concat(F.col("url"), F.lit(f"#{j}"))
+                        ) % 100_000).cast("double")
+                    )
+                ).alias(f"e{j}")
+                for j in range(DIM)
+            ]).alias("vec"),
+        ).localCheckpoint()
+        n_surv = emb.count()
+        sem = semdedup(emb, "url", "vec", n_clusters=4, threshold=0.9,
+                       train_sample=128, iters=4, seed=3)
+        sem_kept = {r["id"] for r in sem.select("id").collect()}
+        fam_rows = fam.collect()
+        by_fid = {}
+        for r in fam_rows:
+            by_fid.setdefault(r["_fid"], []).append(r["url"])
+        for fid, urls in by_fid.items():
+            alive = [u for u in urls if u in sem_kept]
+            assert len(alive) == 1, (
+                f"family {fid}: {len(alive)}/{len(urls)} survived semdedup"
+            )
+        singles = {r["url"] for r in keyed.filter(~F.col("_planted"))
+                   .select("url").collect()}
+        assert singles <= sem_kept, "semdedup dropped a singleton"
+        counts["semantic_dedup"] = len(sem_kept)
+        assert len(sem_kept) == n_surv - sum(
+            len(u) - 1 for u in by_fid.values()
+        )
+
+        # 11) DSIR data selection (ops/dsir.py): score train-split docs
+        # against the val split as the target distribution (hashed
+        # unigram+bigram importance weights) and keep the top half —
+        # deterministic, so two runs agree exactly.
+        from search_engine_spark.ops.dsir import dsir_select
+
+        tok_docs = assigned.select(
+            "url", "_split",
+            F.filter(
+                F.split(F.lower("text"), r"[^a-z0-9]+"),
+                lambda t: F.length(t) > 0,
+            ).alias("toks"),
+        ).localCheckpoint()
+        n_train = tok_docs.filter(F.col("_split") == "train").count()
+        k_sel = max(1, n_train // 2)
+        sel_a = dsir_select(
+            tok_docs.filter(F.col("_split").isin("train", "val")),
+            "url", "toks", F.col("_split") == "val", k=k_sel,
+        ).collect()
+        sel_b = dsir_select(
+            tok_docs.filter(F.col("_split").isin("train", "val")),
+            "url", "toks", F.col("_split") == "val", k=k_sel,
+        ).collect()
+        assert [tuple(r) for r in sel_a] == [tuple(r) for r in sel_b]
+        train_urls = {r["url"] for r in tok_docs
+                      .filter(F.col("_split") == "train")
+                      .select("url").collect()}
+        assert {r["id"] for r in sel_a} <= train_urls, (
+            "DSIR selected a target (val) doc")
+        counts["dsir_selected"] = len(sel_a)
 
         print(json.dumps({
             "funnel": counts,
