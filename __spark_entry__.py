@@ -1871,10 +1871,14 @@ def _q_bpe_token_counts(spark, sf_dir):
     (ops/bpe.train_bpe + bpe_token_counts).  Training is driver-side
     over the capped word-frequency dictionary (vocabulary-bounded, the
     production shape); encoding is a distributed Arrow mapInPandas.
-    BPE segmentation is not SQL-expressible — rows-only contract
-    entry; semantics are pinned by tests/test_bpe.py (training
-    goldens, encode==training segmentation, round-trip, Python
-    parity)."""
+    BPE segmentation is not expressible as direct SQL, so the oracle
+    (_sql_bpe_token_counts) is the hermetic-replica pattern
+    batch_ann_topk/semdedup_keep use: an INDEPENDENT pure-Python
+    pipeline (pyarrow corpus read + the naive spec trainer
+    train_bpe_naive + apply_bpe) computes the expected counts
+    driver-side and emits them as a VALUES literal — distributed
+    heap-trainer + Arrow encode vs spec trainer + per-word Python
+    segmentation, exact integer hash match."""
     from search_engine_spark.ops import bpe as B
 
     docs = _read(spark, sf_dir, "documents")
@@ -1885,6 +1889,55 @@ def _q_bpe_token_counts(spark, sf_dir):
         B.bpe_token_counts(docs, "doc_id", "text", merges)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    )
+
+
+def _sql_bpe_token_counts(sf_dir=None):
+    """Hermetic replica oracle for bpe_token_counts: reads the
+    documents parquet driver-side, rebuilds the capped training
+    dictionary (top BPE_TOP_WORDS by count desc, word asc) in pure
+    Python, trains with the NAIVE spec trainer (train_bpe_naive — an
+    independent implementation from the heap trainer the entry uses;
+    merge-list equality is itself property-tested), segments each
+    distinct word once with apply_bpe, and emits (doc_id,
+    n_bpe_tokens) as a VALUES table."""
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.ops import bpe as B
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).to_pydict()
+    wc: Counter = Counter()
+    doc_words = []
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        ws = B.words_py(text if isinstance(text, str) else "")
+        doc_words.append((int(doc_id), ws))
+        wc.update(ws)
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = top[:BPE_TOP_WORDS]
+    ranks = B._ranks(B.train_bpe_naive(top, BPE_MERGES))
+    memo: dict = {}
+    rows = []
+    for doc_id, ws in doc_words:
+        n = 0
+        for w in ws:
+            t = memo.get(w)
+            if t is None:
+                t = len(B.apply_bpe(w, ranks))
+                memo[w] = t
+            n += t
+        rows.append((doc_id, n))
+    values = ", ".join(f"({i}, {n})" for i, n in rows)
+    return (
+        f"SELECT doc_id, CAST(n AS BIGINT) AS n_bpe_tokens "
+        f"FROM (VALUES {values}) AS t(doc_id, n) ORDER BY doc_id"
     )
 
 
@@ -1920,36 +1973,42 @@ def _sql_cap_per_source():
 
 def _q_quality_classifier(spark, sf_dir):
     """DCLM/FineWeb-Edu-style model-based quality scoring
-    (ops/classifier.py): train a hashed-ngram logistic classifier on
-    weak labels (the documents table as the trusted seed vs a
-    deterministic synthesized junk corpus), then score every document
-    map-only.  Model training is distributed L-BFGS (pyspark.ml); the
-    driver holds only the coefficient vector.  Scores depend on
-    float aggregation order at the last ulp, so this is a rows-only
-    contract entry; separation/ranking semantics are pinned in
-    tests/test_classifier.py."""
+    (ops/classifier.py frozen path): score every document with the
+    FROZEN md5-bucket hashed-ngram logistic model shipped in
+    ops/quality_frozen.py (trained once, offline, by
+    scripts/freeze_quality_model.py — the production "train on a
+    trusted seed, freeze, score everywhere" shape).  Scoring is fully
+    native and engine-exact: integer-scaled coefficients accumulate
+    the per-doc logit as an exact int64 sum (one explode + one
+    broadcast join + one shuffle), so the round-6 sigmoid is
+    hash-checkable against the DuckDB twin (frozen_score_sql).
+    Distributed L-BFGS training itself stays under
+    tests/test_classifier.py (train_quality_classifier /
+    train_frozen_classifier)."""
     from search_engine_spark.ops import classifier as CL
+    from search_engine_spark.ops import quality_frozen as QF
 
     docs = _read(spark, sf_dir, "documents")
-    junk = spark.range(200).select(
-        F.concat_ws(
-            " ",
-            *[
-                F.concat(
-                    F.lit("zz"),
-                    ((F.col("id") * 131 + i * 17) % 997).cast("string"),
-                )
-                for i in range(12)
-            ],
-        ).alias("text")
-    )
-    model = CL.train_quality_classifier(
-        docs.select("text"), junk, n_features=1 << 14, max_iter=20
-    )
     return (
-        model.score(docs, "doc_id")
+        CL.score_frozen(
+            docs, "doc_id", QF.INTERCEPT_SCALED, QF.coef_scaled()
+        )
         .select(F.col("id").alias("doc_id"), "quality_prob")
         .orderBy("doc_id")
+    )
+
+
+def _sql_quality_classifier():
+    from search_engine_spark.ops import classifier as CL
+    from search_engine_spark.ops import quality_frozen as QF
+
+    inner = CL.frozen_score_sql(
+        "documents", "doc_id", "text",
+        QF.INTERCEPT_SCALED, QF.coef_scaled(),
+    )
+    return (
+        f"SELECT id AS doc_id, quality_prob FROM ({inner}) "
+        "ORDER BY doc_id"
     )
 
 
@@ -5838,11 +5897,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_weighted_sample": _sql_quality_weighted_sample(),
         "token_budget_select": _sql_token_budget_select(),
         "bpe_word_counts": _SQL_BPE_WORD_COUNTS,
-        # bpe_token_counts: deliberately NO oracle — BPE segmentation
-        # is not SQL-expressible; driver records rows-only (see
-        # _q_bpe_token_counts docstring)
-        # quality_classifier_scores: deliberately NO oracle — L-BFGS
-        # training is not SQL-expressible; rows-only (see docstring)
+        # bpe_token_counts is injected below with lsh/ivf: its hermetic
+        # replica eagerly reads the documents parquet driver-side, and
+        # a missing testdata dir must degrade it to rows-only, not fail
+        # the whole oracle_sql() call
+        "quality_classifier_scores": _sql_quality_classifier(),
         "cap_per_source": _sql_cap_per_source(),
         "dsir_select_topk": _sql_dsir_select(),
         # lsh/ivf oracles are injected below: they eagerly read the
@@ -5966,5 +6025,10 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         # embeddings parquet unreadable here: those four entries become
         # rows-only rather than taking down every other oracle
+        pass
+    try:
+        out["bpe_token_counts"] = _sql_bpe_token_counts()
+    except Exception:
+        # documents parquet unreadable here: rows-only for this one
         pass
     return out

@@ -32,8 +32,12 @@ coefficients — the honest contract for any distributed trainer.
 
 from __future__ import annotations
 
+from typing import List, Sequence, Tuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from search_engine_spark.ops.common import md5int_col, md5int_sql
 
 
 def _words(text_col: Column) -> Column:
@@ -179,3 +183,197 @@ def classifier_filter(
     drop = ["_grams", "features", "rawPrediction", "probability",
             "prediction"]
     return scored.filter(keep).drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# frozen-model path (engine-portable scoring — the FineWeb-Edu shape)
+# ---------------------------------------------------------------------------
+# The production curation pattern is "train ONCE on a trusted seed, then
+# score every corpus with the frozen model".  The trainer above (HashingTF
+# + distributed L-BFGS) is the scale path for training; this section makes
+# the SCORING half exactly reproducible across engines so a frozen model's
+# scores are oracle-checkable:
+#
+# - features are md5-bucketed (ops.common.md5int_col, the same portable
+#   hash DSIR uses) instead of Spark-private murmur3, so DuckDB / Python
+#   replicas bucket identically;
+# - frozen coefficients are INTEGER-scaled (round(coef * FROZEN_SCALE)),
+#   so the per-document logit accumulates as an exact int64 sum in any
+#   engine — no float-aggregation-order ambiguity — and only the final
+#   sigmoid touches floating point (one exp of an identical double).
+#
+# Scale shape of score_frozen: one corpus scan, one explode, a broadcast
+# join against the <=n_buckets-row coefficient table, ONE shuffle (the
+# per-doc sum).  No vocabulary collect, no Python in the hot path.
+
+FROZEN_SCALE = 1_000_000
+FROZEN_BUCKETS = 4096
+
+
+def gram_bucket_col(gram: Column, n_buckets: int) -> Column:
+    """Portable feature bucket: md5-int of the gram mod n_buckets."""
+    return md5int_col(gram) % int(n_buckets)
+
+
+def train_frozen_classifier(
+    positives: DataFrame,
+    negatives: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = FROZEN_BUCKETS,
+    max_iter: int = 30,
+    reg_param: float = 1e-4,
+) -> Tuple[int, List[int]]:
+    """Train the md5-bucketed logistic model and freeze it: returns
+    (intercept_scaled, coef_scaled[n_buckets]) — integers at
+    FROZEN_SCALE.  Training is the same distributed pyspark.ml L-BFGS
+    as train_quality_classifier; only the feature hash differs (md5
+    buckets), so the frozen vector scores identically on any engine.
+
+    Duplicate (text, label) rows are collapsed with an instance-weight
+    column before featurization (identical LR loss, smaller explode),
+    which also gives each training row a stable content-derived key for
+    the explode->groupBy feature assembly — no monotonically_increasing_id,
+    whose values are not stable across re-evaluations of the plan.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be > 0")
+    B = int(n_buckets)
+    pos = positives.select(
+        F.col(text_col).alias("_text"), F.lit(1.0).alias("label")
+    )
+    neg = negatives.select(
+        F.col(text_col).alias("_text"), F.lit(0.0).alias("label")
+    )
+    data = (
+        pos.unionByName(neg)
+        .groupBy("_text", "label")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .withColumn(
+            "_rid",
+            F.md5(F.concat(F.col("label").cast("string"),
+                           F.lit("|"), F.coalesce("_text", F.lit("")))),
+        )
+        .withColumn("_grams", ngram_features(F.col("_text")))
+        .filter(F.size("_grams") > 0)
+    )
+    counts = (
+        data.select("_rid", F.explode("_grams").alias("_g"))
+        .select("_rid", gram_bucket_col(F.col("_g"), B).alias("_b"))
+        .groupBy("_rid", "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .groupBy("_rid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_b", "_c"))
+            ).alias("_m")
+        )
+        .select(
+            "_rid",
+            array_to_vector(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(B - 1)),
+                    # _m is a MAP keyed by bucket id (element_at on a
+                    # map is key lookup, not 1-based position)
+                    lambda i: F.coalesce(
+                        F.element_at("_m", i.cast("long")), F.lit(0.0)
+                    ),
+                )
+            ).alias("features"),
+        )
+    )
+    train = data.select("_rid", "label", "w").join(counts, "_rid")
+    lr = LogisticRegression(
+        maxIter=int(max_iter), regParam=float(reg_param),
+        featuresCol="features", labelCol="label", weightCol="w",
+    )
+    model = lr.fit(train)
+    coef = model.coefficients.toArray()
+    return (
+        int(round(float(model.intercept) * FROZEN_SCALE)),
+        [int(round(float(c) * FROZEN_SCALE)) for c in coef],
+    )
+
+
+def score_frozen(
+    df: DataFrame,
+    id_col: str,
+    intercept_scaled: int,
+    coef_scaled: Sequence[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, quality_prob) under a frozen md5-bucket model — natively,
+    exactly.  Per-gram-occurrence scaled coefficients sum as int64
+    (exact in every engine); quality_prob = round6(sigmoid(logit)).
+
+    Plan: corpus scan -> explode grams -> broadcast join the nonzero-
+    coefficient table -> ONE groupBy(id) sum -> left join back to the
+    id spine (zero-gram / null-text docs score sigmoid(intercept))."""
+    spark = df.sparkSession
+    B = len(coef_scaled)
+    if B == 0:
+        raise ValueError("coef_scaled must be non-empty")
+    coef_rows = [(b, int(c)) for b, c in enumerate(coef_scaled) if c != 0]
+    coef_df = spark.createDataFrame(
+        coef_rows or [(-1, 0)], "b long, c long"
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    occ = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(ngram_features(F.col(text_col))).alias("_g"),
+        )
+        .select("id", gram_bucket_col(F.col("_g"), B).alias("b"))
+        .join(F.broadcast(coef_df), "b")
+        .groupBy("id")
+        .agg(F.sum("c").alias("_t"))
+    )
+    logit = (
+        (F.lit(int(intercept_scaled)) + F.coalesce("_t", F.lit(0)))
+        .cast("double") / F.lit(float(FROZEN_SCALE))
+    )
+    return ids.join(occ, "id", "left").select(
+        "id",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
+        ).alias("quality_prob"),
+    )
+
+
+def frozen_score_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    intercept_scaled: int,
+    coef_scaled: Sequence[int],
+) -> str:
+    """DuckDB twin of score_frozen over `table(id_col, text_col)`:
+    the same grams (whitespace words + adjacent bigrams), the same md5
+    buckets, the same exact integer logit, the same round-6 sigmoid.
+    Emits only nonzero coefficients as a VALUES table."""
+    B = len(coef_scaled)
+    rows = [(b, int(c)) for b, c in enumerate(coef_scaled) if c != 0]
+    values = ", ".join(f"({b}, {c})" for b, c in rows) or "(-1, 0)"
+    return f"""
+WITH _w AS (
+  SELECT {id_col} AS id,
+         coalesce(list_filter(
+           string_split_regex(lower({text_col}), '\\s+'),
+           x -> length(x) > 0), []) AS l
+  FROM {table}),
+_g AS (
+  SELECT id, t AS gram FROM _w, unnest(l) AS u(t)
+  UNION ALL
+  SELECT id, l[i] || ' ' || l[i + 1]
+  FROM _w, unnest(range(1, len(l))) AS r(i)),
+_coef(b, c) AS (VALUES {values}),
+_s AS (
+  SELECT id, sum(c) AS t
+  FROM (SELECT id, {md5int_sql('gram')} % {B} AS b FROM _g) j
+  JOIN _coef USING (b) GROUP BY id)
+SELECT w.id AS id,
+       round(1.0 / (1.0 + exp(-(({intercept_scaled} + coalesce(t, 0))
+             / {float(FROZEN_SCALE)}))), 6) AS quality_prob
+FROM _w w LEFT JOIN _s s ON w.id = s.id"""

@@ -181,3 +181,144 @@ class TestNullSafety:
         plan = buf.getvalue()
         assert "Join" not in plan
         assert "Exchange" not in plan
+
+
+class TestFrozen:
+    """Frozen-model path: md5-bucket training, engine-exact scoring,
+    DuckDB-twin parity, and the shipped quality_frozen literals."""
+
+    @pytest.fixture(scope="class")
+    def frozen(self, spark):
+        pos = spark.createDataFrame([(t,) for t in PROSE * 8], ["text"])
+        neg = spark.createDataFrame([(t,) for t in JUNK * 8], ["text"])
+        return C.train_frozen_classifier(
+            pos, neg, n_buckets=512, max_iter=30
+        )
+
+    def test_frozen_separates(self, spark, frozen):
+        intercept, coef = frozen
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(PROSE + JUNK)],
+            ["doc_id", "text"],
+        )
+        s = {
+            r["id"]: r["quality_prob"]
+            for r in C.score_frozen(
+                docs, "doc_id", intercept, coef
+            ).collect()
+        }
+        for i in range(len(PROSE)):
+            assert s[i] > 0.8, (i, s[i])
+        for i in range(len(PROSE), len(PROSE) + len(JUNK)):
+            assert s[i] < 0.2, (i, s[i])
+
+    @staticmethod
+    def _py_score(text, intercept, coef):
+        """Independent pure-Python replica of the frozen scorer."""
+        import hashlib
+        import math
+
+        B = len(coef)
+        words = [w for w in (text or "").lower().split() if w]
+        grams = words + [
+            f"{a} {b}" for a, b in zip(words, words[1:])
+        ]
+        t = 0
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+            t += coef[b]
+        logit = (intercept + t) / float(C.FROZEN_SCALE)
+        return round(1.0 / (1.0 + math.exp(-logit)), 6)
+
+    def test_frozen_matches_python_replica(self, spark, frozen):
+        intercept, coef = frozen
+        texts = PROSE + JUNK + ["", "single", "a  b   c"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {
+            r["id"]: r["quality_prob"]
+            for r in C.score_frozen(
+                docs, "doc_id", intercept, coef
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == self._py_score(t, intercept, coef), (i, t)
+
+    def test_frozen_matches_duckdb_twin(self, spark, frozen):
+        import duckdb
+        import pandas as pd
+
+        intercept, coef = frozen
+        texts = PROSE + JUNK + [None, "", "one two three two one"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = sorted(
+            (r["id"], r["quality_prob"])
+            for r in C.score_frozen(
+                docs, "doc_id", intercept, coef
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(
+                {"doc_id": range(len(texts)), "text": texts}
+            ),
+        )
+        inner = C.frozen_score_sql(
+            "documents", "doc_id", "text", intercept, coef
+        )
+        want = con.execute(
+            f"SELECT id, quality_prob FROM ({inner}) ORDER BY id"
+        ).fetchall()
+        assert got == [(int(i), float(p)) for i, p in want]
+
+    def test_frozen_plan_native_and_broadcast(self, spark, frozen):
+        import contextlib
+        import io
+
+        intercept, coef = frozen
+        docs = spark.createDataFrame(
+            [(1, "some text here")], ["doc_id", "text"]
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            C.score_frozen(docs, "doc_id", intercept, coef).explain(
+                mode="formatted"
+            )
+        plan = buf.getvalue()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        # the coefficient table joins broadcast, never shuffled
+        assert "BroadcastHashJoin" in plan
+
+    def test_shipped_frozen_model(self, spark):
+        """The repo-shipped frozen literals (quality_frozen.py) load
+        and separate prose from the zz-junk class they were trained
+        against; unseen text rides the positive intercept."""
+        from search_engine_spark.ops import quality_frozen as QF
+
+        coef = QF.coef_scaled()
+        assert len(coef) == QF.N_BUCKETS
+        zz = " ".join(f"zz{(7 * i) % 997}" for i in range(12))
+        docs = spark.createDataFrame(
+            [(0, PROSE[0]), (1, zz)], ["doc_id", "text"]
+        )
+        s = {
+            r["id"]: r["quality_prob"]
+            for r in C.score_frozen(
+                docs, "doc_id", QF.INTERCEPT_SCALED, coef
+            ).collect()
+        }
+        # out-of-vocabulary prose picks up collision noise, so pin the
+        # decisive signals: junk is rejected outright and ranks below
+        assert s[1] < 0.1 and s[0] > s[1] * 10, s
+
+    def test_frozen_validation(self, spark):
+        df = spark.createDataFrame([("t",)], ["text"])
+        with pytest.raises(ValueError):
+            C.train_frozen_classifier(df, df, n_buckets=0)
+        with pytest.raises(ValueError):
+            C.score_frozen(df.withColumn("id", F.lit(1)), "id", 0, [])
