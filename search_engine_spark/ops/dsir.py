@@ -15,7 +15,10 @@ the oracle-checked contract entry — see `noise`).
 
 Spark shape, sized for the paper's own design point (B fixed at ~10k
 regardless of corpus size):
-- ONE explode produces gram occurrences (≈ 2× token count);
+- ONE explode produces gram occurrences (≈ 2× token count), persisted
+  MEMORY_AND_DISK across its consumers (bucket counting, the totals
+  collect, the scoring join) so the corpus-sized explode executes once
+  per call, and released before the weights frame is returned;
 - bucket counting is a map-side-combinable groupBy over B keys —
   the aggregate output is B-sized no matter how big the corpus;
 - the (bucket → log-ratio) table is broadcast (B rows) and each raw
@@ -64,6 +67,8 @@ def dsir_log_weights(
     bucket probabilities but are not scored (a selection never returns
     them).  Weights are comparable only within one call (they depend
     on both corpora's totals)."""
+    from pyspark import StorageLevel
+
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     B = int(n_buckets)
@@ -83,27 +88,43 @@ def dsir_log_weights(
             "id", "_tgt", (md5int_col(F.col("gram")) % B).alias("_b")
         )
     )
-    counts = grams.groupBy("_b").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("cr"),
-    )
-    totals = counts.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-    ).collect()[0]
-    nt, nr = int(totals["nt"] or 0), int(totals["nr"] or 0)
-    ratios = counts.select(
-        "_b",
-        (
-            F.log((F.col("ct") + 1.0) / F.lit(float(nt + B)))
-            - F.log((F.col("cr") + 1.0) / F.lit(float(nr + B)))
-        ).alias("_r"),
-    )
-    return (
-        grams.filter(~F.col("_tgt"))
-        .join(F.broadcast(ratios), "_b")
-        .groupBy("id")
-        .agg(F.round(F.sum("_r"), 6).alias("log_w"))
-    )
+    # The gram lineage feeds THREE computations (bucket counts, the
+    # totals collect, and the scoring join).  Persist it across them —
+    # MEMORY_AND_DISK, fault-tolerant: an executor loss recomputes from
+    # lineage, unlike a localCheckpoint — then materialize the per-doc
+    # weights (id + double per raw doc, negligible next to the corpus)
+    # while the cache is warm and release the gram blocks before
+    # returning.  The returned frame is persisted; callers running
+    # several downstream actions reuse it and may .unpersist() when
+    # done (dsir_select's top-k is one such action).
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        counts = grams.groupBy("_b").agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("cr"),
+        )
+        totals = counts.agg(
+            F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+        ).collect()[0]
+        nt, nr = int(totals["nt"] or 0), int(totals["nr"] or 0)
+        ratios = counts.select(
+            "_b",
+            (
+                F.log((F.col("ct") + 1.0) / F.lit(float(nt + B)))
+                - F.log((F.col("cr") + 1.0) / F.lit(float(nr + B)))
+            ).alias("_r"),
+        )
+        w = (
+            grams.filter(~F.col("_tgt"))
+            .join(F.broadcast(ratios), "_b")
+            .groupBy("id")
+            .agg(F.round(F.sum("_r"), 6).alias("log_w"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        w.count()  # materialize before the gram cache is released
+        return w
+    finally:
+        grams.unpersist()
 
 
 def dsir_select(

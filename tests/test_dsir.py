@@ -120,3 +120,31 @@ class TestDsir:
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" not in plan  # fully native
+
+    def test_gram_cache_released_weights_persisted(self, spark, df):
+        """The corpus-sized gram explode is persisted across its three
+        consumers and RELEASED before return; only the small per-doc
+        weights frame stays cached (ADVICE r3: one explode per call)."""
+        def ids():
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            it, out = m.keySet().iterator(), set()
+            while it.hasNext():
+                out.add(it.next())
+            return out
+
+        before = ids()
+        # distinct n_buckets => distinct plan: Spark's cacheManager
+        # dedups persist() by logical plan, so reusing another test's
+        # exact arguments would ride its cache entry instead of
+        # creating one
+        w = dsir_log_weights(
+            df, "doc_id", "toks", F.col("doc_id") % 2 == 0,
+            n_buckets=128,
+        )
+        assert w.storageLevel.useMemory or w.storageLevel.useDisk
+        # exactly ONE new cached frame (the weights); the gram blocks
+        # were released inside the call (set-diff: the async
+        # ContextCleaner may drop stale entries concurrently)
+        assert len(ids() - before) == 1
+        w.unpersist(blocking=True)
+        assert not (ids() - before)
