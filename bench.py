@@ -341,11 +341,16 @@ def main() -> None:
            "minhash_signature", "simhash48", "substring_dedup",
            "embedding_cosine_topk", "ivf_ann_topk", "pricing_summary",
            "window_rank_orders",
-           # curation/BPE training-pipeline ops (quality_classifier is
-           # excluded: its L-BFGS fit is a ~40 s training job, not a
-           # query — benched once in BASELINE.md instead)
+           # curation/BPE training-pipeline ops
            "token_budget_select", "cap_per_source", "shuffle_order",
-           "bpe_token_counts"]
+           "bpe_token_counts",
+           # round-4 additions: the newest LLM-pipeline ops tracked
+           # round-over-round like the rest (VERDICT r3 item 5), plus
+           # classifier scoring — now a single native pass with the
+           # FROZEN model (the ~40 s L-BFGS fit that kept it out of
+           # the suite moved offline to scripts/freeze_quality_model)
+           "semdedup_keep", "dsir_select_topk",
+           "quality_classifier_scores"]
     qmap = entrymod.queries()
     for name in ops:
         t0 = time.time()

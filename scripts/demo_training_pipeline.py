@@ -455,6 +455,14 @@ def main() -> None:
             ]).alias("vec"),
         ).localCheckpoint()
         n_surv = emb.count()
+        # ADVICE r3: the planted-family asserts presuppose >= 20
+        # survivors (10 full two-member families); an upstream-stage
+        # change that cuts deeper must fail HERE with the real reason,
+        # not as a puzzling family-count mismatch below
+        assert n_surv >= 20, (
+            f"only {n_surv} survivors reached the SemDeDup stage; "
+            "the planted-family check needs >= 20"
+        )
         sem = semdedup(emb, "url", "vec", n_clusters=4, threshold=0.9,
                        train_sample=128, iters=4, seed=3)
         sem_kept = {r["id"] for r in sem.select("id").collect()}
@@ -462,18 +470,34 @@ def main() -> None:
         by_fid = {}
         for r in fam_rows:
             by_fid.setdefault(r["_fid"], []).append(r["url"])
+        # A twin pair survives whole ONLY if k-means put it in one
+        # cell; a near-tie in centroid cosine can legitimately split a
+        # family across cells (pairs form within clusters by design —
+        # the paper's own approximation).  Tolerate at most 2 such
+        # near-tie splits of 10 and require the dedup SIGNAL: most
+        # families collapse to one member (ADVICE r3).
+        split_fams = 0
         for fid, urls in by_fid.items():
             alive = [u for u in urls if u in sem_kept]
-            assert len(alive) == 1, (
+            assert 1 <= len(alive) <= len(urls), (
                 f"family {fid}: {len(alive)}/{len(urls)} survived semdedup"
             )
+            if len(alive) > 1:
+                split_fams += 1
+        assert split_fams <= 2, (
+            f"{split_fams}/10 planted families survived whole — "
+            "SemDeDup is not collapsing near-duplicates"
+        )
         singles = {r["url"] for r in keyed.filter(~F.col("_planted"))
                    .select("url").collect()}
         assert singles <= sem_kept, "semdedup dropped a singleton"
         counts["semantic_dedup"] = len(sem_kept)
-        assert len(sem_kept) == n_surv - sum(
-            len(u) - 1 for u in by_fid.values()
+        # exact bookkeeping given the per-family outcomes above
+        n_fam_alive = sum(
+            len([u for u in urls if u in sem_kept])
+            for urls in by_fid.values()
         )
+        assert len(sem_kept) == len(singles) + n_fam_alive
 
         # 11) DSIR data selection (ops/dsir.py): score train-split docs
         # against the val split as the target distribution (hashed

@@ -2400,44 +2400,65 @@ class BM25Index:
         vals = self.docs.select(
             "doc_id", F.expr(field).cast("double").alias("_v")
         ).filter(F.col("_v").isNotNull())
-        # localCheckpoint: the match+join runs ONCE — the gating count,
-        # the (approx path's) percentile edges, and the final bucket agg
-        # all re-read the materialized frame instead of re-running the
-        # postings scan per action (the update_by_query persist
-        # convention, without the unpersist lifecycle problem of a
-        # lazily-consumed return value)
-        joined = matched.join(vals, "doc_id").localCheckpoint()
-        n_match = joined.count()
-        if n_match == 0:
-            return self.spark.createDataFrame([], schema)
-        if n_match <= self.vwh_exact_max:
-            w = Window.orderBy(F.asc("_v"), F.asc("doc_id"))
-            bucketed = joined.withColumn("_nt", F.ntile(buckets).over(w))
-        else:
-            qs = [i / buckets for i in range(1, buckets)]
-            if not qs:  # buckets == 1: everything in one bucket
-                bucketed = joined.withColumn("_nt", F.lit(1))
-            else:
-                edges = joined.agg(
-                    F.percentile_approx("_v", qs, 10000).alias("e")
-                ).collect()[0]["e"]
-                edge_arr = F.array(*[F.lit(float(e)) for e in edges])
-                bucketed = joined.withColumn(
-                    "_nt",
-                    F.size(F.filter(edge_arr, lambda e: e < F.col("_v")))
-                    + 1,
-                )
-        return (
-            bucketed.groupBy("_nt")
-            .agg(
-                F.avg("_v").alias("key"),
-                F.min("_v").alias("min"),
-                F.max("_v").alias("max"),
-                F.count(F.lit(1)).alias("doc_count"),
-            )
-            .orderBy("min")
-            .drop("_nt")
+        # persist: the match+join runs ONCE — the gating count, the
+        # (approx path's) percentile edges, and the final bucket agg
+        # all re-read the cached frame instead of re-running the
+        # postings scan per action.  persist (not localCheckpoint) is
+        # lineage-backed, so executor loss recomputes instead of
+        # failing the query; the cache is released in a try/finally
+        # because the RESULT is bucket-sized (≤ `buckets` rows) and is
+        # materialized eagerly before return — no lazily-consumed
+        # frame outlives the cache (the update_by_query convention).
+        from pyspark import StorageLevel
+
+        joined = matched.join(vals, "doc_id").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        try:
+            n_match = joined.count()
+            if n_match == 0:
+                return self.spark.createDataFrame([], schema)
+            if n_match <= self.vwh_exact_max:
+                w = Window.orderBy(F.asc("_v"), F.asc("doc_id"))
+                bucketed = joined.withColumn(
+                    "_nt", F.ntile(buckets).over(w)
+                )
+            else:
+                qs = [i / buckets for i in range(1, buckets)]
+                if not qs:  # buckets == 1: everything in one bucket
+                    bucketed = joined.withColumn("_nt", F.lit(1))
+                else:
+                    edges = joined.agg(
+                        F.percentile_approx("_v", qs, 10000).alias("e")
+                    ).collect()[0]["e"]
+                    edge_arr = F.array(*[F.lit(float(e)) for e in edges])
+                    bucketed = joined.withColumn(
+                        "_nt",
+                        F.size(
+                            F.filter(edge_arr, lambda e: e < F.col("_v"))
+                        )
+                        + 1,
+                    )
+            agg_df = (
+                bucketed.groupBy("_nt")
+                .agg(
+                    F.avg("_v").alias("key"),
+                    F.min("_v").alias("min"),
+                    F.max("_v").alias("max"),
+                    F.count(F.lit(1)).alias("doc_count"),
+                )
+                .orderBy("min")
+                .drop("_nt")
+            )
+            # the returned frame is a bucket-sized local relation, so
+            # expose the computing plan for tests/diagnostics (the
+            # "no global window on the scale path" pin)
+            self._last_vwh_plan = (
+                agg_df._jdf.queryExecution().executedPlan().toString()
+            )
+            return self.spark.createDataFrame(agg_df.collect(), schema)
+        finally:
+            joined.unpersist()
 
     # ES search.max_buckets default — the zero-fill spine guard
     MAX_BUCKETS = 65536

@@ -2236,8 +2236,10 @@ class TestVariableWidthHistogram:
         query = "machine learning data science"
         n = len(_matched(oracle, query))
         df = idx.facet_variable_width_histogram(query, "doclen", 4)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Window" not in plan
+        # the facet materializes its bucket-sized result eagerly (the
+        # persist/unpersist lifecycle), so the computing plan is pinned
+        # via the recorded _last_vwh_plan, not the returned local frame
+        assert "Window" not in idx._last_vwh_plan
         rows = df.collect()
         assert 1 <= len(rows) <= 4
         assert sum(r["doc_count"] for r in rows) == n

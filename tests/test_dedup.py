@@ -273,6 +273,41 @@ class TestConfigGuards:
         with pytest.raises(ValueError):
             embedding_near_dup_pairs_lsh(df, "id", "vec", n_tables=0)
 
+    def test_embedding_lsh_dim_from_index_meta(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """With a persisted ANN index over the same table, the dim
+        probe reads meta.json (driver-local) instead of running a
+        Spark action — VERDICT r3 item 7: .first() must NOT fire."""
+        from pyspark.sql import DataFrame
+
+        from search_engine_spark.ops.ann_index import ann_build
+        from search_engine_spark.ops.dedup import (
+            embedding_near_dup_pairs_lsh,
+        )
+
+        rows = [
+            (1, [1.0] * 8 + [0.0] * 8),
+            (2, [1.0] * 8 + [0.0] * 7 + [0.01]),
+            (3, [0.0] * 8 + [1.0] * 8),
+        ]
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        idx_dir = str(tmp_path / "annidx")
+        ann_build(df, "id", "vec", idx_dir, kind="lsh", n_planes=4)
+
+        def no_first(self, *a, **k):  # pragma: no cover - guard
+            raise AssertionError(".first() probe fired despite index meta")
+
+        monkeypatch.setattr(DataFrame, "first", no_first)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs_lsh(
+                df, "id", "vec", threshold=0.9, n_tables=4,
+                index_dir=idx_dir,
+            ).collect()
+        }
+        assert (1, 2) in got
+
 
 class TestSemDedup:
     """SemDeDup (ops/dedup.py:semdedup): cluster-then-dedup with the
@@ -334,3 +369,126 @@ class TestSemDedup:
         df = spark.createDataFrame(self._rows(), "id long, vec array<double>")
         with pytest.raises(ValueError):
             semdedup(df, "id", "vec", n_clusters=0)
+
+    @staticmethod
+    def _synth_corpus(n_singles, n_pairs, dim=32):
+        """Deterministic pseudo-random unit-ish vectors: families share
+        a base vector (md5-seeded sines), twins add 0.001 jitter.
+        Random 32-dim directions have |cos| ~ 0.18, far under the 0.9
+        threshold, so only planted twins are near-dups."""
+        import hashlib
+        import math
+
+        def base(key):
+            return [
+                math.sin(int(hashlib.md5(
+                    f"{key}|{j}".encode()
+                ).hexdigest()[:15], 16) % 100_000)
+                for j in range(dim)
+            ]
+
+        rows, pairs = [], []
+        rid = 0
+        for s in range(n_singles):
+            rows.append((rid, base(f"s{s}")))
+            rid += 1
+        for p in range(n_pairs):
+            v = base(f"p{p}")
+            a, b = rid, rid + 1
+            rows.append((a, v))
+            rows.append((b, [
+                x + 0.001 * math.sin(int(hashlib.md5(
+                    f"j{p}|{j}".encode()
+                ).hexdigest()[:15], 16) % 100_000)
+                for j, x in enumerate(v)
+            ]))
+            pairs.append((a, b))
+            rid += 2
+        return rows, pairs
+
+    def _check_planted(self, spark, n_singles, n_pairs, **kw):
+        from search_engine_spark.ops.dedup import semdedup
+
+        rows, pairs = self._synth_corpus(n_singles, n_pairs)
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        out = semdedup(df, "id", "vec", threshold=0.9, seed=7, **kw)
+        res = out.collect()
+        kept = {r["id"] for r in res}
+        # every singleton survives (random directions never reach 0.9)
+        assert set(range(n_singles)) <= kept
+        # planted pairs collapse, modulo rare k-means cell splits
+        split = sum(1 for a, b in pairs if a in kept and b in kept)
+        assert all(a in kept or b in kept for a, b in pairs)
+        assert split <= max(1, n_pairs // 10), f"{split}/{n_pairs} split"
+        return res
+
+    def test_auto_k_planted_dups_two_corpus_sizes(self, spark):
+        """VERDICT r3 item 3: n_clusters=None derives k from corpus
+        size.  Same generator at 60 and 240 rows, target cluster 30:
+        auto-k 2 vs 8 — the larger corpus must actually use more
+        cells (constant per-cell join cost), and planted dups must
+        collapse at both sizes."""
+        small = self._check_planted(
+            spark, 50, 5, target_cluster_size=30, train_sample=256
+        )
+        large = self._check_planted(
+            spark, 200, 20, target_cluster_size=30, train_sample=256
+        )
+        n_cells_small = len({r["_cell"] for r in small})
+        n_cells_large = len({r["_cell"] for r in large})
+        assert n_cells_small <= 2
+        assert n_cells_large >= 4, (
+            f"auto-k did not scale: {n_cells_large} cells at 240 rows"
+        )
+
+    def test_build_keep_matches_inline_and_prunes(self, spark, tmp_path):
+        """semdedup_build persists the assignment partitionBy(_cell);
+        keep() reproduces the inline result exactly, and a cell-scoped
+        keep prunes every other partition at the scan (the
+        PartitionFilters plan pin, mirroring the IVF index test)."""
+        from search_engine_spark.ops.dedup import (
+            semdedup,
+            semdedup_build,
+            semdedup_load,
+        )
+
+        rows, _ = self._synth_corpus(30, 10)
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        bdir = str(tmp_path / "semdedup")
+        built = semdedup_build(
+            df, "id", "vec", bdir, n_clusters=4, train_sample=256,
+            seed=7,
+        )
+        inline = {
+            (r["id"], r["_cell"], r["cent_cos"])
+            for r in semdedup(
+                df, "id", "vec", n_clusters=4, train_sample=256,
+                threshold=0.9, seed=7,
+            ).collect()
+        }
+        persisted = {
+            (r["id"], r["_cell"], r["cent_cos"])
+            for r in built.keep(0.9).collect()
+        }
+        assert inline == persisted
+        # reload from disk: same result, no retraining
+        again = {
+            (r["id"], r["_cell"], r["cent_cos"])
+            for r in semdedup_load(spark, bdir).keep(0.9).collect()
+        }
+        assert again == persisted
+        # cell-scoped pass: the scan must carry a _cell PartitionFilter
+        scoped = built.keep(0.9, cells=[0])
+        plan = scoped._jdf.queryExecution().executedPlan().toString()
+        filters = [
+            seg.split("]", 1)[0]
+            for seg in plan.split("PartitionFilters: [")[1:]
+        ]
+        assert filters, "no PartitionFilters in plan"
+        assert any("_cell" in f for f in filters), filters
+        # and the scoped result is the cell-0 slice of the full keep
+        full_cell0 = {t for t in persisted if t[1] == 0}
+        assert {
+            (r["id"], r["_cell"], r["cent_cos"])
+            for r in scoped.collect()
+        } == full_cell0

@@ -54,7 +54,7 @@ class TestIcebergProbe:
         if not _iceberg_available(spark):
             pytest.skip(
                 "Iceberg runtime jars absent in this environment "
-                "(re-probed round 3, 2026-08-21: no iceberg jar on the "
+                "(re-probed round 4, 2026-08-21: no iceberg jar on the "
                 "classpath, in pyspark/jars, or on disk; no network to "
                 "fetch one); table layer stays parquet-path based "
                 "behind IndexPaths — see session.py:1-9"
