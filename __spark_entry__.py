@@ -1988,7 +1988,12 @@ def _q_quality_classifier(spark, sf_dir):
     from search_engine_spark.ops import classifier as CL
     from search_engine_spark.ops import quality_frozen as QF
 
-    docs = _read(spark, sf_dir, "documents")
+    # the sf documents table is one small parquet split; spread the
+    # gram explode (the CPU-heavy stage) across the cluster — result
+    # is partitioning-independent (exact int64 sums + left join)
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         CL.score_frozen(
             docs, "doc_id", QF.INTERCEPT_SCALED, QF.coef_scaled()

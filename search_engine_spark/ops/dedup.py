@@ -508,13 +508,36 @@ def _semdedup_assign(emb, id_col, vec_col, cent) -> DataFrame:
     )
 
 
-def _semdedup_keep(assigned: DataFrame, threshold: float) -> DataFrame:
+def _semdedup_keep(
+    assigned: DataFrame, threshold: float, n_cells: Optional[int] = None
+) -> DataFrame:
     """Exists-dominating-neighbor keep rule over an assigned table
     (id, v, cent_cos, _cell): row x drops iff some same-cluster
     neighbor y has round-6 cosine(x, y) >= threshold and (cc_y, id_y)
-    < (cc_x, id_x) lexicographically."""
+    < (cc_x, id_x) lexicographically.
+
+    Parallelism: the pair join's CPU cost (a per-pair cosine over the
+    raw vectors) is orders of magnitude above its shuffle BYTES, and
+    AQE coalesces post-shuffle partitions by bytes — measured at
+    sf0.1 it folded the whole Σ|cluster|² compute onto ONE task (6
+    cells, tiny rows, 13.6 s on one core).  When `n_cells` is small
+    relative to the cluster's parallelism, the a-side is salted
+    (pair (x, y) still forms exactly once, at x's salt; the b-side is
+    replicated per salt) and both sides are repartitioned with an
+    EXPLICIT partition count on (_cell, _salt) — a user-specified
+    numPartitions exchange, which AQE does not re-coalesce.  With
+    auto-k (cells >> cores) the salt degenerates to 1 and the plan is
+    the plain equi-join."""
     from search_engine_spark.ops.common import cosine_col
 
+    spark = assigned.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    salt = 1
+    if n_cells is not None and n_cells > 0:
+        # enough (cell, salt) buckets to feed ~2 tasks per core; the
+        # b-side shuffle is replicated x salt, so keep salt minimal
+        # once the cells alone saturate the cores
+        salt = max(1, min(64, -(-2 * par // int(n_cells))))
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"),
         "_cell", F.col("cent_cos").alias("cc_a"),
@@ -523,8 +546,19 @@ def _semdedup_keep(assigned: DataFrame, threshold: float) -> DataFrame:
         F.col("id").alias("id_b"), F.col("v").alias("v_b"),
         "_cell", F.col("cent_cos").alias("cc_b"),
     )
+    if salt > 1:
+        n_part = max(par * 2, salt)
+        a = a.withColumn(
+            "_salt", F.pmod(F.hash("id_a"), F.lit(salt)).cast("int")
+        ).repartition(n_part, "_cell", "_salt")
+        b = b.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).repartition(n_part, "_cell", "_salt")
+        join_keys = ["_cell", "_salt"]
+    else:
+        join_keys = ["_cell"]
     dominated = (
-        a.join(b, "_cell")
+        a.join(b, join_keys)
         .filter(
             (F.col("id_a") != F.col("id_b"))
             & (F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
@@ -598,7 +632,8 @@ def semdedup(
     n_clusters = min(int(n_clusters), sample.shape[0])
     cent = kmeans_centroids(sample, n_clusters, iters=iters, seed=seed)
     return _semdedup_keep(
-        _semdedup_assign(emb, id_col, vec_col, cent), threshold
+        _semdedup_assign(emb, id_col, vec_col, cent), threshold,
+        n_cells=len(cent),
     )
 
 
@@ -708,7 +743,13 @@ class SemDedupBuild:
         exists-dominating-neighbor rule.  Dedup is cell-local by
         construction, so a `cells` subset is EXACT for those cells
         (and prunes every other partition at the scan)."""
-        return _semdedup_keep(self.assigned(cells), float(threshold))
+        n_cells = (
+            len(cells) if cells is not None
+            else int(self.meta["n_clusters"])
+        )
+        return _semdedup_keep(
+            self.assigned(cells), float(threshold), n_cells=n_cells
+        )
 
 
 # ---------------------------------------------------------------------------
