@@ -1934,6 +1934,10 @@ def _sql_bpe_token_counts(sf_dir=None):
                 memo[w] = t
             n += t
         rows.append((doc_id, n))
+    if not rows:
+        # "VALUES ()" is a parse error; raising here lets oracle_sql's
+        # try/except degrade this entry to rows-only as designed
+        raise ValueError("documents table empty — rows-only")
     values = ", ".join(f"({i}, {n})" for i, n in rows)
     return (
         f"SELECT doc_id, CAST(n AS BIGINT) AS n_bpe_tokens "
@@ -4426,6 +4430,9 @@ def _sql_semdedup(sf_dir=None):
         ]
         m = max(cs)
         rows.append((i, cs.index(m), m))
+    if not rows:
+        # "VALUES ()" is a parse error; raising degrades to rows-only
+        raise ValueError("embeddings table empty — rows-only")
     values = ", ".join(f"({i}, {c}, {cc!r})" for i, c, cc in rows)
     cos_ab = (
         f"round(list_sum(list_transform(range(1, {dim} + 1), "

@@ -411,10 +411,23 @@ def embedding_near_dup_pairs_lsh(
     if dim is None and index_dir is not None:
         # a persisted ANN index over the same table already recorded
         # the dimension in its meta.json — a driver-local file read,
-        # no Spark action (VERDICT r3 item 7)
+        # no Spark action (VERDICT r3 item 7).  Guard against riding a
+        # DIFFERENT table's index: a wrong dim silently NULLs every
+        # plane and degrades the bucketed join to O(n^2), so refuse
+        # meta whose recorded columns don't match this call (the same
+        # rebuild-the-index-with-the-table invariant every persisted
+        # index carries; a stale index over identically-named columns
+        # remains the caller's contract).
         from search_engine_spark.ops.ann_index import ann_load
 
-        dim = int(ann_load(emb.sparkSession, index_dir).meta["dim"])
+        meta = ann_load(emb.sparkSession, index_dir).meta
+        if meta.get("id_col") != id_col or meta.get("vec_col") != vec_col:
+            raise ValueError(
+                f"index_dir meta columns ({meta.get('id_col')!r}, "
+                f"{meta.get('vec_col')!r}) do not match this call "
+                f"({id_col!r}, {vec_col!r}) — wrong index for this table"
+            )
+        dim = int(meta["dim"])
     if dim is None:
         # derive from the data: a dim mismatch silently NULLs every
         # plane dot product, hashes all rows to bucket 0, and turns
@@ -474,6 +487,34 @@ def _semdedup_auto_k(
         return 2
     return max(2, min(int(max_clusters),
                       math.ceil(n / max(1, int(target_cluster_size)))))
+
+
+def _semdedup_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: Optional[int],
+    train_sample: int,
+    iters: int,
+    seed: int,
+    target_cluster_size: int,
+):
+    """Shared trainer for semdedup/semdedup_build (one definition so
+    the inline and persisted paths can never drift): auto-k when
+    n_clusters is None, validate, md5-ordered bounded sample, clamp k
+    to the sample row count, spherical k-means centroids."""
+    from search_engine_spark.ops.ann_index import _train_sample_matrix
+    from search_engine_spark.ops.similarity import kmeans_centroids
+
+    if n_clusters is None:
+        n_clusters = _semdedup_auto_k(
+            emb.select(id_col), target_cluster_size
+        )
+    if n_clusters < 1:
+        raise ValueError("n_clusters must be >= 1")
+    sample = _train_sample_matrix(emb, id_col, vec_col, train_sample)
+    n_clusters = min(int(n_clusters), sample.shape[0])
+    return kmeans_centroids(sample, n_clusters, iters=iters, seed=seed)
 
 
 def _semdedup_assign(emb, id_col, vec_col, cent) -> DataFrame:
@@ -619,18 +660,10 @@ def semdedup(
     shuffle.  At 10^12 rows use semdedup_build/SemDedupBuild: the
     assigned table persists partitionBy(_cell), so assignment is paid
     once and cell-scoped dedup prunes partitions at the scan."""
-    from search_engine_spark.ops.ann_index import _train_sample_matrix
-    from search_engine_spark.ops.similarity import kmeans_centroids
-
-    if n_clusters is None:
-        n_clusters = _semdedup_auto_k(
-            emb.select(id_col), target_cluster_size
-        )
-    if n_clusters < 1:
-        raise ValueError("n_clusters must be >= 1")
-    sample = _train_sample_matrix(emb, id_col, vec_col, train_sample)
-    n_clusters = min(int(n_clusters), sample.shape[0])
-    cent = kmeans_centroids(sample, n_clusters, iters=iters, seed=seed)
+    cent = _semdedup_train(
+        emb, id_col, vec_col, n_clusters, train_sample, iters, seed,
+        target_cluster_size,
+    )
     return _semdedup_keep(
         _semdedup_assign(emb, id_col, vec_col, cent), threshold,
         n_cells=len(cent),
@@ -670,18 +703,11 @@ def semdedup_build(
     import json
     import os
 
-    from search_engine_spark.ops.ann_index import _train_sample_matrix
-    from search_engine_spark.ops.similarity import kmeans_centroids
-
-    if n_clusters is None:
-        n_clusters = _semdedup_auto_k(
-            emb.select(id_col), target_cluster_size
-        )
-    if n_clusters < 1:
-        raise ValueError("n_clusters must be >= 1")
-    sample = _train_sample_matrix(emb, id_col, vec_col, train_sample)
-    n_clusters = min(int(n_clusters), sample.shape[0])
-    cent = kmeans_centroids(sample, n_clusters, iters=iters, seed=seed)
+    cent = _semdedup_train(
+        emb, id_col, vec_col, n_clusters, train_sample, iters, seed,
+        target_cluster_size,
+    )
+    n_clusters = len(cent)
     assigned = _semdedup_assign(emb, id_col, vec_col, cent)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(
         os.path.join(build_dir, SEMDEDUP_ASSIGNED_DIR)
@@ -743,10 +769,11 @@ class SemDedupBuild:
         exists-dominating-neighbor rule.  Dedup is cell-local by
         construction, so a `cells` subset is EXACT for those cells
         (and prunes every other partition at the scan)."""
-        n_cells = (
-            len(cells) if cells is not None
-            else int(self.meta["n_clusters"])
-        )
+        if cells is not None:
+            cells = [int(c) for c in cells]  # generator-safe: consumed
+            n_cells = len(cells)             # once, reused by assigned()
+        else:
+            n_cells = int(self.meta["n_clusters"])
         return _semdedup_keep(
             self.assigned(cells), float(threshold), n_cells=n_cells
         )

@@ -141,17 +141,29 @@ def dsir_select(
 
     noise=True adds the paper's Gumbel perturbation, made deterministic
     and engine-reproducible by seeding each document's uniform draw
-    from md5(seed || id): g = -ln(-ln(u)), u ∈ (0, 1)."""
+    from md5(seed || id): g = -ln(-ln(u)), u ∈ (0, 1).
+
+    The k-row selection is materialized eagerly and the intermediate
+    weights cache released before returning — a dsir_select caller
+    never holds (or leaks) the corpus-sized weights frame; use
+    dsir_log_weights directly to keep the full weight table (and
+    .unpersist() it when done)."""
     w = dsir_log_weights(docs, id_col, tokens_col, is_target, n_buckets)
+    sel = w
     if noise:
         u = (
             (md5int_col(F.concat(F.lit(f"{seed}|"), F.col("id").cast("string")))
              % 1_000_000).cast("double") + 0.5
         ) / 1_000_000.0
-        w = w.withColumn(
+        sel = sel.withColumn(
             "log_w", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
         )
-    return w.orderBy(F.desc("log_w"), F.asc("id")).limit(int(k))
+    sel = sel.orderBy(F.desc("log_w"), F.asc("id")).limit(int(k))
+    try:
+        rows = sel.collect()  # k rows — bounded driver data
+        return docs.sparkSession.createDataFrame(rows, sel.schema)
+    finally:
+        w.unpersist()
 
 
 def dsir_ratio_sql(

@@ -708,6 +708,12 @@ class BM25Index:
         # foregrounds switch to percentile_approx edges + a native
         # bucket assignment — fully distributed, no global window.
         self.vwh_exact_max = 2_000_000
+        # plan of the last variable-width-histogram computation (the
+        # facet returns a bucket-sized local relation, so the
+        # computing plan is exposed here for tests/diagnostics); None
+        # until a call computes one, and reset per call so an
+        # empty-match call never leaves a stale previous plan behind
+        self._last_vwh_plan = None
 
     # -- term stat lookup (tiny collect; stats rows only for query terms) --
     def _query_stats(self, terms: List[str]) -> Dict[str, Tuple[int, float, int, int, int]]:
@@ -2393,6 +2399,7 @@ class BM25Index:
             this agg; tied edge values may merge buckets."""
         if buckets < 1:
             raise ValueError("buckets must be >= 1")
+        self._last_vwh_plan = None  # never leave a stale plan behind
         schema = "key double, min double, max double, doc_count long"
         matched = self._matched_ids(query, mode, predicate)
         if matched is None:

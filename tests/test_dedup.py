@@ -492,3 +492,32 @@ class TestSemDedup:
             (r["id"], r["_cell"], r["cent_cos"])
             for r in scoped.collect()
         } == full_cell0
+        # cells may be a one-shot iterable (generator): consumed once
+        gen = (c for c in [0])
+        assert {
+            (r["id"], r["_cell"], r["cent_cos"])
+            for r in built.keep(0.9, cells=gen).collect()
+        } == full_cell0
+
+    def test_embedding_lsh_rejects_foreign_index_meta(
+        self, spark, tmp_path
+    ):
+        """index_dir meta recorded over different columns must refuse
+        loudly — a silently wrong dim would NULL the planes and
+        degrade the bucketed join to O(n^2)."""
+        from search_engine_spark.ops.ann_index import ann_build
+        from search_engine_spark.ops.dedup import (
+            embedding_near_dup_pairs_lsh,
+        )
+
+        rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        idx_dir = str(tmp_path / "other")
+        ann_build(
+            df.withColumnRenamed("vec", "other_vec"),
+            "id", "other_vec", idx_dir, kind="lsh", n_planes=4,
+        )
+        with pytest.raises(ValueError, match="wrong index"):
+            embedding_near_dup_pairs_lsh(
+                df, "id", "vec", index_dir=idx_dir
+            )
