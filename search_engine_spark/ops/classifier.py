@@ -40,9 +40,24 @@ from pyspark.sql import functions as F
 from search_engine_spark.ops.common import md5int_col, md5int_sql
 
 
+# Feature lowering is an EXPLICIT ASCII translate, not lower():
+# JVM toLowerCase and DuckDB's utf8proc lower() disagree on full-vs-
+# simple Unicode case mapping ('İ' -> 'i̇' (i + U+0307) vs 'i';
+# uppercase Greek final sigma -> 'ς' vs 'σ'), which would break the
+# frozen-score hash oracle on non-ASCII corpora (ADVICE r4).  A-Z→a-z
+# is identical in every engine; non-ASCII case is left intact by
+# design (case-variant non-ASCII grams hash separately — a modeling
+# choice, not a portability bug).  \s+ needs no such guard: Java
+# regex and RE2 both default \s to the ASCII class.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def _words(text_col: Column) -> Column:
     return F.filter(
-        F.split(F.lower(text_col), r"\s+"),
+        F.split(
+            F.translate(text_col, _ASCII_UPPER, _ASCII_LOWER), r"\s+"
+        ),
         lambda t: F.length(t) > 0,
     )
 
@@ -308,6 +323,16 @@ def score_frozen(
     exactly.  Per-gram-occurrence scaled coefficients sum as int64
     (exact in every engine); quality_prob = round6(sigmoid(logit)).
 
+    NOTE on the repo-shipped literals: ops/quality_frozen.py is the
+    ORACLE VEHICLE — a model frozen from the sf0.01 synthetic corpus
+    vs 400 synthesized junk docs so the contract gate can hash-verify
+    this scoring path against an independent engine.  It is NOT a
+    production quality gate: to score a real corpus, retrain on that
+    corpus (positives/negatives of your choice) via
+    scripts/freeze_quality_model.py and ship the regenerated
+    literals.  This function scores exactly under ANY
+    (intercept_scaled, coef_scaled) pair the trainer emits.
+
     Plan: corpus scan -> explode grams -> broadcast join the nonzero-
     coefficient table -> ONE groupBy(id) sum -> left join back to the
     id spine (zero-gram / null-text docs score sigmoid(intercept))."""
@@ -350,9 +375,11 @@ def frozen_score_sql(
     coef_scaled: Sequence[int],
 ) -> str:
     """DuckDB twin of score_frozen over `table(id_col, text_col)`:
-    the same grams (whitespace words + adjacent bigrams), the same md5
-    buckets, the same exact integer logit, the same round-6 sigmoid.
-    Emits only nonzero coefficients as a VALUES table."""
+    the same grams (ASCII-lowered whitespace words + adjacent
+    bigrams — see _words for why the lowering is an explicit A-Z
+    translate), the same md5 buckets, the same exact integer logit,
+    the same round-6 sigmoid.  Emits only nonzero coefficients as a
+    VALUES table."""
     B = len(coef_scaled)
     rows = [(b, int(c)) for b, c in enumerate(coef_scaled) if c != 0]
     values = ", ".join(f"({b}, {c})" for b, c in rows) or "(-1, 0)"
@@ -360,7 +387,10 @@ def frozen_score_sql(
 WITH _w AS (
   SELECT {id_col} AS id,
          coalesce(list_filter(
-           string_split_regex(lower({text_col}), '\\s+'),
+           string_split_regex(
+             translate({text_col},
+                       '{_ASCII_UPPER}', '{_ASCII_LOWER}'),
+             '\\s+'),
            x -> length(x) > 0), []) AS l
   FROM {table}),
 _g AS (

@@ -383,6 +383,7 @@ def embedding_near_dup_pairs_lsh(
     n_tables: int = 2,
     seed: int = 42,
     index_dir: Optional[str] = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """The SCALE path for embedding near-dup: random-hyperplane LSH
     buckets the vectors, candidate pairs form only WITHIN a bucket
@@ -428,6 +429,22 @@ def embedding_near_dup_pairs_lsh(
                 f"({id_col!r}, {vec_col!r}) — wrong index for this table"
             )
         dim = int(meta["dim"])
+        if validate_dim:
+            # column names alone cannot catch a STALE index whose
+            # table was re-embedded at a different dimension under the
+            # same names (ADVICE r4) — cross-check meta['dim'] against
+            # one .first() probe (a single column-pruned row read,
+            # negligible next to the LSH job) and refuse loudly
+            # instead of silently mis-hashing every row.
+            probe = emb.select(F.size(F.col(vec_col))).first()
+            if probe is not None and probe[0] is not None \
+                    and int(probe[0]) != dim:
+                raise ValueError(
+                    f"index_dir meta dim {dim} != table vector dim "
+                    f"{int(probe[0])} — stale index for a re-embedded "
+                    "table; rebuild it (or pass validate_dim=False "
+                    "only if you know the meta is right)"
+                )
     if dim is None:
         # derive from the data: a dim mismatch silently NULLs every
         # plane dot product, hashes all rows to bucket 0, and turns
@@ -730,7 +747,21 @@ def semdedup_load(spark, build_dir: str) -> "SemDedupBuild":
     import json
     import os
 
-    with open(os.path.join(build_dir, SEMDEDUP_META_NAME)) as f:
+    meta_path = os.path.join(build_dir, SEMDEDUP_META_NAME)
+    if not os.path.exists(meta_path) and os.path.exists(
+        os.path.join(build_dir, SEMDEDUP_ASSIGNED_DIR)
+    ):
+        # meta.json is written LAST as the commit marker; an assigned/
+        # dir without it is a crashed/in-flight semdedup_build, not a
+        # valid index — name the state instead of a bare open() error
+        # (ADVICE r4)
+        raise ValueError(
+            f"partial semdedup build at {build_dir!r}: 'assigned/' "
+            f"exists but '{SEMDEDUP_META_NAME}' (the commit marker, "
+            "written last) is missing — the build crashed or is still "
+            "running; re-run semdedup_build to overwrite it"
+        )
+    with open(meta_path) as f:
         meta = json.load(f)
     if meta.get("format_version") != SEMDEDUP_FORMAT_VERSION:
         raise ValueError(

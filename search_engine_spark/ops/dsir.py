@@ -60,13 +60,23 @@ def dsir_log_weights(
     tokens_col: str,
     is_target: Column,
     n_buckets: int = DEFAULT_BUCKETS,
+    keep_cached: bool = False,
 ) -> DataFrame:
     """Per-RAW-document log importance weight (id, log_w round-6).
 
     `is_target` marks the reference-distribution rows; they shape the
     bucket probabilities but are not scored (a selection never returns
     them).  Weights are comparable only within one call (they depend
-    on both corpora's totals)."""
+    on both corpora's totals).
+
+    `keep_cached=False` (the default) returns an UNcached frame — the
+    default path cannot leak a cache entry no matter what the caller
+    does (ADVICE r4); the cost is that each downstream action re-runs
+    the gram explode once.  Callers issuing SEVERAL actions over the
+    weights pass `keep_cached=True` to get the frame back persisted
+    and eagerly materialized (while the gram cache is still warm), and
+    then OWN the matching `.unpersist()` — dsir_select is the model
+    caller."""
     from pyspark import StorageLevel
 
     if n_buckets < 1:
@@ -91,12 +101,12 @@ def dsir_log_weights(
     # The gram lineage feeds THREE computations (bucket counts, the
     # totals collect, and the scoring join).  Persist it across them —
     # MEMORY_AND_DISK, fault-tolerant: an executor loss recomputes from
-    # lineage, unlike a localCheckpoint — then materialize the per-doc
-    # weights (id + double per raw doc, negligible next to the corpus)
-    # while the cache is warm and release the gram blocks before
-    # returning.  The returned frame is persisted; callers running
-    # several downstream actions reuse it and may .unpersist() when
-    # done (dsir_select's top-k is one such action).
+    # lineage, unlike a localCheckpoint.  With keep_cached=True the
+    # per-doc weights (id + double per raw doc, negligible next to the
+    # corpus) are also persisted and materialized while the gram cache
+    # is warm, then the gram blocks release; with the default the
+    # weights frame stays lazy and uncached — leak-proof, one extra
+    # gram pass at the caller's action.
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         counts = grams.groupBy("_b").agg(
@@ -119,9 +129,10 @@ def dsir_log_weights(
             .join(F.broadcast(ratios), "_b")
             .groupBy("id")
             .agg(F.round(F.sum("_r"), 6).alias("log_w"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        w.count()  # materialize before the gram cache is released
+        if keep_cached:
+            w = w.persist(StorageLevel.MEMORY_AND_DISK)
+            w.count()  # materialize before the gram cache is released
         return w
     finally:
         grams.unpersist()
@@ -146,9 +157,12 @@ def dsir_select(
     The k-row selection is materialized eagerly and the intermediate
     weights cache released before returning — a dsir_select caller
     never holds (or leaks) the corpus-sized weights frame; use
-    dsir_log_weights directly to keep the full weight table (and
-    .unpersist() it when done)."""
-    w = dsir_log_weights(docs, id_col, tokens_col, is_target, n_buckets)
+    dsir_log_weights directly to keep the full weight table
+    (keep_cached=True if you want it persisted — then .unpersist() it
+    when done)."""
+    w = dsir_log_weights(
+        docs, id_col, tokens_col, is_target, n_buckets, keep_cached=True
+    )
     sel = w
     if noise:
         u = (

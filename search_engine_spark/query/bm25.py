@@ -2459,11 +2459,21 @@ class BM25Index:
             )
             # the returned frame is a bucket-sized local relation, so
             # expose the computing plan for tests/diagnostics (the
-            # "no global window on the scale path" pin)
-            self._last_vwh_plan = (
-                agg_df._jdf.queryExecution().executedPlan().toString()
-            )
-            return self.spark.createDataFrame(agg_df.collect(), schema)
+            # "no global window on the scale path" pin).  Captured
+            # AFTER collect(): under AQE the pre-execution plan is the
+            # initial (pre-adaptive) one — only post-execution does
+            # executedPlan() reflect what actually ran (ADVICE r4).
+            # _jdf is a classic-session private accessor; a Spark
+            # Connect session has none, so degrade the diagnostic to
+            # None instead of failing the query.
+            rows = agg_df.collect()
+            try:
+                self._last_vwh_plan = (
+                    agg_df._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                self._last_vwh_plan = None
+            return self.spark.createDataFrame(rows, schema)
         finally:
             joined.unpersist()
 

@@ -214,12 +214,19 @@ class TestFrozen:
 
     @staticmethod
     def _py_score(text, intercept, coef):
-        """Independent pure-Python replica of the frozen scorer."""
+        """Independent pure-Python replica of the frozen scorer.
+        ASCII-only lowering and ASCII \\s, mirroring the engine
+        contract (JVM/RE2 \\s are ASCII classes; the lowering is an
+        explicit A-Z translate — see classifier._words)."""
         import hashlib
         import math
+        import re
 
         B = len(coef)
-        words = [w for w in (text or "").lower().split() if w]
+        lowered = (text or "").translate(
+            str.maketrans(C._ASCII_UPPER, C._ASCII_LOWER)
+        )
+        words = [w for w in re.split(r"\s+", lowered, flags=re.ASCII) if w]
         grams = words + [
             f"{a} {b}" for a, b in zip(words, words[1:])
         ]
@@ -230,9 +237,24 @@ class TestFrozen:
         logit = (intercept + t) / float(C.FROZEN_SCALE)
         return round(1.0 / (1.0 + math.exp(-logit)), 6)
 
+    # Non-ASCII parity rows (ADVICE r4): Turkish İ and uppercase
+    # Greek final sigma are where JVM toLowerCase and DuckDB's
+    # utf8proc lower() DIVERGE ('i̇' vs 'i'; 'ς' vs 'σ') — the
+    # explicit ASCII translate leaves them untouched in every engine.
+    # NBSP / ideographic space pin that \s stays the ASCII class;
+    # ß / ligatures pin that no full case folding sneaks in.
+    NON_ASCII = [
+        "İstanbul NAİVE recipes",
+        "ΣΊΣΥΦΟΣ ΟΔΥΣΣΕΥΣ myth",
+        "STRASSE straße GROSS",
+        "ﬁsh ﬂow ligatures",
+        "nbsp\u00a0joined and ideo\u3000joined words",
+        "Ǆungla ǅungla titlecase",
+    ]
+
     def test_frozen_matches_python_replica(self, spark, frozen):
         intercept, coef = frozen
-        texts = PROSE + JUNK + ["", "single", "a  b   c"]
+        texts = PROSE + JUNK + ["", "single", "a  b   c"] + self.NON_ASCII
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
         )
@@ -250,7 +272,11 @@ class TestFrozen:
         import pandas as pd
 
         intercept, coef = frozen
-        texts = PROSE + JUNK + [None, "", "one two three two one"]
+        texts = (
+            PROSE + JUNK
+            + [None, "", "one two three two one"]
+            + self.NON_ASCII
+        )
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
         )

@@ -278,7 +278,10 @@ class TestConfigGuards:
     ):
         """With a persisted ANN index over the same table, the dim
         probe reads meta.json (driver-local) instead of running a
-        Spark action — VERDICT r3 item 7: .first() must NOT fire."""
+        Spark action — VERDICT r3 item 7: with validate_dim=False
+        (the plan-construction-pure opt-out) .first() must NOT
+        fire.  The default keeps one cheap .first() cross-check of
+        meta['dim'] — see test_embedding_lsh_rejects_stale_dim."""
         from pyspark.sql import DataFrame
 
         from search_engine_spark.ops.ann_index import ann_build
@@ -303,10 +306,40 @@ class TestConfigGuards:
             (r["id_a"], r["id_b"])
             for r in embedding_near_dup_pairs_lsh(
                 df, "id", "vec", threshold=0.9, n_tables=4,
-                index_dir=idx_dir,
+                index_dir=idx_dir, validate_dim=False,
             ).collect()
         }
         assert (1, 2) in got
+
+    def test_embedding_lsh_rejects_stale_dim(self, spark, tmp_path):
+        """A STALE index — same column names, table re-embedded at a
+        different dimension — must refuse under the default
+        validate_dim=True probe instead of silently mis-hashing
+        every row (ADVICE r4)."""
+        from search_engine_spark.ops.ann_index import ann_build
+        from search_engine_spark.ops.dedup import (
+            embedding_near_dup_pairs_lsh,
+        )
+
+        old = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "id long, vec array<double>",
+        )
+        idx_dir = str(tmp_path / "stale")
+        ann_build(old, "id", "vec", idx_dir, kind="lsh", n_planes=4)
+        re_embedded = spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+            "id long, vec array<double>",
+        )
+        with pytest.raises(ValueError, match="stale index"):
+            embedding_near_dup_pairs_lsh(
+                re_embedded, "id", "vec", index_dir=idx_dir
+            )
+        # the opt-out skips the probe (caller owns the invariant)
+        embedding_near_dup_pairs_lsh(
+            re_embedded, "id", "vec", index_dir=idx_dir,
+            validate_dim=False,
+        )
 
 
 class TestSemDedup:
@@ -498,6 +531,22 @@ class TestSemDedup:
             (r["id"], r["_cell"], r["cent_cos"])
             for r in built.keep(0.9, cells=gen).collect()
         } == full_cell0
+
+    def test_load_names_partial_build(self, spark, tmp_path):
+        """assigned/ without meta.json (the commit marker, written
+        last) is a crashed build — semdedup_load must say so, not
+        raise a bare FileNotFoundError (ADVICE r4)."""
+        import os
+
+        from search_engine_spark.ops.dedup import semdedup_load
+
+        bdir = str(tmp_path / "crashed")
+        os.makedirs(os.path.join(bdir, "assigned"))
+        with pytest.raises(ValueError, match="partial semdedup build"):
+            semdedup_load(spark, bdir)
+        # a plain missing dir still surfaces as the usual file error
+        with pytest.raises(FileNotFoundError):
+            semdedup_load(spark, str(tmp_path / "nowhere"))
 
     def test_embedding_lsh_rejects_foreign_index_meta(
         self, spark, tmp_path

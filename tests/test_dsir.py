@@ -121,10 +121,31 @@ class TestDsir:
         assert "CartesianProduct" not in plan
         assert "ArrowEvalPython" not in plan  # fully native
 
+    def test_default_path_leaks_no_cache_entry(self, spark, df):
+        """keep_cached=False (the default) returns an UNcached frame
+        and leaves ZERO persistent RDDs behind — the default path
+        cannot leak even if the caller never unpersists (ADVICE r4)."""
+        def ids():
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            it, out = m.keySet().iterator(), set()
+            while it.hasNext():
+                out.add(it.next())
+            return out
+
+        before = ids()
+        w = dsir_log_weights(
+            df, "doc_id", "toks", F.col("doc_id") % 2 == 0,
+            n_buckets=64,
+        )
+        assert not (w.storageLevel.useMemory or w.storageLevel.useDisk)
+        w.count()  # a caller action still computes fine post-return
+        assert not (ids() - before)
+
     def test_gram_cache_released_weights_persisted(self, spark, df):
-        """The corpus-sized gram explode is persisted across its three
-        consumers and RELEASED before return; only the small per-doc
-        weights frame stays cached (ADVICE r3: one explode per call)."""
+        """keep_cached=True: the corpus-sized gram explode is persisted
+        across its three consumers and RELEASED before return; only the
+        small per-doc weights frame stays cached (ADVICE r3: one
+        explode per call)."""
         def ids():
             m = spark.sparkContext._jsc.getPersistentRDDs()
             it, out = m.keySet().iterator(), set()
@@ -139,7 +160,7 @@ class TestDsir:
         # creating one
         w = dsir_log_weights(
             df, "doc_id", "toks", F.col("doc_id") % 2 == 0,
-            n_buckets=128,
+            n_buckets=128, keep_cached=True,
         )
         assert w.storageLevel.useMemory or w.storageLevel.useDisk
         # exactly ONE new cached frame (the weights); the gram blocks
