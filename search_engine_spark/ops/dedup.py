@@ -566,13 +566,75 @@ def _semdedup_assign(emb, id_col, vec_col, cent) -> DataFrame:
     )
 
 
+# Worst-case bound for one cell's pair join: auto-k keeps the
+# EXPECTED cell size at SEMDEDUP_TARGET_CLUSTER, but k-means makes no
+# balance promise — a degenerate embedding distribution (one giant
+# near-identical cluster) can put ~n rows in one cell and recreate the
+# O(n²) join inside it (VERDICT r4).  Cells above this cap are split
+# by a deterministic secondary hash of the id so no (cell, sub)
+# bucket's pair work exceeds ~cap² regardless of the distribution.
+SEMDEDUP_MAX_CELL_SIZE = 4 * SEMDEDUP_TARGET_CLUSTER
+
+
+def _subsplit_oversized(
+    assigned: DataFrame, max_cell_size: int
+) -> Optional[DataFrame]:
+    """(id, v, cent_cos, _cell) -> same + `_sub`, or None when no cell
+    exceeds the cap (the common case — the caller then keeps the
+    original single-key plan byte-identical).  Cells whose row count
+    exceeds `max_cell_size` are split into ceil(|c|/cap) hash
+    sub-cells (pmod(hash(id), n_sub) — deterministic across runs);
+    all other cells get _sub = 0.  One map-side-combinable per-cell
+    count (≤ n_cells rows reduced, only oversized ones collected) +
+    one broadcast join of the tiny oversized-cell table.
+
+    Semantics note: the keep rule then runs per (cell, sub) — pairs
+    split across sub-cells of one giant cluster are not compared, so a
+    degenerate cluster retains up to n_sub survivors instead of 1.
+    SemDeDup is cluster-local (approximate) by construction; the split
+    trades that bounded recall loss for a hard per-task work bound."""
+    cap = int(max_cell_size)
+    if cap < 1:
+        raise ValueError("max_cell_size must be >= 1 (or None)")
+    oversized = (
+        assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .collect()
+    )
+    if not oversized:
+        return None
+    spark = assigned.sparkSession
+    splits = spark.createDataFrame(
+        [(int(r["_cell"]), -(-int(r["_n"]) // cap)) for r in oversized],
+        "_cell int, _nsub int",
+    )
+    return (
+        assigned.join(F.broadcast(splits), "_cell", "left")
+        .withColumn(
+            "_sub",
+            F.when(
+                F.col("_nsub").isNotNull(),
+                F.pmod(F.hash("id"), F.col("_nsub")),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_nsub")
+    )
+
+
 def _semdedup_keep(
-    assigned: DataFrame, threshold: float, n_cells: Optional[int] = None
+    assigned: DataFrame,
+    threshold: float,
+    n_cells: Optional[int] = None,
+    max_cell_size: Optional[int] = SEMDEDUP_MAX_CELL_SIZE,
 ) -> DataFrame:
     """Exists-dominating-neighbor keep rule over an assigned table
     (id, v, cent_cos, _cell): row x drops iff some same-cluster
     neighbor y has round-6 cosine(x, y) >= threshold and (cc_y, id_y)
-    < (cc_x, id_x) lexicographically.
+    < (cc_x, id_x) lexicographically.  `max_cell_size` (None =
+    unbounded) hash-splits cells above the cap so one degenerate
+    cluster cannot recreate the O(n²) join inside a single cell —
+    see _subsplit_oversized for the bounded-recall tradeoff.
 
     Parallelism: the pair join's CPU cost (a per-pair cosine over the
     raw vectors) is orders of magnitude above its shuffle BYTES, and
@@ -590,6 +652,12 @@ def _semdedup_keep(
 
     spark = assigned.sparkSession
     par = spark.sparkContext.defaultParallelism
+    base_keys = ["_cell"]
+    if max_cell_size is not None:
+        split = _subsplit_oversized(assigned, max_cell_size)
+        if split is not None:
+            assigned = split
+            base_keys = ["_cell", "_sub"]
     salt = 1
     if n_cells is not None and n_cells > 0:
         # enough (cell, salt) buckets to feed ~2 tasks per core; the
@@ -598,23 +666,23 @@ def _semdedup_keep(
         salt = max(1, min(64, -(-2 * par // int(n_cells))))
     a = assigned.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-        "_cell", F.col("cent_cos").alias("cc_a"),
+        *base_keys, F.col("cent_cos").alias("cc_a"),
     )
     b = assigned.select(
         F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-        "_cell", F.col("cent_cos").alias("cc_b"),
+        *base_keys, F.col("cent_cos").alias("cc_b"),
     )
     if salt > 1:
         n_part = max(par * 2, salt)
         a = a.withColumn(
             "_salt", F.pmod(F.hash("id_a"), F.lit(salt)).cast("int")
-        ).repartition(n_part, "_cell", "_salt")
+        ).repartition(n_part, *base_keys, "_salt")
         b = b.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-        ).repartition(n_part, "_cell", "_salt")
-        join_keys = ["_cell", "_salt"]
+        ).repartition(n_part, *base_keys, "_salt")
+        join_keys = base_keys + ["_salt"]
     else:
-        join_keys = ["_cell"]
+        join_keys = base_keys
     dominated = (
         a.join(b, join_keys)
         .filter(
@@ -646,6 +714,7 @@ def semdedup(
     iters: int = 5,
     seed: int = 42,
     target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER,
+    max_cell_size: Optional[int] = SEMDEDUP_MAX_CELL_SIZE,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, find
@@ -668,6 +737,17 @@ def semdedup(
     emit more distinct centroids than training rows) — raise
     `train_sample` alongside corpus size when auto-k climbs.
 
+    Auto-k bounds the EXPECTED cell size only — k-means makes no
+    balance promise, and one degenerate near-identical cluster can
+    still land ~n rows in a single cell.  `max_cell_size` (default
+    4 × target_cluster_size; None = unbounded) therefore hash-splits
+    any cell above the cap into ceil(|c|/cap) sub-cells before the
+    pair join, making the per-task work bound ~cap² REGARDLESS of the
+    embedding distribution, at the cost of keeping up to n_sub
+    survivors of a giant duplicate family instead of 1 (SemDeDup is
+    cluster-local/approximate by construction; see
+    _subsplit_oversized).
+
     Scale shape (the paper runs 50k clusters over 8B embeddings):
     centroids train once on a bounded md5-ordered driver sample
     (ann_index recipe) and broadcast as literals; assignment is one
@@ -683,7 +763,7 @@ def semdedup(
     )
     return _semdedup_keep(
         _semdedup_assign(emb, id_col, vec_col, cent), threshold,
-        n_cells=len(cent),
+        n_cells=len(cent), max_cell_size=max_cell_size,
     )
 
 
@@ -795,18 +875,26 @@ class SemDedupBuild:
             df = df.filter(F.col("_cell").isin([int(c) for c in cells]))
         return df
 
-    def keep(self, threshold: float = 0.9, cells=None) -> DataFrame:
+    def keep(
+        self,
+        threshold: float = 0.9,
+        cells=None,
+        max_cell_size: Optional[int] = SEMDEDUP_MAX_CELL_SIZE,
+    ) -> DataFrame:
         """Surviving rows (id, _cell, cent_cos) under the
         exists-dominating-neighbor rule.  Dedup is cell-local by
         construction, so a `cells` subset is EXACT for those cells
-        (and prunes every other partition at the scan)."""
+        (and prunes every other partition at the scan).
+        `max_cell_size` bounds one cell's pair-join worst case by
+        hash-splitting oversized cells — see semdedup."""
         if cells is not None:
             cells = [int(c) for c in cells]  # generator-safe: consumed
             n_cells = len(cells)             # once, reused by assigned()
         else:
             n_cells = int(self.meta["n_clusters"])
         return _semdedup_keep(
-            self.assigned(cells), float(threshold), n_cells=n_cells
+            self.assigned(cells), float(threshold), n_cells=n_cells,
+            max_cell_size=max_cell_size,
         )
 
 

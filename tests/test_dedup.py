@@ -532,6 +532,100 @@ class TestSemDedup:
             for r in built.keep(0.9, cells=gen).collect()
         } == full_cell0
 
+    def test_giant_cluster_worst_case_bounded(self, spark):
+        """VERDICT r4 item 2: a degenerate embedding distribution (one
+        giant near-identical cluster) must not recreate the O(n²) join
+        inside one cell.  max_cell_size hash-splits the oversized cell:
+        per-(cell,sub) cardinality is bounded, the giant duplicate
+        family retains at most ceil(|c|/cap) survivors (vs exactly 1
+        unbounded), every distinct row still survives, and the result
+        is deterministic."""
+        import math
+
+        from search_engine_spark.ops.dedup import (
+            _semdedup_assign,
+            _semdedup_train,
+            _subsplit_oversized,
+            semdedup,
+        )
+
+        N_GIANT, CAP = 120, 30
+        base = [math.sin(j * 0.7) for j in range(8)]
+        rows = [
+            (i, [x + 0.0005 * math.sin(i * 31 + j) for j, x in
+                 enumerate(base)])
+            for i in range(N_GIANT)
+        ]
+        # a few far-away distinct rows (orthogonal-ish axis)
+        for s in range(5):
+            rows.append((1000 + s,
+                         [0.0] * 4 + [math.cos(s + j) for j in range(4)]))
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        kw = dict(n_clusters=2, train_sample=256, threshold=0.9, seed=3)
+
+        unbounded = {r["id"] for r in semdedup(
+            df, "id", "vec", max_cell_size=None, **kw).collect()}
+        capped = {r["id"] for r in semdedup(
+            df, "id", "vec", max_cell_size=CAP, **kw).collect()}
+        giant_unbounded = {i for i in unbounded if i < 1000}
+        giant_capped = {i for i in capped if i < 1000}
+        # the giant family may share its cell with the distinct rows
+        # (k-means chooses), so bound by the worst-case sub count of
+        # the WHOLE corpus landing in one cell
+        n_sub_bound = -(-len(rows) // CAP)
+        assert len(giant_unbounded) == 1
+        assert 1 <= len(giant_capped) <= n_sub_bound
+        # distinct rows survive identically under both settings
+        assert {i for i in unbounded if i >= 1000} == \
+               {i for i in capped if i >= 1000}
+        # the unbounded winner is among the capped survivors (it wins
+        # its own sub-cell: domination order is unchanged within one)
+        assert giant_unbounded <= giant_capped
+        # determinism of the hash split
+        again = {r["id"] for r in semdedup(
+            df, "id", "vec", max_cell_size=CAP, **kw).collect()}
+        assert again == capped
+
+        # per-(cell, sub) cardinality bound on the split itself: each
+        # oversized cell splits into exactly ceil(|c|/cap) hash
+        # sub-cells, none carrying more than ~2× the cap (hash slack),
+        # so one task's pair work is ~cap², not |c|²
+        cent = _semdedup_train(df, "id", "vec", 2, 256, 5, 3,
+                               target_cluster_size=5000)
+        assigned = _semdedup_assign(df, "id", "vec", cent)
+        cell_sizes = {
+            r["_cell"]: r["count"]
+            for r in assigned.groupBy("_cell").count().collect()
+        }
+        oversized = {c: n for c, n in cell_sizes.items() if n > CAP}
+        assert oversized  # the giant family forces at least one
+        sized = _subsplit_oversized(assigned, CAP)
+        assert sized is not None
+        counts = sized.groupBy("_cell", "_sub").count().collect()
+        for c, n in oversized.items():
+            groups = [r for r in counts if r["_cell"] == c]
+            assert len(groups) == -(-n // CAP), (c, n, groups)
+            assert all(r["count"] <= 2 * CAP for r in groups), groups
+
+    def test_subsplit_noop_below_cap(self, spark):
+        """No oversized cell -> _subsplit_oversized returns None and
+        the keep plan stays the original single-key join (the contract
+        entry's shape is unchanged by the cap)."""
+        from search_engine_spark.ops.dedup import (
+            _semdedup_assign,
+            _semdedup_train,
+            _subsplit_oversized,
+        )
+
+        rows, _ = self._synth_corpus(10, 3)
+        df = spark.createDataFrame(rows, "id long, vec array<double>")
+        cent = _semdedup_train(df, "id", "vec", 4, 256, 5, 7,
+                               target_cluster_size=5000)
+        assigned = _semdedup_assign(df, "id", "vec", cent)
+        assert _subsplit_oversized(assigned, 1000) is None
+        with pytest.raises(ValueError):
+            _subsplit_oversized(assigned, 0)
+
     def test_load_names_partial_build(self, spark, tmp_path):
         """assigned/ without meta.json (the commit marker, written
         last) is a crashed build — semdedup_load must say so, not
