@@ -4484,7 +4484,9 @@ def _ann_index_dir(sf_dir: str, kind: str) -> str:
         f"{LSH_DIM}|{LSH_PLANES}|{LSH_SEED}|"
         f"{IVF_CELLS}|{IVF_NPROBE}|{IVF_SAMPLE}|{IVF_ITERS}|{IVF_SEED}|"
         f"{BATCH_IVF_CELLS}|{BATCH_IVF_NPROBE}|{ANN_K}|"
-        f"{'-'.join(str(i) for i in ANN_QUERY_IDS)}"
+        f"{'-'.join(str(i) for i in ANN_QUERY_IDS)}|"
+        f"{IVFPQ_CELLS}|{IVFPQ_NPROBE}|{IVFPQ_M}|{IVFPQ_CODES}|"
+        f"{IVFPQ_REFINE}"
     )
     tag = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{kind}|{params}".encode()
@@ -4647,6 +4649,135 @@ sims AS (
              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
       * sqrt(list_sum(list_transform(range(1, {LSH_DIM} + 1),
              i -> ({qv_sql}::DOUBLE[])[i] * ({qv_sql}::DOUBLE[])[i]))) ), 6) AS cosine
+  FROM cand)
+SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+# ---- IVF-PQ ANN: ADC over stored codes + exact refine ---------------------
+# The TRUE 10^12-vector footprint: the stored table is 1 int + m code
+# bytes per vector; query-time scoring never touches raw vectors until
+# the bounded exact-rescore of the top-ADC candidates (VERDICT r4 item
+# 7 — promote the locally-tested path to a driver contract entry).
+
+IVFPQ_CELLS = 4
+IVFPQ_NPROBE = 2
+IVFPQ_M = 4        # 64-dim embeddings -> 16-dim subspaces
+IVFPQ_CODES = 16
+IVFPQ_REFINE = 30  # exact-rescore pool (> k=10: rank-stable cut)
+
+
+def _q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ via the persisted index (ops/ann_index.py kind="ivfpq"):
+    coarse cells prune the scan to the nprobe probed `_cell`
+    partitions; scoring reads ONLY the stored PQ codes via asymmetric
+    distance computation (per-query LUTs as literal arrays — native
+    element_at, no Python, no vector column); the top-IVFPQ_REFINE ADC
+    candidates are then exact-rescored to cosine.  Returns
+    (vec_id, cosine) — the oracle recomputes the ADC candidate set
+    hermetically and cross-checks the exact rescore in SQL."""
+    qvec = _lsh_query_vec(spark, sf_dir)
+    d = _ann_index_dir(sf_dir, "ivfpq")
+    if not os.path.exists(os.path.join(d, AI.META_NAME)):
+        emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        AI.ann_build(emb, "vec_id", "embedding", d, kind="ivfpq",
+                     n_cells=IVFPQ_CELLS, m_subvectors=IVFPQ_M,
+                     n_codes=IVFPQ_CODES, train_sample=IVF_SAMPLE,
+                     iters=IVF_ITERS, seed=IVF_SEED)
+    idx = AI.ann_load(spark, d)
+    return idx.search(
+        qvec, k=10, nprobe=IVFPQ_NPROBE, refine=IVFPQ_REFINE
+    ).withColumnRenamed("id", "vec_id")
+
+
+def _sql_ivfpq_topk(sf_dir=None):
+    """Hermetic replica of the IVF-PQ pipeline (same md5 sample order,
+    numpy spherical k-means, residual PQ codebooks, batch encode, LUT
+    ADC with the engine's literal-sum order, and the HALF_UP round-6
+    refine cut), emitting the top-IVFPQ_REFINE ADC candidate ids as
+    literals; the SQL computes the exact cosine top-k over them — an
+    independent driver-side cross-check of the distributed encode +
+    pruned ADC scan + rescore."""
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pydict()
+    ids = [int(v) for v in tbl["vec_id"]]
+    vecs = {i: np.asarray(e, dtype=np.float64)
+            for i, e in zip(ids, tbl["embedding"])}
+    qv = vecs[0]
+    corpus = [i for i in ids if i != 0]
+
+    def md5int(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    ordered = sorted(corpus, key=lambda i: (md5int(i), str(i)))[:IVF_SAMPLE]
+    sample = np.stack([vecs[i] for i in ordered])
+    cent = S.kmeans_centroids(
+        sample, IVFPQ_CELLS, iters=IVF_ITERS, seed=IVF_SEED
+    )
+    books = S.pq_codebooks(
+        sample, cent, IVFPQ_M, IVFPQ_CODES, iters=IVF_ITERS, seed=IVF_SEED
+    )
+    m, _nc, dsub = books.shape
+
+    # batch encode, mirroring similarity.encode_pq's matrix ops
+    x = np.stack([vecs[i] for i in corpus])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cells = (x @ cent.T).argmax(axis=1)
+    resid = x - cent[cells]
+    codes = np.empty((len(x), m), dtype=np.int64)
+    for j in range(m):
+        sub = resid[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(axis=1)
+
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    cell_scores = cent @ qn
+    probe = set(np.argsort(-cell_scores)[:IVFPQ_NPROBE].tolist())
+    luts = [books[j] @ qn[j * dsub:(j + 1) * dsub] for j in range(m)]
+
+    def round6_half_up(v: float) -> float:
+        # Spark's round() is BigDecimal HALF_UP on the exact double;
+        # Python's round() is banker's — replicate the engine exactly
+        return float(Decimal(v).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        ))
+
+    scored = []
+    for r, i in enumerate(corpus):
+        if int(cells[r]) not in probe:
+            continue
+        s = float(cell_scores[int(cells[r])])
+        for j in range(m):  # same left-to-right literal-sum order
+            s = s + float(luts[j][int(codes[r, j])])
+        scored.append((i, round6_half_up(s)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    members = [i for i, _ in scored[:max(IVFPQ_REFINE, 10)]]
+    member_sql = (
+        ", ".join(str(i) for i in sorted(members)) if members else "NULL"
+    )
+    qv_sql = "[" + ", ".join(repr(float(v)) for v in qv) + "]"
+    return f"""
+WITH cand AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id IN ({member_sql})),
+sims AS (
+  SELECT vec_id,
+    round(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> embedding[i]::DOUBLE * ({qv_sql}::DOUBLE[])[i]))
+    / ( sqrt(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))
+      * sqrt(list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> ({qv_sql}::DOUBLE[])[i] * ({qv_sql}::DOUBLE[])[i]))) ), 6)
+      AS cosine
   FROM cand)
 SELECT vec_id, cosine FROM sims ORDER BY cosine DESC, vec_id LIMIT 10"""
 
@@ -5744,41 +5875,87 @@ ORDER BY score DESC, event_id LIMIT 10"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # === Round-4 verification front (VERDICT r3 "Next round" item 2):
-        # the driver checks the FIRST 50 entries in registration order.
-        # Rounds 1-3 drove all 126 entries green at least once; this
-        # window re-verifies by staleness priority —
-        #   slots 1-7:  code changed in ROUND 4 (frozen-classifier
-        #               oracle, BPE VALUES oracle, semdedup auto-k
-        #               refactor, DSIR persist, vwh persist lifecycle,
-        #               near-dup-LSH dim probe);
-        #   slots 8-13: consumers of the round-3 cosine_col/try_divide
-        #               change whose last driver row predates it;
-        #   slots 14-15: pagerank_5iter / lm_perplexity — registered at
-        #               slots 51-52 last round so their last DRIVER row
-        #               is round 1 (the ADVICE r3 bookkeeping note);
-        #   slots 16-46: round-1 greens never re-driver-checked;
-        #   slots 47-50: the oldest round-2 greens not already covered
-        #               by the judge's round-3 local re-runs.
-        # --- round-4 code changes ---
-        "quality_classifier_scores": _q_quality_classifier,
-        "bpe_token_counts": _q_bpe_token_counts,
+        # === Round-5 verification window (VERDICT r4 "Next round"
+        # item 1 + item 7): the driver checks the FIRST 50 entries in
+        # registration order.  Priority by evidence staleness:
+        #   slots 1-6:  code changed in ROUND 5 (new ivfpq_topk entry;
+        #               semdedup per-cell cap; dsir keep_cached; vwh
+        #               post-collect plan capture; LSH stale-dim
+        #               probe; classifier ASCII feature lowering);
+        #   slots 7-33: the 27 entries whose latest driver row is
+        #               round 2 (two rounds stale);
+        #   slots 34-37: round-2 entries already re-run clean by the
+        #               judge's round-4 local gate (freshest of the
+        #               stale tier, so they ride last);
+        #   slots 38-50: the oldest round-3 greens without a judge
+        #               round-4 re-run.
+        # After this window no entry's latest driver evidence is older
+        # than round 3.
+        "ivfpq_topk": _q_ivfpq_topk,
         "semdedup_keep": _q_semdedup,
         "dsir_select_topk": _q_dsir_select,
         "variable_width_hist": _q_variable_width_hist,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "quality_classifier_scores": _q_quality_classifier,
+        # --- latest driver row round 2 (two rounds stale) ---
+        "collapse_topk": _q_collapse_topk,
+        "corpus_mix_sample": _q_corpus_mix,
+        "dedup_exact_clusters": _q_dedup_exact,
+        "detect_language": _q_detect_language,
+        "doc_fingerprint": _q_fingerprint,
+        "explain_contribs": _q_explain_contribs,
+        "frame_sample": _q_frame_sample,
+        "gopher_rules": _q_gopher_rules,
+        "highlight_snippets": _q_highlight,
+        "lang_en_score": _q_lang_en,
+        "match_counts": _q_match_counts,
+        "media_exact_dedup": _q_media_dedup,
+        "media_meta": _q_media_meta,
+        "out_degree_graph": _q_out_degree_graph,
+        "pack_assign": _q_pack_assign,
+        "pagination_page2": _q_pagination,
+        "quality_scores": _q_quality,
+        "repetition_stats": _q_repetition_stats,
+        "rrf_hybrid_topk": _q_rrf_topk,
+        "significant_terms_topk": _q_significant_terms,
+        "simhash48": _q_simhash,
+        "sorted_hits": _q_sorted_hits,
+        "split_assign": _q_split_assign,
+        "tfidf_max_topk": _q_tfidf_max_topk,
+        "tfidf_prob_topk": _q_tfidf_prob_topk,
+        "token_counts": _q_token_counts,
+        "utils_battery": _q_utils_battery,
+        # --- round-2 rows, judge re-ran clean round 4 ---
+        "line_dedup": _q_line_dedup,
+        "substring_dedup": _q_substring_dedup,
+        "mlt_topk": _q_mlt_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        # --- oldest round-3 greens without a judge r4 re-run ---
+        "terms_enum_page": _q_terms_enum_page,
+        "facet_percentiles_toklen": _q_facet_percentiles,
+        "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
+        "facet_top_hits": _q_facet_top_hits,
+        "string_stats_source": _q_string_stats,
+        "t_test_welch": _q_t_test_welch,
+        "rank_feature_topk": _q_rank_feature,
+        "facet_date_histogram": _q_date_histogram,
+        "shuffle_order": _q_shuffle_order,
+        "token_budget_select": _q_token_budget_select,
+        "cap_per_source": _q_cap_per_source,
+        "semi_join_orders": _q_semi_join,
+        "anti_join_customers": _q_anti_join,
+        # ================= end of driver first-50 window =================
+        # --- remaining entries: latest driver evidence round 3/4 ---
+        "bpe_token_counts": _q_bpe_token_counts,
         "embedding_near_dup": _q_embedding_near_dup,
-        # --- cosine_col consumers with pre-change driver evidence ---
         "lsh_ann_topk": _q_lsh_ann,
         "ivf_ann_topk": _q_ivf_ann,
         "embedding_cosine_topk": _q_embedding_topk,
         "dedup_components": _q_dedup_components,
         "minhash_signature": _q_minhash_sig,
         "near_dup_pairs": _q_near_dup,
-        # --- round-1 driver evidence only (missed last round's 50) ---
         "pagerank_5iter": _q_pagerank,
         "lm_perplexity": _q_lm_perplexity,
-        # --- round-1 greens never re-driver-checked ---
         "term_vectors": _q_term_vectors,
         "bm25_topk_msm2": _q_bm25_topk_msm2,
         "bm25_topk_not": _q_bm25_topk_not,
@@ -5810,28 +5987,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram_toklen": _q_facet_histogram,
         "facet_range_toklen": _q_facet_range,
         "facet_cardinality_source": _q_facet_cardinality,
-        # --- oldest round-2 greens without a newer local re-run ---
         "pii_stats": _q_pii_stats,
         "c4_line_stats": _q_c4_line_stats,
         "decontaminate": _q_decontaminate,
         "sample_10pct": _q_sample_10pct,
-        # ================= end of driver first-50 window =================
-        # --- round-3 driver greens (CORRECTNESS_r03.json) ---
-        "terms_enum_page": _q_terms_enum_page,
-        "facet_percentiles_toklen": _q_facet_percentiles,
-        "facet_percentile_ranks_toklen": _q_facet_percentile_ranks,
-        "facet_top_hits": _q_facet_top_hits,
-        "string_stats_source": _q_string_stats,
-        "t_test_welch": _q_t_test_welch,
-        "rank_feature_topk": _q_rank_feature,
-        "facet_date_histogram": _q_date_histogram,
-        "shuffle_order": _q_shuffle_order,
         "quality_weighted_sample": _q_quality_weighted_sample,
-        "token_budget_select": _q_token_budget_select,
-        "cap_per_source": _q_cap_per_source,
         "bpe_word_counts": _q_bpe_word_counts,
-        "semi_join_orders": _q_semi_join,
-        "anti_join_customers": _q_anti_join,
         "topk_lineitem_price": _q_topk_price,
         "group_count_events": _q_group_count,
         "analytics_24h": _q_analytics_24h,
@@ -5862,41 +6023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "batch_bm25_topk": _q_batch_bm25_topk,
         "hybrid_rank": _q_hybrid_rank,
-        # --- round-2 driver greens (CORRECTNESS_r02.json); line_dedup /
-        #     substring_dedup / media_exact_dedup / rrf_hybrid_topk /
-        #     gopher_rules also re-ran clean under the judge's round-3
-        #     local contract gate ---
-        "line_dedup": _q_line_dedup,
-        "substring_dedup": _q_substring_dedup,
-        "gopher_rules": _q_gopher_rules,
-        "split_assign": _q_split_assign,
-        "corpus_mix_sample": _q_corpus_mix,
-        "pack_assign": _q_pack_assign,
-        "media_meta": _q_media_meta,
-        "media_exact_dedup": _q_media_dedup,
-        "frame_sample": _q_frame_sample,
-        "detect_language": _q_detect_language,
-        "rrf_hybrid_topk": _q_rrf_topk,
-        "dedup_exact_clusters": _q_dedup_exact,
-        "simhash48": _q_simhash,
-        "doc_fingerprint": _q_fingerprint,
-        "quality_scores": _q_quality,
-        "lang_en_score": _q_lang_en,
-        "token_counts": _q_token_counts,
-        "repetition_stats": _q_repetition_stats,
-        "out_degree_graph": _q_out_degree_graph,
-        "highlight_snippets": _q_highlight,
-        "utils_battery": _q_utils_battery,
-        "pagination_page2": _q_pagination,
-        "sorted_hits": _q_sorted_hits,
-        "collapse_topk": _q_collapse_topk,
-        "significant_terms_topk": _q_significant_terms,
-        "mlt_topk": _q_mlt_topk,
-        "tfidf_topk": _q_tfidf_topk,
-        "tfidf_prob_topk": _q_tfidf_prob_topk,
-        "tfidf_max_topk": _q_tfidf_max_topk,
-        "explain_contribs": _q_explain_contribs,
-        "match_counts": _q_match_counts,
     }
 
 
@@ -6045,10 +6171,11 @@ def oracle_sql() -> dict[str, str]:
     try:
         out["lsh_ann_topk"] = _sql_lsh_ann()
         out["ivf_ann_topk"] = _sql_ivf_ann()
+        out["ivfpq_topk"] = _sql_ivfpq_topk()
         out["batch_ann_topk"] = _sql_batch_ann()
         out["semdedup_keep"] = _sql_semdedup()
     except Exception:
-        # embeddings parquet unreadable here: those four entries become
+        # embeddings parquet unreadable here: those five entries become
         # rows-only rather than taking down every other oracle
         pass
     try:

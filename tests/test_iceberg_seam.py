@@ -54,10 +54,10 @@ class TestIcebergProbe:
         if not _iceberg_available(spark):
             pytest.skip(
                 "Iceberg runtime jars absent in this environment "
-                "(re-probed round 4, 2026-08-21: no iceberg jar on the "
-                "classpath, in pyspark/jars, or on disk; no network to "
-                "fetch one); table layer stays parquet-path based "
-                "behind IndexPaths — see session.py:1-9"
+                "(re-probed round 5, 2026-08-21: no iceberg jar on the "
+                "classpath, in pyspark/jars, or anywhere on disk; no "
+                "network to fetch one); table layer stays parquet-path "
+                "based behind IndexPaths — see session.py:1-9"
             )
         # Catalogs are instantiated lazily, so a live session can gain one.
         spark.conf.set(
