@@ -350,7 +350,10 @@ def main() -> None:
            # FROZEN model (the ~40 s L-BFGS fit that kept it out of
            # the suite moved offline to scripts/freeze_quality_model)
            "semdedup_keep", "dsir_select_topk",
-           "quality_classifier_scores"]
+           "quality_classifier_scores",
+           # round-5 addition: IVF-PQ ADC + exact refine over the
+           # persisted code table (the 10^12-vector footprint)
+           "ivfpq_topk"]
     qmap = entrymod.queries()
     for name in ops:
         t0 = time.time()
