@@ -4746,9 +4746,14 @@ def _sql_ivfpq_topk(sf_dir=None):
     luts = [books[j] @ qn[j * dsub:(j + 1) * dsub] for j in range(m)]
 
     def round6_half_up(v: float) -> float:
-        # Spark's round() is BigDecimal HALF_UP on the exact double;
-        # Python's round() is banker's — replicate the engine exactly
-        return float(Decimal(v).quantize(
+        # Spark's round() is BigDecimal.valueOf(double) HALF_UP, and
+        # BigDecimal.valueOf goes through Double.toString — the
+        # SHORTEST decimal repr, not the exact binary expansion
+        # (round-5 review, verified: the double nearest 0.1234565
+        # rounds to 0.123457 in Spark but 0.123456 via Decimal(v)).
+        # Python's repr() is the same shortest-repr algorithm, so
+        # Decimal(repr(v)) replicates the engine exactly.
+        return float(Decimal(repr(v)).quantize(
             Decimal("0.000001"), rounding=ROUND_HALF_UP
         ))
 

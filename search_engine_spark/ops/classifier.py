@@ -47,16 +47,21 @@ from search_engine_spark.ops.common import md5int_col, md5int_sql
 # frozen-score hash oracle on non-ASCII corpora (ADVICE r4).  A-Z→a-z
 # is identical in every engine; non-ASCII case is left intact by
 # design (case-variant non-ASCII grams hash separately — a modeling
-# choice, not a portability bug).  \s+ needs no such guard: Java
-# regex and RE2 both default \s to the ASCII class.
+# choice, not a portability bug).  The split uses an EXPLICIT
+# whitespace class, not \s: Java's \s is [ \t\n\x0B\f\r] but RE2's
+# (DuckDB's) \s EXCLUDES vertical tab \x0B, so '\s+' tokenizes
+# \x0B-separated text differently across engines (found in round-5
+# review, verified empirically) — spelling the Java set out makes
+# both engines split identically.
 _ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_WS_CLASS = r"[ \t\n\x0B\f\r]+"
 
 
 def _words(text_col: Column) -> Column:
     return F.filter(
         F.split(
-            F.translate(text_col, _ASCII_UPPER, _ASCII_LOWER), r"\s+"
+            F.translate(text_col, _ASCII_UPPER, _ASCII_LOWER), _WS_CLASS
         ),
         lambda t: F.length(t) > 0,
     )
@@ -390,7 +395,7 @@ WITH _w AS (
            string_split_regex(
              translate({text_col},
                        '{_ASCII_UPPER}', '{_ASCII_LOWER}'),
-             '\\s+'),
+             '{_WS_CLASS}'),
            x -> length(x) > 0), []) AS l
   FROM {table}),
 _g AS (

@@ -401,8 +401,13 @@ def embedding_near_dup_pairs_lsh(
 
     Dimension resolution, cheapest first: explicit `dim` >
     `index_dir` (the meta.json of a persisted ops.ann_index over the
-    same table — a driver-local file read, no Spark action) > a
-    one-row `.first()` probe of the data (one tiny driver action).
+    same table — a driver-local file read) > a one-row `.first()`
+    probe of the data.  NOTE: with the default `validate_dim=True`
+    the index_dir path ALSO fires one `.first()` probe, cross-checking
+    meta['dim'] against the live table so a stale index over a
+    re-embedded table refuses instead of silently mis-hashing; pass
+    `validate_dim=False` for the action-free plan-construction-pure
+    form when you own that invariant.
     """
     from search_engine_spark.ops.common import cosine_col
     from search_engine_spark.ops.similarity import _bucket_col, hyperplanes

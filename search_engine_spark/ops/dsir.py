@@ -20,7 +20,9 @@ regardless of corpus size):
   collect, the scoring join) so the corpus-sized explode executes once
   per call, and released before the weights frame is returned;
 - bucket counting is a map-side-combinable groupBy over B keys —
-  the aggregate output is B-sized no matter how big the corpus;
+  the aggregate output is B-sized no matter how big the corpus, and
+  is collected driver-side so the ratio table becomes a LITERAL
+  frame (one gram branch in the final plan, not two);
 - the (bucket → log-ratio) table is broadcast (B rows) and each raw
   gram occurrence picks up its ratio with NO shuffle;
 - per-doc weight is one groupBy(id) sum — the only corpus-sized
@@ -98,8 +100,8 @@ def dsir_log_weights(
             "id", "_tgt", (md5int_col(F.col("gram")) % B).alias("_b")
         )
     )
-    # The gram lineage feeds THREE computations (bucket counts, the
-    # totals collect, and the scoring join).  Persist it across them —
+    # The gram lineage feeds TWO computations (the bucket-count
+    # collect and the scoring join).  Persist it across them —
     # MEMORY_AND_DISK, fault-tolerant: an executor loss recomputes from
     # lineage, unlike a localCheckpoint.  With keep_cached=True the
     # per-doc weights (id + double per raw doc, negligible next to the
@@ -109,15 +111,29 @@ def dsir_log_weights(
     # gram pass at the caller's action.
     grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        counts = grams.groupBy("_b").agg(
+        # ONE action over the cached grams: the per-bucket counts are
+        # ≤ B rows (the paper fixes B regardless of corpus size), so
+        # collect them and re-emit the ratio table as a LITERAL frame.
+        # This leaves exactly one gram branch in the returned plan —
+        # with a lineage-backed ratios frame, every caller action on
+        # the (uncached-by-default) weights would re-run the explode
+        # TWICE, once for the broadcast build and once for the scan
+        # (round-5 review).  Totals are exact integer sums; the
+        # log-ratio stays a JVM-side expression over exact int
+        # literals, so weights are bit-identical to the lineage form.
+        count_rows = grams.groupBy("_b").agg(
             F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
             F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("cr"),
+        ).collect()
+        nt = sum(int(r["ct"]) for r in count_rows)
+        nr = sum(int(r["cr"]) for r in count_rows)
+        spark = docs.sparkSession
+        counts_lit = spark.createDataFrame(
+            [(int(r["_b"]), int(r["ct"]), int(r["cr"]))
+             for r in count_rows],
+            "_b long, ct long, cr long",
         )
-        totals = counts.agg(
-            F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-        ).collect()[0]
-        nt, nr = int(totals["nt"] or 0), int(totals["nr"] or 0)
-        ratios = counts.select(
+        ratios = counts_lit.select(
             "_b",
             (
                 F.log((F.col("ct") + 1.0) / F.lit(float(nt + B)))

@@ -226,7 +226,7 @@ class TestFrozen:
         lowered = (text or "").translate(
             str.maketrans(C._ASCII_UPPER, C._ASCII_LOWER)
         )
-        words = [w for w in re.split(r"\s+", lowered, flags=re.ASCII) if w]
+        words = [w for w in re.split(C._WS_CLASS, lowered) if w]
         grams = words + [
             f"{a} {b}" for a, b in zip(words, words[1:])
         ]
@@ -250,6 +250,10 @@ class TestFrozen:
         "ﬁsh ﬂow ligatures",
         "nbsp\u00a0joined and ideo\u3000joined words",
         "Ǆungla ǅungla titlecase",
+        # vertical tab: inside Java's \s but OUTSIDE RE2's — the
+        # explicit _WS_CLASS must split it identically in every engine
+        "vtab\x0bsplit here",
+        "all\x0b\x0c\r\n\tcontrols \x0b mixed",
     ]
 
     def test_frozen_matches_python_replica(self, spark, frozen):
